@@ -1,0 +1,53 @@
+"""Text-analysis column functions (SURVEY.md §2.12): tokenization,
+shingles, n-grams, quality signals, fingerprints.
+
+All built-in Catalyst expressions (split / transform / filter /
+aggregate / md5) — zero Python in the row path. ``documents.text`` in the
+fixtures is single-space-separated lowercase tokens, but these functions
+normalize defensively (lower + multi-space split) so they hold on real
+corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English-ish stopword list used by quality scoring; deliberately
+# short and hard-coded so the DuckDB oracle can inline the same literal.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (drops empty tokens)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+    The MinHash / Jaccard dedup unit (SURVEY §2.12 near-dup)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-grams of the raw string (language-ID features)."""
+    s = F.lower(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+
+
+def stopword_ratio_col(tokens: Column) -> Column:
+    """Fraction of tokens that are stopwords — a quality-score feature."""
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(tokens) > 0, n_stop / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed). Stable across engines and runs —
+    the exact-dedup / provenance key for a 100 TB corpus."""
+    normalized = F.concat_ws(" ", tokens_col(text))
+    return F.md5(normalized.cast("binary"))

@@ -1,0 +1,138 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's only join is a broadcast LEFT equi-join against a 6-row
+literal lookup (``src/features/transformations.py:40-46``); Catalyst's
+equi-join strategies (broadcast / shuffled-hash / sort-merge) cover the
+rest of the equi surface natively. What Spark lacks natively — range joins
+and as-of joins — is implemented here with scale-correct plans:
+
+- ``range_join_bucketed``: a naive equi-join + range filter degenerates to
+  a per-key cartesian product inside sort-merge join (O(n²) per key — fatal
+  for hot keys at 100 TB). Bucketizing the range key to the window width
+  and equi-joining on (key, bucket) ∪ (key, bucket+1) bounds each probe to
+  two buckets, turning the plan back into a pure hash join whose cost is
+  linear in the true match count.
+- ``asof_join``: the classic merge-based formulation — union both sides
+  tagged, single shuffle on the key, one window pass carrying the last
+  right-side value forward. One shuffle + one sort, no nested loop, no
+  per-row subquery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup_join(
+    fact: DataFrame,
+    lookup: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Fact ⟕ small-dimension join with an explicit broadcast hint
+    (ref ``transformations.py:2,46``). The hint is kept even though
+    Catalyst would auto-broadcast below the threshold — determinism
+    across session configs matters more than trusting defaults."""
+    return fact.join(F.broadcast(lookup), on=on, how=how)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Equi-key + time-range join: match right rows with
+    ``left_ts + lower_s <= right_ts <= left_ts + upper_s`` (seconds).
+
+    Implementation: bucket both sides by ``width = upper_s - lower_s``
+    over the epoch axis; a right row can only fall in the left row's
+    bucket or the next one, so the left side explodes into exactly two
+    (key, bucket) probes and the join is a plain equi hash join with a
+    cheap residual filter. Shuffle volume is 2×|left| + |right| — flat in
+    the window width, independent of key skew.
+    """
+    width = max(upper_s - lower_s, 1)
+    lkey = [F.col(c) for c in key_cols]
+
+    l_epoch = F.col(left_ts).cast("double")
+    r_epoch = F.col(right_ts).cast("double")
+
+    right_b = right.withColumn(
+        "__bucket", F.floor((r_epoch - F.lit(lower_s)) / F.lit(width)).cast("long")
+    )
+    left_b = left.withColumn("__b0", F.floor(l_epoch / F.lit(width)).cast("long"))
+    left_b = left_b.withColumn(
+        "__bucket", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1))
+    ).drop("__b0")
+
+    joined = left_b.join(right_b, on=[*key_cols, "__bucket"], how="inner").drop(
+        "__bucket"
+    )
+    cond = (F.col(right_ts).cast("double") >= F.col(left_ts).cast("double") + lower_s) & (
+        F.col(right_ts).cast("double") <= F.col(left_ts).cast("double") + upper_s
+    )
+    return joined.filter(cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` sharing ``key_cols`` (NULLs when none).
+
+    Merge-based: tag sides, union on aligned schemas, and run one
+    ``last(..., ignorenulls)`` window ordered by (ts, side) per key. Right
+    rows at the exact same timestamp sort before left rows, matching the
+    inclusive ``<=`` semantics. Cost: one shuffle on the key + one sort —
+    the plan a native as-of operator would produce.
+    """
+    mkcol = [F.col(c) for c in key_cols]
+
+    right_tagged = right.select(
+        *mkcol,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    left_tagged = left.select(
+        *mkcol,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+
+    unioned = right_tagged.unionByName(left_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
+            .over(w)
+            .alias(f"__carried_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"__carried_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out

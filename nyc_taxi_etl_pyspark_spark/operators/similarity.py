@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+- ``brute_force_topk_cosine``: exact top-k — one scan, per-partition
+  top-k via TakeOrderedAndProject (no full sort shuffle). The correctness
+  baseline and perfectly adequate whenever the query side is a handful of
+  vectors.
+- ``ivf_topk_cosine``: IVF-style approximate path for the 100 TB shape —
+  assign every vector to its nearest centroid ONCE (a broadcast join
+  against a small codebook, computed per-row, no shuffle), then probe only
+  the ``n_probe`` centroids closest to the query. The scan cost drops by
+  ~|centroids|/n_probe; candidate ranking stays exact within probed cells.
+- ``cosine_pairs_within_group``: blocked exact all-pairs (embedding-cosine
+  near-dup) — quadratic only within blocks, the same blocking contract as
+  the text dedup operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.vectors import cosine_similarity_col
+
+
+def brute_force_topk_cosine(
+    vectors: DataFrame,
+    query_vec: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of ``query_vec`` (a 1-row DataFrame with column
+    ``query_embedding``) against every row of ``vectors``.
+
+    The 1-row query side is crossJoin-broadcast so the big side never
+    shuffles; ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject
+    (partial top-k per partition, merged on the driver — k rows, not the
+    table). Similarity is rounded to 4 decimals *before* ranking so the
+    cut is reproducible across engines' float accumulation orders; ties
+    break on the unique id.
+    """
+    joined = vectors.crossJoin(F.broadcast(query_vec))
+    sim = stable_round(
+        cosine_similarity_col(F.col(vec_col), F.col("query_embedding")), 4
+    ).alias("cosine_sim")
+    return (
+        joined.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_within_group(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold within each ``block_col`` group
+    (embedding near-dup detection). Pair space is quadratic per block
+    only; at corpus scale the block is an LSH bucket or IVF cell."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__v_a"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__v_b"),
+    )
+    pairs = a.join(b, on="__blk").filter(F.col("id_a") < F.col("id_b"))
+    sim = stable_round(cosine_similarity_col(F.col("__v_a"), F.col("__v_b")), 4)
+    return (
+        pairs.select("id_a", "id_b", F.col("__blk").alias("block"), sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk_cosine(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Approximate IVF top-k: ``centroids`` is a small (centroid_id,
+    centroid_vec) codebook (e.g. sampled or k-means-fitted offline).
+
+    Build: every vector → argmax-cosine centroid via a broadcast cross
+    join + one window-free groupBy-max (max_by). Probe: rank centroids
+    against the query on the driver-side-small codebook, keep ``n_probe``
+    cells, and run the exact ranking only inside them.
+    """
+    assign = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            cosine_similarity_col(F.col(vec_col), F.col("centroid_vec")).alias("__csim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by("centroid_id", "__csim").alias("centroid_id"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query_vec))
+        .select(
+            "centroid_id",
+            cosine_similarity_col(F.col("centroid_vec"), F.col("query_embedding")).alias(
+                "__qsim"
+            ),
+        )
+        .orderBy(F.col("__qsim").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    candidates = assign.join(F.broadcast(probe_cells), on="centroid_id")
+    sim = stable_round(
+        cosine_similarity_col(F.col(vec_col), F.col("query_embedding")), 4
+    ).alias("cosine_sim")
+    return (
+        candidates.crossJoin(F.broadcast(query_vec))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

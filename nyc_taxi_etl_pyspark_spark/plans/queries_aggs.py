@@ -1,0 +1,250 @@
+"""Aggregation queries (SURVEY.md §2.4) + sorts/limits/top-k/sampling
+(§2.6).
+
+Flagship: ``q_agg_by_hour`` — the reference's trips_by_hour aggregate
+(``src/pipeline/etl_writer.py:24-32``) retargeted to the ``events`` fact
+table. Catalyst plans all of these as partial (map-side) + final
+HashAggregate, which is exactly the two-phase shape that scales: the
+shuffle carries one row per (group × partition), not per input row.
+
+Float policy: sums/avgs/stddevs over double columns are rounded to 4
+decimals in BOTH engines (accumulation order differs across engines;
+integer-valued doubles like l_quantity stay exact regardless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_agg_by_hour",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour,
+           count(*) AS total_events,
+           round(avg(value) + 1e-9, 4) AS avg_value,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — multi-key hash aggregate by (date, hour).
+
+    Re-expresses the reference's trips_by_hour query
+    (``src/pipeline/etl_writer.py:24-32``: groupBy(pickup_date,
+    pickup_hour).agg(count, avg, avg, avg)) on ``events``. Unlike the
+    reference we compute EXACT aggregates — its 5%-pre-sample
+    (``etl_writer.py:20-22``) was a VM-survival hack, not semantics
+    (SURVEY §4.2); sampling stays available via ``q_sample``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            # date emitted as 'yyyy-MM-dd' STRING: cross-engine date
+            # rendering is ambiguous (DuckDB DATE → pandas midnight
+            # datetime), strings hash identically everywhere.
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+            F.hour("ts").alias("event_hour"),
+        )
+        .agg(
+            F.count("*").alias("total_events"),
+            stable_round(F.avg("value"), 4).alias("avg_value"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query("q_count", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count (ref ``src/pipeline/main_etl.py:81``) as a DataFrame,
+    not a driver-side action."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "q_agg_sum_min_max_stddev",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS sum_disc_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+           round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+           round(stddev_samp(l_extendedprice) + 1e-9, 4) AS std_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum_min_max_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate breadth (absent in reference; SURVEY §2.4
+    extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        stable_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        stable_round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+        ).alias("sum_disc_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
+        stable_round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (SURVEY §2.4 extension). Catalyst expands
+    multi-distinct into an Expand + two-phase aggregate — still one
+    shuffle per distinct set, no driver work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)  # approximate => rows-only
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (SURVEY §2.4 extension) — the
+    100 TB path for cardinality estimation: one pass, fixed-size sketch,
+    no distinct-expand shuffle. Approximate, so rows-only checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity) + 1e-9, 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical grouping sets (SURVEY §2.4 extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        stable_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        stable_round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "q_orderby",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort + limit (ref ``etl_writer.py:35`` orderBy).
+
+    Spark plans orderBy+limit as TakeOrderedAndProject — per-partition
+    top-N then a driver merge of N×partitions rows, never a full global
+    sort shuffle. The unique ``o_orderkey`` tie-breaker makes the result
+    set deterministic across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic limit (ref ``src/models/trainer.py:51`` caps rows; a
+    bare limit is partition-order-dependent, so the engine always pairs
+    limit with a total order when results must be stable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(50)
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (SURVEY §2.6): TakeOrderedAndProject physical op."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(25)
+    )
+
+
+@query("q_sample", oracle=None)  # RNG differs across engines => rows-only
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (ref ``etl_writer.py:20-22``:
+    sample(False, 0.05, seed=42))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(withReplacement=False, fraction=0.05, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

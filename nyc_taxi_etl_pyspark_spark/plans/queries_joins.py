@@ -1,0 +1,214 @@
+"""Join queries (SURVEY.md §2.3): the reference's broadcast lookup join
+plus the extension surface (inner/semi/anti/snowflake/range/as-of).
+
+Plan hygiene per query: dimension sides are explicitly broadcast; the
+range and as-of joins use the bucketed / merge-based operators from
+``operators/joins.py`` instead of letting sort-merge degenerate into
+per-key cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.operators.joins import (
+    asof_join,
+    broadcast_lookup_join,
+    range_join_bucketed,
+)
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+# The engine analog of the reference's 6-row payment_type lookup
+# (``src/features/transformations.py:40-44``), keyed on event_type.
+EVENT_TYPE_LOOKUP = [
+    ("click", "Click interaction"),
+    ("view", "Page view"),
+    ("purchase", "Purchase completed"),
+    ("signup", "Account signup"),
+    ("error", "Client error"),
+]
+
+
+@query(
+    "q_join_broadcast_lookup",
+    oracle="""
+    SELECT e.event_id, e.event_type, lkp.type_desc
+    FROM events e
+    LEFT JOIN (VALUES ('click', 'Click interaction'),
+                      ('view', 'Page view'),
+                      ('purchase', 'Purchase completed'),
+                      ('signup', 'Account signup'),
+                      ('error', 'Client error'))
+           AS lkp(event_type, type_desc)
+      ON e.event_type = lkp.event_type
+    """,
+)
+def q_join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ONE join (``transformations.py:40-46``): fact ⟕
+    literal in-memory dimension with an explicit broadcast hint."""
+    ev = load_table(spark, sf_dir, "events")
+    lookup = spark.createDataFrame(EVENT_TYPE_LOOKUP, "event_type string, type_desc string")
+    return broadcast_lookup_join(ev, lookup, on="event_type", how="left").select(
+        "event_id", "event_type", "type_desc"
+    )
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact⋈dim with a selective dim filter — the filter
+    sits on the build side so Catalyst prunes before the join (and with
+    AQE can flip to broadcast once the filtered size is known)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having a big order. Semi join
+    carries no payload from the right side — at scale this halves shuffle
+    volume vs inner-join + distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_snowflake",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal) + 1e-9, 4) AS sum_acctbal,
+           round(avg(c.c_acctbal) + 1e-9, 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way snowflake join region⋈nation⋈customer + aggregate. Both
+    dims broadcast (25 / 5 rows), so the fact table never shuffles for
+    the joins — only the final group-by exchanges data."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            stable_round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            stable_round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch(b.ts) >= epoch(a.ts) + 1
+     AND epoch(b.ts) <= epoch(a.ts) + 600
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi time-range self-join: pairs of same-user events where b
+    follows a within (1s, 600s]. Runs through the bucketed range-join
+    operator (two-probe hash join) — NOT a sort-merge degenerating to a
+    per-user cartesian, which is the naive plan's failure mode at scale.
+    The oracle states the same predicate declaratively (DuckDB IEJoin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("event_a"), "user_id", F.col("ts").alias("ts_a")
+    )
+    b = ev.select(F.col("event_id").alias("event_b"), "user_id", F.col("ts").alias("ts_b"))
+    joined = range_join_bucketed(
+        a, b, key_cols=["user_id"], left_ts="ts_a", right_ts="ts_b", lower_s=1, upper_s=600
+    )
+    return joined.select("event_a", "event_b", "user_id")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch_s,
+           (SELECT CAST(floor(epoch(max(c.ts))) AS BIGINT)
+            FROM events c
+            WHERE c.user_id = e.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= e.ts) AS last_click_epoch_s
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the latest same-user click at
+    or before it. Merge-based implementation (union + single window pass,
+    one shuffle) vs the oracle's correlated-subquery statement of the same
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts"],
+        suffix="_last",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch_s"),
+        F.col("click_ts_last").cast("long").alias("last_click_epoch_s"),
+    )

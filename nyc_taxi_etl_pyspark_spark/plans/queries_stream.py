@@ -1,0 +1,166 @@
+"""Event-time window queries (SURVEY.md §2.9): batch-expressible
+tumbling/sliding/session windows with DuckDB oracles, plus the real
+Structured Streaming run as a rows-only query.
+
+Window starts are emitted as epoch seconds (BIGINT) — engine-neutral,
+no timestamp-rendering ambiguity in the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+    hourly_agg_exprs,
+    run_streaming_tumbling_agg,
+)
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
+             AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time window aggregation (``F.window``) — the
+    batch shape of the streaming job in ``streaming/jobs.py`` (identical
+    agg expressions by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(*hourly_agg_exprs())
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    SELECT CAST(floor(epoch(
+             time_bucket(INTERVAL '1 hour', ts - o.off * INTERVAL '15 minutes')
+             + o.off * INTERVAL '15 minutes')) AS BIGINT) AS window_start_s,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(off)
+    GROUP BY 1
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows every 15 minutes. Spark assigns
+    each event to 4 overlapping windows natively; the oracle derives the
+    same 4 window-starts per event from offset time_buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+           round(sum(value) + 1e-9, 4) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) via the lag + cumsum
+    idiom — one shuffle on user_id, two window passes, then a per-session
+    rollup. The streaming analog is ``session_window`` (q_session_window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("int"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").cast("long").alias("session_start_s"),
+        F.max("ts").cast("long").alias("session_end_s"),
+        stable_round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query("q_session_window", oracle=None)  # no DuckDB analog => rows-only
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (10-min gap) aggregation — Spark's
+    built-in session operator, shared by batch and Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), stable_round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            F.col("sw.end").cast("long").alias("session_end_s"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("q_streaming_tumbling", oracle=None)  # streaming runtime => rows-only
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: file-source backlog over the events
+    parquet → watermark → tumbling window agg → memory sink, driven to
+    completion synchronously. Equivalence with the batch plan
+    (q_window_tumbling) is asserted in tests/test_streaming.py."""
+    return run_streaming_tumbling_agg(spark, sf_dir, query_name="q_streaming_tumbling")

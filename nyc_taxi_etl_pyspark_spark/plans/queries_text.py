@@ -1,0 +1,344 @@
+"""Text-analysis / dedup / similarity-search queries (SURVEY.md §2.12 —
+the LLM-data-pipeline operator set, first-class in this engine).
+
+Oracle notes:
+- Jaccard values are ratios of integer set sizes → bit-identical across
+  engines; rounding is belt-and-braces.
+- Cosine values fold floats in element order in both engines (Spark
+  ``aggregate`` HOF vs DuckDB ``list_cosine_similarity``); rounded to 4
+  before any threshold/rank so the cut is reproducible.
+- MinHash/SimHash/LSH queries depend on Spark's ``xxhash64`` and are
+  rows-only by design (no cross-engine hash oracle exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    tokens_col,
+)
+from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+    dedup_exact,
+    dedup_ngram_jaccard,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+    brute_force_topk_cosine,
+    cosine_pairs_within_group,
+    ivf_topk_cosine,
+)
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+_STOPWORD_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@query(
+    "q_array_explode",
+    oracle="""
+    SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode → corpus term frequencies (SURVEY §2.8/§2.12)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_text_tokenstats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+           round(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' '))::DOUBLE + 1e-9, 4) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '), t -> t IN {_STOPWORD_SQL}))::DOUBLE
+                 / len(string_split(text, ' '))::DOUBLE + 1e-9, 4) AS stopword_ratio,
+           round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' '))::DOUBLE + 1e-9, 4) AS uniq_ratio
+    FROM documents
+    """,
+)
+def q_text_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics / quality signals: token counts,
+    average token length, stopword ratio, unique-token ratio — the
+    length/punct/stopword quality-scoring features of a training-data
+    pipeline (SURVEY §2.12 text analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    char_total = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        stable_round(char_total / n, 4).alias("avg_token_len"),
+        stable_round(n_stop.cast("double") / n, 4).alias("stopword_ratio"),
+        stable_round(n_uniq.cast("double") / n, 4).alias("uniq_ratio"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+           CAST(ceil(length(text) / 4.0) AS INT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word tokens,
+    and the chars/4 BPE-budget heuristic used for LLM context sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("int").alias("n_re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(string_split(lower(text), ' '), ' ')) AS fingerprint,
+           md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS prefix_fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints (md5 over normalized text and
+    over the 8-token prefix) — exact-dedup & provenance keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        F.md5(prefix.cast("binary")).alias("prefix_fingerprint"),
+    )
+
+
+@query(
+    "q_lang_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources,
+           round(avg(len(string_split(text, ' '))) + 1e-9, 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (text-analysis rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        stable_round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key-based dedup keeping the lowest doc_id per (lang, source)
+    — deterministic row_number survivor selection, not ``dropDuplicates``
+    (whose survivor is scan-order-dependent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d, keys=["lang", "source"], order_by=["doc_id"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([toks[i] || ' ' || toks[i+1]
+                            for i in generate_series(1, len(toks)-1)]) AS shingles
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS block,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE + 1e-9,
+                 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE + 1e-9,
+                4) >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact 2-gram-shingle Jaccard within a
+    source block. Jaccard here is a ratio of integer set sizes, so both
+    engines compute bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ngram_jaccard(
+        d, id_col="doc_id", text_col="text", block_col="source", shingle_n=2, threshold=0.1
+    )
+
+
+@query("q_dedup_minhash", oracle=None)  # xxhash64-based => rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (32 hashes, 8 bands) — the scale
+    path that replaces all-pairs Jaccard at 100 TB. Returns candidate
+    pairs with shared-bucket counts; rows-only (hash family is
+    Spark-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8, shingle_n=2
+    )
+
+
+@query("q_dedup_simhash", oracle=None)  # xxhash64-based => rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprints, prefix-blocked,
+    Hamming ≤ 16 within blocks. Rows-only (engine-specific hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(
+        d, id_col="doc_id", text_col="text", hamming_threshold=16, prefix_bits=16
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed ANN query vector: embedding of vec_id=0 (1 row)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+
+
+@query(
+    "q_topk_cosine",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.query_embedding AS DOUBLE[])) + 1e-9, 4)
+             AS cosine_sim
+    FROM embeddings e,
+         (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the vec_id=0 query vector —
+    the ANN correctness baseline (SURVEY §2.12 similarity search).
+    JVM-side higher-order functions; plan is scan + TakeOrderedAndProject
+    (no shuffle of the vector table)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_cosine(
+        e, _query_vec(spark, sf_dir), id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block (threshold
+    0.3 — the fixture vectors are near-orthogonal, max observed intra-label
+    cosine ≈ 0.45)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_within_group(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )
+
+
+@query("q_ann_ivf", oracle=None)  # approximate by construction => rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: codebook = embeddings of
+    vec_id 0..15 (deterministic stand-in for offline k-means centroids),
+    probe the 4 cells nearest the query. Approximate ⇒ rows-only; the
+    exactness baseline is ``q_topk_cosine``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return ivf_topk_cosine(
+        e,
+        centroids,
+        _query_vec(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        n_probe=4,
+    )
+
+
+@query("q_lang_id", oracle=None)  # heuristic classifier => rows-only
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each candidate language by marker-token
+    hits and take the argmax (deterministic tie-break on language code).
+    Pure Catalyst expressions — at corpus scale this is one projection,
+    no shuffle. Rows-only: the heuristic has no SQL-oracle meaning."""
+    d = load_table(spark, sf_dir, "documents")
+    markers = {
+        "en": ("the", "and", "of"),
+        "es": ("el", "la", "de"),
+        "de": ("der", "die", "und"),
+        "fr": ("le", "la", "et"),
+        "zh": ("的", "是", "了"),
+    }
+    toks = tokens_col(F.col("text"))
+
+    def marker_hits(markers_for_lang):
+        return lambda t: t.isin(*markers_for_lang)
+
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, marker_hits(ms))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ms in sorted(markers.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["lang"].alias("predicted_lang"),
+        best["score"].alias("marker_hits"),
+    )

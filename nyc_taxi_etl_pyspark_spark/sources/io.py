@@ -1,0 +1,73 @@
+"""Batch sources and sinks.
+
+Covers the reference's IO surface (SURVEY.md §2.1):
+
+- CSV scan with header (reference ``src/pipeline/main_etl.py:47-52``) — but
+  with an *explicit schema* parameter: the reference's ``inferSchema=true``
+  costs a second full pass over the data, which is unacceptable at 100 TB.
+- Parquet scan (``src/pipeline/main_train.py:46``).
+- Partitioned, overwrite-mode parquet sink with shuffle/partition alignment
+  (``src/pipeline/etl_writer.py:4-12``) — partition columns and target file
+  counts are arguments, not hardcoded ``coalesce(4)`` literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV scan. Pass ``schema`` in production; ``infer_schema`` (the
+    reference's default, ``main_etl.py:50``) forces a second full read and
+    is only acceptable for exploration."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_files: int | None = None,
+    mode: str = "overwrite",
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Partitioned parquet sink.
+
+    Mirrors the reference's ``repartition("pickup_date") →
+    write.partitionBy("pickup_date")`` alignment (``etl_writer.py:6-12``):
+    repartitioning on the partition columns lines shuffle output up with
+    directory layout, giving one writer task per partition dir instead of
+    every task writing into every dir (small-files explosion at scale).
+
+    ``target_files`` generalizes the reference's ``coalesce(4)``
+    (``etl_writer.py:40``) for small aggregate outputs.
+    ``dynamic_overwrite`` keeps untouched partitions when rewriting a
+    slice of a 100 TB table instead of truncating the whole root.
+    """
+    spark = df.sparkSession
+    if partition_cols:
+        df = df.repartition(*[df[c] for c in partition_cols])
+    if target_files is not None:
+        df = df.coalesce(target_files)
+    writer = df.write.mode(mode)
+    if partition_cols:
+        if dynamic_overwrite and mode == "overwrite":
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

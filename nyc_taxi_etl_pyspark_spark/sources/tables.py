@@ -1,0 +1,70 @@
+"""Fixture-table loading with per-session caching.
+
+The correctness driver and the bench both call many independent queries
+against the same scale-factor directory in one session. Re-reading (and
+re-decoding) the same parquet for every query is pure waste, so loaded
+tables are memoized per (application, sf_dir, table) and marked
+``.cache()`` — at bench scale (sf0.1, ~600k lineitem rows) everything fits
+in memory; on a real cluster the same call sites would instead rely on the
+external shuffle / parquet page cache, so caching here is a local-mode
+optimization that does not change plans' semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should always broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+# Parquet TIMESTAMP(NANOS) columns: Spark reads them as long (nanos since
+# epoch) under spark.sql.legacy.parquet.nanosAsLong (see session.py); we
+# convert to a proper microsecond timestamp with exact integer division
+# (a double roundtrip would lose precision above 2^53 ns ≈ 1970+104 days).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, cached: bool = True
+) -> DataFrame:
+    """Load one fixture table from ``sf_dir``; memoized per session."""
+    ensure_session_conf(spark)
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
+    if cached and key in _CACHE:
+        return _CACHE[key]
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    if cached:
+        df = df.cache()
+        _CACHE[key] = df
+    return df
+
+
+def clear_cache() -> None:
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already gone
+            pass
+    _CACHE.clear()

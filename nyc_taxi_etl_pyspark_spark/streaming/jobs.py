@@ -1,0 +1,98 @@
+"""Structured Streaming wrappers (SURVEY.md §2.9 — absent in the
+reference, built as the streaming face of the same batch operators).
+
+Design contract: the aggregation expressions are defined ONCE
+(``hourly_agg_exprs``) and shared by the batch query
+(``plans/queries_stream.py::q_window_tumbling``) and the streaming query
+here — batch and stream cannot drift apart semantically.
+
+Streaming shape: file source → ``withWatermark`` (bounds state for late
+data; without it event-time aggregation state grows forever) → windowed
+groupBy → sink. For tests/local smoke the sink is the in-memory table and
+``processAllAvailable()`` drives the backlog synchronously; on a cluster
+the same query writes parquet via ``foreachBatch`` for exactly-once
+output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+
+
+def hourly_agg_exprs() -> list:
+    """The shared tumbling-window aggregate list (count / sum / avg of
+    ``value``) — used identically by batch and streaming plans."""
+    return [
+        F.count("*").alias("n_events"),
+        stable_round(F.sum("value"), 4).alias("sum_value"),
+        stable_round(F.avg("value"), 4).alias("avg_value"),
+    ]
+
+
+def streaming_tumbling_agg(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked event-time tumbling aggregation over a streaming DF."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(*hourly_agg_exprs())
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def run_streaming_tumbling_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_hourly",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Drive the streaming aggregation over the fixture events parquet as
+    a file-source backlog, synchronously to completion, and return the
+    result as a (batch) DataFrame read from the in-memory sink.
+
+    Complete output mode: every window closes once the backlog drains, so
+    the result matches the batch tumbling aggregation — asserted in
+    tests/test_streaming.py.
+    """
+    ensure_session_conf(spark)
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file stream source wants a directory; glob down to the one table
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong
+    # (see sources/tables.py); convert to a microsecond timestamp.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = streaming_tumbling_agg(stream, window=window)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
