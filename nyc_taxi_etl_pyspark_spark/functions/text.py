@@ -25,18 +25,39 @@ def tokens_col(text: Column) -> Column:
 
 def token_shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles: array of space-joined n-token windows.
-    The MinHash / Jaccard dedup unit (SURVEY §2.12 near-dup)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
+    The MinHash / Jaccard dedup unit (SURVEY §2.12 near-dup).
+
+    PERF: higher-order lambdas are interpreted (not codegen'd) and inline
+    their argument expression into every element evaluation — so pass a
+    *materialized column* (``withColumn("toks", tokens_col(...))``), never
+    the raw tokenization expression, or the split/filter re-runs per
+    shingle (measured 10×). ``element_at`` per position beats
+    ``slice``+``concat_ws`` (no per-element array allocation, ~3×)."""
+    # NB: sequence(0, -1) is a DESCENDING 2-element array in Spark, so the
+    # short-document case must be guarded explicitly, not via greatest().
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Character n-grams of the raw string (language-ID features)."""
+    """Character n-grams of the raw string (language-ID features).
+
+    PERF: pass a materialized (already-lowered) column where possible —
+    the lambda inlines ``text`` into every element evaluation."""
     s = F.lower(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    return F.when(F.length(s) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_ratio_col(tokens: Column) -> Column:

