@@ -1,0 +1,196 @@
+"""Full reference-pipeline re-composition (SURVEY.md §3.1, §7 slice 6).
+
+The reference's ETL (``src/pipeline/main_etl.py`` → ``src/features/
+transformations.py`` → ``src/pipeline/etl_writer.py``) is one linear
+pipeline: cast timestamps → derive duration → positive-value filters →
+bounding-box filter → date parts → speed + sanity band → broadcast lookup
+join → partitioned curated write → hourly aggregate write. This module
+rebuilds that as *composable, configurable operators* over any
+taxi-shaped DataFrame, and ``run_etl`` chains them with the two scale
+fixes the reference lacks (SURVEY §3.1): the cleaned frame is cached once
+(the reference re-scans the CSV for count + both writes), and
+partition/file counts are parameters, not literals.
+
+Every stage is pure ``DataFrame -> DataFrame`` — Catalyst sees one linear
+plan (Project* → Filter* → BroadcastHashJoin) and pushes filters/pruning
+into the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.sources.io import write_parquet_partitioned
+
+# Reference payment-type lookup (transformations.py:40-44), the engine's
+# canonical literal in-memory dimension (SURVEY §2.1 S5).
+PAYMENT_LOOKUP_ROWS = [
+    (1, "Credit card"),
+    (2, "Cash"),
+    (3, "No charge"),
+    (4, "Dispute"),
+    (5, "Unknown"),
+    (6, "Voided trip"),
+]
+
+
+@dataclass(frozen=True)
+class TaxiETLConfig:
+    """Column names + bounds of the reference pipeline, parameterized.
+
+    Defaults mirror ``src/features/transformations.py`` exactly: NYC
+    bounding box (lines 20-29), 1-180 min duration (line 18), 0-120 km/h
+    speed band (line 38)."""
+
+    pickup_ts: str = "tpep_pickup_datetime"
+    dropoff_ts: str = "tpep_dropoff_datetime"
+    distance: str = "trip_distance"
+    positive_cols: tuple[str, ...] = (
+        "trip_distance",
+        "fare_amount",
+        "total_amount",
+        "passenger_count",
+    )
+    lon_cols: tuple[str, ...] = ("pickup_longitude", "dropoff_longitude")
+    lat_cols: tuple[str, ...] = ("pickup_latitude", "dropoff_latitude")
+    bbox: tuple[float, float, float, float] = (-74.3, -73.7, 40.5, 41.0)
+    duration_bounds: tuple[float, float] = (1.0, 180.0)
+    speed_bounds: tuple[float, float] = (0.0, 120.0)
+    lookup_key: str = "payment_type"
+    lookup_rows: tuple[tuple[int, str], ...] = tuple(PAYMENT_LOOKUP_ROWS)
+
+
+def cast_timestamps(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """transformations.py:7-8 — string/ts → timestamp."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def derive_duration_min(
+    df: DataFrame, start: str, end: str, out: str = "trip_duration_min"
+) -> DataFrame:
+    """transformations.py:11-15 — epoch-seconds delta / 60."""
+    return df.withColumn(
+        out, (F.col(end).cast("long") - F.col(start).cast("long")) / F.lit(60.0)
+    )
+
+
+def filter_positive(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """transformations.py:17 — conjunctive ``col > 0`` quality filter."""
+    pred = None
+    for c in cols:
+        p = F.col(c) > 0
+        pred = p if pred is None else pred & p
+    return df.filter(pred)
+
+
+def filter_bbox(
+    df: DataFrame,
+    lon_cols: tuple[str, ...],
+    lat_cols: tuple[str, ...],
+    bbox: tuple[float, float, float, float],
+) -> DataFrame:
+    """transformations.py:20-29 — geographic bounding-box filter."""
+    lon_min, lon_max, lat_min, lat_max = bbox
+    pred = None
+    for c in lon_cols:
+        p = F.col(c).between(lon_min, lon_max)
+        pred = p if pred is None else pred & p
+    for c in lat_cols:
+        pred = pred & F.col(c).between(lat_min, lat_max)
+    return df.filter(pred)
+
+
+def derive_date_parts(df: DataFrame, ts: str, prefix: str = "pickup") -> DataFrame:
+    """transformations.py:31-33 — to_date / hour / day-of-week. DOW is
+    numeric (1=Sunday..7=Saturday) rather than the reference's
+    locale-dependent ``date_format(ts,'E')`` (SURVEY §7 hard parts)."""
+    return (
+        df.withColumn(f"{prefix}_date", F.to_date(ts))
+        .withColumn(f"{prefix}_hour", F.hour(ts))
+        .withColumn(f"{prefix}_dow", F.dayofweek(ts))
+    )
+
+
+def derive_speed_kmh(
+    df: DataFrame,
+    distance: str,
+    duration_min: str = "trip_duration_min",
+    out: str = "avg_speed_kmh",
+) -> DataFrame:
+    """transformations.py:35-38 — distance / hours."""
+    return df.withColumn(
+        out, F.col(distance) / (F.col(duration_min) / F.lit(60.0))
+    )
+
+
+def lookup_dim(spark: SparkSession, rows, key: str, value: str) -> DataFrame:
+    """transformations.py:40-44 — literal in-memory dimension (S5)."""
+    return spark.createDataFrame(list(rows), schema=f"{key} int, {value} string")
+
+
+def clean_and_transform(
+    spark: SparkSession, df: DataFrame, cfg: TaxiETLConfig = TaxiETLConfig()
+) -> DataFrame:
+    """The reference's full cleaning pipeline (transformations.py:4-48),
+    stage order preserved."""
+    lo_d, hi_d = cfg.duration_bounds
+    lo_s, hi_s = cfg.speed_bounds
+    df = cast_timestamps(df, (cfg.pickup_ts, cfg.dropoff_ts))
+    df = derive_duration_min(df, cfg.pickup_ts, cfg.dropoff_ts)
+    df = filter_positive(df, cfg.positive_cols)
+    df = df.filter(F.col("trip_duration_min").between(lo_d, hi_d))
+    df = filter_bbox(df, cfg.lon_cols, cfg.lat_cols, cfg.bbox)
+    df = derive_date_parts(df, cfg.pickup_ts, "pickup")
+    df = derive_speed_kmh(df, cfg.distance)
+    df = df.filter(F.col("avg_speed_kmh").between(lo_s, hi_s))
+    dim = F.broadcast(
+        lookup_dim(spark, cfg.lookup_rows, cfg.lookup_key, "payment_desc")
+    )
+    return df.join(dim, on=cfg.lookup_key, how="left")
+
+
+def trips_by_hour(
+    df: DataFrame,
+    date_col: str = "pickup_date",
+    hour_col: str = "pickup_hour",
+    avg_cols: tuple[str, ...] = ("trip_distance", "total_amount", "trip_duration_min"),
+) -> DataFrame:
+    """etl_writer.py:24-35 — the flagship hourly aggregate, exact (no
+    pre-sample; SURVEY §4.2), ordered for display parity."""
+    aggs = [F.count("*").alias("total_trips")] + [
+        F.avg(c).alias(f"avg_{c}") for c in avg_cols
+    ]
+    return df.groupBy(date_col, hour_col).agg(*aggs).orderBy(date_col, hour_col)
+
+
+def run_etl(
+    spark: SparkSession,
+    raw: DataFrame,
+    curated_path: str,
+    agg_path: str,
+    cfg: TaxiETLConfig = TaxiETLConfig(),
+    agg_target_files: int | None = 4,
+) -> dict:
+    """End-to-end ETL (main_etl.py:63-101): clean → cache → count →
+    curated partitioned write → hourly agg write. Returns row counts.
+
+    Unlike the reference, the cleaned frame is cached before its three
+    consumers (count + two writes) — the reference re-executed the CSV
+    scan + clean 3× (SURVEY §3.1)."""
+    clean = clean_and_transform(spark, raw, cfg).cache()
+    try:
+        n_clean = clean.count()
+        write_parquet_partitioned(clean, curated_path, ["pickup_date"])
+        agg = trips_by_hour(clean)
+        write_parquet_partitioned(
+            agg, agg_path, ["pickup_date"], target_files=agg_target_files
+        )
+        n_agg = agg.count()
+    finally:
+        clean.unpersist()
+    return {"rows_clean": n_clean, "rows_agg": n_agg}

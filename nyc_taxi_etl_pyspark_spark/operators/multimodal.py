@@ -1,0 +1,184 @@
+"""Multimodal (image/audio/video) column operators — SURVEY.md §2.12.
+
+Design: media are **opaque ``binary`` columns with typed metadata**, as in
+large-scale training-data pipelines. The decode / feature-extract / frame-
+sample steps run as Arrow-batched ``mapInPandas`` transforms — the real
+100 TB plumbing (schema contract, partition-preserving batch iteration,
+pandas/numpy inside, zero driver involvement). The *actual* image/audio
+codec step is stubbed (the container ships no PIL/ffmpeg): behind
+``decode_backend="real"`` it raises ``NotImplementedError``; the default
+``"fake"`` backend derives deterministic pseudo-features from the payload
+bytes so the whole pipeline is testable end-to-end and oracle-checkable.
+
+Scale notes: mapInPandas streams Arrow record batches (no per-row Python
+overhead, no collect); each output row carries only metadata + small
+feature vectors, never the decoded raster, so shuffle volume stays
+O(rows), not O(pixels). Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def attach_payload(df: DataFrame, src_col: str, media_type: str) -> DataFrame:
+    """Wrap a source column as an opaque multimodal payload: ``payload``
+    (binary) + typed metadata columns. On a real corpus the binary comes
+    from the lakehouse (parquet/AVRO binary column); fixtures synthesize
+    it from text."""
+    payload = F.col(src_col).cast("binary")
+    return df.withColumn("payload", payload).withColumn(
+        "media_type", F.lit(media_type)
+    )
+
+
+# Output contract of decode_features — fixed schema, engine-wide.
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", IntegerType()),
+        StructField("payload_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("byte_histogram", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: dimensions derived from payload size
+    only (so a SQL oracle can reproduce them). Stands in for PIL's
+    ``Image.open(io.BytesIO(payload)).size``."""
+    n = len(payload)
+    return 16 + n % 624, 16 + (n * 7) % 464, 3
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
+    """REAL DECODE STUB — image/audio libraries are not installed in this
+    environment. Wire PIL / torchaudio / pyav here on a real cluster."""
+    raise NotImplementedError(
+        "real media decode requires PIL/ffmpeg, which this container does "
+        "not ship; use decode_backend='fake' for the deterministic test path"
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hist_bins: int = 8,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Arrow-batched media feature extraction via ``mapInPandas``.
+
+    Per payload: byte length, md5 digest, (pseudo-)decoded raster shape,
+    and an ``hist_bins``-bin byte-value histogram (numpy, vectorized per
+    batch) — the kind of cheap signal used for corpus QA / near-dup
+    triage before an expensive model pass. Partition-preserving: no
+    shuffle, output rows 1:1 with input rows.
+    """
+    decode = {"fake": _fake_decode, "real": _real_decode}[decode_backend]
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [decode(p) for p in payloads]
+            bin_width = 256 // hist_bins
+            hists = [
+                (
+                    np.bincount(
+                        np.frombuffer(p, dtype=np.uint8) // bin_width,
+                        minlength=hist_bins,
+                    )[:hist_bins]
+                    / max(len(p), 1)
+                ).tolist()
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload_bytes": [len(p) for p in payloads],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_channels": [d[2] for d in dims],
+                    "byte_histogram": hists,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=DECODE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Uniform frame sampling over a video-like payload via ``mapInPandas``
+    (1 → ``n_frames`` fan-out inside the Python worker, no explode
+    shuffle). Frames are byte-slices at uniform offsets — the REAL
+    decoder (pyav keyframe extraction) plugs into the same contract; see
+    ``_real_decode``. Payloads shorter than ``n_frames`` bytes yield one
+    frame per available byte."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_offset": [],
+                "frame_md5": [],
+            }
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                n = min(n_frames, max(len(p), 1))
+                step = max(len(p) // n, 1)
+                for i in range(n):
+                    off = i * step
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(p[off : off + step]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )

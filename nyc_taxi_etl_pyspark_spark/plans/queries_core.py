@@ -340,3 +340,89 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).alias("payload_bytes"),
         F.md5(payload).alias("payload_md5"),
     )
+
+
+@query(
+    "q_etl_pipeline",
+    oracle="""
+    WITH dim(event_type, type_desc) AS (
+      VALUES ('click', 'Click'), ('view', 'View'), ('purchase', 'Purchase'),
+             ('signup', 'Signup'), ('error', 'Error')
+    ), clean AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour,
+             coalesce(type_desc, 'Other') AS type_desc,
+             value
+      FROM events LEFT JOIN dim USING (event_type)
+      WHERE value > 0 AND value <= 400
+    )
+    SELECT event_date, event_hour, type_desc,
+           count(*) AS total_events,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM clean
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL pipeline shape in one plan (SURVEY §3.1 /
+    §7 slice 6) retargeted to ``events``: quality filter → date-part
+    derivations → broadcast literal-dim lookup join → multi-key hourly
+    aggregate. One linear Catalyst plan: Filter and pruning reach the
+    scan, the 5-row dim broadcasts, the agg is partial+final. The
+    taxi-shaped original (exact reference column names/bounds) lives in
+    ``nyc_taxi_etl_pyspark_spark/etl.py`` with a differential test."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("click", "Click"),
+                ("view", "View"),
+                ("purchase", "Purchase"),
+                ("signup", "Signup"),
+                ("error", "Error"),
+            ],
+            schema="event_type string, type_desc string",
+        )
+    )
+    clean = (
+        ev.filter((F.col("value") > 0) & (F.col("value") <= 400))
+        .join(dim, on="event_type", how="left")
+        .withColumn("type_desc", F.coalesce("type_desc", F.lit("Other")))
+        .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("event_hour", F.hour("ts"))
+    )
+    return clean.groupBy("event_date", "event_hour", "type_desc").agg(
+        F.count("*").alias("total_events"),
+        stable_round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "q_scan_csv",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with EXPLICIT schema (ref ``main_etl.py:47-52`` used
+    inferSchema=true — a second full pass over the data, unacceptable at
+    100 TB; SURVEY §2.1 S1). The fixture is parquet, so the region table
+    is round-tripped through a CSV sink once per session and read back —
+    values must hash-match the parquet-backed oracle exactly, proving the
+    CSV codec path (quoting, header, schema binding) end-to-end."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import read_csv
+
+    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    csv_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_{abs(hash(key))}"
+    )
+    if not os.path.isdir(csv_dir):
+        load_table(spark, sf_dir, "region").coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", "true").csv(csv_dir)
+    return read_csv(
+        spark,
+        csv_dir,
+        schema="r_regionkey int, r_name string",
+    ).select("r_regionkey", "r_name")

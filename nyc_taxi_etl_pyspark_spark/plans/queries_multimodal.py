@@ -1,0 +1,78 @@
+"""Multimodal-column queries (SURVEY.md §2.12) — Arrow/mapInPandas
+plumbing exercised end-to-end against DuckDB oracles.
+
+The payload is synthesized from ``documents.text`` (the container has no
+image fixtures); the *decode* step is the deterministic fake backend (see
+``operators/multimodal.py``), whose outputs are pure functions of the
+payload bytes — so the oracle can recompute them in SQL and the value
+hashes must match exactly. This verifies the full Python-worker path:
+Arrow batch serialization, pandas transform, schema contract, fan-out.
+
+Fixture text is ASCII (single-space lowercase tokens), so byte offsets ==
+character offsets in the frame-sampling oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_etl_pyspark_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    frame_sample,
+)
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5,
+           16 + octet_length(encode(text)) % 624 AS width,
+           16 + (octet_length(encode(text)) * 7) % 464 AS height,
+           3 AS n_channels
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode path: attach payload → mapInPandas feature
+    extraction (Arrow-batched pandas/numpy in the Python worker). The
+    byte-histogram feature is exercised in tests/test_multimodal.py; the
+    oracle checks the SQL-reproducible columns exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features(attach_payload(d, "text", "image"))
+    return feats.select(
+        "doc_id", "payload_bytes", "payload_md5", "width", "height", "n_channels"
+    )
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(length(text) // least(4, greatest(length(text), 1)), 1) AS step,
+             least(4, greatest(length(text), 1)) AS nf
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, text, step,
+             unnest(generate_series(0, nf - 1)) AS i
+      FROM base
+    )
+    SELECT doc_id,
+           i::INT AS frame_idx,
+           (i * step)::INT AS frame_offset,
+           md5(substr(text, i * step + 1, step)) AS frame_md5
+    FROM ex
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style uniform frame sampling: 1 → n_frames fan-out inside
+    mapInPandas (no explode shuffle); frames are deterministic byte
+    slices, md5-fingerprinted, so the oracle reproduces them with
+    substr+md5."""
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(d, "text", "video"), n_frames=4)

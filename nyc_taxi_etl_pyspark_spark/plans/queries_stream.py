@@ -164,3 +164,19 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion synchronously. Equivalence with the batch plan
     (q_window_tumbling) is asserted in tests/test_streaming.py."""
     return run_streaming_tumbling_agg(spark, sf_dir, query_name="q_streaming_tumbling")
+
+
+@query("q_streaming_sessionize", oracle=None)  # stateful streaming => rows-only
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    gap-based sessionization with per-user state and event-time timeouts
+    — the semantics window()/session_window() can't express (arbitrary
+    per-session payload, explicit state lifecycle). Emitted sessions are
+    asserted equal to the batch q_sessionize in tests/test_streaming.py."""
+    from nyc_taxi_etl_pyspark_spark.streaming.stateful import (
+        run_streaming_sessionize,
+    )
+
+    return run_streaming_sessionize(
+        spark, sf_dir, query_name="q_streaming_sessionize"
+    )

@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
         queries_core,
         queries_joins,
         queries_ml,
+        queries_multimodal,
         queries_setops,
         queries_stream,
         queries_text,

@@ -1,0 +1,151 @@
+"""Differential + property tests for the full reference-pipeline
+re-composition (nyc_taxi_etl_pyspark_spark/etl.py).
+
+The taxi-shaped input is synthesized deterministically from spark.range
+(no RNG), cross-checked against DuckDB running the equivalent SQL over
+the same rows — a composition-level oracle, not just per-operator.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.etl import (
+    TaxiETLConfig,
+    clean_and_transform,
+    run_etl,
+    trips_by_hour,
+)
+
+N_ROWS = 5000
+
+
+def synth_taxi(spark):
+    """Deterministic taxi-shaped frame: every column a pure function of
+    the row id, spanning valid and out-of-band values for every filter."""
+    return spark.range(N_ROWS).select(
+        (F.col("id") % 7 - 1).cast("int").alias("payment_type"),  # -1..5
+        F.timestamp_seconds(F.lit(1420070400) + F.col("id") * 180).alias(
+            "tpep_pickup_datetime"
+        ),
+        F.timestamp_seconds(
+            F.lit(1420070400) + F.col("id") * 180 + (F.col("id") % 200) * 66
+        ).alias("tpep_dropoff_datetime"),
+        ((F.col("id") % 50).cast("double") / 10.0 - 0.4).alias("trip_distance"),
+        ((F.col("id") % 90).cast("double") - 2.0).alias("fare_amount"),
+        ((F.col("id") % 95).cast("double") - 1.0).alias("total_amount"),
+        (F.col("id") % 8 - 1).cast("int").alias("passenger_count"),
+        (F.lit(-74.35) + (F.col("id") % 100).cast("double") / 125.0).alias(
+            "pickup_longitude"
+        ),
+        (F.lit(40.45) + (F.col("id") % 60).cast("double") / 100.0).alias(
+            "pickup_latitude"
+        ),
+        (F.lit(-74.25) + (F.col("id") % 80).cast("double") / 100.0).alias(
+            "dropoff_longitude"
+        ),
+        (F.lit(40.55) + (F.col("id") % 40).cast("double") / 80.0).alias(
+            "dropoff_latitude"
+        ),
+    )
+
+
+ORACLE_SQL = """
+WITH dim(payment_type, payment_desc) AS (
+  VALUES (1,'Credit card'),(2,'Cash'),(3,'No charge'),
+         (4,'Dispute'),(5,'Unknown'),(6,'Voided trip')
+), derived AS (
+  SELECT *,
+         (epoch(tpep_dropoff_datetime) - epoch(tpep_pickup_datetime)) / 60.0
+           AS trip_duration_min
+  FROM taxi
+), clean AS (
+  SELECT *, trip_distance / (trip_duration_min / 60.0) AS avg_speed_kmh
+  FROM derived
+  WHERE trip_distance > 0 AND fare_amount > 0 AND total_amount > 0
+    AND passenger_count > 0
+    AND trip_duration_min BETWEEN 1 AND 180
+    AND pickup_longitude BETWEEN -74.3 AND -73.7
+    AND dropoff_longitude BETWEEN -74.3 AND -73.7
+    AND pickup_latitude BETWEEN 40.5 AND 41.0
+    AND dropoff_latitude BETWEEN 40.5 AND 41.0
+), speed AS (
+  SELECT * FROM clean WHERE avg_speed_kmh BETWEEN 0 AND 120
+)
+SELECT strftime(tpep_pickup_datetime, '%Y-%m-%d') AS pickup_date,
+       CAST(EXTRACT(hour FROM tpep_pickup_datetime) AS INT) AS pickup_hour,
+       count(*) AS total_trips,
+       round(avg(trip_distance) + 1e-9, 4) AS avg_trip_distance,
+       round(avg(total_amount) + 1e-9, 4) AS avg_total_amount,
+       round(avg(trip_duration_min) + 1e-9, 4) AS avg_trip_duration_min
+FROM speed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def test_pipeline_matches_duckdb(spark):
+    raw = synth_taxi(spark)
+    clean = clean_and_transform(spark, raw)
+    agg = trips_by_hour(clean)
+
+    got = {
+        (r["pickup_date"].isoformat(), r["pickup_hour"]): (
+            r["total_trips"],
+            round(r["avg_trip_distance"] + 1e-9, 4),
+            round(r["avg_total_amount"] + 1e-9, 4),
+            round(r["avg_trip_duration_min"] + 1e-9, 4),
+        )
+        for r in agg.collect()
+    }
+
+    con = duckdb.connect()
+    con.register("taxi", raw.toPandas())
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(ORACLE_SQL).fetchall()
+    }
+    assert got == want
+    assert len(got) > 10  # the synthetic data produces a real spread
+
+
+def test_pipeline_invariants(spark):
+    raw = synth_taxi(spark)
+    clean = clean_and_transform(spark, raw)
+    cfg = TaxiETLConfig()
+    # every output row satisfies every filter (subset property)
+    bad = clean.filter(
+        ~(
+            (F.col("trip_distance") > 0)
+            & (F.col("trip_duration_min").between(*cfg.duration_bounds))
+            & (F.col("avg_speed_kmh").between(*cfg.speed_bounds))
+        )
+    ).count()
+    assert bad == 0
+    # left lookup join preserves row count vs pre-join stage; desc only
+    # non-null for known payment types
+    known = dict(cfg.lookup_rows)
+    for r in clean.select("payment_type", "payment_desc").distinct().collect():
+        assert r["payment_desc"] == known.get(r["payment_type"])
+    # cleaning is idempotent (already-clean data passes unchanged)
+    again = clean_and_transform(spark, clean.drop(
+        "trip_duration_min", "pickup_date", "pickup_hour", "pickup_dow",
+        "avg_speed_kmh", "payment_desc",
+    ))
+    assert again.count() == clean.count()
+
+
+def test_run_etl_roundtrip(spark, tmp_path):
+    raw = synth_taxi(spark)
+    curated = str(tmp_path / "curated")
+    aggp = str(tmp_path / "agg")
+    stats = run_etl(spark, raw, curated, aggp)
+    back = spark.read.parquet(curated)
+    assert back.count() == stats["rows_clean"] > 0
+    # partition pruning works on the read-back layer
+    one_date = back.select("pickup_date").first()["pickup_date"]
+    pruned = spark.read.parquet(curated).filter(F.col("pickup_date") == one_date)
+    assert 0 < pruned.count() <= stats["rows_clean"]
+    agg_back = spark.read.parquet(aggp)
+    assert agg_back.count() == stats["rows_agg"] > 0

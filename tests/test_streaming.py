@@ -1,0 +1,57 @@
+"""Streaming ⇄ batch equivalence tests.
+
+The engine's contract (streaming/jobs.py): batch and streaming share one
+aggregate definition, so driving the fixture backlog through the real
+Structured Streaming runtime must reproduce the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+from nyc_taxi_etl_pyspark_spark.streaming.stateful import run_streaming_sessionize
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    q = all_queries()
+    stream = q["q_streaming_tumbling"](spark, sf_dir)
+    batch = q["q_window_tumbling"](spark, sf_dir)
+    # align column surfaces: batch emits window_start_s/window_end_s longs
+    stream_norm = stream.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    batch_norm = batch.select(
+        "window_start_s", "event_type", "n_events", "sum_value"
+    )
+    cols = ["window_start_s", "event_type", "n_events", "sum_value"]
+    assert _rows_set(stream_norm, cols) == _rows_set(batch_norm, cols)
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """Every session the stateful streaming operator emits (closed by gap
+    or event-time timeout) must be byte-identical to the batch
+    sessionization of the same data; open tail sessions may be withheld."""
+    emitted = run_streaming_sessionize(spark, sf_dir, query_name="t_sessions")
+    batch = all_queries()["q_sessionize"](spark, sf_dir)
+
+    cols = ["user_id", "session_start_s", "session_end_s", "n_events"]
+    emitted_keys = _rows_set(emitted, cols)
+    batch_keys = _rows_set(batch, cols)
+    assert len(emitted_keys) > 0
+    assert emitted_keys <= batch_keys
+    # value sums agree on the emitted subset (to float tolerance)
+    batch_by_key = {
+        (r["user_id"], r["session_start_s"]): r["session_value"]
+        for r in batch.collect()
+    }
+    for r in emitted.collect():
+        want = batch_by_key[(r["user_id"], r["session_start_s"])]
+        assert abs(round(r["sum_value"] + 1e-9, 4) - want) < 1e-6
