@@ -41,9 +41,12 @@ HEADLINE = [
     "q_sessionize",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
     "q_topk_cosine",
     "q_text_tokenstats",
     "q_array_explode",
+    "q_etl_pipeline",
+    "q_multimodal_decode",
 ]
 
 
