@@ -136,3 +136,37 @@ def asof_join(
         *[F.col(f"__carried_{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    salt: int,
+    probe_hash_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: replicate the build side ``salt``× and
+    scatter probe rows across the replicas by a deterministic hash.
+
+    A hot join key (one customer with 10⁹ orders) lands an entire key's
+    rows in ONE sort-merge/hash task; salting splits that key across
+    ``salt`` tasks at the cost of a ``salt``× blow-up of the (small-ish)
+    build side. AQE's runtime skew-join split (enabled engine-wide,
+    session.py) is the first line of defense — reach for explicit salting
+    when skew is known ahead of time or AQE's post-shuffle splitting can't
+    help (e.g. aggregation-free stream-stream joins).
+
+    ``probe_hash_col`` must be any probe column with per-row-varying
+    values (a row id / primary key); determinism of xxhash64 keeps results
+    reproducible. Semantics are identical to the unsalted join — verified
+    by the q_join_salted oracle, which runs the PLAIN SQL join.
+    """
+    build_s = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    probe_s = probe.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(probe_hash_col)), F.lit(salt)).cast("int"),
+    )
+    return probe_s.join(build_s, on=[*on, "__salt"], how=how).drop("__salt")

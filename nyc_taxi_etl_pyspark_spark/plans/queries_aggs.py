@@ -248,3 +248,62 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(withReplacement=False, fraction=0.05, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity) + 1e-9, 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregate (a superset shape of rollup/cube): three
+    explicit grouping layouts in one pass — Catalyst plans it as a single
+    Expand + hash aggregate, not three scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity) + 1e-9, 4) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           round(sum(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS click,
+           round(sum(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN value END) + 1e-9, 4) AS signup,
+           round(sum(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregate): one row per day, one column per event
+    type. The pivot values are ENUMERATED explicitly — omitting them
+    forces Spark to run a distinct-scan job first AND makes the output
+    schema data-dependent, both wrong at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_date")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum("value"))
+    )
+    return piv.select(
+        "event_date",
+        *[stable_round(F.col(c), 4).alias(c) for c in
+          ("click", "error", "purchase", "signup", "view")],
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.operators.joins import (
+    salted_join,
     asof_join,
     broadcast_lookup_join,
     range_join_bucketed,
@@ -211,4 +212,34 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").cast("long").alias("ts_epoch_s"),
         F.col("click_ts_last").cast("long").alias("last_click_epoch_s"),
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice) + 1e-9, 2) AS sum_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated (salted) equi-join: the build side is replicated
+    8×, probe rows scatter deterministically across replicas — splitting
+    any hot customer key over 8 tasks. The oracle runs the PLAIN join:
+    salting must be semantically invisible."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = salted_join(
+        o.withColumnRenamed("o_custkey", "custkey"),
+        c.withColumnRenamed("c_custkey", "custkey"),
+        on=["custkey"],
+        salt=8,
+        probe_hash_col="o_orderkey",
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
     )

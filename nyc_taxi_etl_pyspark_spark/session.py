@@ -80,6 +80,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # bucketed-table tests use saveAsTable; keep the metastore warehouse
+        # out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

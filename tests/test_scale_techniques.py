@@ -1,0 +1,107 @@
+"""Tests for the explicit at-scale techniques: bucketed co-located joins
+(no exchange), salted skew joins (semantics-preserving), and broadcast
+behavior — the SURVEY §2.12 "100 TB design rules" made executable."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.operators.joins import salted_join
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Writing both join sides bucketed on the key lets the sort-merge
+    join read them co-located: the join plan must contain NO shuffle
+    exchange — this is the pre-shuffled-layout contract a 100 TB fact
+    table relies on."""
+    suffix = uuid.uuid4().hex[:8]
+    o_tbl, c_tbl = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    n_buckets = 8
+    load_table(spark, sf_dir, "orders").write.bucketBy(
+        n_buckets, "o_custkey"
+    ).sortBy("o_custkey").mode("overwrite").saveAsTable(o_tbl)
+    load_table(spark, sf_dir, "customer").write.bucketBy(
+        n_buckets, "c_custkey"
+    ).sortBy("c_custkey").mode("overwrite").saveAsTable(c_tbl)
+    try:
+        # disable auto-broadcast so the small fixture actually exercises
+        # the sort-merge path a 100 TB join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(o_tbl).join(
+            spark.table(c_tbl),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and it computes the right thing
+        plain = load_table(spark, sf_dir, "orders").join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+
+
+def test_salted_join_preserves_semantics(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    salted = salted_join(o, c, on=["custkey"], salt=8, probe_hash_col="o_orderkey")
+    plain = o.join(c, on="custkey", how="inner")
+    assert salted.count() == plain.count()
+    s_agg = {
+        r["custkey"]: r["n"]
+        for r in salted.groupBy("custkey").agg(F.count("*").alias("n")).collect()
+    }
+    p_agg = {
+        r["custkey"]: r["n"]
+        for r in plain.groupBy("custkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert s_agg == p_agg
+
+
+def test_ml_train_save_load_predict_one(spark, sf_dir, tmp_path):
+    """Reference lifecycle §3.2-§3.3: train → save → load → single-row
+    inference (dict in, finite float out)."""
+    from nyc_taxi_etl_pyspark_spark.ml.serving import load_model, predict_one
+    from nyc_taxi_etl_pyspark_spark.ml.trainer import train_gbt_regressor
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_custkey").cast("int").alias("custkey"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("label_amount"),
+    )
+    path = str(tmp_path / "model")
+    result = train_gbt_regressor(
+        df,
+        label_col="label_amount",
+        numeric_features=["custkey", "order_month"],
+        categorical_features=["priority"],
+        model_path=path,
+        max_iter=5,
+        max_depth=3,
+    )
+    assert result.metrics["rmse"] >= 0.0
+    model = load_model(path)
+    pred = predict_one(
+        spark,
+        model,
+        {"custkey": 7, "order_month": 3, "priority": "1-URGENT"},
+    )
+    assert isinstance(pred, float) and pred == pred  # finite, not NaN
