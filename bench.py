@@ -63,9 +63,17 @@ def main() -> None:
 
     # Warm the input cache once (the driver-visible cost of re-reading ten
     # small parquet files per query is local-mode noise, not engine cost).
+    # Counts run concurrently — local[32] schedules them in parallel.
     t0 = time.perf_counter()
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
+        list(ex.map(lambda t: load_table(spark, sf_dir, t).count(), TABLES))
+    # Pre-warm the Python/Arrow worker pool so mapInPandas queries measure
+    # plan cost, not one-time worker fork + Arrow init.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     load_s = time.perf_counter() - t0
 
     per_query: dict[str, float] = {}
