@@ -342,3 +342,38 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["lang"].alias("predicted_lang"),
         best["score"].alias("marker_hits"),
     )
+
+
+@query(
+    "q_topk_cosine_pandas",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.query_embedding AS DOUBLE[])) + 1e-9, 4)
+             AS cosine_sim
+    FROM embeddings e,
+         (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as q_topk_cosine but through the Arrow-vectorized
+    ``pandas_udf`` path (one numpy matmul per batch) — the wide-embedding
+    alternative to Catalyst higher-order functions. Same oracle: both
+    paths must agree to 4 decimals."""
+    from nyc_taxi_etl_pyspark_spark.functions.vectors import (
+        pandas_cosine_similarity,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = _query_vec(spark, sf_dir).first()
+    cos = pandas_cosine_similarity([float(x) for x in qrow["query_embedding"]])
+    return (
+        e.select(
+            "vec_id",
+            stable_round(cos(F.col("embedding")), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

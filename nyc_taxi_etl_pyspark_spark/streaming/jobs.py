@@ -96,3 +96,42 @@ def run_streaming_tumbling_agg(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_tumbling_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+) -> None:
+    """Cluster-shaped sink: the same streaming aggregation written to
+    partitioned parquet via ``foreachBatch`` (exactly-once per micro-batch
+    under the checkpoint). ``complete`` mode + overwrite per batch keeps
+    closed windows idempotent; on a real stream you would switch to
+    ``update`` + MERGE into a table format."""
+    ensure_session_conf(spark)
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = streaming_tumbling_agg(stream, window=window)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

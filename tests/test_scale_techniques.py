@@ -105,3 +105,17 @@ def test_ml_train_save_load_predict_one(spark, sf_dir, tmp_path):
         {"custkey": 7, "order_month": 3, "priority": "1-URGENT"},
     )
     assert isinstance(pred, float) and pred == pred  # finite, not NaN
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF with 16 cells / 4 probes must recover a meaningful fraction of
+    the exact top-10 (near-orthogonal random fixtures are the worst case
+    for IVF), and must always recover the query vector itself (its own
+    cell is by construction among the probed ones)."""
+    q = __import__(
+        "nyc_taxi_etl_pyspark_spark.plans.registry", fromlist=["all_queries"]
+    ).all_queries()
+    exact = {r["vec_id"] for r in q["q_topk_cosine"](spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in q["q_ann_ivf"](spark, sf_dir).collect()}
+    assert 0 in approx
+    assert len(exact & approx) / len(exact) >= 0.3

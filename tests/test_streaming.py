@@ -55,3 +55,24 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     for r in emitted.collect():
         want = batch_by_key[(r["user_id"], r["session_start_s"])]
         assert abs(round(r["sum_value"] + 1e-9, 4) - want) < 1e-6
+
+
+def test_foreachbatch_parquet_sink_matches_batch(spark, sf_dir, tmp_path):
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_tumbling_to_parquet,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_tumbling_to_parquet(spark, sf_dir, out, ckpt)
+    written = spark.read.parquet(out).select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    batch = all_queries()["q_window_tumbling"](spark, sf_dir).select(
+        "window_start_s", "event_type", "n_events", "sum_value"
+    )
+    cols = ["window_start_s", "event_type", "n_events", "sum_value"]
+    assert _rows_set(written, cols) == _rows_set(batch, cols)
