@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): the scale-correct join
+formulations must agree with brute-force reference semantics on
+arbitrary small inputs — edge cases a fixture can't enumerate (ties,
+empty keys, boundary timestamps, duplicate rows).
+
+Spark jobs per example are expensive, so examples are kept few and wide
+(deadline disabled; each example is a full Spark plan execution)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+
+BASE = 1_700_000_000  # arbitrary epoch anchor
+
+
+def _ts(s: int) -> datetime:
+    return datetime.fromtimestamp(BASE + s, tz=timezone.utc).replace(tzinfo=None)
+
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=2),  # key
+    st.integers(min_value=0, max_value=600),  # ts offset seconds
+    st.integers(min_value=-5, max_value=5),  # value
+)
+
+rows = st.lists(row, min_size=0, max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=rows, right_rows=rows)
+def test_asof_join_matches_naive(spark, left_rows, right_rows):
+    # the operator leaves ties on equal (key, right_ts) unordered (real
+    # feeds carry a unique sequence column); keep one row per (key, ts)
+    seen: set[tuple[int, int]] = set()
+    right_rows = [
+        r for r in right_rows if not (r[:2] in seen or seen.add(r[:2]))
+    ]
+    left = spark.createDataFrame(
+        [(k, _ts(t), v, i) for i, (k, t, v) in enumerate(left_rows)],
+        schema="key int, ts timestamp, lval int, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(t), v) for (k, t, v) in right_rows],
+        schema="key int, rts timestamp, rval int",
+    )
+    got = {
+        (r["lid"], r["rval_asof"])
+        for r in asof_join(
+            left,
+            right,
+            key_cols=["key"],
+            left_ts="ts",
+            right_ts="rts",
+            value_cols=["rval"],
+        ).collect()
+    }
+    # naive: for each left row, the rval of the max right ts <= left ts;
+    # ties on rts resolved identically by taking the LAST in (ts, insertion)
+    # order — mirror the operator's window order exactly
+    want = set()
+    for i, (k, t, _v) in enumerate(left_rows):
+        candidates = [
+            (rt, j, rv)
+            for j, (rk, rt, rv) in enumerate(right_rows)
+            if rk == k and rt <= t
+        ]
+        want.add((i, max(candidates)[2] if candidates else None))
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=rows,
+    right_rows=rows,
+    lower=st.integers(min_value=-120, max_value=120),
+    width=st.integers(min_value=1, max_value=300),
+)
+def test_range_join_matches_naive(spark, left_rows, right_rows, lower, width):
+    upper = lower + width
+    left = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t, _v) in enumerate(left_rows)],
+        schema="key int, lts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(t), j) for j, (k, t, _v) in enumerate(right_rows)],
+        schema="key int, rts timestamp, rid int",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_bucketed(
+            left,
+            right,
+            key_cols=["key"],
+            left_ts="lts",
+            right_ts="rts",
+            lower_s=lower,
+            upper_s=upper,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt, _lv) in enumerate(left_rows)
+        for j, (rk, rt, _rv) in enumerate(right_rows)
+        if lk == rk and lt + lower <= rt <= lt + upper
+    }
+    assert got == want
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    """Identical texts have identical signatures ⇒ every band collides:
+    the pair MUST surface with n_shared_buckets == bands. A distinct doc
+    with no shared shingles must not pair with them."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import minhash_lsh_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated words about spark planning engines"),
+        ],
+        schema="doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_buckets"]
+        for r in minhash_lsh_dedup(
+            df, id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+            shingle_n=2,
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 8
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_dedup_exact_survivor_is_deterministic(spark):
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "b", 20), (1, "a", 10), (2, "c", 30), (1, "a", 5)],
+        schema="k long, s string, v int",
+    )
+    out = dedup_exact(df, keys=["k"], order_by=["s", "v"]).collect()
+    got = {(r["k"], r["s"], r["v"]) for r in out}
+    assert got == {(1, "a", 5), (2, "c", 30)}
