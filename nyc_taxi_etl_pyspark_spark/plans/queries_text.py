@@ -377,3 +377,65 @@ def q_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens
+    FROM documents
+    """,
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (SURVEY §2.12 text analysis): the
+    GPT-2-style pre-tokenizer split — letter runs | digit runs |
+    punctuation runs — as a pure Catalyst projection; the cheap
+    token-budget estimator a corpus pipeline runs before the real
+    tokenizer pass."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), F.lit(0))
+        ).alias("n_number_tokens"),
+    )
+
+
+@query(
+    "q_doc_fingerprint_rolling",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i,
+             text
+      FROM documents
+    )
+    SELECT doc_id, min(md5(substr(text, i, 8))) AS rolling_fingerprint
+    FROM grams
+    GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (SURVEY §2.12): hash every
+    8-char window and keep the lexicographic min — a winnowing-style
+    content signature robust to appends/truncation (unlike whole-doc
+    md5). md5 keeps the oracle engine-portable; the char_ngrams HOF
+    receives a MATERIALIZED text column (see functions/text.py PERF
+    note)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_min(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 1)), "
+                "i -> md5(cast(substring(text, i, 8) AS BINARY)))"
+            )
+        ).alias("rolling_fingerprint"),
+    )
