@@ -135,3 +135,52 @@ def ivf_topk_cosine(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+class IncrementalTopK:
+    """Session-level incremental top-k (PAPERS.md: "Incremental Based
+    Framework for Efficient Top-K Similarity Search in Interactive Data
+    Analysis Sessions", EDBT 2020).
+
+    Interactive sessions re-ask the same similarity query with growing k
+    ("show me 10 more"). Rescanning the corpus per request is O(n) every
+    time; this operator over-fetches ``buffer_factor × k`` on the first
+    scan and serves every subsequent request with k' ≤ buffered size
+    straight from the driver-side buffer — zero cluster work. A request
+    beyond the buffer triggers one rescan at the new (buffered) size.
+
+    The buffer holds only (id, similarity) pairs — k·buffer_factor rows,
+    never vectors — so driver memory stays trivially bounded.
+    """
+
+    def __init__(
+        self,
+        vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        buffer_factor: int = 4,
+    ) -> None:
+        self.vectors = vectors
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.buffer_factor = buffer_factor
+        self._buffers: dict[tuple, list] = {}
+        self.scans = 0  # exposed for tests / instrumentation
+
+    def topk(self, query_vec: DataFrame, query_key, k: int) -> list:
+        """Top-k rows [(id, cosine_sim), …] for ``query_vec`` (1-row DF
+        with column ``query_embedding``), identified by ``query_key``."""
+        buf = self._buffers.get(query_key)
+        if buf is None or len(buf) < k:
+            fetch = max(k, 1) * self.buffer_factor
+            self.scans += 1
+            rows = brute_force_topk_cosine(
+                self.vectors,
+                query_vec,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                k=fetch,
+            ).collect()
+            buf = [(r[self.id_col], r["cosine_sim"]) for r in rows]
+            self._buffers[query_key] = buf
+        return buf[:k]

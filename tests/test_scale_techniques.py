@@ -119,3 +119,59 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     approx = {r["vec_id"] for r in q["q_ann_ivf"](spark, sf_dir).collect()}
     assert 0 in approx
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_aqe_splits_skewed_join(spark):
+    """One hot key carrying ~70% of the probe side: AQE's skew-join
+    handling (enabled engine-wide in session.py) must mark the join
+    skew=true and split the hot partition — and results must equal the
+    naive expectation."""
+    n_hot, n_cold, n_keys = 200_000, 50_000, 50
+    left = spark.range(n_hot + n_cold).selectExpr(
+        f"CASE WHEN id < {n_hot} THEN 0 ELSE id % {n_keys} END AS k", "id AS lv"
+    )
+    right = spark.range(n_keys).selectExpr("id AS k", "id * 10 AS rv")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # force the skew machinery to see the hot partition at this tiny scale
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        joined = left.join(right, on="k")
+        # collect() executes THIS DataFrame's own plan, so its
+        # AdaptiveSparkPlan finalizes (count()/write() plan separately)
+        assert len(joined.collect()) == n_hot + n_cold  # every row matches once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_incremental_topk_serves_growing_k_from_buffer(spark, sf_dir):
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        IncrementalTopK,
+        brute_force_topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    inc = IncrementalTopK(e, id_col="vec_id", vec_col="embedding", buffer_factor=4)
+    top5 = inc.topk(qv, query_key=0, k=5)
+    assert inc.scans == 1
+    # growing k within the buffer: no new scan, same results as brute force
+    top20 = inc.topk(qv, query_key=0, k=20)
+    assert inc.scans == 1
+    brute = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in brute_force_topk_cosine(
+            e, qv, id_col="vec_id", vec_col="embedding", k=20
+        ).collect()
+    ]
+    assert top20 == brute and top5 == brute[:5]
+    # beyond the buffer: exactly one rescan
+    inc.topk(qv, query_key=0, k=25)
+    assert inc.scans == 2
