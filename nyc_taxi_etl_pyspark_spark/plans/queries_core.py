@@ -426,3 +426,61 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv_dir,
         schema="r_regionkey int, r_name string",
     ).select("r_regionkey", "r_name")
+
+
+@query(
+    "q_scan_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema (SURVEY §2.1 extension —
+    the reference reads only CSV/parquet, but a training-data lake
+    ingests JSONL dumps constantly). The nation table is round-tripped
+    through a JSON sink once per session and read back; values must
+    hash-match the parquet-backed oracle, proving the JSON codec path
+    (field binding, type coercion, explicit schema) end-to-end."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import read_json
+
+    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    json_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_json_{abs(hash(key))}"
+    )
+    if not os.path.isdir(json_dir):
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).coalesce(1).write.mode("overwrite").json(json_dir)
+    return read_json(
+        spark,
+        json_dir,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "q_scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source (SURVEY §2.1 extension): supplier round-tripped through
+    an ORC sink and read back — ORC carries its own schema, so this
+    proves the second columnar codec (stripe stats, column projection)
+    produces byte-identical values to the parquet original."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import read_orc
+
+    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    orc_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_orc_{abs(hash(key))}"
+    )
+    if not os.path.isdir(orc_dir):
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ).coalesce(1).write.mode("overwrite").orc(orc_dir)
+    return read_orc(spark, orc_dir).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

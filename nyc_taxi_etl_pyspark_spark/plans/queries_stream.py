@@ -166,6 +166,19 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_tumbling_agg(spark, sf_dir, query_name="q_streaming_tumbling")
 
 
+@query("q_streaming_dedup", oracle=None)  # streaming runtime => rows-only
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): a key's state is dropped once the
+    watermark passes its event time, so an unbounded stream holds
+    O(keys per watermark window) state instead of every key ever seen —
+    the only dedup shape that survives 100 TB/day. Distinct-key parity
+    with batch q_dedup_exact is asserted in tests/test_streaming.py."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir, query_name="q_streaming_dedup")
+
+
 @query("q_streaming_sessionize", oracle=None)  # stateful streaming => rows-only
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming operator (applyInPandasWithState):

@@ -39,6 +39,26 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines scan. As with CSV, an explicit ``schema`` skips the
+    sampling/inference pass — mandatory at scale, where inference reads
+    (a sample of) every file before the real job starts."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (min/max stripe skipping, column projection reach the reader)."""
+    return spark.read.orc(path)
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

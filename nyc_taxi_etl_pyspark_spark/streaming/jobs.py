@@ -98,6 +98,57 @@ def run_streaming_tumbling_agg(
     return spark.table(query_name)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture events parquet (shared by the
+    streaming queries; ts normalized from TIMESTAMP(NANOS) longs)."""
+    ensure_session_conf(spark)
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the watermark
+    passes its event time, so state is O(keys per watermark window) —
+    the only dedup that survives an unbounded 100 TB/day stream (plain
+    ``dropDuplicates`` on a stream retains every key forever).
+
+    Batch analog: ``q_dedup_exact`` (dropDuplicates on the same keys).
+    On the fixture backlog every duplicate lands within one watermark, so
+    the streamed distinct-key count equals the batch one — asserted in
+    tests/test_streaming.py.
+    """
+    stream = _events_stream(spark, sf_dir)
+    keys = key_cols or ["user_id", "event_type"]
+    dedup = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    out = dedup.select(*keys)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_streaming_tumbling_to_parquet(
     spark: SparkSession,
     sf_dir: str,

@@ -76,3 +76,20 @@ def test_foreachbatch_parquet_sink_matches_batch(spark, sf_dir, tmp_path):
     )
     cols = ["window_start_s", "event_type", "n_events", "sum_value"]
     assert _rows_set(written, cols) == _rows_set(batch, cols)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the fixture backlog must keep
+    exactly one row per key (every duplicate arrives within one
+    watermark), i.e. the batch distinct-key set."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_dedup
+
+    keys = ["user_id", "event_type"]
+    streamed = run_streaming_dedup(
+        spark, sf_dir, key_cols=keys, query_name="t_stream_dedup"
+    )
+    batch = load_table(spark, sf_dir, "events").select(*keys).distinct()
+    assert _rows_set(streamed, keys) == _rows_set(batch, keys)
+    # streamed output is deduplicated, not just filtered
+    assert streamed.count() == batch.count()
