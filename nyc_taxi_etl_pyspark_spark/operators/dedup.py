@@ -227,6 +227,76 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step
+    between "near-dup candidate pairs" and "keep one document per
+    duplicate cluster". Returns (node, component) where ``component`` is
+    the MIN node id in the component (deterministic, engine-neutral).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one
+    hash-aggregate shuffle per round), until a fixpoint. Rounds needed =
+    graph diameter; near-dup graphs are overwhelmingly tiny cliques
+    (diameter ≤ 2-3), so this converges in a handful of rounds even at
+    corpus scale. ``localCheckpoint`` truncates the growing lineage each
+    round — at cluster scale switch to ``checkpoint()`` with a reliable
+    checkpoint dir so a lost executor can't force a full recompute.
+    """
+    bidir = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).unionByName(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+    labels = (
+        bidir.select(F.col("__s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        cand = bidir.join(labels, bidir["__s"] == labels["node"]).select(
+            F.col("__d").alias("node"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus: cluster the near-dup ``pairs`` and keep, per
+    duplicate cluster, only the canonical member (min id) — plus every
+    row that was never part of any pair. The final output of the whole
+    near-dup pipeline (pairs → components → surviving rows)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .filter(F.col("component").isNull() | (F.col("component") == df[id_col]))
+        .drop("node", "component")
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -22,8 +22,10 @@ from nyc_taxi_etl_pyspark_spark.functions.text import (
     tokens_col,
 )
 from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     dedup_ngram_jaccard,
+    dedup_survivors,
     minhash_lsh_dedup,
     simhash_dedup,
 )
@@ -207,6 +209,78 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup_ngram_jaccard(
         d, id_col="doc_id", text_col="text", block_col="source", shingle_n=2, threshold=0.1
+    )
+
+
+_JACCARD_PAIRS_SQL = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source,
+             list_distinct([toks[i] || ' ' || toks[i+1]
+                            for i in generate_series(1, len(toks)-1)]) AS shingles
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE + 1e-9,
+                  4) >= 0.1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_JACCARD_PAIRS_SQL
+    + "SELECT node AS doc_id, component FROM comp",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the 2-gram-Jaccard
+    near-dup pairs (same edge set as q_dedup_ngram_jaccard). Each
+    clustered doc labeled with the min doc_id of its component —
+    iterative min-label propagation on Spark, recursive CTE in the
+    oracle, identical fixpoint by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(
+        d, id_col="doc_id", text_col="text", block_col="source", shingle_n=2, threshold=0.1
+    )
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "q_dedup_survivors",
+    oracle=_JACCARD_PAIRS_SQL
+    + """
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    WHERE c.component IS NULL OR c.component = d.doc_id
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one canonical doc (min doc_id) per
+    near-dup cluster plus every never-paired doc — the end-to-end output
+    of the pair→cluster→survivor dedup pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(
+        d, id_col="doc_id", text_col="text", block_col="source", shingle_n=2, threshold=0.1
+    )
+    return dedup_survivors(d, pairs, id_col="doc_id").select(
+        "doc_id", "source", "lang"
     )
 
 

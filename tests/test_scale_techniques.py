@@ -175,3 +175,36 @@ def test_incremental_topk_serves_growing_k_from_buffer(spark, sf_dir):
     # beyond the buffer: exactly one rescan
     inc.topk(qv, query_key=0, k=25)
     assert inc.scans == 2
+
+
+def test_connected_components_chain_clique_isolated(spark):
+    """A 5-node chain (diameter 4 — forces multiple propagation rounds),
+    a 3-clique, and a 2-node component; every node must get the min id
+    of its component."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),          # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),            # clique {10,11,12}
+         (21, 20)],                               # pair  {20,21}
+        "id_a int, id_b int",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)} | {
+        (n, 10) for n in (10, 11, 12)
+    } | {(20, 20), (21, 20)}
+    assert got == want
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99)], "doc_id int"
+    )
+    survivors = {
+        r["doc_id"] for r in dedup_survivors(docs, edges, id_col="doc_id").collect()
+    }
+    assert survivors == {1, 10, 20, 99}  # one per cluster + untouched 99
