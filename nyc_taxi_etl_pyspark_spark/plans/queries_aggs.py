@@ -107,6 +107,52 @@ def q_agg_sum_min_max_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS p25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``, both linear interpolation — bit-comparable
+    after stable rounding). Exact percentile sorts each group's values;
+    at 100 TB use the mergeable-sketch path ``q_agg_approx_percentile``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        stable_round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        stable_round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+    )
+
+
+@query("q_agg_approx_percentile", oracle=None)  # sketch-based => rows-only
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (``approx_percentile``): mergeable partial state, no per-group sort —
+    the percentile that scales (bounded memory per group at any data
+    size). Approximate ⇒ rows-only; exactness baseline is
+    q_agg_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_price_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90_price_approx"
+        ),
+    )
+
+
+@query(
     "q_agg_distinct",
     oracle="""
     SELECT l_returnflag,

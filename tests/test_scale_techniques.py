@@ -208,3 +208,40 @@ def test_connected_components_chain_clique_isolated(spark):
         r["doc_id"] for r in dedup_survivors(docs, edges, id_col="doc_id").collect()
     }
     assert survivors == {1, 10, 20, 99}  # one per cluster + untouched 99
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """A selective filter on the dim side of a shuffle join should inject
+    a runtime bloom filter on the fact side (Spark's runtime row-group
+    pruning — at 100 TB this is the difference between scanning the full
+    fact table and only the matching slice), without changing results."""
+    td = str(tmp_path)
+    spark.range(500_000).selectExpr("id AS fk", "id % 100 AS v").write.mode(
+        "overwrite"
+    ).parquet(td + "/fact")
+    spark.range(10_000).selectExpr("id AS pk", "id % 7 AS dv").write.mode(
+        "overwrite"
+    ).parquet(td + "/dim")
+    fact = spark.read.parquet(td + "/fact")
+    dim = spark.read.parquet(td + "/dim")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # thresholds sized for test data; production defaults kick in at real scale
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        j = fact.join(dim.filter(F.col("dv") == 3), fact.fk == dim.pk)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert j.count() == 10_000 // 7 + (1 if 3 < 10_000 % 7 else 0)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
