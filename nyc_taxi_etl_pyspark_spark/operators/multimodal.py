@@ -182,3 +182,57 @@ def frame_sample(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("est_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_side: int = 224,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Aspect-preserving resize-to-fit (``max_side`` box) via
+    ``mapInPandas`` — the standard image-normalization step before a
+    vision-model pass. Pure integer math on the (pseudo-)decoded raster
+    shape, so the fake backend is SQL-reproducible and oracle-checked;
+    the real backend (PIL ``Image.thumbnail`` + re-encode) plugs into the
+    same contract and is stubbed like ``_real_decode``. Output carries
+    dims + an output-size estimate, never pixel data — shuffle volume
+    stays O(rows) at any corpus size."""
+    decode = {"fake": _fake_decode, "real": _real_decode}[decode_backend]
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _ = decode(p)
+                m = max(w, h)
+                if m <= max_side:
+                    nw, nh = w, h
+                else:
+                    nw, nh = w * max_side // m, h * max_side // m
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["est_bytes"].append(len(p) * (nw * nh) // (w * h))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )

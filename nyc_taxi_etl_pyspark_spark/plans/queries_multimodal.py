@@ -20,6 +20,7 @@ from nyc_taxi_etl_pyspark_spark.operators.multimodal import (
     attach_payload,
     decode_features,
     frame_sample,
+    resize_media,
 )
 from nyc_taxi_etl_pyspark_spark.plans.registry import query
 from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
@@ -76,3 +77,36 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr+md5."""
     d = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_payload(d, "text", "video"), n_frames=4)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             16 + octet_length(encode(text)) % 624 AS w,
+             16 + (octet_length(encode(text)) * 7) % 464 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           w::INT AS width,
+           h::INT AS height,
+           (CASE WHEN greatest(w, h) <= 224 THEN w
+                 ELSE w * 224 // greatest(w, h) END)::INT AS new_width,
+           (CASE WHEN greatest(w, h) <= 224 THEN h
+                 ELSE h * 224 // greatest(w, h) END)::INT AS new_height,
+           (nb * ((CASE WHEN greatest(w, h) <= 224 THEN w
+                        ELSE w * 224 // greatest(w, h) END)
+                  * (CASE WHEN greatest(w, h) <= 224 THEN h
+                          ELSE h * 224 // greatest(w, h) END))
+               // (w * h))::BIGINT AS est_bytes
+    FROM dims
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit (224 box) over the opaque payload:
+    the third mapInPandas media op (decode → resize → frame-sample).
+    Integer math on the pseudo-raster, oracle-checked exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_payload(d, "text", "image"))

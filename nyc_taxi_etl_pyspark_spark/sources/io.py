@@ -14,6 +14,7 @@ Covers the reference's IO surface (SURVEY.md §2.1):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -57,6 +58,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning properties as parquet
     (min/max stripe skipping, column projection reach the reader)."""
     return spark.read.orc(path)
+
+
+def write_parquet_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-sorted parquet sink for data skipping: ``repartitionByRange``
+    gives each output file a DISJOINT slice of the sort-key domain, and
+    ``sortWithinPartitions`` orders rows inside each file, so parquet
+    footer min/max stats let a later range-filtered scan skip whole files
+    and row groups. At 100 TB this is the difference between "read the
+    2% of files that can match" and "read everything" for any query
+    filtering on the layout key (the poor man's Z-order; one extra
+    range-exchange shuffle at write time buys it).
+    """
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_parquet_partitioned(

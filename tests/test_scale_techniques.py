@@ -245,3 +245,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
         )
+
+
+def test_range_sorted_write_gives_disjoint_file_stats(spark, sf_dir, tmp_path):
+    """write_parquet_range_sorted must produce files whose footer min/max
+    ranges on the sort key are pairwise disjoint — the property that lets
+    a range-filtered scan at 100 TB skip every non-matching file — and a
+    filtered read-back must push the predicate and return exact rows."""
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import write_parquet_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "orders_sorted")
+    write_parquet_range_sorted(orders, out, sort_cols=["o_orderkey"], num_files=8)
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "o_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2  # actually split across files
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint key slices → file-level skipping
+
+    back = spark.read.parquet(out).filter(F.col("o_orderkey") <= ranges[0][1])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey" in plan
+    expected = orders.filter(F.col("o_orderkey") <= ranges[0][1]).count()
+    assert back.count() == expected
