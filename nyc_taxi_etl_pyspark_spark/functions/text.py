@@ -66,6 +66,32 @@ def stopword_ratio_col(tokens: Column) -> Column:
     return F.when(F.size(tokens) > 0, n_stop / F.size(tokens)).otherwise(F.lit(0.0))
 
 
+def quality_gate(
+    tokens: Column,
+    min_tokens: int = 10,
+    min_stopword_ratio: float = 0.05,
+    min_uniq_ratio: float = 0.3,
+    max_avg_token_len: float = 12.0,
+) -> Column:
+    """C4-style document-quality gate as ONE boolean Catalyst expression:
+    long enough, English-like stopword density, not boilerplate-repetitive
+    (unique-token ratio), not symbol soup (avg token length). Used as a
+    filter it pushes down with the rest of the plan — the corpus-cleaning
+    pass of a training-data pipeline, free of any Python in the row path."""
+    n = F.size(tokens)
+    n_d = n.cast("double")
+    avg_len = F.aggregate(
+        tokens, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / n_d
+    uniq_ratio = F.size(F.array_distinct(tokens)) / n_d
+    return (
+        (n >= min_tokens)
+        & (stopword_ratio_col(tokens) >= min_stopword_ratio)
+        & (uniq_ratio >= min_uniq_ratio)
+        & (avg_len <= max_avg_token_len)
+    )
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace-collapsed). Stable across engines and runs —

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.functions.text import (
+    quality_gate,
     STOPWORDS,
     fingerprint_md5,
     tokens_col,
@@ -512,4 +513,37 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> md5(cast(substring(text, i, 8) AS BINARY)))"
             )
         ).alias("rolling_fingerprint"),
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS toks,
+             length(replace(text, ' ', '')) AS nchar
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(len(toks) AS INT) AS n_tokens
+    FROM t
+    WHERE len(toks) >= 10
+      AND len(list_filter(toks, x -> x IN {_STOPWORD_SQL}))::DOUBLE
+          / len(toks)::DOUBLE >= 0.05
+      AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE >= 0.3
+      AND nchar::DOUBLE / len(toks)::DOUBLE <= 12.0
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning gate (C4-style): length, stopword density,
+    repetitiveness, symbol-soup thresholds composed into one pushed-down
+    boolean filter — returns the surviving corpus. The filter companion
+    to the q_text_tokenstats signals."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return (
+        d.withColumn("__toks", toks)
+        .filter(quality_gate(F.col("__toks")))
+        .select(
+            "doc_id", "source", "lang", F.size("__toks").alias("n_tokens")
+        )
     )
