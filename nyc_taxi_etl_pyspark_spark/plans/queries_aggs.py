@@ -297,6 +297,46 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER)
+          < CAST(floor(0.10 * 65536) AS INTEGER)
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~10%): keep rows whose
+    md5(key) prefix falls under the rate threshold. Unlike seeded RNG
+    sampling (q_sample), the SAME rows are selected on any engine, any
+    partitioning, any run — the reproducible train/holdout splitter for
+    a 100 TB corpus (and the rare sampling that IS oracle-checkable)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return o.filter(bucket < int(0.10 * 65536)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query("q_stratified_sample", oracle=None)  # seeded RNG => rows-only
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (``sampleBy``): the
+    corpus-mixing primitive (e.g. keep 80% of en, 30% of de, 10% of fr
+    when rebalancing a training mix). Seeded RNG ⇒ rows-only; the
+    deterministic alternative is q_hash_sample per stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {
+        lang: [0.8, 0.3, 0.1][i % 3] for i, lang in enumerate(sorted(langs))
+    }
+    return d.sampleBy("lang", fractions=fractions, seed=42).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
     "q_agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,

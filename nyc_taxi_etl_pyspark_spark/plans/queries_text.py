@@ -547,3 +547,30 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "lang", F.size("__toks").alias("n_tokens")
         )
     )
+
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), st AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start1
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start1 - 1) // 24 AS INT) AS chunk_idx,
+           CAST(start1 - 1 AS INT) AS start_tok,
+           CAST(len(toks[start1 : start1 + 31]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start1 : start1 + 31], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF document chunker: 32-token windows, 8-token overlap,
+    applied via LATERAL join — one doc row fans out to its chunk rows in
+    the Python worker. Deterministic ⇒ full value-hash oracle parity."""
+    from nyc_taxi_etl_pyspark_spark.functions.udtf import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(spark, d)
