@@ -47,6 +47,10 @@ HEADLINE = [
     "q_array_explode",
     "q_etl_pipeline",
     "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_quality_filter",
+    "q_udtf_chunks",
+    "q_hash_sample",
 ]
 
 

@@ -283,3 +283,63 @@ def test_range_sorted_write_gives_disjoint_file_stats(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey" in plan
     expected = orders.filter(F.col("o_orderkey") <= ranges[0][1]).count()
     assert back.count() == expected
+
+
+def test_static_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned sink + a partition-key filter must prune at the
+    directory level: the scan's PartitionFilters carry the predicate and
+    only matching partitions' rows are read — at 100 TB the difference
+    between scanning one date dir and the whole table."""
+    from nyc_taxi_etl_pyspark_spark.sources.io import write_parquet_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_parquet_partitioned(ev, out, partition_cols=["event_date"])
+
+    back = spark.read.parquet(out)
+    one_date = back.select("event_date").first()["event_date"]
+    filtered = back.filter(F.col("event_date") == F.lit(one_date))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    expected = ev.filter(F.col("event_date") == F.lit(one_date)).count()
+    assert filtered.count() == expected > 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamicpruning subquery on the fact's partition column — the fact
+    side reads only partitions the filtered dim can match, decided at
+    runtime (DPP; free with a declarative plan, impossible to
+    hand-schedule)."""
+    from nyc_taxi_etl_pyspark_spark.sources.io import write_parquet_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    out = str(tmp_path / "lineitem_by_supp")
+    write_parquet_partitioned(
+        li.withColumn("supp_part", F.col("l_suppkey") % 10),
+        out,
+        partition_cols=["supp_part"],
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .select((F.col("s_suppkey") % 10).alias("supp_part"), "s_acctbal")
+        .filter(F.col("s_acctbal") > 3000)  # selective on the dim (sf0.001 range is ~537-6035)
+        .distinct()
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        j = fact.join(dim, on="supp_part")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:3000]
+        parts = {r["supp_part"] for r in dim.select("supp_part").collect()}
+        expected = fact.filter(F.col("supp_part").isin(parts)).count()
+        assert j.count() == expected > 0
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        )
