@@ -82,6 +82,45 @@ def cosine_pairs_within_group(
     )
 
 
+def knn_within_group(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-vector k-nearest-neighbors within a block (directed: every
+    vector gets ITS top-k, unlike the undirected threshold pairs of
+    ``cosine_pairs_within_group``) — the similarity-graph builder for
+    clustering / retrieval-eval pipelines. One blocked self-join + one
+    window; deterministic (cosine rounded before ranking, id tie-break).
+    At corpus scale the block is an LSH bucket or IVF cell, keeping the
+    pair space near-linear."""
+    from pyspark.sql import Window
+
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__v_a"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__v_b"),
+    )
+    pairs = a.join(b, on="__blk").filter(F.col("id_a") != F.col("id_b"))
+    sim = stable_round(cosine_similarity_col(F.col("__v_a"), F.col("__v_b")), 4)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine_sim").desc(), F.col("id_b")
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_topk_cosine(
     vectors: DataFrame,
     centroids: DataFrame,

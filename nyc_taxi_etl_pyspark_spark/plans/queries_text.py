@@ -34,6 +34,7 @@ from nyc_taxi_etl_pyspark_spark.operators.similarity import (
     brute_force_topk_cosine,
     cosine_pairs_within_group,
     ivf_topk_cosine,
+    knn_within_group,
 )
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from nyc_taxi_etl_pyspark_spark.plans.registry import query
@@ -574,3 +575,33 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(spark, d)
+
+
+@query(
+    "q_knn_per_vector",
+    oracle="""
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) + 1e-9, 4)
+               AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def q_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed kNN join: each embedding's top-3 cosine neighbors within
+    its label block — the similarity-graph primitive (blocked self-join +
+    per-vector window rank; rounded cosine + id tie-break ⇒ fully
+    deterministic and oracle-checked)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_within_group(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", k=3
+    )
