@@ -243,3 +243,27 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         stable_round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE') c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join of two filtered slices — preserves unmatched
+    rows on BOTH sides (nulls opposite), completing the join-type surface
+    (inner/left/semi/anti/range/as-of elsewhere). Full outer cannot
+    broadcast either side; it is always a shuffle join, and AQE handles
+    its skew like any sort-merge join."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
