@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
         queries_ml,
         queries_multimodal,
         queries_setops,
+        queries_sql,
         queries_stream,
         queries_text,
         queries_windows,
