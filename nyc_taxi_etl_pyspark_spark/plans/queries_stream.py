@@ -166,6 +166,17 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_tumbling_agg(spark, sf_dir, query_name="q_streaming_tumbling")
 
 
+@query("q_streaming_sliding", oracle=None)  # streaming runtime => rows-only
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sliding-window run (1h window / 15min
+    slide): each event feeds 4 overlapping windows. Shares the batch agg
+    expressions; equality with batch q_window_sliding asserted in
+    tests/test_streaming.py."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_sliding_agg
+
+    return run_streaming_sliding_agg(spark, sf_dir, query_name="q_streaming_sliding")
+
+
 @query("q_streaming_dedup", oracle=None)  # streaming runtime => rows-only
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with bounded state

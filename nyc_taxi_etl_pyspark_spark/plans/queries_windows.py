@@ -146,3 +146,32 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w + 1e-9, 4) AS price_pct_rank,
+           round(cume_dist() OVER w + 1e-9, 4) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile quartiles / percent_rank /
+    cume_dist) per customer — ntile assigns by ROW position, so the order
+    carries a unique o_orderkey tie-breaker to stay engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        stable_round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
+        stable_round(F.cume_dist().over(w), 4).alias("price_cume_dist"),
+    )

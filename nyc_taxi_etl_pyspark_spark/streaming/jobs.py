@@ -114,6 +114,44 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def run_streaming_sliding_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_sliding",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time window over the fixture backlog: each event
+    lands in window/slide (=4) overlapping windows — the windowing state
+    multiplier a 100 TB/day stream must budget for (state keys ×4 vs
+    tumbling; watermark still bounds it). Same shared agg exprs as the
+    batch q_window_sliding, driven synchronously to completion."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(*hourly_agg_exprs())
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     sf_dir: str,

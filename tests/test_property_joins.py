@@ -158,3 +158,52 @@ def test_dedup_exact_survivor_is_deterministic(spark):
     out = dedup_exact(df, keys=["k"], order_by=["s", "v"]).collect()
     got = {(r["k"], r["s"], r["v"]) for r in out}
     assert got == {(1, "a", 5), (2, "c", 30)}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=5),
+            min_size=1,
+            max_size=90,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_chunker_covers_and_reconstructs(spark, docs):
+    """Chunker invariants on arbitrary token lists: (a) stride-slices of
+    the chunks concatenate back to the exact document, (b) every chunk is
+    ≤ CHUNK_SIZE tokens, (c) consecutive chunks overlap by exactly
+    CHUNK_OVERLAP tokens (when long enough)."""
+    from nyc_taxi_etl_pyspark_spark.functions.udtf import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_documents,
+    )
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    out = chunk_documents(spark, df).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # (a) reconstruct: first `stride` tokens of each chunk + tail of last
+        rebuilt: list[str] = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c["chunk_text"].split(" ")[:stride])
+        rebuilt.extend(chunks[-1]["chunk_text"].split(" "))
+        assert rebuilt == toks
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["n_chunk_tokens"] <= CHUNK_SIZE
+            if a["n_chunk_tokens"] == CHUNK_SIZE:
+                # (c) the next chunk re-reads the last CHUNK_OVERLAP tokens
+                assert (
+                    a["chunk_text"].split(" ")[stride:]
+                    == b["chunk_text"].split(" ")[: CHUNK_OVERLAP]
+                )

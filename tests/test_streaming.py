@@ -93,3 +93,18 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     assert _rows_set(streamed, keys) == _rows_set(batch, keys)
     # streamed output is deduplicated, not just filtered
     assert streamed.count() == batch.count()
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """The real streaming sliding-window run (1h/15min, complete mode,
+    backlog drained) must reproduce the batch q_window_sliding answer."""
+    q = all_queries()
+    stream = q["q_streaming_sliding"](spark, sf_dir)
+    batch = q["q_window_sliding"](spark, sf_dir)
+    stream_norm = stream.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_events",
+        "sum_value",
+    )
+    cols = ["window_start_s", "n_events", "sum_value"]
+    assert _rows_set(stream_norm, cols) == _rows_set(batch.select(*cols), cols)
