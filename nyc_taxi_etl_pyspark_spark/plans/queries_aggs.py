@@ -393,3 +393,30 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[stable_round(F.col(c), 4).alias(c) for c in
           ("click", "error", "purchase", "signup", "view")],
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_covar,
+           round(var_samp(l_discount) + 1e-9, 4) AS discount_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group (corr / covar_samp / var_samp) —
+    single-pass mergeable moment aggregates (Catalyst partial+final), the
+    feature-correlation screen of a dataset-QA pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        stable_round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        stable_round(F.var_samp("l_discount"), 4).alias("discount_var"),
+    )

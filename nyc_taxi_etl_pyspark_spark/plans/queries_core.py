@@ -484,3 +484,29 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, orc_dir).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(json_extract(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a first-class column: parse the JSON props string into
+    map<string,int> (`from_json`), then size / sorted-key list / value
+    lookup — the schema-on-read path for semi-structured metadata
+    (SURVEY §2.8 extension; q_json_extract covers the direct-path
+    variant without materializing the map)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_csv"),
+        F.element_at(m, "k").alias("k_value"),
+    )
