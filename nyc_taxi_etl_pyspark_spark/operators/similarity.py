@@ -12,6 +12,12 @@
 - ``cosine_pairs_within_group``: blocked exact all-pairs (embedding-cosine
   near-dup) — quadratic only within blocks, the same blocking contract as
   the text dedup operators.
+- ``approx_similarity_join_lsh``: unblocked all-pairs above a cosine
+  threshold via Spark ML random-hyperplane-family LSH
+  (``BucketedRandomProjectionLSH.approxSimilarityJoin``) — the scale path
+  when no natural blocking column exists: candidate pairs come from hash
+  bucket collisions (linear-ish in data size), and only candidates pay
+  the exact distance computation.
 """
 
 from __future__ import annotations
@@ -173,6 +179,69 @@ def ivf_topk_cosine(
         .select(F.col(id_col), sim)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def approx_similarity_join_lsh(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cosine_threshold: float = 0.3,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs self-join above a cosine threshold, with NO
+    blocking column, via Spark ML ``BucketedRandomProjectionLSH`` (SURVEY
+    §2.12 "pairwise/self-join similarity").
+
+    Semantics: L2-normalize every vector, so Euclidean distance becomes a
+    monotone map of cosine (``||a−b||² = 2 − 2·cos`` on unit vectors);
+    cosine ≥ t is exactly distance ≤ sqrt(2 − 2t). ``approxSimilarityJoin``
+    then (1) explodes each vector into ``num_hash_tables`` (table, bucket)
+    keys, (2) shuffle-joins on those keys — candidate volume is bucket
+    collisions, linear-ish in data size, tuned by (bucket_length,
+    num_hash_tables) — and (3) computes the EXACT distance only for
+    candidates and filters by the radius. Precision is therefore exact
+    (every returned pair truly passes the threshold); recall < 1 is the
+    LSH trade, raised by more hash tables. Seeded ⇒ deterministic
+    hyperplanes across runs, but approximate by construction ⇒ rows-only
+    for the oracle (exactness baseline: ``cosine_pairs_within_group``).
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b, cosine recovered
+    from the exact distance and rounded for reproducible thresholds.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    dist_threshold = max(0.0, 2.0 - 2.0 * cosine_threshold) ** 0.5
+    feat = vectors.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__raw"),
+    )
+    normed = (
+        Normalizer(inputCol="__raw", outputCol="__nv", p=2.0)
+        .transform(feat)
+        .select(id_col, "__nv")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__nv",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    joined = model.approxSimilarityJoin(normed, normed, dist_threshold, distCol="__dist")
+    cosine = stable_round(F.lit(1.0) - F.col("__dist") * F.col("__dist") / 2.0, 4)
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            cosine.alias("cosine_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("cosine_sim") >= cosine_threshold)
     )
 
 

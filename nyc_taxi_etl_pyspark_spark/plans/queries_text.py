@@ -31,6 +31,7 @@ from nyc_taxi_etl_pyspark_spark.operators.dedup import (
     simhash_dedup,
 )
 from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+    approx_similarity_join_lsh,
     brute_force_topk_cosine,
     cosine_pairs_within_group,
     ivf_topk_cosine,
@@ -359,6 +360,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_within_group(
         e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )
+
+
+@query("q_similarity_join_lsh", oracle=None)  # approximate (LSH recall) => rows-only
+def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unblocked all-pairs cosine ≥ 0.3 via Spark ML
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` on normalized
+    embeddings — the no-blocking-column scale path for pairwise
+    similarity (SURVEY §2.12). Precision exact, recall LSH-bounded
+    (recall floor asserted vs the exact pairs in tests); rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return approx_similarity_join_lsh(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        cosine_threshold=0.3,
+        num_hash_tables=6,
     )
 
 

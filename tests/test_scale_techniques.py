@@ -121,6 +121,33 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert len(exact & approx) / len(exact) >= 0.3
 
 
+def test_lsh_similarity_join_recall_and_precision(spark, sf_dir):
+    """approxSimilarityJoin (q_similarity_join_lsh) vs the exact unblocked
+    pair set: precision must be EXACT (the LSH join computes true
+    distances for candidates — every emitted pair really passes the
+    threshold) and recall must clear a floor (6 hash tables on dim-64
+    near-orthogonal fixtures)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        cosine_pairs_within_group,
+    )
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn("__one", F.lit(1))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_within_group(
+            e, id_col="vec_id", vec_col="embedding", block_col="__one", threshold=0.3
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in all_queries()["q_similarity_join_lsh"](spark, sf_dir).collect()
+    }
+    assert approx <= exact  # exact precision
+    assert exact, "fixture must contain at least one pair above threshold"
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
 def test_aqe_splits_skewed_join(spark):
     """One hot key carrying ~70% of the probe side: AQE's skew-join
     handling (enabled engine-wide in session.py) must mark the join
