@@ -312,6 +312,50 @@ def test_range_sorted_write_gives_disjoint_file_stats(spark, sf_dir, tmp_path):
     assert back.count() == expected
 
 
+def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
+    """write_parquet_zorder must cluster files into hyper-rectangles: a
+    selective range predicate on EITHER z-ordered column overlaps only a
+    strict subset of the files' footer min/max ranges (the multi-column
+    data-skipping property the single-key range sink cannot give), and
+    filtered read-backs stay exact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import write_parquet_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = str(tmp_path / "li_zorder")
+    write_parquet_zorder(li, out, zorder_cols=["l_orderkey", "l_partkey"], num_files=16)
+
+    per_file = []  # (min, max) per column per file
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                s = stats.setdefault(col.path_in_schema, [col.statistics.min, col.statistics.max])
+                s[0] = min(s[0], col.statistics.min)
+                s[1] = max(s[1], col.statistics.max)
+        if stats:
+            per_file.append(stats)
+    assert len(per_file) >= 8
+
+    for colname in ("l_orderkey", "l_partkey"):
+        lo = min(s[colname][0] for s in per_file)
+        hi = max(s[colname][1] for s in per_file)
+        cut_lo, cut_hi = lo, lo + (hi - lo) // 8  # a 1/8-domain range probe
+        overlapping = sum(
+            1 for s in per_file if s[colname][0] <= cut_hi and s[colname][1] >= cut_lo
+        )
+        # without clustering every file overlaps; z-order must skip most
+        assert overlapping <= len(per_file) // 2, (colname, overlapping, len(per_file))
+        back = spark.read.parquet(out).filter(F.col(colname).between(cut_lo, cut_hi))
+        expected = li.filter(F.col(colname).between(cut_lo, cut_hi)).count()
+        assert back.count() == expected
+
+
 def test_static_partition_pruning(spark, sf_dir, tmp_path):
     """A partitioned sink + a partition-key filter must prune at the
     directory level: the scan's PartitionFilters carry the predicate and
