@@ -401,12 +401,41 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_lang_id", oracle=None)  # heuristic classifier => rows-only
+_LANG_ID_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang AS labeled_lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, labeled_lang,
+         len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+         len(list_filter(t, x -> x IN ('the','and','of')))  AS s_en,
+         len(list_filter(t, x -> x IN ('el','la','de')))    AS s_es,
+         len(list_filter(t, x -> x IN ('le','la','et')))    AS s_fr,
+         len(list_filter(t, x -> x IN ('的','是','了')))     AS s_zh
+  FROM toks
+)
+SELECT doc_id, labeled_lang,
+       CASE
+         WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de'
+       END AS predicted_lang,
+       CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS INTEGER) AS marker_hits
+FROM scored
+"""
+
+
+@query("q_lang_id", oracle=_LANG_ID_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: score each candidate language by marker-token
-    hits and take the argmax (deterministic tie-break on language code).
-    Pure Catalyst expressions — at corpus scale this is one projection,
-    no shuffle. Rows-only: the heuristic has no SQL-oracle meaning."""
+    hits and take the argmax. Pure Catalyst expressions — at corpus scale
+    this is one projection, no shuffle. ``array_max`` over (score, lang)
+    structs compares field-wise, so ties resolve to the LARGEST language
+    code — the oracle's CASE chain replicates exactly that order."""
     d = load_table(spark, sf_dir, "documents")
     markers = {
         "en": ("the", "and", "of"),
