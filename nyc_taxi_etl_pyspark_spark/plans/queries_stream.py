@@ -139,10 +139,39 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_session_window", oracle=None)  # no DuckDB analog => rows-only
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(floor(epoch(max(ts))) + 600 AS BIGINT) AS session_end_s,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` (10-min gap) aggregation — Spark's
-    built-in session operator, shared by batch and Structured Streaming."""
+    built-in session operator, shared by batch and Structured Streaming.
+    Session intervals are ``[first_ts, last_ts + gap)`` and merge while
+    the inter-event diff is STRICTLY under the gap — the oracle's
+    lag+cumsum sessionization flags ``diff >= 600`` as a new session and
+    adds the gap back to the last event for the end bound."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
