@@ -107,6 +107,7 @@ def write_parquet_zorder(
     bits: int = 8,
     num_files: int | None = None,
     mode: str = "overwrite",
+    bucketing: str = "width",
 ) -> None:
     """Z-order-clustered parquet sink: multi-column data skipping.
 
@@ -120,25 +121,40 @@ def write_parquet_zorder(
     parquet). Cost at write time: one tiny min/max agg job + one range
     exchange — the same shuffle budget as the single-key sink.
 
-    Columns are equal-width bucketed into 2**bits cells from their global
-    min/max (one agg job). For heavily skewed domains substitute quantile
-    cut points (``approxQuantile``) for the width buckets — the key
-    construction is unchanged.
+    Columns are bucketed into 2**bits cells either equal-width from their
+    global min/max (one agg job; default) or, with
+    ``bucketing="quantile"``, by approxQuantile cut points (one sketch
+    job; Greenwald-Khanna, mergeable partials) — equal-POPULATED cells,
+    which is what keeps files balanced when a domain is skewed (a
+    power-law user_id would otherwise collapse most rows into a few
+    Z-cells and recreate the hot-file problem at 100 TB).
     """
-    mins = [F.min(c).alias(f"__mn_{c}") for c in zorder_cols]
-    maxs = [F.max(c).alias(f"__mx_{c}") for c in zorder_cols]
-    stats = df.agg(*mins, *maxs).first()
     nb = 1 << bits
     buckets = []
-    for c in zorder_cols:
-        mn = float(stats[f"__mn_{c}"])
-        span = max(float(stats[f"__mx_{c}"]) - mn, 1e-12)
-        buckets.append(
-            F.least(
-                F.lit(nb - 1),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nb),
+    if bucketing == "quantile":
+        probs = [i / nb for i in range(1, nb)]
+        for c in zorder_cols:
+            cuts = df.approxQuantile(c, probs, 0.001)
+            # strictly increasing cut points; duplicates (heavy hitters)
+            # collapse into one boundary — fewer, fuller cells, still valid
+            uniq = sorted(set(cuts))
+            expr = F.lit(0)
+            for cut in uniq:
+                expr = expr + (F.col(c).cast("double") > F.lit(float(cut))).cast("int")
+            buckets.append(expr)
+    else:
+        mins = [F.min(c).alias(f"__mn_{c}") for c in zorder_cols]
+        maxs = [F.max(c).alias(f"__mx_{c}") for c in zorder_cols]
+        stats = df.agg(*mins, *maxs).first()
+        for c in zorder_cols:
+            mn = float(stats[f"__mn_{c}"])
+            span = max(float(stats[f"__mx_{c}"]) - mn, 1e-12)
+            buckets.append(
+                F.least(
+                    F.lit(nb - 1),
+                    F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nb),
+                )
             )
-        )
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         df.withColumn("__zkey", zorder_key_col(buckets, bits))

@@ -356,6 +356,38 @@ def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
         assert back.count() == expected
 
 
+def test_zorder_quantile_bucketing_balances_skewed_domain(spark, tmp_path):
+    """On a power-law key, width-bucketing collapses most rows into a few
+    Z-cells; quantile bucketing must instead spread rows across files
+    (bounded max-file share) while keeping the clustering exact on
+    read-back."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import write_parquet_zorder
+
+    n = 100_000
+    df = spark.range(n).selectExpr(
+        "CAST(pow(id % 1000 + 1, 3) AS LONG) AS skewed_key",  # heavy head
+        "id % 997 AS uniform_key",
+        "id AS payload",
+    )
+    out = str(tmp_path / "skew_z")
+    write_parquet_zorder(
+        df, out, zorder_cols=["skewed_key", "uniform_key"],
+        num_files=16, bucketing="quantile",
+    )
+    sizes = [
+        pq.ParquetFile(f).metadata.num_rows for f in glob.glob(out + "/*.parquet")
+    ]
+    assert sum(sizes) == n
+    assert len(sizes) >= 8
+    assert max(sizes) / n <= 0.35  # no single hot file holds the corpus
+    back = spark.read.parquet(out).filter(F.col("skewed_key") == 8)  # key 1^3..2^3
+    assert back.count() == df.filter(F.col("skewed_key") == 8).count()
+
+
 def test_static_partition_pruning(spark, sf_dir, tmp_path):
     """A partitioned sink + a partition-key filter must prune at the
     directory level: the scan's PartitionFilters carry the predicate and
