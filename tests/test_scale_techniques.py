@@ -312,6 +312,32 @@ def test_range_sorted_write_gives_disjoint_file_stats(spark, sf_dir, tmp_path):
     assert back.count() == expected
 
 
+def test_headline_plan_shapes(spark, sf_dir):
+    """Physical-plan regression net: the shapes that make these queries
+    scale must survive refactors — broadcast joins stay broadcast, top-k
+    stays TakeOrderedAndProject (never a global sort), EXISTS stays a
+    decorrelated semi join, filters reach the parquet scan, and the hot
+    aggregation path stays inside whole-stage codegen (``*(n)`` spans)."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    expectations = {
+        "q_join_broadcast_lookup": ["BroadcastHashJoin"],
+        "q_join_snowflake": ["BroadcastHashJoin"],
+        "q_topk": ["TakeOrderedAndProject"],
+        "q_sql_pricing_topk": ["TakeOrderedAndProject"],
+        "q_sql_exists_subquery": ["LeftSemi"],
+        "q_filter_bbox": ["PushedFilters: ["],
+    }
+    for name, must in expectations.items():
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        for marker in must:
+            assert marker in plan, (name, marker)
+    for name in ("q_agg_by_hour", "q_filter_bbox"):
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        assert plan.count("*(") >= 1, (name, "no whole-stage codegen span")
+
+
 def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
     """write_parquet_zorder must cluster files into hyper-rectangles: a
     selective range predicate on EITHER z-ordered column overlaps only a
