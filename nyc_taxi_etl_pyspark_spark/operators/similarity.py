@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from pyspark.sql import functions as F
 
-from nyc_taxi_etl_pyspark_spark.functions.vectors import cosine_similarity_col
+from nyc_taxi_etl_pyspark_spark.functions.vectors import (
+    cosine_similarity_col,
+    dot_col,
+    l2_norm_col,
+)
 
 
 def brute_force_topk_cosine(
@@ -74,14 +78,22 @@ def cosine_pairs_within_group(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__v_a"),
+        l2_norm_col(F.col(vec_col)).alias("__n_a"),
     )
     b = vectors.select(
         F.col(id_col).alias("id_b"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__v_b"),
+        l2_norm_col(F.col(vec_col)).alias("__n_b"),
     )
     pairs = a.join(b, on="__blk").filter(F.col("id_a") < F.col("id_b"))
-    sim = stable_round(cosine_similarity_col(F.col("__v_a"), F.col("__v_b")), 4)
+    # norms hoisted to the per-ROW projections above: each pair pays ONE
+    # HOF fold (the dot), not three — bit-identical to dot/(|a||b|)
+    # computed per pair (same ops, same order), ~3× on the pair stage.
+    denom = F.col("__n_a") * F.col("__n_b")
+    sim = stable_round(
+        F.when(denom != 0, dot_col(F.col("__v_a"), F.col("__v_b")) / denom), 4
+    )
     return (
         pairs.select("id_a", "id_b", F.col("__blk").alias("block"), sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
@@ -108,14 +120,21 @@ def knn_within_group(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__v_a"),
+        l2_norm_col(F.col(vec_col)).alias("__n_a"),
     )
     b = vectors.select(
         F.col(id_col).alias("id_b"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__v_b"),
+        l2_norm_col(F.col(vec_col)).alias("__n_b"),
     )
     pairs = a.join(b, on="__blk").filter(F.col("id_a") != F.col("id_b"))
-    sim = stable_round(cosine_similarity_col(F.col("__v_a"), F.col("__v_b")), 4)
+    # norms hoisted per row (see cosine_pairs_within_group): one HOF fold
+    # per pair instead of three, numerically identical.
+    denom = F.col("__n_a") * F.col("__n_b")
+    sim = stable_round(
+        F.when(denom != 0, dot_col(F.col("__v_a"), F.col("__v_b")) / denom), 4
+    )
     w = Window.partitionBy("id_a").orderBy(
         F.col("cosine_sim").desc(), F.col("id_b")
     )
