@@ -228,6 +228,16 @@ def test_connected_components_chain_clique_isolated(spark):
     } | {(20, 20), (21, 20)}
     assert got == want
 
+    # string node ids exercise the non-numeric convergence fallback
+    # (the label-sum fixpoint check requires numeric, monotone labels)
+    sedges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    sgot = {
+        (r["node"], r["component"]) for r in connected_components(sedges).collect()
+    }
+    assert sgot == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
     docs = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99)], "doc_id int"
     )
