@@ -133,13 +133,13 @@ def write_parquet_zorder(
     buckets = []
     if bucketing == "quantile":
         probs = [i / nb for i in range(1, nb)]
-        for c in zorder_cols:
-            cuts = df.approxQuantile(c, probs, 0.001)
+        # one sketch job for ALL columns (approxQuantile takes a col list)
+        all_cuts = df.approxQuantile(list(zorder_cols), probs, 0.001)
+        for c, cuts in zip(zorder_cols, all_cuts):
             # strictly increasing cut points; duplicates (heavy hitters)
             # collapse into one boundary — fewer, fuller cells, still valid
-            uniq = sorted(set(cuts))
             expr = F.lit(0)
-            for cut in uniq:
+            for cut in sorted(set(cuts)):
                 expr = expr + (F.col(c).cast("double") > F.lit(float(cut))).cast("int")
             buckets.append(expr)
     else:
