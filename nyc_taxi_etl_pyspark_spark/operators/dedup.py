@@ -267,7 +267,11 @@ def connected_components(
     from pyspark.sql.types import NumericType
 
     numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
-    prev_sum = labels.agg(F.sum("component")).first()[0] if numeric_ids else None
+    # Sum on a widened DECIMAL(38,0): hash-derived 64-bit node ids can
+    # overflow a LongType sum (ANSI mode throws; non-ANSI wraps, with a
+    # remote chance of a false convergence signal).
+    _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0] if numeric_ids else None
     for _ in range(max_iter):
         cand = bidir.join(labels, bidir["__s"] == labels["node"]).select(
             F.col("__d").alias("node"), F.col("component")
@@ -279,7 +283,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         if numeric_ids:
-            new_sum = new_labels.agg(F.sum("component")).first()[0]
+            new_sum = new_labels.agg(_label_sum).first()[0]
             converged = new_sum == prev_sum
             prev_sum = new_sum
         else:

@@ -161,7 +161,17 @@ def salted_join(
     values (a row id / primary key); determinism of xxhash64 keeps results
     reproducible. Semantics are identical to the unsalted join — verified
     by the q_join_salted oracle, which runs the PLAIN SQL join.
+
+    Only ``inner`` and ``left`` (probe-outer) are supported: the build
+    side is replicated ``salt``×, so build-outer variants (``right``/
+    ``full``) would emit every unmatched build row ``salt`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (probe-outer); got {how!r}. "
+            "Build-side replication would duplicate unmatched build rows "
+            "under right/full outer joins."
+        )
     build_s = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -292,13 +292,17 @@ class IncrementalTopK:
         self.vec_col = vec_col
         self.buffer_factor = buffer_factor
         self._buffers: dict[tuple, list] = {}
+        # keys whose last scan returned fewer rows than requested: the
+        # buffer already holds the ENTIRE result set (corpus smaller than
+        # the fetch size), so no rescan can ever add rows.
+        self._exhausted: set = set()
         self.scans = 0  # exposed for tests / instrumentation
 
     def topk(self, query_vec: DataFrame, query_key, k: int) -> list:
         """Top-k rows [(id, cosine_sim), …] for ``query_vec`` (1-row DF
         with column ``query_embedding``), identified by ``query_key``."""
         buf = self._buffers.get(query_key)
-        if buf is None or len(buf) < k:
+        if (buf is None or len(buf) < k) and query_key not in self._exhausted:
             fetch = max(k, 1) * self.buffer_factor
             self.scans += 1
             rows = brute_force_topk_cosine(
@@ -310,4 +314,6 @@ class IncrementalTopK:
             ).collect()
             buf = [(r[self.id_col], r["cosine_sim"]) for r in rows]
             self._buffers[query_key] = buf
-        return buf[:k]
+            if len(buf) < fetch:
+                self._exhausted.add(query_key)
+        return (buf or [])[:k]

@@ -88,7 +88,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -116,7 +116,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # Whole-second floored gap — the SAME boundary rule as the streaming
+    # sessionizer (streaming/stateful.py floors to epoch seconds), so
+    # events gap±1s apart with sub-second components sessionize
+    # identically on both paths.
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     flagged = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),

@@ -195,6 +195,9 @@ def write_parquet_partitioned(
     writer = df.write.mode(mode)
     if partition_cols:
         if dynamic_overwrite and mode == "overwrite":
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # Per-write option, not a session conf set: mutating the shared
+            # session's partitionOverwriteMode would silently change the
+            # semantics of every later partitioned write.
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

@@ -482,3 +482,37 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
         )
+
+
+def test_salted_join_rejects_build_outer_variants(spark, sf_dir):
+    """right/full outer would emit each unmatched build row salt times —
+    the API refuses them up front (ADVICE r1)."""
+    import pytest
+
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    for bad in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(o, c, on=["custkey"], salt=4, probe_hash_col="o_orderkey", how=bad)
+    # left (probe-outer) stays supported and semantics-preserving
+    left = salted_join(o, c, on=["custkey"], salt=4, probe_hash_col="o_orderkey", how="left")
+    assert left.count() == o.join(c, on="custkey", how="left").count()
+
+
+def test_incremental_topk_small_corpus_no_rescan_loop(spark, sf_dir):
+    """Corpus smaller than k·buffer_factor: the first scan returns the
+    whole result set; growing-k requests must NOT trigger a rescan per
+    call (ADVICE r1 — the buffer can never reach len >= k)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import IncrementalTopK
+
+    e = load_table(spark, sf_dir, "embeddings").limit(7)
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+    inc = IncrementalTopK(e, id_col="vec_id", vec_col="embedding", buffer_factor=2)
+    first = inc.topk(qv, query_key=0, k=10)  # fetch=20 > corpus=7
+    assert len(first) == 7 and inc.scans == 1
+    again = inc.topk(qv, query_key=0, k=50)
+    assert again == first and inc.scans == 1  # exhausted: served from buffer
