@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
         queries_multimodal,
         queries_setops,
         queries_sql,
+        queries_sql_tpch,
         queries_stream,
         queries_text,
         queries_windows,
