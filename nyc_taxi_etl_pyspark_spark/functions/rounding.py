@@ -29,3 +29,15 @@ def stable_round(col: Column, scale: int = 4) -> Column:
 def oracle_round(expr: str, scale: int = 4) -> str:
     """The DuckDB-side spelling of ``stable_round`` for oracle strings."""
     return f"round(({expr}) + 1e-9, {scale})"
+
+
+def stable_round0(col: Column, scale: int = 4) -> Column:
+    """``stable_round`` + signed-zero normalization. Spark and DuckDB
+    disagree on the SIGN of a zero result (``round(-1e-10, 4)`` → 0.0 in
+    one engine, -0.0 in the other); -0.0 == 0.0 numerically but renders
+    as a different string, which breaks string-sorted row comparison and
+    value hashing. Adding +0.0 AFTER rounding maps -0.0 → +0.0 (IEEE) and
+    is a no-op for everything else. Use for outputs that can legitimately
+    round to zero (means of near-zero data, centered values); oracle-side
+    spelling: ``round(expr + 1e-9, n) + 0.0``."""
+    return F.round(col + F.lit(ROUND_EPS), scale) + F.lit(0.0)

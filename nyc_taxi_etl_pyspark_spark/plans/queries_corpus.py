@@ -1,0 +1,234 @@
+"""Corpus-preparation operators, round 2 (SURVEY.md §2.12 — the
+LLM-training-data pipeline set, widened): text scrubbing, repetition
+signals, embedding statistics, per-label centroids, and the composed
+dedup→quality→rollup corpus-prep pipeline.
+
+All hot paths are built-in Catalyst expressions (regexp_replace, HOFs,
+posexplode, hash aggregates) — zero Python in the row path, so every
+query here whole-stage-codegens and scales with partition count.
+
+Oracle notes: per-row HOF arithmetic folds floats in element order in
+both engines (bit-identical before rounding); cross-row reductions
+(avg over vectors, token-count ratios) are rounded to 4 decimals in BOTH
+engines per the registry convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round, stable_round0
+from nyc_taxi_etl_pyspark_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    quality_gate,
+    token_shingles,
+    tokens_col,
+)
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+_STOPWORD_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# Tokenization written ONCE for the DuckDB side, matching tokens_col()
+# (lower + multi-whitespace split + drop empties).
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "q_text_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(lower(props), '[0-9]+', '<num>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_masked
+    FROM events
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/number scrubbing (corpus normalization): mask digit runs with a
+    sentinel token and count masked spans — the regex-redaction pass (same
+    machinery as email/URL/ID masking) every training-data pipeline runs
+    before tokenization. Runs on ``events.props`` (the fixture's only
+    digit-bearing text). Pure Catalyst ``regexp_replace`` — pushable,
+    codegen'd, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.lower("props"), "[0-9]+", "<num>").alias("scrubbed"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias("n_masked"),
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ), cnt AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    ), rep AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(max(c) / sum(c) + 1e-9, 4) AS top_token_frac
+      FROM cnt GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i+1]
+              for i in generate_series(1, len(toks) - 1)] AS bigrams
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    )
+    SELECT r.doc_id, r.n_tokens, r.top_token_frac,
+           round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                       / len(bigrams) + 1e-9, 4) AS dup_bigram_frac
+    FROM rep r JOIN bg USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-token
+    fraction (explode → two-level hash agg — the shape that scales: the
+    shuffle carries (doc, token) partial counts, never raw text) and
+    duplicate-bigram fraction (per-row HOF, zero shuffle). High values on
+    either flag boilerplate/spam for corpus filtering."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens_col(F.col("text"))
+    )
+    cnt = (
+        d.select("doc_id", F.explode("__toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+    )
+    rep = cnt.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        stable_round(F.max("count") / F.sum("count"), 4).alias("top_token_frac"),
+    )
+    bg = F.col("__bigrams")
+    dup = d.withColumn("__bigrams", token_shingles(F.col("__toks"), 2)).select(
+        "doc_id",
+        stable_round(
+            F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+            4,
+        ).alias("dup_bigram_frac"),
+    )
+    return rep.join(dup, "doc_id")
+
+
+@query(
+    "q_embedding_stats",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) + 1e-9, 4) AS l2_norm,
+           round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding) + 1e-9, 4) + 0.0
+             AS mean_val,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') + 1e-9, 4)
+             AS min_val,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') + 1e-9, 4)
+             AS max_val
+    FROM embeddings
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding statistics (L2 norm, mean, min, max, dim) —
+    the sanity/QA projection a pipeline runs before similarity search
+    (catches unnormalized or degenerate vectors). Higher-order functions
+    only: one scan, no shuffle, no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        stable_round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        stable_round0(total / F.size(v), 4).alias("mean_val"),
+        stable_round(F.array_min(v), 4).alias("min_val"),
+        stable_round(F.array_max(v), 4).alias("max_val"),
+    )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label, dim, round(avg(v) + 1e-9, 4) + 0.0 AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             CAST(generate_subscripts(embedding, 1) AS INT) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, one row per (label, dimension) — the
+    k-means / IVF-codebook building block. posexplode fans each vector
+    into 64 (pos, value) rows; the partial aggregate collapses them to
+    labels×64 BEFORE the shuffle, so network volume is the codebook size,
+    not the corpus size — the property that makes centroid computation
+    feasible at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(stable_round0(F.avg("v"), 4).alias("centroid_val"))
+    )
+
+
+@query(
+    "q_corpus_prep",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text, {_TOKS_SQL} AS toks,
+             md5(array_to_string({_TOKS_SQL}, ' ')) AS fprint
+      FROM documents
+    ), surv AS (
+      SELECT * FROM fp
+      QUALIFY row_number() OVER (PARTITION BY fprint ORDER BY doc_id) = 1
+    ), clean AS (
+      SELECT * FROM surv
+      WHERE len(toks) >= 10
+        AND CAST(len(list_filter(toks, x -> x IN {_STOPWORD_SQL})) AS DOUBLE)
+            / len(toks) >= 0.05
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+        AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) <= 12.0
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(ceil(length(text) / 4.0)) AS BIGINT) AS bpe_budget
+    FROM clean
+    GROUP BY lang, source
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline, end to end: content-fingerprint
+    exact dedup (deterministic min-doc_id survivor) → C4-style quality
+    gate → per-(lang, source) token/budget rollup. One window shuffle on
+    the fingerprint + one partial→final aggregate; the quality gate is a
+    pushed-down boolean so rejected docs never reach the window. This is
+    the §2.12 operators composed the way a real 100 TB ingest run chains
+    them."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("__fp", fingerprint_md5(F.col("text")))
+        .withColumn("__toks", tokens_col(F.col("text")))
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    surv = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(quality_gate(F.col("__toks")))
+    )
+    return surv.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("__toks")).cast("bigint").alias("n_tokens"),
+        F.sum(F.ceil(F.length("text") / 4.0)).cast("bigint").alias("bpe_budget"),
+    )

@@ -53,6 +53,7 @@ def _load_all_modules() -> None:
     from nyc_taxi_etl_pyspark_spark.plans import (  # noqa: F401
         queries_aggs,
         queries_core,
+        queries_corpus,
         queries_joins,
         queries_ml,
         queries_multimodal,
