@@ -420,3 +420,61 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         stable_round(F.var_samp("l_discount"), 4).alias("discount_var"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice) + 1e-9, 4) AS bucket_min,
+           round(max(o_totalprice) + 1e-9, 4) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (data-profiling primitive): bucket =
+    floor(value / width). Pure arithmetic bucketing means one partial+
+    final aggregate over at most n_buckets groups — the profile pass that
+    replaces a driver-side collect-and-bin at 100 TB (contrast
+    q_agg_percentile, which needs a full sort or sketch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_round(F.min("o_totalprice"), 4).alias("bucket_min"),
+            stable_round(F.max("o_totalprice"), 4).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_agg_distinct_twophase",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via explicit two-phase aggregation:
+    groupBy(key, user) dedups partially map-side, then groupBy(key)
+    counts the survivors. Semantically identical to count(DISTINCT) (the
+    oracle), but the first phase spreads a skewed key across partitions
+    by the (key, user) composite — the hand-rolled shape of Catalyst's
+    distinct-aggregate Expand, useful when one hot key would otherwise
+    bottleneck a single reducer at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
