@@ -232,3 +232,103 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("__toks")).cast("bigint").alias("n_tokens"),
         F.sum(F.ceil(F.length("text") / 4.0)).cast("bigint").alias("bpe_budget"),
     )
+
+
+@query(
+    "q_contamination_ngram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in generate_series(1, len(toks) - 2)]) AS shingles
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+    ), corpus AS (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_shingles
+      FROM sh WHERE source <> 'src0'
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.shingle) AS n_matched,
+           CAST(any_value(c.n_shingles) AS INT) AS n_shingles,
+           round(CAST(count(DISTINCT c.shingle) AS DOUBLE)
+                 / any_value(c.n_shingles) + 1e-9, 4) AS contamination_ratio
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: flag corpus documents sharing any
+    3-gram shingle with a held-out benchmark set (here: source='src0'
+    docs stand in for the eval set). Inverted-index shape — both sides
+    explode to (shingle-hash, doc) posting lists and meet in ONE equi
+    join on a long key, so cost is shingle volume, not |corpus|×|bench|;
+    the benchmark side is tiny and broadcasts. The oracle joins the raw
+    shingle strings (hashing is the engine-side scale optimization)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens_col(F.col("text"))
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(token_shingles(F.col("__toks"), 3)).alias("__sh"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("__sh").alias("__n"),
+        F.explode_outer(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__h"),
+    ).filter(F.col("__h").isNotNull())
+    bench = sh.filter(F.col("source") == "src0").select("__h").distinct()
+    corpus = sh.filter(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(bench), "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("__h").alias("n_matched"),
+            F.first("__n").alias("n_shingles"),
+            stable_round(
+                F.countDistinct("__h").cast("double") / F.first("__n"), 4
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+@query(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 4096.0) AS INT) AS seq_idx
+    FROM t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concat-and-chunk): within each
+    source shard, documents are concatenated in deterministic doc_id
+    order and cut into 4096-token training sequences; each doc reports
+    its stream offset and the sequence index its first token lands in.
+    Partitioning by shard keeps the running sum parallel — the global
+    single-reducer cumsum this replaces is the anti-pattern at 100 TB
+    (one window partition = one task)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = F.size(tokens_col(F.col("text"))).cast("bigint")
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / 4096.0).cast("int").alias("seq_idx"),
+    )
