@@ -51,6 +51,14 @@ HEADLINE = [
     "q_quality_filter",
     "q_udtf_chunks",
     "q_hash_sample",
+    # round-2 additions: TPC-H SQL shapes + corpus-prep operators
+    "q_sql_q5_local_volume",
+    "q_sql_q21_waiting_supplier",
+    "q_text_repetition",
+    "q_embedding_centroids",
+    "q_corpus_prep",
+    "q_contamination_ngram",
+    "q_sequence_packing",
 ]
 
 
