@@ -1,0 +1,45 @@
+"""CDC merge / upsert operator (round-2 extension; absent in reference —
+the reference only ever overwrites whole parquet partitions,
+``src/pipeline/etl_writer.py:7-12``).
+
+``merge_upsert`` is the engine's MERGE INTO: apply a change set to a
+base relation with latest-wins semantics, expressed as ONE full-outer
+join — the format-agnostic core of what Delta/Iceberg MERGE does, on
+plain DataFrames. At 100 TB the join shuffles both sides by the merge
+key once; if the change set is small (the common CDC case) Catalyst/AQE
+broadcasts it and the base never shuffles at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Latest-wins upsert: rows in ``updates`` replace same-key rows in
+    ``base``; unmatched update rows are inserts; unmatched base rows pass
+    through. ``updates`` must carry FULL rows (column-level patching
+    would need explicit per-column change flags — out of scope).
+
+    Implementation: full-outer join on the keys + per-column "update row
+    exists → update value" selection, gated on a key-presence flag rather
+    than per-column ``coalesce`` so an update can legitimately set a
+    column to NULL.
+    """
+    value_cols = [c for c in base.columns if c not in key_cols]
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert: schema mismatch base={base.columns} updates={updates.columns}"
+        )
+    u = updates.withColumn("__is_upd", F.lit(True))
+    joined = base.join(u, on=list(key_cols), how="full")
+    picked = [
+        F.when(F.col("__is_upd"), u[c]).otherwise(base[c]).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*key_cols, *picked)

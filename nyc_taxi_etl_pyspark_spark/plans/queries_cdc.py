@@ -1,0 +1,69 @@
+"""CDC / upsert query (SURVEY.md §2 round-2 extension).
+
+The reference's only mutation primitive is whole-partition overwrite
+(``src/pipeline/etl_writer.py:7-12``); a lakehouse engine needs row-level
+MERGE. ``q_merge_upsert`` proves the operator against a deterministic
+synthetic change set derived from the base table itself (no RNG, so the
+DuckDB oracle replays the identical merge declaratively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 1.1 + 1e-9, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           round((CASE WHEN u.o_orderkey IS NOT NULL
+                       THEN u.o_totalprice ELSE b.o_totalprice END) + 1e-9, 4)
+             AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (latest-wins upsert) on a deterministic change set:
+    every 7th order updated (status 'U', price ×1.1), every 97th order
+    re-keyed as an insert. One full-outer join on the merge key; with a
+    small CDC batch AQE broadcasts it and the base side never shuffles.
+    Updates and inserts verified in one pass against the oracle's
+    declarative replay."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        stable_round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    merged = merge_upsert(o, updates, key_cols=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

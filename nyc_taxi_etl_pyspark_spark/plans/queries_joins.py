@@ -267,3 +267,29 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "q_join_theta_count",
+    oracle="""
+    SELECT s_suppkey, s_name, count(*) AS n_poorer_customers
+    FROM supplier s JOIN customer c ON c.c_acctbal < s.s_acctbal
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_join_theta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (inequality-only predicate, no equi key): per
+    supplier, how many customers hold a smaller balance. Plans as
+    BroadcastNestedLoopJoin — the only strategy for keyless predicates —
+    with the 10-row supplier side broadcast, so cost is |customer| × 10
+    comparisons, parallel over customer partitions, and the aggregate
+    collapses output before anything moves. The general lesson encoded
+    here: keyless joins are viable at scale ONLY when one side is tiny;
+    the banded alternative for two large sides is q_join_range."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), c["c_acctbal"] < s["s_acctbal"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_poorer_customers"))
+    )

@@ -175,3 +175,40 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
         stable_round(F.cume_dist().over(w), 4).alias("price_cume_dist"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch_s,
+           count(*) OVER w AS n_events_1h,
+           round(sum(value) OVER w + 1e-9, 4) AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per event, activity in the
+    TRAILING HOUR of the same user — a value-based frame (rangeBetween on
+    epoch seconds), not a row-count frame like q_window_rolling. RANGE
+    frames include ALL rows tied on the ordering value, so the result is
+    deterministic even with duplicate timestamps — which is exactly why
+    the rows-frame formulation would NOT be oracle-safe here. One shuffle
+    on user_id; the frame scan is a per-partition sliding pointer."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch_s.alias("ts_epoch_s"),
+        F.count("*").over(w).alias("n_events_1h"),
+        stable_round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )

@@ -52,6 +52,7 @@ def _load_all_modules() -> None:
     # Importing the query modules populates the registry.
     from nyc_taxi_etl_pyspark_spark.plans import (  # noqa: F401
         queries_aggs,
+        queries_cdc,
         queries_core,
         queries_corpus,
         queries_joins,
