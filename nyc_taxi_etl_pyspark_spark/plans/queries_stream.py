@@ -237,3 +237,21 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessionize(
         spark, sf_dir, query_name="q_streaming_sessionize"
     )
+
+
+@query("q_streaming_interval_join", oracle=None)  # streaming runtime => rows-only
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: clicks ⋈ errors per user within a
+    10-minute event-time interval, watermarked on BOTH sides so join
+    state is evicted once the watermark passes click_ts + interval — the
+    bounded-state shape an unbounded 100 TB/day stream requires (an
+    unbounded-condition stream-stream join buffers both sides forever).
+    Pair-set equality with the identical batch join is asserted in
+    tests/test_streaming.py."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_interval_join,
+    )
+
+    return run_streaming_interval_join(
+        spark, sf_dir, query_name="q_streaming_interval_join"
+    )

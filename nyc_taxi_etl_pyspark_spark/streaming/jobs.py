@@ -224,3 +224,67 @@ def run_streaming_tumbling_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def interval_join_exprs() -> str:
+    """The shared stream-stream / batch interval-join condition: an error
+    event joins each same-user click in the preceding 10 minutes. Defined
+    ONCE so the streaming query and its batch-equality oracle
+    (tests/test_streaming.py) cannot drift."""
+    return (
+        "user_id = err_user_id AND "
+        "err_ts >= click_ts AND "
+        "err_ts <= click_ts + interval 10 minutes"
+    )
+
+
+def run_streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_interval_join",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval condition:
+    clicks ⋈ errors per user, error within 10 minutes after the click.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions, so Spark can compute exactly how long a buffered
+    click can still match a future error (watermark + interval) and
+    EVICT state past that — the condition is what makes an unbounded
+    stream-stream join feasible; without the time bounds, both sides'
+    state would grow forever. Append mode: a pair is emitted once, when
+    the watermark proves no earlier match can arrive."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("err_user_id"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    joined = clicks.join(errors, F.expr(interval_join_exprs()), "inner").select(
+        "user_id", "click_id", "err_id"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -207,3 +207,63 @@ def test_chunker_covers_and_reconstructs(spark, docs):
                     a["chunk_text"].split(" ")[stride:]
                     == b["chunk_text"].split(" ")[: CHUNK_OVERLAP]
                 )
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    upd = spark.createDataFrame([(1, "a", 2)], ["k", "v", "extra"])
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(base, upd, key_cols=["k"])
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates win, inserts appear, untouched base rows pass through —
+    and an update may legitimately set a value column to NULL."""
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B"), (4, "D"), (5, None)], ["k", "v"])
+    out = {r["k"]: r["v"] for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D", 5: None}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Offsets are contiguous within each shard (offset = previous offset
+    + previous n_tokens under doc_id order) and seq_idx == offset//4096."""
+    from collections import defaultdict
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_sequence_packing"](spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in docs:
+            assert r["start_offset"] == expect, (src, r)
+            assert r["seq_idx"] == r["start_offset"] // 4096
+            expect += r["n_tokens"]
+
+
+def test_contamination_flags_benchmark_overlap_only(spark, sf_dir):
+    """No flagged doc comes from the benchmark source, and every flagged
+    doc really shares >=1 3-gram with it (ratio in (0, 1])."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    flagged = all_queries()["q_contamination_ngram"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = flagged.join(docs, "doc_id").select("doc_id", "source", "contamination_ratio")
+    rows = joined.collect()
+    assert rows, "expected at least one contaminated doc in the fixture"
+    for r in rows:
+        assert r["source"] != "src0"
+        assert 0.0 < r["contamination_ratio"] <= 1.0

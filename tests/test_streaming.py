@@ -108,3 +108,30 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     )
     cols = ["window_start_s", "n_events", "sum_value"]
     assert _rows_set(stream_norm, cols) == _rows_set(batch.select(*cols), cols)
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Every (click, error) pair the stream-stream interval join emits
+    must equal the batch join under the SAME condition string."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import interval_join_exprs
+
+    streamed = all_queries()["q_streaming_interval_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user_id"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    batch = clicks.join(errors, F.expr(interval_join_exprs()), "inner").select(
+        "user_id", "click_id", "err_id"
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
