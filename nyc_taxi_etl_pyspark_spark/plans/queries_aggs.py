@@ -478,3 +478,54 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "q_time_rollup_multigrain",
+    oracle="""
+    SELECT event_date, event_hour, grain, n_events,
+           round(sum_value + 1e-9, 4) AS sum_value
+    FROM (
+      SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour,
+             CASE WHEN GROUPING(EXTRACT(hour FROM ts)) = 0
+                  THEN 'hour' ELSE 'day' END AS grain,
+             count(*) AS n_events,
+             sum(value) AS sum_value
+      FROM events
+      GROUP BY GROUPING SETS (
+        (strftime(ts, '%Y-%m-%d'), EXTRACT(hour FROM ts)),
+        (strftime(ts, '%Y-%m-%d'))
+      )
+    )
+    """,
+)
+def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the continuous-aggregate /
+    hypertable-rollup pattern): hourly AND daily aggregates of the event
+    stream in ONE pass — GROUPING SETS plans as a single Expand (2 rows
+    per input) + one partial→final aggregate, vs scanning the fact table
+    once per grain. ``grouping()`` labels each output row's grain so
+    downstream readers can route. At 100 TB this is the difference
+    between one shuffle and N shuffles for N rollup levels."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rollup")
+    return spark.sql(
+        """
+        SELECT event_date, event_hour, grain, n_events,
+               round(sum_value + 1e-9, 4) AS sum_value
+        FROM (
+          SELECT date_format(ts, 'yyyy-MM-dd') AS event_date,
+                 CAST(hour(ts) AS INT) AS event_hour,
+                 CASE WHEN GROUPING(hour(ts)) = 0
+                      THEN 'hour' ELSE 'day' END AS grain,
+                 count(*) AS n_events,
+                 sum(value) AS sum_value
+          FROM __events_rollup
+          GROUP BY GROUPING SETS (
+            (date_format(ts, 'yyyy-MM-dd'), hour(ts)),
+            (date_format(ts, 'yyyy-MM-dd'))
+          )
+        )
+        """
+    )
