@@ -516,3 +516,38 @@ def test_incremental_topk_small_corpus_no_rescan_loop(spark, sf_dir):
     assert len(first) == 7 and inc.scans == 1
     again = inc.topk(qv, query_key=0, k=50)
     assert again == first and inc.scans == 1  # exhausted: served from buffer
+
+
+def test_round2_plan_shapes(spark, sf_dir):
+    """Plan-shape regression net for the round-2 operators: the NOT-IN
+    subquery must decorrelate (null-aware anti join, not a per-row
+    probe), the keyless theta join must broadcast its tiny side, the
+    decontamination join must broadcast the benchmark posting list, the
+    centroid and packing plans must stay single-shuffle, and Q21's double
+    correlation must plan as semi + anti joins."""
+    import re
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    expectations = {
+        "q_sql_q16_parts_supplier_cnt": ["BroadcastHashJoin"],  # NOT IN -> anti join
+        "q_sql_q21_waiting_supplier": ["LeftSemi", "LeftAnti"],
+        "q_join_theta_count": ["BroadcastNestedLoopJoin"],
+        "q_contamination_ngram": ["BroadcastHashJoin"],
+        "q_sql_q10_returned_items": ["TakeOrderedAndProject"],
+    }
+    for name, must in expectations.items():
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        for marker in must:
+            assert marker in plan, (name, marker)
+    # NOT IN decorrelates to an anti join (exact operator label varies by
+    # null-awareness), never a nested per-row subquery.
+    q16 = _executed_plan(qs["q_sql_q16_parts_supplier_cnt"](spark, sf_dir))
+    assert re.search(r"Anti", q16), "Q16 NOT IN did not plan as an anti join"
+    # Single-shuffle promises: posexplode centroid agg and the per-shard
+    # packing window each need exactly one hash exchange.
+    for name in ("q_embedding_centroids", "q_sequence_packing"):
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        assert n_shuffles == 1, (name, f"expected 1 shuffle, saw {n_shuffles}")
