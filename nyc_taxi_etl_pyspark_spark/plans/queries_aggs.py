@@ -529,3 +529,120 @@ def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q_agg_equidepth_histogram",
+    oracle="""
+    SELECT decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice) + 1e-9, 4) AS lo,
+           round(max(o_totalprice) + 1e-9, 4) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles of the price distribution): ntile
+    over a total order (price, key tie-break ⇒ deterministic bucket
+    edges), then per-bucket count/min/max. Complements q_agg_histogram's
+    fixed-width buckets: equal-width answers "what does the domain look
+    like", equal-depth answers "where is the mass". The global ntile is a
+    single-partition window — fine for profiling output sizes; at 100 TB
+    the sketch path (q_agg_approx_percentile) replaces it."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_round(F.min("o_totalprice"), 4).alias("lo"),
+            stable_round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_data_quality_audit",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+           count(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           count(*) FILTER (WHERE o_totalprice <= 0), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_future_date',
+           count(*) FILTER (WHERE o_orderdate > TIMESTAMP '2002-01-01 00:00:00'),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', count(*), NULL
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+    )
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5), count(*)
+    FROM lineitem
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (dbt-test-style constraint checks as ONE
+    engine query): null keys, domain bounds, freshness, and referential
+    integrity (orphan lineitems via anti join), each reported as
+    (check_name, n_violations, n_checked). The column checks fold into
+    conditional aggregates over a single scan per table; the FK check is
+    one broadcast/shuffled anti join — the audit pass a 100 TB ingest
+    runs before promoting a batch."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(cond, 1)).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        )
+
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("check_name"),
+            "n_violations",
+            F.lit(None).cast("bigint").alias("n_checked"),
+        )
+    )
+    return (
+        check(o, "orders_null_custkey", F.col("o_custkey").isNull())
+        .unionByName(
+            check(o, "orders_nonpositive_price", F.col("o_totalprice") <= 0)
+        )
+        .unionByName(
+            check(
+                o,
+                "orders_future_date",
+                F.col("o_orderdate") > F.lit("2002-01-01 00:00:00").cast("timestamp"),
+            )
+        )
+        .unionByName(orphans)
+        .unionByName(
+            check(
+                li,
+                "lineitem_discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            )
+        )
+    )
