@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
         queries_cdc,
         queries_core,
         queries_corpus,
+        queries_events,
         queries_joins,
         queries_ml,
         queries_multimodal,
