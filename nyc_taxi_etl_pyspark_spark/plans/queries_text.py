@@ -652,3 +652,22 @@ def q_knn_per_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_within_group(
         e, id_col="vec_id", vec_col="embedding", block_col="label", k=3
     )
+
+
+@query("q_dedup_minhash_survivors", oracle=None)  # xxhash64-based => rows-only
+def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-tier dedup pipeline end to end: MinHash-LSH candidate
+    pairs → connected-components cluster resolution → canonical-survivor
+    corpus — the same pair→cluster→survivor chain as the oracle-checked
+    exact-Jaccard tier (q_dedup_survivors), but with LSH discovering the
+    blocks, which is what replaces quadratic candidate generation at
+    100 TB. Rows-only (hash family is engine-specific); the pipeline
+    *structure* is verified by the exact tier's oracle and the survivor
+    count is sanity-bounded in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8, shingle_n=2
+    )
+    return dedup_survivors(
+        d, pairs.select("id_a", "id_b"), id_col="doc_id"
+    ).select("doc_id", "source", "lang")

