@@ -646,3 +646,40 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT event_type,
+           max(CASE WHEN rn_desc = 1 THEN event_id END) AS max_value_event,
+           max(CASE WHEN rn_asc = 1 THEN event_id END) AS min_value_event,
+           round(max(value) + 1e-9, 4) AS max_value,
+           round(min(value) + 1e-9, 4) AS min_value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn_desc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn_asc
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregate (``max_by``/``min_by``): WHICH event holds
+    each group's extreme value — the single-pass alternative to the
+    window row_number idiom when only the witness row's key is needed
+    (one partial→final aggregate, no sort, no window shuffle). Ties on
+    ``value`` are broken by event_id via lexicographic (value, id)
+    ordering in BOTH engines, making the witness deterministic —
+    bare max_by over a tied column would be scan-order-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_asc = F.struct(F.col("value"), F.col("event_id").cast("double"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", ord_asc).alias("max_value_event"),
+        F.min_by("event_id", ord_asc).alias("min_value_event"),
+        stable_round(F.max("value"), 4).alias("max_value"),
+        stable_round(F.min("value"), 4).alias("min_value"),
+    )

@@ -510,3 +510,32 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_csv"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@query(
+    "q_string_extract",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS id_part,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS id_num,
+           CAST(length(split_part(c_name, '#', 1)) AS INT) AS prefix_len
+    FROM customer
+    """,
+)
+def q_string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured string extraction (split_part + regexp capture group):
+    pull the numeric id out of 'Customer#000000042'-style keys — the
+    string-surgery projection of log/ID parsing pipelines. Pure codegen'd
+    projection; both functions are 1-based and group-indexed identically
+    in Spark and DuckDB."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("id_part"),
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("id_num"),
+        F.length(F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)))
+        .cast("int")
+        .alias("prefix_len"),
+    )
