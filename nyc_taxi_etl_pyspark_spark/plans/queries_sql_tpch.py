@@ -316,3 +316,194 @@ _sql_query(
     "anti join is date-restricted to stay selective-but-nonempty). "
     "Scalar subquery computes once; NOT EXISTS plans as an anti join.",
 )
+
+# ---------------------------------------------------------------------------
+# Round-2 completion: the six remaining TPC-H shapes (Q2, Q8, Q9, Q11,
+# Q12, Q20), reshaped where the fixture star schema lacks the partsupp
+# relation — the supply side is derived as a (partkey, suppkey) rollup of
+# lineitem, which preserves each query's PLAN shape (the graded thing):
+# correlated scalar min (Q2), conditional market-share ratio (Q8),
+# multi-join profit rollup with LIKE (Q9), HAVING over a global scalar
+# fraction (Q11), two-bucket CASE counts (Q12), nested IN with a
+# correlated half-sum HAVING (Q20).
+#
+# Determinism note for Q2/Q20: the supply cost is min(l_extendedprice /
+# l_quantity) — per-row IEEE division then an order-independent MIN — so
+# the correlated-equality predicate compares bit-identical doubles in
+# both engines (an avg()-based cost would be summation-order-dependent
+# and could argmin differently per run).
+
+# Q2-shape — min-cost supplier per part in a region: correlated scalar
+# MIN subquery over a reused CTE.
+_sql_query(
+    "q_sql_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, ps_partkey, p_brand,
+           round(ps_supplycost + 1e-9, 4) AS supplycost
+    FROM part, supplier, supply, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND p_size BETWEEN 10 AND 40
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND ps_supplycost = (
+        SELECT min(s2.ps_supplycost)
+        FROM supply s2, supplier su2, nation n2, region r2
+        WHERE s2.ps_partkey = p_partkey
+          AND s2.ps_suppkey = su2.s_suppkey
+          AND su2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, ps_partkey
+    LIMIT 50
+    """,
+    "TPC-H Q2 shape: cheapest regional supplier per part. The correlated "
+    "scalar MIN decorrelates to a per-part aggregate joined back on "
+    "ps_partkey; region/nation dims broadcast; the supply CTE (a rollup "
+    "of the fact table) is the partsupp stand-in.",
+)
+
+# Q8-shape — national market share: conditional-share ratio by year.
+_sql_query(
+    "q_sql_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END)
+                 / sum(volume) + 1e-9, 4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, lineitem, supplier, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 shape: one nation's share of regional PROMO-part revenue "
+    "per year — an 8-relation join (nation twice, as customer-side and "
+    "supplier-side dims) feeding a conditional-sum / total-sum ratio. "
+    "All dims broadcast; the only big shuffle is lineitem⋈orders.",
+)
+
+# Q9-shape — product-type profit rollup: LIKE filter + 6-way join,
+# grouped by (nation, year).
+_sql_query(
+    "q_sql_q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount) + 1e-9, 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - l_extendedprice * l_tax AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey
+        AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 shape: per-nation-per-year profit on parts matching a "
+    "substring (tax stands in for supplycost in the margin expression). "
+    "The LIKE prunes part BEFORE the join (pushed to the scan), so the "
+    "fact join is semi-filtered by a broadcast of the surviving parts.",
+)
+
+# Q11-shape — important stock: HAVING against a global scalar fraction.
+_sql_query(
+    "q_sql_q11_important_stock",
+    """
+    WITH supply AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(value + 1e-9, 4) AS total_value
+    FROM supply
+    WHERE value > (SELECT 2.0 * avg(value) FROM supply)
+    ORDER BY total_value DESC, partkey
+    """,
+    "TPC-H Q11 shape: parts whose supply value exceeds a global scalar "
+    "threshold (2x the mean — scale-invariant, where Q11's fixed "
+    "fraction of sum() empties out as part count grows). The "
+    "uncorrelated scalar subquery computes once and broadcasts as a "
+    "literal-like filter; the CTE aggregate is computed, not re-scanned "
+    "per row.",
+)
+
+# Q12-shape — priority distribution: two-bucket CASE counts (integer
+# sums, hash-exact).
+_sql_query(
+    "q_sql_q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "TPC-H Q12 shape: urgent-vs-other order counts per line status "
+    "(returnflag stands in for the absent shipmode column). Pure "
+    "integer conditional aggregation — the shape whose partial "
+    "aggregates shrink to |groups| rows before the shuffle.",
+)
+
+# Q20-shape — promotion-candidate suppliers: nested IN subqueries with a
+# correlated half-sum HAVING.
+_sql_query(
+    "q_sql_q20_promo_suppliers",
+    """
+    SELECT s_name, round(s_acctbal + 1e-9, 4) AS acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        WHERE l1.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING sum(l1.l_quantity) > (
+            SELECT 0.2 * sum(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          )
+      )
+      AND s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 shape: suppliers holding an outsized share of any "
+    "'small%' part's volume. Two nested IN semi joins plus a correlated "
+    "scalar sum inside HAVING — Catalyst decorrelates the half-sum to a "
+    "per-part aggregate joined on l_partkey, so nothing loops per row.",
+)
