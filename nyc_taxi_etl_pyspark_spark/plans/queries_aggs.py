@@ -683,3 +683,77 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.max("value"), 4).alias("max_value"),
         stable_round(F.min("value"), 4).alias("min_value"),
     )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(min(value) + 1e-9, 4) AS min_value,
+           round(max(value) + 1e-9, 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SALTED aggregation: phase 1 aggregates on
+    (key, salt=hash(row) mod 16) so a hot key's rows spread over 16
+    reducers; phase 2 merges the 16 partials per key. The oracle is the
+    PLAIN single-phase aggregate — salting must be semantically
+    invisible (count/sum/min/max are all commutative monoids, so the
+    two-phase merge is exact; avg would be re-derived as sum/count).
+    This is the hand-rolled escape hatch for when one key holds 10% of
+    100 TB and even AQE's skew handling can't split a single aggregate
+    group across tasks."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count("*").alias("__c"),
+            F.sum("value").alias("__s"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__c").alias("n_events"),
+        stable_round(F.sum("__s"), 4).alias("sum_value"),
+        stable_round(F.min("__mn"), 4).alias("min_value"),
+        stable_round(F.max("__mx"), 4).alias("max_value"),
+    )
+
+
+@query(
+    "q_sample_fixed_per_group",
+    oracle="""
+    SELECT event_type, event_id, user_id
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+      ) <= 20
+    """,
+)
+def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k-per-group sample: rank rows inside each
+    group by a content hash (md5 of the key — uniform, engine-portable,
+    partitioning-independent) and keep the first 20. The reproducible
+    version of per-stratum reservoir sampling: same 20 rows on any
+    engine, any run, any cluster size — what q_stratified_sample's
+    seeded RNG cannot promise across engines. At 100 TB the window
+    shuffles once on the group key; if a single group is too hot, the
+    same hash order lets a pre-filter on md5 prefix cheaply shed most
+    rows before ranking."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 20)
+        .select("event_type", "event_id", "user_id")
+    )

@@ -671,3 +671,109 @@ def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(
         d, pairs.select("id_a", "id_b"), id_col="doc_id"
     ).select("doc_id", "source", "lang")
+
+
+@query(
+    "q_text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS total_count,
+             count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY token
+    )
+    SELECT token, total_count, n_docs
+    FROM counts
+    WHERE total_count > (SELECT 0.002 * sum(total_count) FROM counts)
+    ORDER BY total_count DESC, token
+    """,
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus vocabulary: tokens carrying
+    more than 0.2% of all token mass (a RELATIVE threshold, so the query
+    means the same thing at every scale factor). Two-level shape:
+    explode → per-token partial+final counts (output bounded by |vocab|,
+    not corpus size), then the global total comes back as a broadcast
+    1-row cross join — never a driver-side collect and never an
+    unpartitioned window. The exact baseline that a count-min sketch or
+    space-saving summary replaces when even |vocab| is too big."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("total_count"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    total = counts.agg(F.sum("total_count").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("total_count") > 0.002 * F.col("__total"))
+        .select("token", "total_count", "n_docs")
+        .orderBy(F.desc("total_count"), "token")
+    )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 4)
+             AS tfidf
+    FROM tf, df, n
+    WHERE tf.token = df.token
+    QUALIFY row_number() OVER (
+        PARTITION BY tf.doc_id
+        ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC, tf.token
+      ) <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword-extraction /
+    relevance-weighting projection. Plan shape chosen for 100 TB: the
+    document-frequency table is bounded by |vocab| so it BROADCASTS to
+    the (doc, term) TF table (no shuffle of the big side on token), the
+    corpus size joins as a broadcast 1-row scalar, and the final top-3
+    is a per-doc window on the already-doc-partitioned result. Smoothed
+    idf = ln((N+1)/(df+1)); ranking uses the raw double (both engines
+    compute the identical IEEE expression), rounding only formats the
+    output."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), "token")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            stable_round(F.col("__score"), 4).alias("tfidf"),
+        )
+    )

@@ -212,3 +212,40 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_events_1h"),
         stable_round(F.sum("value").over(w), 4).alias("sum_value_1h"),
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           count(*) OVER w AS n_user_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a whole-partition frame
+    (SURVEY §2.5 extension): every event annotated with its user's first,
+    last, and second event type — the session-entry/exit attribution
+    shape. The UNBOUNDED..UNBOUNDED frame means ONE pass per partition
+    (no per-row frame re-scan); ordering ties are impossible because
+    (ts, event_id) is unique per user. At 100 TB this shuffles once on
+    user_id — same cost as any per-user window, state O(1) per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.count("*").over(w).alias("n_user_events"),
+    )

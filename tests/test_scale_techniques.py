@@ -565,3 +565,41 @@ def test_minhash_survivor_pipeline_bounds(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     n_lsh = qs["q_dedup_minhash_survivors"](spark, sf_dir).count()
     assert 0 < n_lsh <= n_docs
+
+
+def test_round2b_plan_shapes(spark, sf_dir):
+    """Plan-shape net for the round-2b operators: TF-IDF must broadcast
+    the |vocab|-bounded document-frequency side (the big (doc,term)
+    table never shuffles on token), heavy hitters must broadcast the
+    1-row global total rather than collect it, the Q2-shape correlated
+    MIN must decorrelate (a join on the min, not a per-row subquery),
+    and the Q20-shape half-sum HAVING must land as a join condition."""
+    import re
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    qs = all_queries()
+
+    tfidf = _executed_plan(qs["q_tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in tfidf
+    # the tf⋈df join must broadcast the |vocab|-bounded df side, never
+    # sort-merge the big (doc, term) table on token. (An Exchange on
+    # token DOES appear — it is the df aggregate's partial→final merge,
+    # which carries at most |vocab|×partitions partial rows, not tf.)
+    assert "SortMergeJoin" not in tfidf
+
+    hh = _executed_plan(qs["q_text_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in hh or "BroadcastExchange" in hh
+
+    q2 = _executed_plan(qs["q_sql_q2_min_cost_supplier"](spark, sf_dir))
+    assert "Join" in q2 and "min(ps_supplycost)" in q2
+
+    q20 = _executed_plan(qs["q_sql_q20_promo_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in q20
+    assert re.search(r"sum\(l_quantity\).* > ", q20), "half-sum not a join condition"
+
+    # salted aggregation: exactly two hash aggregates per phase pair and
+    # ONE exchange (on the composite (key, salt) — the skew spreader).
+    salted = _executed_plan(qs["q_agg_salted"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", salted))
+    assert n_shuffles <= 2, f"salted agg grew to {n_shuffles} shuffles"
