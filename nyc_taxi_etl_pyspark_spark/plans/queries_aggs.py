@@ -757,3 +757,70 @@ def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") <= 20)
         .select("event_type", "event_id", "user_id")
     )
+
+
+@query(
+    "q_column_profile",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n_rows,
+             count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS ndv1,
+             min(CAST(o_orderkey AS DOUBLE)) AS mn1,
+             max(CAST(o_orderkey AS DOUBLE)) AS mx1,
+             count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS ndv2,
+             min(CAST(o_custkey AS DOUBLE)) AS mn2,
+             max(CAST(o_custkey AS DOUBLE)) AS mx2,
+             count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS ndv3,
+             min(o_totalprice) AS mn3, max(o_totalprice) AS mx3
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nonnull, ndv1 AS ndv,
+           round(mn1 + 1e-9, 4) AS min_value, round(mx1 + 1e-9, 4) AS max_value
+    FROM base
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn2, ndv2,
+           round(mn2 + 1e-9, 4), round(mx2 + 1e-9, 4) FROM base
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn3, ndv3,
+           round(mn3 + 1e-9, 4), round(mx3 + 1e-9, 4) FROM base
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column profile (the ANALYZE TABLE / optimizer-
+    statistics primitive): per-column non-null count, exact NDV, and
+    min/max, computed for all columns in a SINGLE scan and unpivoted
+    with ``stack`` into one row per column. The exact-NDV trio plans as
+    one Expand (one input row per distinct-aggregate) + partial/final
+    aggregates — one pass over 100 TB instead of one scan per column;
+    swap countDistinct for approx_count_distinct when sketch precision
+    suffices. These are the stats that feed broadcast-threshold and
+    join-reorder decisions."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(cols, 1):
+        aggs += [
+            F.count(c).alias(f"nn{i}"),
+            F.countDistinct(c).alias(f"ndv{i}"),
+            F.min(F.col(c).cast("double")).alias(f"mn{i}"),
+            F.max(F.col(c).cast("double")).alias(f"mx{i}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn{i}, ndv{i}, mn{i}, mx{i}"
+        for i, c in enumerate(cols, 1)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nonnull, ndv, __mn, __mx)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nonnull",
+        "ndv",
+        stable_round(F.col("__mn"), 4).alias("min_value"),
+        stable_round(F.col("__mx"), 4).alias("max_value"),
+    )

@@ -67,3 +67,52 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(min(value) + 1e-9, 4) AS min_value,
+           round(max(value) + 1e-9, 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    a previously-materialized per-key aggregate STATE (here, the rows
+    with event_id % 10 < 7, standing in for yesterday's state table) is
+    merged with a freshly-aggregated DELTA (the remaining rows) by
+    re-aggregating the union of partial states — sum-of-counts,
+    sum-of-sums, min-of-mins, max-of-maxes. The oracle is the full
+    recompute over all events: merging partials must be EXACTLY the
+    whole, which holds because every aggregate here is a commutative
+    monoid (avg would be carried as sum+count and divided at read time).
+    At 100 TB this is the difference between re-scanning the corpus per
+    refresh and scanning only the delta: state is |keys| rows, the merge
+    is a |keys|-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    is_old = F.pmod(F.col("event_id"), F.lit(10)) < 7
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("__c"),
+            F.sum("value").alias("__s"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        )
+
+    state = partial(ev.where(is_old))
+    delta = partial(ev.where(~is_old))
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("__c").alias("n_events"),
+            stable_round(F.sum("__s"), 4).alias("sum_value"),
+            stable_round(F.min("__mn"), 4).alias("min_value"),
+            stable_round(F.max("__mx"), 4).alias("max_value"),
+        )
+    )

@@ -539,3 +539,37 @@ def q_string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("prefix_len"),
     )
+
+
+@query(
+    "q_scan_text",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-lines source (SURVEY §2.1 extension — the raw-log ingest
+    path: unstructured lines parsed into columns at read time, the way
+    a crawler or syslog feed lands before it has a schema). The nation
+    table is serialized as '|'-delimited lines once per session, read
+    back with ``spark.read.text`` (one ``value`` column), and re-parsed
+    with split_part — the round-tripped values must hash-match the
+    parquet-backed oracle. At 100 TB the parse is a pure projection
+    (no shuffle) and lands line-split-parallel across tasks."""
+    import os
+    import tempfile
+
+    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    txt_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_txt_{abs(hash(key))}"
+    )
+    if not os.path.isdir(txt_dir):
+        load_table(spark, sf_dir, "nation").select(
+            F.concat_ws(
+                "|", F.col("n_nationkey"), F.col("n_name")
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(txt_dir)
+    return spark.read.text(txt_dir).select(
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1))
+        .cast("int")
+        .alias("n_nationkey"),
+        F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("n_name"),
+    )
