@@ -255,3 +255,20 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_interval_join(
         spark, sf_dir, query_name="q_streaming_interval_join"
     )
+
+
+@query("q_streaming_static_join", oracle=None)  # streaming => rows-only
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join: the event stream probes a
+    batch-built per-type dimension (broadcast — no join state at all,
+    unlike stream-stream joins) and tags events above their type's batch
+    mean. The stateless enrichment shape that carries most production
+    streaming joins; row-for-row equality with the identical batch join
+    is asserted in tests/test_streaming.py."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_static_join,
+    )
+
+    return run_streaming_static_join(
+        spark, sf_dir, query_name="q_streaming_static_join"
+    )

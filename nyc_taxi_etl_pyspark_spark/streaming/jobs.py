@@ -288,3 +288,54 @@ def run_streaming_interval_join(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def static_type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small static dimension for stream enrichment: per-event-type
+    stats materialized in batch (the broadcast-lookup side of the
+    stream-static join; at scale this is the slowly-changing dim
+    refreshed out-of-band while the stream runs)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev.groupBy("event_type").agg(
+        F.avg("value").alias("type_avg_value"),
+        F.count("*").alias("type_n_events"),
+    )
+
+
+def run_streaming_static_join(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_static_join",
+) -> DataFrame:
+    """Stream-STATIC enrichment join: the event stream joined to a small
+    batch-built dimension on event_type. Unlike stream-stream joins this
+    keeps NO join state — each micro-batch probes the static side (which
+    Spark broadcasts under the auto-broadcast threshold), so it scales to
+    any stream volume; the dimension just has to fit an executor. The
+    enriched rows flag events whose value exceeds their type's batch
+    mean — the classic streaming anomaly-tag shape.
+
+    Batch analog: the identical join+projection on the batch events
+    table; row-for-row equality is asserted in tests/test_streaming.py.
+    """
+    stream = _events_stream(spark, sf_dir)
+    dim = static_type_dim(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") > F.col("type_avg_value")).alias("above_type_mean"),
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -135,3 +135,25 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     s_rows = sorted(map(tuple, streamed.collect()))
     b_rows = sorted(map(tuple, batch.collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_streaming_static_join_matches_batch(spark, sf_dir):
+    """The stream-static enrichment join (stateless, broadcast dim) must
+    emit exactly the rows the identical batch join produces."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import static_type_dim
+
+    streamed = all_queries()["q_streaming_static_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    dim = static_type_dim(spark, sf_dir)
+    batch = ev.join(F.broadcast(dim), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") > F.col("type_avg_value")).alias("above_type_mean"),
+    )
+    cols = ["event_id", "event_type", "value", "above_type_mean"]
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
