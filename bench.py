@@ -59,6 +59,9 @@ HEADLINE = [
     "q_corpus_prep",
     "q_contamination_ngram",
     "q_sequence_packing",
+    # round-2b additions: keyword extraction + embedding compression
+    "q_tfidf_top_terms",
+    "q_embedding_quantize",
 ]
 
 

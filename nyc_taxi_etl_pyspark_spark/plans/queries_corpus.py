@@ -332,3 +332,60 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.floor(start / 4096.0).cast("int").alias("seq_idx"),
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, label,
+           round(scale + 1e-9, 6) AS scale_q,
+           array_to_string(
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)), ','
+           ) AS codes_csv,
+           round(sqrt(list_sum(list_transform(
+               e, x -> pow(x - scale * floor(x / scale + 0.5), 2)
+             ))) + 1e-9, 4) AS l2_err
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding-STORAGE
+    scale play: scale = max|x|/127, code = floor(x/scale + 0.5), plus the
+    L2 reconstruction error. At 100 TB this cuts a float32 embedding
+    column 4× (and the downstream ANN shuffle volume with it) for a
+    bounded, per-vector-measured recall cost. floor(x+0.5) is used in
+    BOTH engines instead of round() because Spark rounds half-up while
+    DuckDB rounds half-even — floor is the portable spelling. Pure
+    higher-order functions: one scan, zero shuffles, codes are exact
+    integers (hash-stable); only scale and error are rounded floats."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ef = e.withColumn(
+        "__scale",
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    sc = F.col("__scale")
+    codes = F.transform(v, lambda x: F.floor(x / sc + F.lit(0.5)).cast("int"))
+    err_sq = F.aggregate(
+        F.transform(v, lambda x: F.pow(x - sc * F.floor(x / sc + F.lit(0.5)), F.lit(2.0))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return ef.select(
+        "vec_id",
+        "label",
+        stable_round(sc, 6).alias("scale_q"),
+        # codes emitted CSV-joined: exact ints, and a flat string hashes
+        # identically across engines (array cells don't).
+        F.array_join(codes, ",").alias("codes_csv"),
+        stable_round(F.sqrt(err_sq), 4).alias("l2_err"),
+    )
