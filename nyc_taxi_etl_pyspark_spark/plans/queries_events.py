@@ -174,3 +174,45 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conversion_rate"),
         F.floor(F.avg(gap_s)).cast("bigint").alias("avg_seconds_to_convert"),
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_date FROM events
+    )
+    SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort,
+           CAST(a.act_date - f.cohort_date AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the canonical product-analytics query:
+    users grouped by first-seen date, counted on each subsequent active
+    day as a day offset. Two aggregates and one join, all keyed on
+    user_id, so at 100 TB the whole plan runs inside ONE hash partitioning
+    of user_id (first-seen, distinct-activity, and the join co-locate;
+    only the final (cohort, offset) rollup reshuffles — at cohort
+    granularity, which is tiny). Integer counts ⇒ hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("act_date")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("act_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

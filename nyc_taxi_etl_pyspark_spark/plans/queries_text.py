@@ -777,3 +777,87 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("__score"), 4).alias("tfidf"),
         )
     )
+
+
+@query(
+    "q_token_cooccurrence",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    vocab AS (
+      SELECT df.token, df.df FROM df, n
+      WHERE df.df > 0.05 * n.n_docs
+    ),
+    vdt AS (
+      SELECT dt.doc_id, dt.token, v.df
+      FROM dt JOIN vocab v ON dt.token = v.token
+    ),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             a.df AS df_a, b.df AS df_b, count(*) AS n_both
+      FROM vdt a JOIN vdt b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT token_a, token_b, n_both,
+           round(ln((CAST(n_both AS DOUBLE) * n.n_docs)
+                    / (CAST(df_a AS DOUBLE) * df_b)) + 1e-9, 4) AS pmi
+    FROM pairs, n
+    WHERE n_both >= 5
+    """,
+)
+def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with pointwise mutual information — the
+    word-association / collocation-mining pass (phrase detection,
+    embedding-context statistics). The pair space is bounded BEFORE the
+    self-join: only vocabulary tokens appearing in >5% of documents
+    participate, so pairs ≤ |V|² regardless of corpus size — the same
+    reason word2vec-era pipelines mined collocations over a pruned
+    vocabulary. The (doc, token) self-join co-locates on doc_id (one
+    shuffle each side), the pair rollup is bounded by |V|², and PMI is
+    computed from exact integer counts (ln applied identically in both
+    engines, rounded for the hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    df = dt.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    vocab = df.crossJoin(F.broadcast(n)).where(
+        F.col("df") > 0.05 * F.col("n_docs")
+    ).select("token", "df")
+    vdt = dt.join(F.broadcast(vocab), "token").select("doc_id", "token", "df")
+    a = vdt.select(
+        "doc_id",
+        F.col("token").alias("token_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = vdt.select(
+        "doc_id",
+        F.col("token").alias("token_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= 5)
+    )
+    pmi = F.log(
+        (F.col("n_both").cast("double") * F.col("n_docs"))
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            "n_both",
+            stable_round(pmi, 4).alias("pmi"),
+        )
+    )
