@@ -1,0 +1,63 @@
+"""Iterative graph algorithms on DataFrames (SURVEY.md §2.12 extension).
+
+PageRank here powers TextRank-style keyword ranking over a token
+co-occurrence graph, and is the generic template for any fixed-point
+computation the engine runs (connected components in
+``operators/dedup.py`` is the other instance: same loop shape, monotone
+min-label instead of damped averaging).
+
+Scale notes (100 TB): each iteration is one join edges⋈ranks (both
+pre-partitioned on the join key after the first iteration — Catalyst
+reuses the hash partitioning) plus a bounded-size aggregate to |nodes|
+rows. Lineage is truncated with ``localCheckpoint`` every few
+iterations, else the plan tree doubles per iteration and the driver
+chokes long before the executors do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Unweighted PageRank over a directed edge list ``(src, dst)``.
+
+    Returns one row per node: (token, deg, pr). Deterministic up to
+    float summation order — callers round ``pr`` before hashing.
+    For an undirected graph, pass both edge directions.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("token")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "token", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["token"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(contribs, nodes["token"] == contribs["dst"], "left")
+            .select(
+                "token",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return nodes.join(ranks, "token").join(
+        deg.withColumnRenamed("src", "token"), "token"
+    ).select("token", "deg", "pr")

@@ -779,6 +779,39 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cooccurrence_pairs(docs: DataFrame):
+    """Shared co-occurrence graph derivation (q_token_cooccurrence +
+    q_textrank_keywords — ONE definition so the graph can't drift):
+    df-pruned vocabulary (>5% of docs) → (doc, token) self-join on
+    doc_id → (token_a < token_b) pairs with df_a/df_b/n_both, kept at
+    n_both >= 5. Returns (pairs_df, n_docs_df)."""
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    df = dt.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    vocab = (
+        df.crossJoin(F.broadcast(n))
+        .where(F.col("df") > 0.05 * F.col("n_docs"))
+        .select("token", "df")
+    )
+    vdt = dt.join(F.broadcast(vocab), "token").select("doc_id", "token", "df")
+    a = vdt.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = vdt.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= 5)
+    )
+    return pairs, n
+
+
 @query(
     "q_token_cooccurrence",
     oracle="""
@@ -810,6 +843,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_both >= 5
     """,
 )
+
 def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token co-occurrence with pointwise mutual information — the
     word-association / collocation-mining pass (phrase detection,
@@ -822,32 +856,7 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from exact integer counts (ln applied identically in both
     engines, rounded for the hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).distinct()
-    df = dt.groupBy("token").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    vocab = df.crossJoin(F.broadcast(n)).where(
-        F.col("df") > 0.05 * F.col("n_docs")
-    ).select("token", "df")
-    vdt = dt.join(F.broadcast(vocab), "token").select("doc_id", "token", "df")
-    a = vdt.select(
-        "doc_id",
-        F.col("token").alias("token_a"),
-        F.col("df").alias("df_a"),
-    )
-    b = vdt.select(
-        "doc_id",
-        F.col("token").alias("token_b"),
-        F.col("df").alias("df_b"),
-    )
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("token_a") < F.col("token_b"))
-        .groupBy("token_a", "token_b", "df_a", "df_b")
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= 5)
-    )
+    pairs, n = _cooccurrence_pairs(docs)
     pmi = F.log(
         (F.col("n_both").cast("double") * F.col("n_docs"))
         / (F.col("df_a").cast("double") * F.col("df_b"))
@@ -861,3 +870,92 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(pmi, 4).alias("pmi"),
         )
     )
+
+
+@query(
+    "q_textrank_keywords",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    vocab AS (
+      SELECT df.token FROM df, n WHERE df.df > 0.05 * n.n_docs
+    ),
+    vdt AS (
+      SELECT dt.doc_id, dt.token FROM dt JOIN vocab v ON dt.token = v.token
+    ),
+    pairs AS (
+      SELECT a.token AS ta, b.token AS tb
+      FROM vdt a JOIN vdt b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    edges AS (
+      SELECT ta AS src, tb AS dst FROM pairs
+      UNION ALL
+      SELECT tb, ta FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS token FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    pr0 AS (SELECT token, 1.0 / nn.n_nodes AS pr FROM nodes CROSS JOIN nn),
+    m1 AS (
+      SELECT e.dst AS token, sum(p.pr / d.deg) AS mass
+      FROM edges e JOIN pr0 p ON e.src = p.token JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr1 AS (
+      SELECT nodes.token,
+             (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m1.mass, 0.0) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN m1 ON nodes.token = m1.token
+    ),
+    m2 AS (
+      SELECT e.dst AS token, sum(p.pr / d.deg) AS mass
+      FROM edges e JOIN pr1 p ON e.src = p.token JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT nodes.token,
+             (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m2.mass, 0.0) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN m2 ON nodes.token = m2.token
+    ),
+    m3 AS (
+      SELECT e.dst AS token, sum(p.pr / d.deg) AS mass
+      FROM edges e JOIN pr2 p ON e.src = p.token JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr3 AS (
+      SELECT nodes.token,
+             (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m3.mass, 0.0) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN m3 ON nodes.token = m3.token
+    )
+    SELECT pr3.token, deg.deg, round(pr3.pr + 1e-9, 6) AS pr
+    FROM pr3 JOIN deg ON pr3.token = deg.src
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank: PageRank (3 fixed iterations, damping 0.85) over the
+    same df-pruned co-occurrence graph as q_token_cooccurrence — the
+    graph-centrality keyword ranker that needs no training data. This is
+    the engine's ITERATIVE-algorithm surface (with connected components
+    in operators/dedup.py): each iteration is one edges⋈ranks join plus
+    a |nodes|-bounded aggregate, lineage checkpointed periodically
+    (operators/graph.py). The oracle unrolls the exact same three
+    iterations as chained CTEs — damping spelled (1.0 - 0.85) in both
+    engines so even the float literals agree bit-for-bit."""
+    from nyc_taxi_etl_pyspark_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs, _ = _cooccurrence_pairs(docs)
+    fwd = pairs.select(
+        F.col("token_a").alias("src"), F.col("token_b").alias("dst")
+    )
+    rev = pairs.select(
+        F.col("token_b").alias("src"), F.col("token_a").alias("dst")
+    )
+    edges = fwd.unionByName(rev)
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("token", "deg", stable_round(F.col("pr"), 6).alias("pr"))
