@@ -824,3 +824,53 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("__mn"), 4).alias("min_value"),
         stable_round(F.col("__mx"), 4).alias("max_value"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(avg(l.l_extendedprice) + 1e-9, 4) AS avg_raw,
+           round(avg(least(greatest(l.l_extendedprice, s.p05), s.p95)) + 1e-9, 4)
+             AS avg_winsor,
+           sum(CASE WHEN l.l_extendedprice < s.p05 OR l.l_extendedprice > s.p95
+                    THEN 1 ELSE 0 END) AS n_clipped
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) aggregation: clamp each value into
+    its group's [p05, p95] band before averaging — the robust-statistics
+    guard against heavy-tailed columns (fare outliers in the reference's
+    domain; doc-length outliers in a corpus). Two-pass shape: a
+    |groups|-row exact-percentile table (broadcast) re-probes the fact
+    scan, so the big side is scanned twice but never shuffled on a
+    per-row key; at 100 TB swap the exact percentile for the
+    approx_percentile sketch and the shape is unchanged. Spark
+    ``percentile`` ↔ DuckDB ``quantile_cont`` are both linear
+    interpolation (q_agg_percentile proves parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+    return (
+        li.join(F.broadcast(s), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            stable_round(F.avg(x), 4).alias("avg_raw"),
+            stable_round(F.avg(clipped), 4).alias("avg_winsor"),
+            F.sum(
+                F.when((x < F.col("p05")) | (x > F.col("p95")), 1).otherwise(0)
+            ).alias("n_clipped"),
+        )
+    )

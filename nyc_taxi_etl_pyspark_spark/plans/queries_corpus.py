@@ -389,3 +389,44 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(codes, ",").alias("codes_csv"),
         stable_round(F.sqrt(err_sq), 4).alias("l2_err"),
     )
+
+
+@query(
+    "q_mixture_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT min(cnt) AS min_cnt FROM c)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          < CAST(floor(65536.0 * m.min_cnt / c.cnt) AS INTEGER)
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: downsample every language to
+    the size of the SMALLEST language (uniform target mixture) by
+    content-hash thresholding — the curriculum/mixture primitive of a
+    training-data pipeline (e.g. rebalance 90%-en crawl to a uniform
+    lang mix). Per-lang keep-rate = min_count/count, applied as
+    md5-bucket < floor(rate*65536): the same rows survive on any engine,
+    partitioning, or run (unlike seeded ``sampleBy``,
+    q_stratified_sample). The |langs|-row rate table broadcasts; the
+    corpus scan keeps its partitioning — no shuffle of the big side, so
+    the plan is scan + broadcast-probe at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    m = c.agg(F.min("cnt").alias("min_cnt"))
+    rates = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(F.lit(65536.0) * F.col("min_cnt") / F.col("cnt"))
+        .cast("int")
+        .alias("thr"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang", "source")
+    )

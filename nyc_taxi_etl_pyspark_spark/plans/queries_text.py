@@ -959,3 +959,49 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(rev)
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("token", "deg", stable_round(F.col("pr"), 6).alias("pr"))
+
+
+@query(
+    "q_bpe_pair_freq",
+    oracle="""
+    WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM dt
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY tok_a, tok_b
+    ORDER BY n_pair DESC, tok_a, tok_b
+    LIMIT 25
+    """,
+)
+def q_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency count — the inner step of BPE/WordPiece
+    vocabulary induction (find the most frequent symbol pair to merge
+    next). ORDER matters here, unlike the set-semantics co-occurrence
+    query: (a,b) at positions (i,i+1) only. The pair stream is generated
+    IN-ARRAY per row (zip of the token array with its own tail) so the
+    corpus scan explodes straight into a hash aggregate — one shuffle of
+    |vocab|² bounded pair counts, versus the oracle's positional
+    self-join which would shuffle the full (doc,pos,token) stream twice
+    at 100 TB. Counts are exact integers; the DESC/asc/asc order is
+    total, so LIMIT 25 is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.withColumn("toks", F.split(F.col("text"), " "))
+    pairs = dt.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "tok_a", "tok_b")
+        .limit(25)
+    )

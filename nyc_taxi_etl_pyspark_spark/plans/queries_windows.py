@@ -249,3 +249,45 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 2).over(w).alias("second_type"),
         F.count("*").over(w).alias("n_user_events"),
     )
+
+
+@query(
+    "q_window_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT event_id, user_id, value, round((value - mu) / sd + 1e-9, 4) AS z
+    FROM s
+    WHERE abs((value - mu) / sd) > 2.5
+    """,
+)
+def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score outlier flagging: whole-partition window
+    aggregates (no ORDER BY ⇒ unbounded frame) give every event its
+    user's mean/stddev in ONE shuffle — the groupBy+join spelling would
+    shuffle twice. The per-user normalization step of anomaly detection
+    / feature standardization; |z| > 2.5 keeps only the outliers.
+    stddev_samp accumulation order differs across engines at ~1e-12
+    relative — rounded z guards the hash, and the 2.5 cut sits far from
+    any fixture value's z (continuous data, measure-zero boundary)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            z.alias("__z"),
+        )
+        .filter(F.abs(F.col("__z")) > 2.5)
+        .select(
+            "event_id", "user_id", "value", stable_round(F.col("__z"), 4).alias("z")
+        )
+    )
