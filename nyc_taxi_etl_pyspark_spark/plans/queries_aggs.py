@@ -874,3 +874,37 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clipped"),
         )
     )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 4) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity) + 1e-9, 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity) + 1e-9, 4) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression via the NATIVE ``regr_*``
+    aggregate family (slope/intercept/r2/count/avgx/avgy) — single-pass
+    mergeable moment aggregates (like corr/covar in q_agg_corr), so the
+    100 TB plan is partial→final with a |groups|-row result and zero
+    Python. The applyInPandas spelling of the same fit
+    (q_grouped_ols_pandas) is the custom-logic escape hatch; this is the
+    fast path when the statistic is expressible as moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.regr_slope(y, x), 4).alias("slope"),
+        stable_round(F.regr_intercept(y, x), 4).alias("intercept"),
+        stable_round(F.regr_r2(y, x), 4).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        stable_round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        stable_round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )

@@ -34,3 +34,93 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("label"),
         F.round("prediction", 4).alias("prediction"),
     )
+
+
+@query(
+    "q_grouped_ols_pandas",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit via batch ``applyInPandas`` (grouped-map Pandas
+    UDF) — the engine's escape hatch for per-group model fitting that
+    is NOT expressible as moment aggregates (here it IS, which is what
+    makes it oracle-checkable against ``regr_slope``/``regr_intercept``;
+    the native spelling is q_agg_regression). Each group arrives as ONE
+    Arrow-backed pandas DataFrame: fine for bounded per-group sizes
+    (states, shards, model segments) — for groups that can exceed
+    executor memory, pre-aggregate the sufficient statistics (moments)
+    instead, as the native path does. Slope/intercept computed from the
+    same covariance/variance closed form both engines use."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].astype("float64")
+        y = pdf["l_extendedprice"].astype("float64")
+        n = len(pdf)
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum()
+        var = ((x - mx) ** 2).sum()
+        slope = cov / var
+        intercept = my - slope * mx
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "slope": [round(slope + 1e-9, 4)],
+                "intercept": [round(intercept + 1e-9, 4)],
+                "n": [n],
+            }
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        fit,
+        schema="l_returnflag string, l_linestatus string, "
+        "slope double, intercept double, n bigint",
+    )
+
+
+@query(
+    "q_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity) + 1e-9, 4)
+             AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean via a GROUPED_AGG ``pandas_udf`` (Series → scalar) —
+    the vectorized custom-aggregate surface (UDAF): each group's columns
+    arrive as Arrow-backed Series, the reduction runs in numpy at C
+    speed. Unlike applyInPandas, a grouped-agg UDF composes inside a
+    normal ``groupBy().agg(...)`` alongside built-ins. The oracle states
+    the same reduction in plain SQL — custom aggregation is semantically
+    invisible. At 100 TB prefer the pure-SQL spelling (partial-agg
+    pushdown: sum(w*x)/sum(w) map-side combines; a pandas UDAF ships
+    whole groups), reserving this surface for genuinely non-SQL
+    reductions."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType spelled explicitly: the module uses
+    # `from __future__ import annotations`, so Series→scalar type-hint
+    # inference can't see the locally-imported pandas.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(v, w):
+        return float((v * w).sum() / w.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg(F.col("l_discount"), F.col("l_quantity")) + F.lit(1e-9), 4).alias(
+            "wavg_discount"
+        )
+    )
