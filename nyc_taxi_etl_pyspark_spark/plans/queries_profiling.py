@@ -1,0 +1,164 @@
+"""Data-profiling and entity-resolution operators (SURVEY.md §2
+extension): blocked fuzzy record linkage, per-document n-gram novelty
+scoring, and a key-skew profiler.
+
+These close two gaps in the engine's dedup/QA story: token- and
+hash-based near-dup detection (operators/dedup.py) cannot match *records*
+whose keys differ by typos — that needs edit distance under a blocking
+key — and none of the existing profiles quantify the key-distribution
+skew that decides when salted joins/aggregations (operators/joins.py)
+are worth their overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.functions.text import token_shingles, tokens_col
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_record_linkage",
+    oracle="""
+    SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+           c.c_nationkey AS nationkey,
+           levenshtein(c.c_name, s.s_name) AS edit_distance
+    FROM customer c
+    JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    WHERE levenshtein(c.c_name, s.s_name) <= 6
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match record linkage: candidate (customer, supplier)
+    pairs whose names are within edit distance 6, compared ONLY inside a
+    shared blocking key (nationkey) — the classic entity-resolution shape
+    (block → compare → threshold) that token/hash dedup cannot express
+    because a one-character typo changes every shingle. The block join
+    bounds the pair space to Σ_block |C_b|·|S_b| instead of |C|·|S|; the
+    small supplier side broadcasts, so the customer table never shuffles.
+    At 100 TB the same plan holds with any selective blocking key (zip,
+    sorted-neighborhood window, LSH bucket) feeding the equi-join."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
+    return (
+        cust.join(
+            F.broadcast(supp),
+            cust.c_nationkey == supp.s_nationkey,
+        )
+        .where(dist <= 6)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            dist.alias("edit_distance"),
+        )
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(a) - 1)) AS t(i)
+    ), df AS (
+      SELECT shingle, count(*) AS n_docs FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           round(avg(CASE WHEN d.n_docs = 1 THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+             AS novelty
+    FROM shingles s JOIN df d ON s.shingle = d.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-gram shingles that occur in NO other document — the inverse of the
+    contamination/duplication signal, used to rank documents for training-
+    mix value (boilerplate scores ~0, unique prose ~1). Same inverted-index
+    machinery as q_contamination_ngram, different direction: distinct
+    (doc, shingle) postings → shingle document-frequency aggregate →
+    co-partitioned join back on shingle → per-doc mean. Both the partial
+    distinct and the df aggregate combine map-side; the only wide exchange
+    is the hash partition on shingle that the aggregate AND the join reuse
+    (one Exchange, plan-visible), so the cost at 100 TB is two passes over
+    the posting stream, never a pairwise comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = (
+        docs.withColumn("toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(token_shingles(F.col("toks"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    df_counts = shingles.groupBy("shingle").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        shingles.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            stable_round(
+                F.avg(F.when(F.col("n_docs") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, count(*) AS n
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(avg(n) + 1e-9, 4) AS avg_key_rows,
+           round(max(n) / avg(n) + 1e-9, 4) AS skew_ratio,
+           round(max(n) / sum(n) + 1e-9, 6) AS top_key_share,
+           CAST(min(key) FILTER (WHERE n = (SELECT max(n) FROM per_key))
+                AS BIGINT) AS hottest_key
+    FROM per_key
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew profile: per-key row counts reduced to
+    the handful of scalars a planner (or a human) needs to decide whether
+    a key needs salting or AQE skew handling — key count, max/avg ratio,
+    and the hottest key's share of all rows. The per-key aggregate
+    combines map-side and its output is |keys| rows; the final reduction
+    is a single bounded row, with the hottest key recovered via a
+    struct-ordered max (min key breaks count ties deterministically) —
+    no second scan, no driver-side sort. This is the measurement step
+    that justifies q_join_salted / q_agg_salted: skew_ratio ≈ 1 means
+    salting only adds overhead; ≫ 1 means one reducer owns the job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    # max_by on (n, -key) would tie-break toward larger keys; order the
+    # struct as (n, negated key) so the max struct carries the SMALLEST
+    # key among equal counts — deterministic and collect-free.
+    hottest = F.max(F.struct(F.col("n"), (-F.col("key")).alias("nk")))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_key_rows"),
+        stable_round(F.avg("n"), 4).alias("avg_key_rows"),
+        stable_round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+        stable_round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
+        (-hottest.getField("nk")).cast("bigint").alias("hottest_key"),
+    )

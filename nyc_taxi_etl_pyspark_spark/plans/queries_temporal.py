@@ -1,0 +1,180 @@
+"""Temporal-sequence operators (SURVEY.md §2 extension): Markov event
+transitions, interval-overlap concurrency (sweep line), and SCD2 validity
+intervals built from an event stream. All pure Catalyst window/agg plans —
+the sequence-analytics layer on top of the plain event aggregates in
+queries_events.py.
+
+Scale notes common to all three: every operator partitions its windows by a
+high-cardinality key (user_id / event_type), so no global single-reducer
+sort exists anywhere; outputs are either bounded (|event_type|² transition
+matrix, |event_type| concurrency rows) or proportional to genuine state
+changes (SCD2), never to raw input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_pairs
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_pairs,
+           round(CAST(n_pairs AS DOUBLE)
+                 / sum(n_pairs) OVER (PARTITION BY prev_type) + 1e-9, 4)
+             AS p_transition
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | prev_type) — the model behind next-action prediction,
+    anomaly scoring, and session-flow dashboards. One window pass
+    partitioned by user_id (ts + event_id total order, no global sort),
+    then a hash aggregate onto the |event_type|²-bounded pair space; the
+    row-probability normalization runs as a window over that tiny
+    aggregate, not over the raw stream — so the expensive part is exactly
+    one shuffle of (user_id)-partitioned data regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_pairs",
+        stable_round(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(total_w), 4
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, epoch(ts) AS t, 1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type, epoch(ts) + value AS t, -1 AS delta
+      FROM events
+    ), running AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta)
+               AS n_open
+      FROM deltas
+    )
+    SELECT event_type, CAST(max(n_open) AS BIGINT) AS peak_concurrency
+    FROM running
+    GROUP BY event_type
+    """,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval-overlap concurrency per event type via the classic
+    sweep line: each event is an interval [ts, ts + value seconds); explode
+    to (+1 at start, −1 at end) deltas, running-sum in event-time order,
+    take the max. The running sum uses the default RANGE frame, so all
+    delta rows with an identical (t, delta) sort key share one cumulative
+    value — making the peak deterministic under any tie order (ends sort
+    before starts at the same instant, i.e. end-exclusive intervals), which
+    is what lets an order-insensitive hash oracle exist at all. Partitioned
+    by event_type: the sweep is |type| independent sorted streams, never a
+    global single-reducer timeline; at 100 TB the same plan runs per key
+    and the output stays |event_type| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("double").alias("t0"), "value"
+    )
+    deltas = ev.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("t0") + F.col("value")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    running = deltas.select(
+        "event_type", F.sum("delta").over(w).alias("n_open")
+    )
+    return running.groupBy("event_type").agg(
+        F.max("n_open").alias("peak_concurrency")
+    )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+              IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change stream:
+    compress each user's event sequence into runs of constant event_type,
+    emitting one row per state change with [valid_from, valid_to) validity
+    and an is_current flag — the standard way a warehouse derives a
+    versioned dimension from CDC/event data. Two window passes over the
+    SAME (user_id)-hash-partitioned data (lag to detect changes, lead to
+    close intervals), so Catalyst reuses one Exchange for both sorts;
+    output is proportional to state changes, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
+    )

@@ -59,10 +59,12 @@ def _load_all_modules() -> None:
         queries_joins,
         queries_ml,
         queries_multimodal,
+        queries_profiling,
         queries_setops,
         queries_sql,
         queries_sql_tpch,
         queries_stream,
+        queries_temporal,
         queries_text,
         queries_windows,
     )

@@ -35,13 +35,34 @@ TABLES = (
 # Small dimension tables a planner should always broadcast in joins.
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
-# Parquet TIMESTAMP(NANOS) columns: Spark reads them as long (nanos since
-# epoch) under spark.sql.legacy.parquet.nanosAsLong (see session.py); we
-# convert to a proper microsecond timestamp with exact integer division
-# (a double roundtrip would lose precision above 2^53 ns ≈ 1970+104 days).
-_NANOS_TS_COLS = {"events": ("ts",)}
+# Event-time columns whose physical parquet encoding has varied across
+# fixture generations (TIMESTAMP(NANOS) read as long under nanosAsLong;
+# TIMESTAMP(MICROS) isAdjustedToUTC=false read as timestamp_ntz). All engine
+# operators assume a session-zoned TIMESTAMP, so normalize per read dtype.
+_EVENT_TS_COLS = {"events": ("ts",)}
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def normalize_event_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize an event-time column to session-zoned TIMESTAMP.
+
+    - ``bigint`` (parquet TIMESTAMP(NANOS) under nanosAsLong): exact integer
+      division to microseconds — a double roundtrip would lose precision
+      above 2^53 ns ≈ 1970+104 days.
+    - ``timestamp_ntz`` (parquet MICROS, isAdjustedToUTC=false): cast to
+      TIMESTAMP. The session timezone is forced to UTC (session.py), so the
+      wall-clock value is preserved and Spark 4's refusal to cast NTZ to
+      numeric types downstream no longer bites.
+    """
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        dt = dtypes.get(col)
+        if dt == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(
@@ -53,8 +74,7 @@ def load_table(
     if cached and key in _CACHE:
         return _CACHE[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    df = normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
     if cached:
         df = df.cache()
         _CACHE[key] = df

@@ -24,6 +24,7 @@ from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+from nyc_taxi_etl_pyspark_spark.sources.tables import normalize_event_ts
 
 
 def hourly_agg_exprs() -> list:
@@ -80,10 +81,9 @@ def run_streaming_tumbling_agg(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong
-    # (see sources/tables.py); convert to a microsecond timestamp.
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # events.ts physical encoding varies by fixture generation; normalize
+    # to a session-zoned timestamp (see sources/tables.py).
+    stream = normalize_event_ts(stream)
     agg = streaming_tumbling_agg(stream, window=window)
     q = (
         agg.writeStream.outputMode("complete")
@@ -109,8 +109,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = normalize_event_ts(stream)
     return stream
 
 
@@ -207,8 +206,7 @@ def run_streaming_tumbling_to_parquet(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = normalize_event_ts(stream)
     agg = streaming_tumbling_agg(stream, window=window)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -296,8 +294,7 @@ def static_type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static join; at scale this is the slowly-changing dim
     refreshed out-of-band while the stream runs)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ev = normalize_event_ts(ev)
     return ev.groupBy("event_type").agg(
         F.avg("value").alias("type_avg_value"),
         F.count("*").alias("type_n_events"),

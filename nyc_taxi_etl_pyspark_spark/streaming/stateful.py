@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+from nyc_taxi_etl_pyspark_spark.sources.tables import normalize_event_ts
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -159,8 +160,7 @@ def run_streaming_sessionize(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = normalize_event_ts(stream)
     sessions = streaming_sessionize(stream, gap_s=gap_s)
     q = (
         sessions.writeStream.outputMode("append")
