@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
         queries_events,
         queries_joins,
         queries_ml,
+        queries_modern,
         queries_multimodal,
         queries_profiling,
         queries_setops,

@@ -1,0 +1,71 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+The reference ingests only CSV/parquet through built-in readers
+(`src/pipeline/main_etl.py:47-52`); a real lake also ingests from systems
+Spark has no built-in connector for. Spark 4's Python DataSource API is
+the idiomatic extension point: the source declares its schema and its
+partition split, and executors call ``read(partition)`` in parallel — the
+source participates in normal Spark planning (parallelism, task retry,
+column pruning downstream) with zero JVM code.
+
+``RangeDocSource`` is the engine's reference implementation: a
+deterministic generator of (id, md5(id)) rows, split into N independent
+InputPartitions. Deterministic output means the DuckDB oracle can
+reproduce it exactly (``generate_series`` + ``md5``), so even the custom
+connector path stays hash-verified. A real connector (REST API pages, a
+message-queue snapshot, a proprietary file format) keeps this exact
+shape: options → partition list → per-partition iterator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class RangeDocSource(DataSource):
+    """``spark.read.format("rangedoc").option("n", …).option("partitions", …)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rangedoc"
+
+    def schema(self) -> str:
+        return "id bigint, doc string"
+
+    def reader(self, schema) -> "RangeDocReader":  # noqa: ANN001 - API signature
+        return RangeDocReader(self.options)
+
+
+class RangeDocReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        """Even [start, end) splits — one task per partition, no skew."""
+        step = -(-self.n // self.num_partitions)  # ceil div
+        return [
+            InputPartition((lo, min(lo + step, self.n)))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield i, hashlib.md5(str(i).encode()).hexdigest()
+
+
+_REGISTERED_APPS: set[str] = set()
+
+
+def register_python_sources(spark: SparkSession) -> None:
+    """Idempotently register the engine's Python data sources."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _REGISTERED_APPS:
+        return
+    spark.dataSource.register(RangeDocSource)
+    _REGISTERED_APPS.add(app_id)
