@@ -12,7 +12,7 @@ are worth their overhead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
@@ -85,13 +85,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles that occur in NO other document — the inverse of the
     contamination/duplication signal, used to rank documents for training-
     mix value (boilerplate scores ~0, unique prose ~1). Same inverted-index
-    machinery as q_contamination_ngram, different direction: distinct
-    (doc, shingle) postings → shingle document-frequency aggregate →
-    co-partitioned join back on shingle → per-doc mean. Both the partial
-    distinct and the df aggregate combine map-side; the only wide exchange
-    is the hash partition on shingle that the aggregate AND the join reuse
-    (one Exchange, plan-visible), so the cost at 100 TB is two passes over
-    the posting stream, never a pairwise comparison."""
+    posting stream as q_contamination_ngram, but the document frequency is
+    attached with an unordered WINDOW count over the shingle partition
+    instead of a df-aggregate + join-back — so the postings are computed
+    and scanned ONCE (a join formulation evaluates the explode+distinct
+    twice, once per side; measured in the plan). Three bounded-width
+    exchanges total — distinct, shingle window, per-doc agg — and never a
+    pairwise doc comparison; a mass-duplicated shingle is a hot window
+    partition, the same hot key the join would have had."""
     docs = load_table(spark, sf_dir, "documents")
     shingles = (
         docs.withColumn("toks", tokens_col(F.col("text")))
@@ -101,11 +102,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    df_counts = shingles.groupBy("shingle").agg(
-        F.count("*").alias("n_docs")
-    )
+    n_docs = F.count("*").over(Window.partitionBy("shingle"))
     return (
-        shingles.join(df_counts, "shingle")
+        shingles.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

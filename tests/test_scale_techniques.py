@@ -603,3 +603,53 @@ def test_round2b_plan_shapes(spark, sf_dir):
     salted = _executed_plan(qs["q_agg_salted"](spark, sf_dir))
     n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", salted))
     assert n_shuffles <= 2, f"salted agg grew to {n_shuffles} shuffles"
+
+
+def test_round2c_plan_shapes(spark, sf_dir):
+    """Plan-shape net for the temporal/profiling/modern operators:
+    record linkage must broadcast the supplier side of the block join
+    (the big customer side never shuffles); the null-safe join must plan
+    as a HASH join (<=> is a regular join key, not a nested-loop
+    predicate); UNPIVOT must be ONE scan + one Expand (the UNION-ALL
+    spelling scans per measure); n-gram novelty must contain no join
+    (window-attached df) and exactly three hash exchanges; SCD2's two
+    windows must share ONE user_id exchange; the skew profile must
+    reduce through a single key exchange; the custom Python DataSource
+    scan must honor its requested partition split."""
+    import re
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.session import default_parallelism
+
+    qs = all_queries()
+
+    linkage = _executed_plan(qs["q_record_linkage"](spark, sf_dir))
+    assert "BroadcastHashJoin" in linkage
+    assert "SortMergeJoin" not in linkage
+
+    nullsafe = _executed_plan(qs["q_join_null_safe"](spark, sf_dir))
+    assert "HashJoin" in nullsafe  # broadcast or shuffled-hash, never BNLJ
+    assert "BroadcastNestedLoopJoin" not in nullsafe
+
+    unpivot = _executed_plan(qs["q_unpivot"](spark, sf_dir))
+    assert "Expand" in unpivot
+    # cached plans print the InMemoryTableScan AND its embedded parquet
+    # scan; count the outer leaf only.
+    n_scans = unpivot.count("InMemoryTableScan") or unpivot.count("Scan parquet")
+    assert n_scans == 1, f"unpivot re-scanned: {n_scans} scans"
+
+    novelty = _executed_plan(qs["q_ngram_novelty"](spark, sf_dir))
+    assert "Join" not in novelty
+    n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", novelty))
+    assert n_shuffles == 3, f"novelty expected 3 shuffles, saw {n_shuffles}"
+
+    scd2 = _executed_plan(qs["q_scd2_build"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", scd2))
+    assert n_shuffles == 1, f"scd2 windows did not share one exchange: {n_shuffles}"
+
+    skew = _executed_plan(qs["q_skew_profile"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", skew))
+    assert n_shuffles == 1, f"skew profile expected 1 hash exchange, saw {n_shuffles}"
+
+    pyds = qs["q_scan_pyds"](spark, sf_dir)
+    assert pyds.rdd.getNumPartitions() == default_parallelism()
