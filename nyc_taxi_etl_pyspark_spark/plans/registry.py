@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
         queries_multimodal,
         queries_profiling,
         queries_setops,
+        queries_sketch,
         queries_sql,
         queries_sql_tpch,
         queries_stream,
