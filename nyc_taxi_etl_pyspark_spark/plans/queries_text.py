@@ -289,13 +289,17 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_minhash", oracle=None)  # xxhash64-based => rows-only
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (32 hashes, 8 bands) — the scale
-    path that replaces all-pairs Jaccard at 100 TB. Returns candidate
-    pairs with shared-bucket counts; rows-only (hash family is
-    Spark-specific)."""
+    """MinHash-LSH near-dup candidates (32 slots, 8 bands) — the scale
+    path that replaces all-pairs Jaccard at 100 TB, with signatures from
+    ONE-PERMUTATION hashing (one xxhash64 per shingle scattered over 32
+    buckets, densified; operators/dedup.py::minhash_signatures_oph) —
+    32× less hash CPU than the k-independent-families scheme at identical
+    banding semantics. Returns candidate pairs with shared-bucket counts;
+    rows-only (hash family is Spark-specific)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
-        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8, shingle_n=2
+        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+        shingle_n=2, scheme="oph",
     )
 
 

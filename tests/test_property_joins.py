@@ -267,3 +267,41 @@ def test_contamination_flags_benchmark_overlap_only(spark, sf_dir):
     for r in rows:
         assert r["source"] != "src0"
         assert 0.0 < r["contamination_ratio"] <= 1.0
+
+
+def test_minhash_oph_identical_docs_always_pair(spark):
+    """OPH scheme invariants: identical texts yield identical densified
+    signatures (all bands collide, even for docs with far fewer distinct
+    shingles than signature slots — the densification path), and a
+    disjoint-shingle doc never pairs with them."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_signatures_oph,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated words about spark planning engines"),
+        ],
+        schema="doc_id long, text string",
+    )
+    sigs = {
+        r["doc_id"]: tuple(r["minhash_sig"])
+        for r in minhash_signatures_oph(
+            df, "doc_id", "text", num_hashes=32, shingle_n=2
+        ).collect()
+    }
+    assert sigs[1] == sigs[2] != sigs[3]
+    # 8 distinct 2-shingles < 32 slots: densification must fill every slot
+    assert all(v is not None for v in sigs[1])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_buckets"]
+        for r in minhash_lsh_dedup(
+            df, id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+            shingle_n=2, scheme="oph",
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 8
+    assert all(k == (1, 2) for k in pairs)

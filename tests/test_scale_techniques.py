@@ -653,3 +653,59 @@ def test_round2c_plan_shapes(spark, sf_dir):
 
     pyds = qs["q_scan_pyds"](spark, sf_dir)
     assert pyds.rdd.getNumPartitions() == default_parallelism()
+
+
+def test_minhash_oph_recall_floor(spark, sf_dir):
+    """OPH-scheme LSH must keep recall against exact-Jaccard ground truth
+    (>= 0.5 on 2-shingles): the cheaper signature scheme is only a valid
+    default if it does not silently drop true near-duplicates. (At
+    sf0.01, OPH measured recall 1.0 with FEWER false positives than the
+    k-families scheme — sparse buckets raise signature variance for
+    mid-similarity pairs but true near-dups collide regardless.)"""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.functions.text import (
+        token_shingles,
+        tokens_col,
+    )
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.withColumn("toks", tokens_col(F.col("text"))).select(
+        "doc_id",
+        F.explode(F.array_distinct(token_shingles(F.col("toks"), 2))).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count("*").alias("ni"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na")),
+            "ia",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb")),
+            "ib",
+        )
+        .withColumn("jac", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+    )
+    truth = {
+        (r["ia"], r["ib"]) for r in jac.where(F.col("jac") >= 0.5).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", shingle_n=2, scheme="oph"
+        ).collect()
+    }
+    if truth:
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.9, f"OPH recall {recall:.3f} below floor"
