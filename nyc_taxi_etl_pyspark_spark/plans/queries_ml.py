@@ -124,3 +124,74 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wavg_discount"
         )
     )
+
+
+@query("q_ml_kmeans_embeddings", oracle=None)  # iterative fit => rows-only
+def q_ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering over the embedding column via ``pyspark.ml``
+    (seeded, k=8): array<float> → ml Vector (array_to_vector — Arrow
+    path, no Python loop) → Lloyd iterations → per-cluster size + mean
+    intra-cluster squared distance. The fitted centroids are exactly the
+    IVF codebook q_ann_ivf hand-rolls with aggregates — this is the
+    estimator-API spelling. Each Lloyd iteration is one broadcast of k
+    centroids + one map-side partial aggregate (the same shape that
+    scales to a 100 TB embedding table; iterations are the serial
+    factor, not data volume). Seeded ⇒ stable across runs on one engine;
+    rows-only because no SQL engine replicates Lloyd's trajectory."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
+@query("q_ml_cv_select", oracle=None)  # CV model selection => rows-only
+def q_ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter selection with ``CrossValidator`` (3-fold,
+    regParam grid over a linear model): the reference trains ONE fixed
+    hyperparameter set (trainer.py:91-97); a real pipeline searches.
+    Each (fold, param) cell is an independent Spark job over a cached
+    fold split — on a cluster, ``parallelism=2`` overlaps cell fits.
+    Returns the grid's mean-RMSE-per-param table (the CV summary a
+    training run logs), with the chosen regParam flagged."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).limit(20_000)
+    assembled = VectorAssembler(
+        inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+    ).transform(li)
+    lr = LinearRegression(labelCol="l_extendedprice", featuresCol="features")
+    grid = (
+        ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.1, 1.0]).build()
+    )
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            labelCol="l_extendedprice", metricName="rmse"
+        ),
+        numFolds=3,
+        parallelism=2,
+        seed=42,
+    )
+    model = cv.fit(assembled)
+    rows = [
+        (float(pm[lr.regParam]), float(m), bool(i == model.avgMetrics.index(min(model.avgMetrics))))
+        for i, (pm, m) in enumerate(zip(grid, model.avgMetrics))
+    ]
+    return spark.createDataFrame(
+        rows, "reg_param double, mean_rmse double, chosen boolean"
+    ).select("reg_param", F.round("mean_rmse", 4).alias("mean_rmse"), "chosen")
