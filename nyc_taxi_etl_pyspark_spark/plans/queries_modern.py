@@ -192,3 +192,33 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", default_parallelism())
         .load()
     )
+
+
+@query("q_streaming_pyds", oracle=None)  # streaming source => rows-only
+def q_streaming_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource as a STREAMING source: the same
+    (id, md5) generator read through ``spark.readStream`` in 250-row
+    micro-batches, offsets checkpointed by the engine, replay via
+    ``readBetweenOffsets`` re-deriving any committed slice (pure function
+    of the offset — the replayability contract). Batch/stream parity is
+    asserted in tests/test_scale_techniques.py: the streamed rows equal
+    the batch read of the same source exactly."""
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("rangedoc")
+        .option("n", 2000)
+        .option("batchsize", 250)
+        .load()
+    )
+    name = "pyds_stream_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

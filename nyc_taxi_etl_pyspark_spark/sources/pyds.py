@@ -23,11 +23,24 @@ import hashlib
 from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RangeDocSource(DataSource):
-    """``spark.read.format("rangedoc").option("n", …).option("partitions", …)``."""
+    """``spark.read.format("rangedoc").option("n", …).option("partitions", …)``.
+
+    Also a STREAMING source (``spark.readStream.format("rangedoc")``):
+    the stream emits the same deterministic rows in ``batchsize`` chunks,
+    with offsets tracked by the engine's checkpoint — so replay after a
+    restart re-reads exactly the committed range (``readBetweenOffsets``
+    re-derives any slice, which only works because the generator is a
+    pure function of the offset — the property a replayable source
+    needs)."""
 
     @classmethod
     def name(cls) -> str:
@@ -38,6 +51,9 @@ class RangeDocSource(DataSource):
 
     def reader(self, schema) -> "RangeDocReader":  # noqa: ANN001 - API signature
         return RangeDocReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RangeDocStreamReader":  # noqa: ANN001
+        return RangeDocStreamReader(self.options)
 
 
 class RangeDocReader(DataSourceReader):
@@ -57,6 +73,37 @@ class RangeDocReader(DataSourceReader):
         lo, hi = partition.value
         for i in range(lo, hi):
             yield i, hashlib.md5(str(i).encode()).hexdigest()
+
+
+def _rows(lo: int, hi: int) -> list[tuple]:
+    # a LIST, not a generator: the engine pickles the prefetched batch
+    # into its cache for replay, and generators don't pickle
+    return [(i, hashlib.md5(str(i).encode()).hexdigest()) for i in range(lo, hi)]
+
+
+class RangeDocStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: offset = {"pos": next-unread id}. Bounded by
+    ``n`` — once exhausted, ``read`` advances nothing and the stream
+    idles (so ``processAllAvailable`` terminates in tests)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batchsize = int(options.get("batchsize", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batchsize, self.n)
+        # an ITERATOR over a materialized list: the runner drains it into
+        # its prefetch cache (needs next()), and the cached rows must
+        # pickle (so no lazy generator state)
+        return iter(_rows(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay of a committed-but-lost batch
+        return iter(_rows(start["pos"], end["pos"]))
 
 
 _REGISTERED_APPS: set[str] = set()

@@ -709,3 +709,18 @@ def test_minhash_oph_recall_floor(spark, sf_dir):
     if truth:
         recall = len(truth & cand) / len(truth)
         assert recall >= 0.9, f"OPH recall {recall:.3f} below floor"
+
+
+def test_pyds_stream_matches_batch(spark, sf_dir):
+    """The Python DataSource's streaming reader must emit exactly the
+    rows its batch reader produces (same generator, micro-batched with
+    checkpointed offsets): equal count, equal (id, doc) set."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    streamed = all_queries()["q_streaming_pyds"](spark, sf_dir)
+    register_python_sources(spark)
+    batch = spark.read.format("rangedoc").option("n", 2000).load()
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) == 2000

@@ -157,3 +157,48 @@ def test_streaming_static_join_matches_batch(spark, sf_dir):
     s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
     b_rows = sorted(map(tuple, batch.select(*cols).collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed restart semantics — the property that makes a
+    production stream restartable: run a checkpointed file-source →
+    file-sink query over half the events, STOP it, land more input,
+    restart with the SAME checkpoint. The resumed query must process
+    only the new files (offsets come from the checkpoint's source log),
+    and the sink must hold every event exactly once — no reprocessing of
+    the first half, no gaps."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = ev.where(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    second = ev.where(F.col("event_id") % 2 == 1).select("event_id", "event_type")
+    first.coalesce(1).write.parquet(stream_dir)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(first.schema).parquet(stream_dir)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(stream_dir)
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()  # every event exactly once
+    assert got.select("event_id").distinct().count() == ev.count()
