@@ -161,3 +161,67 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
         (-hottest.getField("nk")).cast("bigint").alias("hottest_key"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(max(d.med) + 1e-9, 4) AS median_value,
+           round(max(m.mad) + 1e-9, 4) AS mad,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per group,
+    median → absolute deviations → median of deviations (MAD) → count of
+    points beyond 3·MAD. The robust complement to q_window_zscore
+    (mean/stddev are dragged by the outliers they're meant to find;
+    median/MAD have a 50% breakdown point) and to q_winsorize (which
+    clamps, where this MEASURES). Two exact-percentile aggregates over
+    the same group key — both |group|-bounded — re-probing the fact scan
+    through broadcast joins, so the big side never shuffles; at 100 TB
+    the exact percentile swaps for the approx_percentile sketch with the
+    plan shape unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            stable_round(F.max("med"), 4).alias("median_value"),
+            stable_round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
