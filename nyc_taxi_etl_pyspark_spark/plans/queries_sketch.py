@@ -80,26 +80,26 @@ def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     why an "approximate" operator can still be value-hash verified."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-    hashed = toks.select(
-        "token",
-        F.posexplode(F.array(*[_cm_bucket_spark(i) for i in range(_CM_DEPTH)])).alias(
-            "i", "bucket"
-        ),
-    )
-    sketch = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
     exact = toks.groupBy("token").agg(F.count("*").alias("n_exact"))
-    total = exact.agg(F.sum("n_exact").alias("__total"))
-    cand = (
-        exact.crossJoin(F.broadcast(total))
-        .where(F.col("n_exact") > 0.002 * F.col("__total"))
-        .select("token", "n_exact")
-    )
-    cand_hashed = cand.select(
+    # CM counters are additive, so the sketch folds from the per-token
+    # count table (weight = n_exact) instead of per occurrence — ONE
+    # explode over the corpus, then |vocab|×depth hash rows. (The pure
+    # stream build — weight 1 per occurrence, no vocab table — is the
+    # SAME aggregate and what you'd run when |vocab| itself doesn't fit;
+    # this query materializes exact counts anyway for verification.)
+    hashed = exact.select(
         "token",
         "n_exact",
         F.posexplode(F.array(*[_cm_bucket_spark(i) for i in range(_CM_DEPTH)])).alias(
             "i", "bucket"
         ),
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(F.sum("n_exact").alias("c"))
+    total = exact.agg(F.sum("n_exact").alias("__total"))
+    cand_hashed = (
+        hashed.crossJoin(F.broadcast(total))
+        .where(F.col("n_exact") > 0.002 * F.col("__total"))
+        .select("token", "n_exact", "i", "bucket")
     )
     return (
         cand_hashed.join(F.broadcast(sketch), ["i", "bucket"])
