@@ -229,3 +229,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+@query("q_hll_error", oracle=None)  # Spark-specific HLL state => rows-only
+def q_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy report: per event type, the exact distinct
+    user count next to ``approx_count_distinct`` (rsd=0.05) and the
+    relative error — the sketch-qualification query a pipeline runs ONCE
+    at small scale before trusting the sketch at 100 TB, where the exact
+    two-phase distinct (q_agg_distinct_twophase) stops being affordable
+    and HLL's mergeable fixed-size state is the only option. Rows-only:
+    the HLL register layout is engine-specific (count-min in q_cm_sketch
+    shows the md5-portable alternative when cross-engine determinism is
+    required)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
