@@ -724,3 +724,26 @@ def test_pyds_stream_matches_batch(spark, sf_dir):
     s = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b and len(s) == 2000
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """The engine's join-strategy control surface: hints must reach the
+    physical plan — merge → SortMergeJoin, shuffle_hash →
+    ShuffledHashJoin, broadcast → BroadcastHashJoin — because at 100 TB
+    the difference between a sort-merge and a shuffled-hash join on a
+    sorted-output consumer is a whole sort, and the planner's statistics
+    can't always see that."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for hint, marker in [
+            ("merge", "SortMergeJoin"),
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("broadcast", "BroadcastHashJoin"),
+        ]:
+            plan = _executed_plan(o.join(c.hint(hint), cond))
+            assert marker in plan, (hint, marker)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
