@@ -181,10 +181,28 @@ def run_etl(
 
     Unlike the reference, the cleaned frame is cached before its three
     consumers (count + two writes) — the reference re-executed the CSV
-    scan + clean 3× (SURVEY §3.1)."""
+    scan + clean 3× (SURVEY §3.1).
+
+    Pipeline QA metrics ride on the ``Observation`` API: the per-batch
+    accumulators (row count, null payment lookups, fare sum) are
+    collected DURING the count pass — zero extra scans, unlike the
+    reference's separate ``count()`` log lines — and returned under
+    ``"metrics"``. On a cluster the same observation feeds a
+    QueryExecutionListener / metrics sink."""
+    from pyspark.sql import Observation
+
+    obs = Observation("etl_qa")
     clean = clean_and_transform(spark, raw, cfg).cache()
+    observed = clean.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("payment_desc").isNull().cast("long")).alias(
+            "null_payment_desc"
+        ),
+        F.sum("total_amount").alias("sum_total_amount"),
+    )
     try:
-        n_clean = clean.count()
+        n_clean = observed.count()
         write_parquet_partitioned(clean, curated_path, ["pickup_date"])
         agg = trips_by_hour(clean)
         write_parquet_partitioned(
@@ -193,4 +211,4 @@ def run_etl(
         n_agg = agg.count()
     finally:
         clean.unpersist()
-    return {"rows_clean": n_clean, "rows_agg": n_agg}
+    return {"rows_clean": n_clean, "rows_agg": n_agg, "metrics": obs.get}

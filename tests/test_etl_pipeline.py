@@ -149,3 +149,10 @@ def test_run_etl_roundtrip(spark, tmp_path):
     assert 0 < pruned.count() <= stats["rows_clean"]
     agg_back = spark.read.parquet(aggp)
     assert agg_back.count() == stats["rows_agg"] > 0
+    # Observation metrics rode the count pass (no extra scan): same row
+    # count, and the fare sum matches a direct aggregate.
+    m = stats["metrics"]
+    assert m["rows"] == stats["rows_clean"]
+    assert m["null_payment_desc"] >= 0
+    direct = back.agg(F.sum("total_amount")).first()[0]
+    assert abs(m["sum_total_amount"] - direct) < 1e-6 * max(1.0, abs(direct))

@@ -747,3 +747,24 @@ def test_join_strategy_hints_respected(spark, sf_dir):
             assert marker in plan, (hint, marker)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Small-file compaction: a deliberately fragmented layout (32 tiny
+    files) compacts to the row-count-derived target with identical data,
+    via write-new/rename (the dir never half-exists)."""
+    from nyc_taxi_etl_pyspark_spark.sources.io import compact_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "frag")
+    li.repartition(32).write.parquet(frag)
+    before = li.count()
+    stats = compact_parquet(spark, frag, target_rows_per_file=1_000_000)
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] == 1
+    assert stats["rows"] == before
+    got = spark.read.parquet(frag)
+    assert got.count() == before
+    assert got.select(F.sum("l_quantity")).first()[0] == li.select(
+        F.sum("l_quantity")
+    ).first()[0]
