@@ -69,6 +69,9 @@ HEADLINE = [
     "q_cm_sketch",
     "q_weighted_sample",
     "q_unpivot",
+    "q_record_linkage",
+    "q_mad_outliers",
+    "q_sql_lateral_topn",
 ]
 
 
