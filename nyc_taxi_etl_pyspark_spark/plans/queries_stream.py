@@ -272,3 +272,21 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_static_join(
         spark, sf_dir, query_name="q_streaming_static_join"
     )
+
+
+@query("q_streaming_upsert", oracle=None)  # streaming runtime => rows-only
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: micro-batches reduced to latest-state rows
+    per (user_id, event_type) and MERGEd into a parquet base inside
+    foreachBatch (streaming/jobs.py::run_streaming_upsert_sink — the
+    "change stream → queryable current-state table" pattern; write-new /
+    atomic-swap per batch). Convergence to the single-batch state table
+    is asserted in tests/test_streaming.py."""
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    td = tempfile.mkdtemp()
+    base = td + "/state"
+    run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=td + "/ckpt")
+    return spark.read.parquet(base)

@@ -336,3 +336,83 @@ def run_streaming_static_join(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_upsert_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming CDC apply: each micro-batch of events is reduced to one
+    latest-state row per (user_id, event_type) key and MERGEd into a
+    parquet base table via ``operators/merge.py::merge_upsert`` inside
+    ``foreachBatch`` — the standard "stream of changes → queryable
+    current-state table" pattern. foreachBatch gives the batch DataFrame
+    API (joins, merge) a streaming entry point with checkpointed
+    exactly-once per micro-batch; the in-batch reduction (max_by on
+    event time) keeps the merge's update side one-row-per-key no matter
+    how bursty the batch. On a real lake the rewritten base becomes
+    MERGE INTO on a table format; the join shape — small change set
+    broadcast against the base — is identical.
+    """
+    import os as _os
+
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+
+    ensure_session_conf(spark)
+    stream = _events_stream(spark, sf_dir)
+    state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        updates = (
+            batch_df.groupBy("user_id", "event_type")
+            .agg(
+                F.max("ts").alias("last_ts"),
+                F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+                F.count("*").alias("n_events"),
+            )
+        )
+        if _os.path.isdir(base_path):
+            base = spark.read.parquet(base_path).select(*state_cols)
+            # n_events must ACCUMULATE across batches, not replace: fold
+            # the base count into the update before the latest-wins merge.
+            prev = base.select(
+                "user_id", "event_type", F.col("n_events").alias("__prev_n")
+            )
+            updates = (
+                updates.join(prev, ["user_id", "event_type"], "left")
+                .withColumn(
+                    "n_events",
+                    F.col("n_events") + F.coalesce(F.col("__prev_n"), F.lit(0)),
+                )
+                .drop("__prev_n")
+            )
+            merged = merge_upsert(
+                base, updates.select(*state_cols), ["user_id", "event_type"]
+            )
+        else:
+            merged = updates.select(*state_cols)
+        # write-new then atomic swap, same protocol as io.compact_parquet
+        tmp = base_path.rstrip("/") + f".__batch{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.isdir(base_path):
+            old = base_path.rstrip("/") + ".__old"
+            _os.rename(base_path.rstrip("/"), old)
+            _os.rename(tmp, base_path.rstrip("/"))
+            import shutil as _shutil
+
+            _shutil.rmtree(old)
+        else:
+            _os.rename(tmp, base_path.rstrip("/"))
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

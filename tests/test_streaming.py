@@ -202,3 +202,28 @@ def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == ev.count()  # every event exactly once
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_upsert_sink_matches_batch_state(spark, sf_dir, tmp_path):
+    """The foreachBatch CDC-upsert sink must converge to the same
+    current-state table a single batch computation produces: one row per
+    (user_id, event_type) with the latest ts/value and the TOTAL event
+    count, regardless of micro-batch boundaries."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    base = str(tmp_path / "state")
+    run_streaming_upsert_sink(
+        spark, sf_dir, base, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(base)
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id", "event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
+    cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert g == w and len(g) > 0
