@@ -125,8 +125,11 @@ def main() -> None:
 
     # Best-of-2 per query, same rationale as the ETL best-of-2 below: the
     # reference baseline is its own cached steady-state run, and one-time
-    # JIT/page-cache noise at local scale is not engine cost. Both passes
-    # run at the measured SF; the min is reported per query.
+    # JIT/GC noise at local scale is not engine cost. Input tables are
+    # Spark-cached by the load phase above BEFORE the first pass (true of
+    # the single-pass methodology too), so both passes measure execution
+    # over identical in-memory inputs — the min removes per-run jitter,
+    # not input-scan cost.
     per_query: dict[str, float] = {}
     for _run in range(2):
         for name in HEADLINE:

@@ -142,13 +142,30 @@ def q_ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        array_to_vector(F.col("embedding")).alias("features"),
     )
     model = KMeans(k=8, seed=42, maxIter=5).fit(emb)
-    pred = model.transform(emb)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, center array<double>",
+    )
+    pred = model.transform(emb).select(
+        F.col("prediction").cast("int").alias("cluster_id"), "vec"
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("vec", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        pred.groupBy(F.col("prediction").alias("cluster_id"))
-        .agg(F.count("*").alias("n_vectors"))
+        pred.join(F.broadcast(centers), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(sq_dist), 4).alias("mean_sq_dist"),
+        )
         .orderBy("cluster_id")
     )
 

@@ -282,11 +282,20 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "change stream → queryable current-state table" pattern; write-new /
     atomic-swap per batch). Convergence to the single-batch state table
     is asserted in tests/test_streaming.py."""
+    import shutil
     import tempfile
 
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
 
     td = tempfile.mkdtemp()
-    base = td + "/state"
-    run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=td + "/ckpt")
-    return spark.read.parquet(base)
+    try:
+        base = td + "/state"
+        run_streaming_upsert_sink(
+            spark, sf_dir, base, checkpoint_path=td + "/ckpt"
+        )
+        out = spark.read.parquet(base)
+        # materialize before the backing files are removed (the state
+        # table is |keys|-bounded — ~hundreds of rows, not data-scale)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

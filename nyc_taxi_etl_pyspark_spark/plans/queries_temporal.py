@@ -129,19 +129,21 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_build",
     oracle="""
     WITH marked AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
       FROM events
     ), changes AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM marked
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
              AS valid_to,
-           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           (lead(valid_from) OVER
+              (PARTITION BY user_id ORDER BY valid_from, event_id)
               IS NULL) AS is_current
     FROM changes
     """,
@@ -154,7 +156,10 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned dimension from CDC/event data. Two window passes over the
     SAME (user_id)-hash-partitioned data (lag to detect changes, lead to
     close intervals), so Catalyst reuses one Exchange for both sorts;
-    output is proportional to state changes, not events."""
+    output is proportional to state changes, not events. event_id rides
+    into the interval-closing sort as the tiebreaker — two changes on
+    one timestamp would otherwise make valid_to/is_current
+    order-dependent."""
     ev = load_table(spark, sf_dir, "events")
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
@@ -162,6 +167,7 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.col("ts").alias("valid_from"),
+            "event_id",
             F.lag("event_type").over(w_seq).alias("prev_type"),
         )
         .where(
@@ -170,7 +176,7 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_type")
     )
-    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         "event_type",

@@ -216,36 +216,48 @@ def compact_parquet(
     metadata storm and starve the vectorized reader of row groups).
 
     Reads the fragmented layout, rewrites it as ``ceil(rows/target)``
-    files via an even round-robin repartition, then swaps directories —
-    write-new / atomic-rename, never delete-then-write, so a concurrent
-    reader sees either the old files or the new ones, not a half-empty
-    dir. Returns {files_before, files_after, rows}. At scale the same
-    routine runs per partition directory (bounded unit of work) — which
-    is exactly what table formats' OPTIMIZE does; pair with
-    ``write_parquet_range_sorted`` / ``write_parquet_zorder`` to restore
-    clustering while compacting.
+    files via an even round-robin repartition, then swaps directories by
+    two renames — write-new, never delete-then-write, so the data is
+    never in a half-written state (a reader that lists the directory in
+    the instant BETWEEN the renames must retry; plain filesystems have
+    no atomic directory swap — that retry window is what table formats'
+    transactional metadata removes). Crash-safe: a crash between the
+    renames strands the data at a unique ``.compact_old-*`` name, which
+    the next invocation restores before compacting; stale leftovers are
+    reaped. Returns {files_before, files_after, rows}. At scale the
+    same routine runs per partition directory (bounded unit of work) —
+    exactly what table formats' OPTIMIZE does; pair with
+    ``write_parquet_range_sorted`` / ``write_parquet_zorder`` to
+    restore clustering while compacting.
     """
+    import glob
     import math
     import shutil
     import tempfile
+    import uuid
 
-    df = spark.read.parquet(path)
+    root = path.rstrip("/")
+    # recover a crashed previous swap, then reap finished leftovers
+    if not os.path.isdir(root):
+        stranded = sorted(glob.glob(root + ".compact_old-*"))
+        if stranded:
+            os.rename(stranded[-1], root)
+    for leftover in glob.glob(root + ".compact_old-*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+    df = spark.read.parquet(root)
     rows = df.count()
-    files_before = len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
-    )
+    files_before = len([f for f in os.listdir(root) if f.endswith(".parquet")])
     n_files = max(1, math.ceil(rows / target_rows_per_file))
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")))
-    spark.read.parquet(path).repartition(n_files).write.mode(
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(root))
+    spark.read.parquet(root).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
-    old = path.rstrip("/") + ".compact_old"
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
+    old = root + f".compact_old-{uuid.uuid4().hex[:8]}"
+    os.rename(root, old)
+    os.rename(tmp, root)
     shutil.rmtree(old)
-    files_after = len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
-    )
+    files_after = len([f for f in os.listdir(root) if f.endswith(".parquet")])
     return {
         "files_before": files_before,
         "files_after": files_after,

@@ -62,12 +62,17 @@ class RangeDocReader(DataSourceReader):
         self.num_partitions = int(options.get("partitions", 8))
 
     def partitions(self) -> list[InputPartition]:
-        """Even [start, end) splits — one task per partition, no skew."""
-        step = -(-self.n // self.num_partitions)  # ceil div
-        return [
-            InputPartition((lo, min(lo + step, self.n)))
-            for lo in range(0, self.n, step)
-        ]
+        """Exactly ``min(partitions, n)`` even [start, end) splits (sizes
+        differ by at most 1) — a ceil-div step would silently produce
+        FEWER partitions than requested for some (n, p)."""
+        p = max(1, min(self.num_partitions, self.n))
+        base, rem = divmod(self.n, p)
+        bounds, lo = [], 0
+        for i in range(p):
+            hi = lo + base + (1 if i < rem else 0)
+            bounds.append(InputPartition((lo, hi)))
+            lo = hi
+        return bounds
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         lo, hi = partition.value

@@ -348,23 +348,53 @@ def run_streaming_upsert_sink(
     latest-state row per (user_id, event_type) key and MERGEd into a
     parquet base table via ``operators/merge.py::merge_upsert`` inside
     ``foreachBatch`` — the standard "stream of changes → queryable
-    current-state table" pattern. foreachBatch gives the batch DataFrame
-    API (joins, merge) a streaming entry point with checkpointed
-    exactly-once per micro-batch; the in-batch reduction (max_by on
+    current-state table" pattern. The in-batch reduction (max_by on
     event time) keeps the merge's update side one-row-per-key no matter
-    how bursty the batch. On a real lake the rewritten base becomes
-    MERGE INTO on a table format; the join shape — small change set
-    broadcast against the base — is identical.
+    how bursty the batch.
+
+    foreachBatch is AT-LEAST-once (a crash between the sink commit and
+    the checkpoint commit replays the batch), and this sink accumulates
+    counts — so replay protection is explicit: the applied ``batch_id``
+    is written INSIDE the new state directory before the swap (it
+    travels with the directory in one rename), and a replayed batch
+    whose id is already recorded is skipped. Recovery: if a crash
+    stranded the base at its ``.__old-*`` name (between the two
+    renames), the next batch restores it before applying. On a real
+    lake the rewritten base becomes transactional MERGE INTO on a table
+    format; the join shape — small change set broadcast against the
+    base — is identical.
     """
+    import glob as _glob
     import os as _os
+    import shutil as _shutil
 
     from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
 
     ensure_session_conf(spark)
     stream = _events_stream(spark, sf_dir)
     state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
+    root = base_path.rstrip("/")
+    marker = "_applied_batch_id"
+
+    def _applied_id() -> int:
+        try:
+            with open(_os.path.join(root, marker)) as f:
+                return int(f.read().strip())
+        except OSError:
+            return -1
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # crash recovery: a failed swap may have stranded the base at
+        # .__old-<id>; restore the newest one if the base is missing.
+        if not _os.path.isdir(root):
+            stranded = sorted(_glob.glob(root + ".__old-*"))
+            if stranded:
+                _os.rename(stranded[-1], root)
+        for leftover in _glob.glob(root + ".__old-*"):
+            _shutil.rmtree(leftover, ignore_errors=True)
+        # replay protection: the marker rode the committed directory.
+        if _os.path.isdir(root) and _applied_id() >= batch_id:
+            return
         updates = (
             batch_df.groupBy("user_id", "event_type")
             .agg(
@@ -373,8 +403,8 @@ def run_streaming_upsert_sink(
                 F.count("*").alias("n_events"),
             )
         )
-        if _os.path.isdir(base_path):
-            base = spark.read.parquet(base_path).select(*state_cols)
+        if _os.path.isdir(root):
+            base = spark.read.parquet(root).select(*state_cols)
             # n_events must ACCUMULATE across batches, not replace: fold
             # the base count into the update before the latest-wins merge.
             prev = base.select(
@@ -393,18 +423,17 @@ def run_streaming_upsert_sink(
             )
         else:
             merged = updates.select(*state_cols)
-        # write-new then atomic swap, same protocol as io.compact_parquet
-        tmp = base_path.rstrip("/") + f".__batch{batch_id}"
+        tmp = root + f".__batch{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        if _os.path.isdir(base_path):
-            old = base_path.rstrip("/") + ".__old"
-            _os.rename(base_path.rstrip("/"), old)
-            _os.rename(tmp, base_path.rstrip("/"))
-            import shutil as _shutil
-
+        with open(_os.path.join(tmp, marker), "w") as f:
+            f.write(str(batch_id))
+        if _os.path.isdir(root):
+            old = root + f".__old-{batch_id}"
+            _os.rename(root, old)
+            _os.rename(tmp, root)
             _shutil.rmtree(old)
         else:
-            _os.rename(tmp, base_path.rstrip("/"))
+            _os.rename(tmp, root)
 
     q = (
         stream.writeStream.outputMode("update")
