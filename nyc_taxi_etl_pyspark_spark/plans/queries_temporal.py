@@ -184,3 +184,56 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_iv).alias("valid_to"),
         F.lead("valid_from").over(w_iv).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER
+               (PARTITION BY user_id ORDER BY event_id) AS island
+      FROM events
+    ), islands AS (
+      SELECT user_id, island,
+             min(event_id) AS island_start,
+             max(event_id) AS island_end,
+             count(*) AS island_len
+      FROM seq GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(island_len) AS BIGINT) AS longest_island,
+           CAST(min(island_start) AS BIGINT) AS first_id,
+           CAST(max(island_end) AS BIGINT) AS last_id
+    FROM islands
+    GROUP BY user_id
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: partition each user's event-id sequence into
+    maximal consecutive runs via the classic ``id − row_number()``
+    constant-per-island trick — one window pass, one bounded aggregate;
+    the sequence-integrity scan that finds dropped ranges in an ingest
+    (a gap between islands = ids that never arrived). Both the window
+    and the island aggregate co-locate on the user_id partitioning (one
+    Exchange serves all three steps); output is |users| rows with island
+    counts and the longest unbroken run."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("island"),
+    )
+    islands = seq.groupBy("user_id", "island").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count("*").alias("island_len"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("island_len").alias("longest_island"),
+        F.min("island_start").alias("first_id"),
+        F.max("island_end").alias("last_id"),
+    )
