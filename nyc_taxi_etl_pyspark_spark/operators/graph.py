@@ -31,9 +31,19 @@ def pagerank(
     Returns one row per node: (token, deg, pr). Deterministic up to
     float summation order — callers round ``pr`` before hashing.
     For an undirected graph, pass both edge directions.
+
+    The node set is src ∪ dst, so sink nodes (incoming edges only)
+    receive rank like any other node; their out-degree is 0 and they
+    contribute no mass (the classic dangling-node simplification — the
+    dangling mass is dropped, not redistributed, so ranks are comparable
+    within a run rather than a strict probability distribution).
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = edges.select(F.col("src").alias("token")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .union(edges.select(F.col("dst").alias("token")))
+        .distinct()
+    )
     n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "token", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
@@ -58,6 +68,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return nodes.join(ranks, "token").join(
-        deg.withColumnRenamed("src", "token"), "token"
-    ).select("token", "deg", "pr")
+    return (
+        nodes.join(ranks, "token")
+        .join(deg.withColumnRenamed("src", "token"), "token", "left")
+        .select(
+            "token", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"), "pr"
+        )
+    )

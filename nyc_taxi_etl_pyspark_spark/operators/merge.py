@@ -19,22 +19,43 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, key_cols: Sequence[str]
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    latest_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Latest-wins upsert: rows in ``updates`` replace same-key rows in
     ``base``; unmatched update rows are inserts; unmatched base rows pass
     through. ``updates`` must carry FULL rows (column-level patching
     would need explicit per-column change flags — out of scope).
 
+    A change batch with SEVERAL rows for one key would fan out through
+    the join into duplicate output rows — so either pre-reduce the batch
+    yourself (as streaming/jobs.py does with max_by) or pass
+    ``latest_by``: the ordering columns (e.g. a change timestamp +
+    sequence id) by which the in-batch winner per key is chosen here via
+    one row_number pass before the merge.
+
     Implementation: full-outer join on the keys + per-column "update row
     exists → update value" selection, gated on a key-presence flag rather
     than per-column ``coalesce`` so an update can legitimately set a
     column to NULL.
     """
+    from pyspark.sql import Window
+
     value_cols = [c for c in base.columns if c not in key_cols]
     if set(base.columns) != set(updates.columns):
         raise ValueError(
             f"merge_upsert: schema mismatch base={base.columns} updates={updates.columns}"
+        )
+    if latest_by:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in latest_by]
+        )
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
         )
     u = updates.withColumn("__is_upd", F.lit(True))
     joined = base.join(u, on=list(key_cols), how="full")

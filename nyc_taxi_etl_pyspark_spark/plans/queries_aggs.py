@@ -469,10 +469,14 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), but the first phase spreads a skewed key across partitions
     by the (key, user) composite — the hand-rolled shape of Catalyst's
     distinct-aggregate Expand, useful when one hot key would otherwise
-    bottleneck a single reducer at 100 TB."""
+    bottleneck a single reducer at 100 TB. NULL members are filtered in
+    phase 1 because count(DISTINCT) ignores NULLs — without the filter
+    the rewrite counts a NULL group and drifts off the oracle on
+    nullable data."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
         .groupBy("event_type", "user_id")
         .agg(F.lit(1).alias("__one"))
         .groupBy("event_type")

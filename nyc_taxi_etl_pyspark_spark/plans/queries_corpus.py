@@ -79,8 +79,10 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
     )
     SELECT r.doc_id, r.n_tokens, r.top_token_frac,
-           round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-                       / len(bigrams) + 1e-9, 4) AS dup_bigram_frac
+           CASE WHEN len(bigrams) = 0 THEN NULL
+                ELSE round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                           / len(bigrams) + 1e-9, 4)
+           END AS dup_bigram_frac
     FROM rep r JOIN bg USING (doc_id)
     """,
 )
@@ -89,7 +91,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (explode → two-level hash agg — the shape that scales: the
     shuffle carries (doc, token) partial counts, never raw text) and
     duplicate-bigram fraction (per-row HOF, zero shuffle). High values on
-    either flag boilerplate/spam for corpus filtering."""
+    either flag boilerplate/spam for corpus filtering. A <2-token doc has
+    no bigrams; its fraction is NULL, not a divide-by-zero abort (ANSI
+    mode) — exactly the boilerplate inputs this filter must survive."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "__toks", tokens_col(F.col("text"))
     )
@@ -106,7 +110,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = d.withColumn("__bigrams", token_shingles(F.col("__toks"), 2)).select(
         "doc_id",
         stable_round(
-            F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double")
+            / F.nullif(F.size(bg).cast("double"), F.lit(0.0)),
             4,
         ).alias("dup_bigram_frac"),
     )
@@ -343,7 +349,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT vec_id, label, e,
-             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+             NULLIF(list_max(list_transform(e, x -> abs(x))) / 127.0, 0.0)
+               AS scale
       FROM v
     )
     SELECT vec_id, label,
@@ -369,9 +376,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (hash-stable); only scale and error are rounded floats."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+    # NULLIF guards the all-zero vector: scale = 0 would make x/scale
+    # abort under ANSI mode; a zero vector quantizes to NULL codes/err.
     ef = e.withColumn(
         "__scale",
-        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.nullif(
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+            F.lit(0.0),
+        ),
     )
     sc = F.col("__scale")
     codes = F.transform(v, lambda x: F.floor(x / sc + F.lit(0.5)).cast("int"))

@@ -163,9 +163,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = signed.join(
         converted.select("user_id", "first_purchase_after"), "user_id", "left"
     )
-    gap_s = F.col("first_purchase_after").cast("long") - F.col("first_signup").cast(
-        "long"
-    )
+    # FRACTIONAL epoch seconds, matching the oracle's epoch() exactly —
+    # a per-timestamp cast("long") truncation would shift the mean by up
+    # to ~0.5 s and flip the final floor() on a near-integer average.
+    gap_s = F.col("first_purchase_after").cast("double") - F.col(
+        "first_signup"
+    ).cast("double")
     return joined.agg(
         F.count("*").alias("n_signed_up"),
         F.count("first_purchase_after").alias("n_converted"),

@@ -260,9 +260,10 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
              stddev_samp(value) OVER (PARTITION BY user_id) AS sd
       FROM events
     )
-    SELECT event_id, user_id, value, round((value - mu) / sd + 1e-9, 4) AS z
+    SELECT event_id, user_id, value,
+           round((value - mu) / NULLIF(sd, 0) + 1e-9, 4) AS z
     FROM s
-    WHERE abs((value - mu) / sd) > 2.5
+    WHERE abs((value - mu) / NULLIF(sd, 0)) > 2.5
     """,
 )
 def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,12 +274,15 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     / feature standardization; |z| > 2.5 keeps only the outliers.
     stddev_samp accumulation order differs across engines at ~1e-12
     relative — rounded z guards the hash, and the 2.5 cut sits far from
-    any fixture value's z (continuous data, measure-zero boundary)."""
+    any fixture value's z (continuous data, measure-zero boundary).
+    NULLIF guards sd = 0 (a user whose values are all identical): under
+    ANSI mode a bare division would abort the job; a zero-variance user
+    has no outliers by definition, so those rows drop out as NULL."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
-    z = (F.col("value") - mu) / sd
+    z = (F.col("value") - mu) / F.nullif(sd, F.lit(0.0))
     return (
         e.select(
             "event_id",

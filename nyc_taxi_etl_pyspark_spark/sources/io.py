@@ -189,7 +189,6 @@ def write_parquet_partitioned(
     ``dynamic_overwrite`` keeps untouched partitions when rewriting a
     slice of a 100 TB table instead of truncating the whole root.
     """
-    spark = df.sparkSession
     if partition_cols:
         df = df.repartition(*[df[c] for c in partition_cols])
     if target_files is not None:

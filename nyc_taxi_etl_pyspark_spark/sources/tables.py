@@ -13,6 +13,7 @@ optimization that does not change plans' semantics.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,20 +66,29 @@ def normalize_event_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFr
     return df
 
 
+_CACHE_LOCK = threading.Lock()
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, cached: bool = True
 ) -> DataFrame:
-    """Load one fixture table from ``sf_dir``; memoized per session."""
+    """Load one fixture table from ``sf_dir``; memoized per session.
+    Thread-safe: concurrent callers (the bench warms tables from a
+    thread pool) would otherwise check-then-set the memo dict racily and
+    register duplicate ``.cache()`` entries."""
     ensure_session_conf(spark)
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
-    if cached and key in _CACHE:
-        return _CACHE[key]
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    df = normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
     if cached:
-        df = df.cache()
-        _CACHE[key] = df
-    return df
+        with _CACHE_LOCK:
+            if key in _CACHE:
+                return _CACHE[key]
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            df = normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
+            df = df.cache()
+            _CACHE[key] = df
+            return df
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
 
 
 def clear_cache() -> None:
