@@ -237,3 +237,56 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("island_start").alias("first_id"),
         F.max("island_end").alias("last_id"),
     )
+
+
+@query(
+    "q_user_growth",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS d
+      FROM events GROUP BY user_id
+    ), new_by_day AS (
+      SELECT d, count(*) AS n_new FROM firsts GROUP BY d
+    ), active AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             count(DISTINCT user_id) AS n_active
+      FROM events GROUP BY 1
+    )
+    SELECT a.d AS event_date,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.d) AS BIGINT)
+             AS cum_users
+    FROM active a LEFT JOIN new_by_day n ON a.d = n.d
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users, NEW users (first-ever
+    appearance), and the cumulative distinct-user count — the
+    running-distinct metric dashboards want, computed WITHOUT any
+    cumulative-distinct state: first-seen attribution turns it into a
+    plain daily sum (a user is new exactly once), so the running total
+    is a window over the |days|-bounded daily table — the only
+    single-partition window in the engine, and it is bounded by
+    calendar days, never by data volume. The two heavy aggregates
+    (first-seen per user, daily distinct actives) both co-locate on
+    user-keyed partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("d"))
+    new_by_day = firsts.groupBy("d").agg(F.count("*").alias("n_new"))
+    active = ev.groupBy(day.alias("d")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("event_date").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new_by_day, "d", "left")
+        .select(
+            F.col("d").alias("event_date"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn(
+            "cum_users", F.sum("n_new").over(w).cast("bigint")
+        )
+    )
