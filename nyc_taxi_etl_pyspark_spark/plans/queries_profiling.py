@@ -231,3 +231,47 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER
+               (PARTITION BY event_type ORDER BY value, event_id) AS i
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round((2.0 * sum(i * value)) / (count(*) * sum(value))
+                 - (count(*) + 1.0) / count(*) + 1e-9, 4) AS gini
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of ``value`` per event type — the
+    distribution-concentration profile (0 = perfectly even, →1 = one row
+    carries everything) that complements q_skew_profile: skew_ratio says
+    whether ONE key dominates, Gini says how unevenly the whole mass is
+    spread. Computed from the rank identity
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values sorted within each group
+    (event_id tie-break ⇒ deterministic ranks even on duplicate values):
+    one window pass + one aggregate, both on the same event_type
+    partitioning — no pairwise |x−y| comparison, which is the naive
+    O(n²) Gini formulation that cannot scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("i")
+    )
+    n = F.count("*")
+    return ranked.groupBy("event_type").agg(
+        n.cast("bigint").alias("n"),
+        stable_round(
+            (2.0 * F.sum(F.col("i") * F.col("value"))) / (n * F.sum("value"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+    )
