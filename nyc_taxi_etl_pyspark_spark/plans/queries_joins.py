@@ -293,3 +293,57 @@ def q_join_theta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_poorer_customers"))
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch_s,
+           (SELECT CAST(floor(epoch(max(c.ts))) AS BIGINT)
+            FROM events c
+            WHERE c.user_id = e.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= e.ts
+              AND epoch(c.ts) >= epoch(e.ts) - 600) AS last_click_epoch_s
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE: the latest same-user click
+    at-or-before each error counts only if it is at most 10 minutes old,
+    else NULL — the market-data/IoT semantics ("don't carry a quote
+    forward forever") that a bare as-of join silently violates. Same
+    merge-based single-shuffle plan as q_join_asof; the tolerance is one
+    post-pass predicate nulling stale matches, so the bound costs
+    nothing extra. At scale the tolerance ALSO caps how far back state
+    must be retained in the streaming spelling (the watermark analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts"],
+        suffix="_last",
+    )
+    fresh = (
+        F.col("ts").cast("double") - F.col("click_ts_last").cast("double")
+        <= 600.0
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("ts_epoch_s"),
+        F.when(
+            fresh, F.floor(F.col("click_ts_last").cast("double")).cast("bigint")
+        ).alias("last_click_epoch_s"),
+    )

@@ -275,3 +275,153 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_entropy_balance",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT lang, sum(n) AS total FROM cnt GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(t.total AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           round(-sum((n / t.total) * ln(n / t.total)) + 1e-9, 4) AS entropy,
+           round(-sum((n / t.total) * ln(n / t.total))
+                 / ln(count(*)) + 1e-9, 4) AS balance
+    FROM cnt c JOIN tot t ON c.lang = t.lang
+    GROUP BY c.lang, t.total
+    HAVING count(*) > 1
+    """,
+)
+def q_entropy_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy / normalized balance of the source mix per
+    language — the class-balance metric a training-mix pipeline tracks
+    (balance = H/ln(k): 1.0 means sources contribute evenly, →0 means
+    one source dominates; the multiplicative cousin of Gini). Two
+    bounded aggregates on one (lang, source) partialization — the count
+    table is |lang|×|source| rows no matter the corpus size — and the
+    entropy sum runs over that tiny table. Groups with a single source
+    are dropped (ln(1) = 0 denominator), mirroring the oracle HAVING."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cnt.join(tot, "lang")
+        .groupBy("lang", "total")
+        .agg(
+            F.count("*").alias("n_sources"),
+            stable_round(ent, 4).alias("entropy"),
+            stable_round(ent / F.log(F.count("*")), 4).alias("balance"),
+        )
+        .where(F.col("n_sources") > 1)
+        .select(
+            "lang",
+            F.col("total").cast("bigint").alias("n_docs"),
+            "n_sources",
+            "entropy",
+            "balance",
+        )
+    )
+
+
+@query(
+    "q_benford_profile",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM lineitem WHERE l_extendedprice >= 1
+    )
+    SELECT d AS leading_digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM digits)
+                 + 1e-9, 4) AS observed_p,
+           round(log10(1.0 + 1.0 / d) + 1e-9, 4) AS benford_p
+    FROM digits
+    GROUP BY d
+    """,
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit profile: observed first-significant-digit
+    frequencies of a monetary column next to Benford's law expectation
+    log10(1 + 1/d) — the classic fabricated-/corrupted-data screen
+    (natural multiplicative data follows it; uniform synthetics and
+    manual edits don't). Output is AT MOST 9 rows regardless of input
+    size; the global total re-enters as a broadcast scalar, never a
+    collect. (The fixture's uniform prices deliberately DON'T follow
+    Benford — the profile is the detector, not an assertion.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.where(F.col("l_extendedprice") >= 1).select(
+        # floor, not cast: DuckDB's CAST(double AS BIGINT) rounds while
+        # Spark's truncates — floor() is the portable integer part
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    total = digits.agg(F.count("*").alias("__total"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("leading_digit"),
+            "n",
+            stable_round(F.col("n") / F.col("__total"), 4).alias("observed_p"),
+            stable_round(F.log10(1.0 + 1.0 / F.col("d")), 4).alias("benford_p"),
+        )
+    )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) % 4 AS hour_bucket,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, sum(o) AS row_tot FROM obs GROUP BY event_type
+    ), c AS (
+      SELECT hour_bucket, sum(o) AS col_tot FROM obs GROUP BY hour_bucket
+    ), t AS (SELECT sum(o) AS grand FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(o - row_tot * col_tot / grand, 2)
+                     / (row_tot * col_tot / grand)) + 1e-9, 4) AS chi2
+    FROM obs JOIN m USING (event_type) JOIN c USING (hour_bucket), t
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic over the (event_type ×
+    hour-bucket) contingency table — "does activity mix depend on time
+    of day?", the categorical-drift / A-B sanity test. The contingency
+    table is |types|×|buckets| cells built by ONE aggregate over the
+    fact stream; marginals and the statistic are then plain arithmetic
+    over that bounded table (broadcast joins, no second fact scan). At
+    100 TB the expensive part stays exactly one map-side-combined
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.hour("ts") % 4).cast("int").alias("hour_bucket")
+    ).agg(F.count("*").cast("double").alias("o"))
+    m = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    c = obs.groupBy("hour_bucket").agg(F.sum("o").alias("col_tot"))
+    t = obs.agg(F.sum("o").alias("grand"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return (
+        obs.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(c), "hour_bucket")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.count("*").alias("n_cells"),
+            stable_round(
+                F.sum(F.pow(F.col("o") - exp, F.lit(2.0)) / exp), 4
+            ).alias("chi2"),
+        )
+    )
