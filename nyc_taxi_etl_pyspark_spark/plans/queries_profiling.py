@@ -425,3 +425,69 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
         )
     )
+
+
+@query(
+    "q_vocab_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM st GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM st a JOIN st b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common) + 1e-9, 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap (Jaccard) between every pair of corpus sources
+    — the corpus-diversity matrix: near-1 pairs are redundant crawls
+    (dedup candidates at the SOURCE level, before any per-document
+    work), near-0 pairs genuinely widen coverage. The (source, token)
+    distinct postings co-locate on token for the pair join; the pair
+    space is |sources|² and per-token fan-out is bounded by sources per
+    token — the group-level cousin of document n-gram Jaccard, three
+    orders of magnitude cheaper than any per-document comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            stable_round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
