@@ -320,17 +320,28 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stratum→rate mix is CONFIG, not derived from the data: a training
+# mix is an input to the pipeline (like etl.py's bounds), so the plan
+# never runs a distinct().collect() pre-job to discover strata. Strata
+# absent from the map sample at rate 0 (dropped) — the production
+# semantic for an explicit mix. For data-driven rates, join a broadcast
+# rate table instead (the q_mixture_sample shape in queries_corpus.py).
+STRATIFIED_SAMPLE_MIX = {"de": 0.8, "en": 0.3, "es": 0.1, "fr": 0.8, "zh": 0.3}
+
+
 @query("q_stratified_sample", oracle=None)  # seeded RNG => rows-only
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stratified_sample(
+    spark: SparkSession, sf_dir: str, mix: dict[str, float] | None = None
+) -> DataFrame:
     """Stratified sampling with per-stratum rates (``sampleBy``): the
     corpus-mixing primitive (e.g. keep 80% of en, 30% of de, 10% of fr
-    when rebalancing a training mix). Seeded RNG ⇒ rows-only; the
-    deterministic alternative is q_hash_sample per stratum."""
+    when rebalancing a training mix). The rate map is an operator
+    parameter (``STRATIFIED_SAMPLE_MIX`` default) so plan construction
+    is collect-free — the engine's former only hot-path collect.
+    Seeded RNG ⇒ rows-only; the deterministic alternative is
+    q_hash_sample per stratum."""
     d = load_table(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    fractions = {
-        lang: [0.8, 0.3, 0.1][i % 3] for i, lang in enumerate(sorted(langs))
-    }
+    fractions = dict(STRATIFIED_SAMPLE_MIX if mix is None else mix)
     return d.sampleBy("lang", fractions=fractions, seed=42).select(
         "doc_id", "lang", "source"
     )
@@ -835,16 +846,17 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.05) AS p05,
-             quantile_cont(l_extendedprice, 0.95) AS p95
+             round(quantile_cont(l_extendedprice, 0.05) + 1e-9, 6) AS p05,
+             round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 6) AS p95
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
            round(avg(l.l_extendedprice) + 1e-9, 4) AS avg_raw,
            round(avg(least(greatest(l.l_extendedprice, s.p05), s.p95)) + 1e-9, 4)
              AS avg_winsor,
-           sum(CASE WHEN l.l_extendedprice < s.p05 OR l.l_extendedprice > s.p95
-                    THEN 1 ELSE 0 END) AS n_clipped
+           CAST(sum(CASE WHEN l.l_extendedprice < s.p05
+                         OR l.l_extendedprice > s.p95
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
     GROUP BY l.l_returnflag
     """,
@@ -859,11 +871,22 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row key; at 100 TB swap the exact percentile for the
     approx_percentile sketch and the shape is unchanged. Spark
     ``percentile`` ↔ DuckDB ``quantile_cont`` are both linear
-    interpolation (q_agg_percentile proves parity)."""
+    interpolation (q_agg_percentile proves parity) — but the interpolated
+    thresholds can differ by 1 ulp between engines, which would flip the
+    strict comparisons in ``n_clipped`` (an integer) on boundary-equal
+    values, so both engines QUANTIZE the thresholds (stable round to 6
+    decimals) before clipping and counting. The oracle also CASTs the
+    conditional sum to BIGINT: DuckDB ``sum(INTEGER)`` yields HUGEINT,
+    which pandas widens to float64 (``2004.0``) while Spark emits int64
+    (``2004``) — equal numerically but distinct to a value hash."""
     li = load_table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        stable_round(
+            F.percentile("l_extendedprice", F.lit(0.05)), 6
+        ).alias("p05"),
+        stable_round(
+            F.percentile("l_extendedprice", F.lit(0.95)), 6
+        ).alias("p95"),
     )
     x = F.col("l_extendedprice")
     clipped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))

@@ -67,6 +67,62 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_record_linkage_snb",
+    oracle="""
+    SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+           levenshtein(c.c_name, s.s_name) AS edit_distance
+    FROM customer c
+    JOIN supplier s
+      ON abs(CAST(regexp_extract(c.c_name, '[0-9]+') AS BIGINT)
+             - CAST(regexp_extract(s.s_name, '[0-9]+') AS BIGINT)) <= 16
+    WHERE levenshtein(c.c_name, s.s_name) <= 6
+    """,
+)
+def q_record_linkage_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage — the SCALE-SAFE blocking mode
+    for q_record_linkage. That query blocks on nationkey (25 blocks), so
+    its pair space is ~|C|·|S|/25 and the build side must broadcast —
+    both break at 100 TB. Here the blocking key is the record's SORT KEY
+    (the name's numeric tail): records are banded into buckets of width
+    w=16 on that key, the smaller side is replicated into its bucket ±1
+    (a pair within key distance w always lands in the same or an
+    adjacent bucket, so replication makes the band join LOSSLESS), and
+    candidates meet in a plain shuffle EQUI-JOIN on the bucket id — no
+    broadcast assumption, pair space bounded by per-bucket occupancy
+    (~w·density), independent of how many nations or total rows exist.
+    The oracle is the unblocked banded theta-join, hash-proving the
+    bucket scheme drops no in-window pair. Same thresholded
+    ``levenshtein(l, r, 6)`` banded-DP comparison as q_record_linkage."""
+    w = 16
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("ck"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.regexp_extract("s_name", r"([0-9]+)", 1).cast("long").alias("sk"),
+    )
+    cust = cust.withColumn("bucket", F.floor(F.col("ck") / w))
+    sb = F.floor(F.col("sk") / w)
+    supp = supp.withColumn(
+        "bucket", F.explode(F.array(sb - 1, sb, sb + 1))
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"), 6)
+    return (
+        cust.join(supp, "bucket")
+        .where(F.abs(F.col("ck") - F.col("sk")) <= w)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            dist.alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") >= 0)
+    )
+
+
+@query(
     "q_ngram_novelty",
     oracle="""
     WITH toks AS (

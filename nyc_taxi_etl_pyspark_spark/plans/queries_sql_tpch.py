@@ -456,15 +456,17 @@ _sql_query(
 )
 
 # Q12-shape — priority distribution: two-bucket CASE counts (integer
-# sums, hash-exact).
+# sums, hash-exact). CAST to BIGINT because DuckDB widens sum(INTEGER)
+# to HUGEINT → pandas float64, while Spark emits int64; the cast is a
+# no-op on the Spark side and keeps the value hash type-stable.
 _sql_query(
     "q_sql_q12_priority_shipping",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -58,6 +58,23 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to a comparison kind. Integer-vs-float
+    matters: DuckDB ``sum(INTEGER)`` returns HUGEINT, which pandas widens
+    to float64 (``2004.0``) while Spark emits int64 (``2004``) — tuple
+    equality treats them as equal but a value HASH does not (the exact
+    failure signature of q_winsorize in CORRECTNESS_r02: rows ✓ schema ✓
+    hash ✗). Oracle SQL must CAST integer sums to BIGINT."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
@@ -73,6 +90,15 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
             f"{name}: row count spark={len(spark_pd)} oracle={len(oracle_df)}"
         )
         return problems
+    for c in spark_pd.columns:
+        sk, ok = _kind(spark_pd[c].dtype), _kind(oracle_df[c].dtype)
+        if sk != ok and "other" not in (sk, ok):
+            problems.append(
+                f"{name}: dtype-kind mismatch on '{c}': spark={sk} "
+                f"({spark_pd[c].dtype}) oracle={ok} ({oracle_df[c].dtype}) "
+                "— numerically equal values hash differently; CAST the "
+                "oracle expression (e.g. AS BIGINT)"
+            )
     s_rows = normalize_frame(spark_pd)
     o_rows = normalize_frame(oracle_df)
     if s_rows != o_rows:

@@ -4,7 +4,10 @@ queries are smoke-checked for execution + non-degenerate output."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
+from pyspark.sql import DataFrame
 
 from nyc_taxi_etl_pyspark_spark.plans.registry import all_oracle_sql, all_queries
 from tests.oracle_harness import compare, run_oracle
@@ -16,10 +19,64 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 # rows-only queries expected to return at least one row at sf0.001
 _MAY_BE_EMPTY = {"q_dedup_minhash", "q_dedup_simhash"}  # candidate pairs can be 0
 
+# Streaming queries RUN a micro-batch query during construction and copy
+# the bounded (|keys|-sized) final state into a fresh DataFrame — a
+# documented, bounded materialization, outside the guard below.
+_GUARD_EXEMPT_PREFIX = "q_streaming_"
+
+# Bounded driver fetches (1-row query-vector literal, fixed-point
+# convergence checks via .first() == limit(1).collect()) are legitimate;
+# anything whose row count depends on DATA CONTENT is not (the
+# q_stratified_sample distinct().collect() class). "Bounded" is decided
+# by the analyzed plan's static maxRows, not by running the job.
+_MAX_BOUNDED_DRIVER_ROWS = 1000
+
+
+@contextmanager
+def forbid_unbounded_collect(name: str):
+    """Fail the test if plan construction materializes an unbounded
+    DataFrame to the driver. collect() on a plan with statically-known
+    maxRows <= _MAX_BOUNDED_DRIVER_ROWS (limit/take/first) stays legal."""
+    if name.startswith(_GUARD_EXEMPT_PREFIX):
+        yield
+        return
+    orig_collect = DataFrame.collect
+    orig_topandas = DataFrame.toPandas
+
+    def _bounded(df: DataFrame) -> bool:
+        try:
+            mr = df._jdf.queryExecution().analyzed().maxRows()
+            return mr.isDefined() and mr.get() <= _MAX_BOUNDED_DRIVER_ROWS
+        except Exception:
+            return False
+
+    def guarded_collect(self, *a, **k):
+        assert _bounded(self), (
+            f"{name}: unbounded DataFrame.collect() during plan "
+            "construction — the operator is not distributed; pass the "
+            "data as config or join a broadcast table instead"
+        )
+        return orig_collect(self, *a, **k)
+
+    def guarded_topandas(self, *a, **k):
+        assert _bounded(self), (
+            f"{name}: unbounded DataFrame.toPandas() during plan construction"
+        )
+        return orig_topandas(self, *a, **k)
+
+    DataFrame.collect = guarded_collect
+    DataFrame.toPandas = guarded_topandas
+    try:
+        yield
+    finally:
+        DataFrame.collect = orig_collect
+        DataFrame.toPandas = orig_topandas
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
-    spark_df = QUERIES[name](spark, sf_dir)
+    with forbid_unbounded_collect(name):
+        spark_df = QUERIES[name](spark, sf_dir)
     oracle_df = run_oracle(sf_dir, ORACLES[name])
     problems = compare(spark_df, oracle_df, name)
     assert not problems, "\n".join(problems)
@@ -27,7 +84,8 @@ def test_oracle_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
+    with forbid_unbounded_collect(name):
+        df = QUERIES[name](spark, sf_dir)
     n = df.count()
     assert df.schema.fields, f"{name}: empty schema"
     if name not in _MAY_BE_EMPTY:
