@@ -204,6 +204,41 @@ def write_parquet_partitioned(
     writer.parquet(path)
 
 
+def require_local_path(path: str, op: str) -> None:
+    """Guard for swap-based maintenance routines (``compact_parquet``,
+    the streaming upsert sink): their crash-safety story is built on
+    same-filesystem ``os.rename`` being atomic, which holds for a local
+    POSIX filesystem and for nothing else — on an object store (s3://,
+    gs://, abfs://) rename is copy+delete and a reader can observe a
+    missing or half-copied table. Refuse non-local URIs up front instead
+    of corrupting silently; on a real lake these routines are replaced
+    by a table format's transactional MERGE/OPTIMIZE."""
+    from urllib.parse import urlsplit
+
+    scheme = urlsplit(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{op} requires a local filesystem path (os.rename-based "
+            f"directory swap); got scheme '{scheme}://' in {path!r}. "
+            "Use a transactional table format for object-store tables."
+        )
+
+
+def _restore_newest_stranded(root: str, pattern: str) -> None:
+    """Crash recovery for the two-rename swap: if the table directory is
+    missing, restore the most-recently-modified stranded directory
+    matching ``pattern`` (mtime, not name — uuid/batch-id suffixes do
+    not sort lexicographically by recency)."""
+    import glob
+
+    if os.path.isdir(root):
+        return
+    stranded = glob.glob(pattern)
+    if stranded:
+        newest = max(stranded, key=os.path.getmtime)
+        os.rename(newest, root)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -232,23 +267,26 @@ def compact_parquet(
     import glob
     import math
     import shutil
-    import tempfile
     import uuid
 
+    require_local_path(path, "compact_parquet")
     root = path.rstrip("/")
-    # recover a crashed previous swap, then reap finished leftovers
-    if not os.path.isdir(root):
-        stranded = sorted(glob.glob(root + ".compact_old-*"))
-        if stranded:
-            os.rename(stranded[-1], root)
-    for leftover in glob.glob(root + ".compact_old-*"):
+    # recover a crashed previous swap (newest by mtime), then reap
+    # finished leftovers — including .compact_new-* dirs from a crash
+    # after the rewrite but before the first rename.
+    _restore_newest_stranded(root, root + ".compact_old-*")
+    for leftover in glob.glob(root + ".compact_old-*") + glob.glob(
+        root + ".compact_new-*"
+    ):
         shutil.rmtree(leftover, ignore_errors=True)
 
     df = spark.read.parquet(root)
     rows = df.count()
     files_before = len([f for f in os.listdir(root) if f.endswith(".parquet")])
     n_files = max(1, math.ceil(rows / target_rows_per_file))
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(root))
+    # recognizable prefix (not an anonymous mkdtemp): a crash before the
+    # swap leaves a reappable .compact_new-* dir, never an orphan.
+    tmp = root + f".compact_new-{uuid.uuid4().hex[:8]}"
     spark.read.parquet(root).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)

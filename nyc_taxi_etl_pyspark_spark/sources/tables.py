@@ -67,25 +67,39 @@ def normalize_event_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFr
 
 
 _CACHE_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+
+
+def _key_lock(key: tuple[str, str, str]) -> threading.Lock:
+    """Per-key lock so DISTINCT tables load concurrently (the bench warms
+    all ten tables from a thread pool); a single global lock held across
+    ``spark.read.parquet`` + normalize would serialize every loader and
+    leave only the .count() actions parallel. The global lock guards only
+    the two dict lookups — microseconds, not plan-building time."""
+    with _CACHE_LOCK:
+        return _KEY_LOCKS.setdefault(key, threading.Lock())
 
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, cached: bool = True
 ) -> DataFrame:
     """Load one fixture table from ``sf_dir``; memoized per session.
-    Thread-safe: concurrent callers (the bench warms tables from a
-    thread pool) would otherwise check-then-set the memo dict racily and
-    register duplicate ``.cache()`` entries."""
+    Thread-safe: concurrent callers of the SAME table dedupe on a
+    per-key lock (one reader builds, the rest reuse — duplicate
+    ``.cache()`` registrations would leak executor memory); callers of
+    different tables proceed in parallel."""
     ensure_session_conf(spark)
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
     if cached:
-        with _CACHE_LOCK:
-            if key in _CACHE:
-                return _CACHE[key]
+        with _key_lock(key):
+            with _CACHE_LOCK:
+                if key in _CACHE:
+                    return _CACHE[key]
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
             df = normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
             df = df.cache()
-            _CACHE[key] = df
+            with _CACHE_LOCK:
+                _CACHE[key] = df
             return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))

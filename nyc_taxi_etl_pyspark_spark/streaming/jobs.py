@@ -355,46 +355,74 @@ def run_streaming_upsert_sink(
     foreachBatch is AT-LEAST-once (a crash between the sink commit and
     the checkpoint commit replays the batch), and this sink accumulates
     counts — so replay protection is explicit: the applied ``batch_id``
-    is written INSIDE the new state directory before the swap (it
-    travels with the directory in one rename), and a replayed batch
-    whose id is already recorded is skipped. Recovery: if a crash
-    stranded the base at its ``.__old-*`` name (between the two
-    renames), the next batch restores it before applying. On a real
-    lake the rewritten base becomes transactional MERGE INTO on a table
-    format; the join shape — small change set broadcast against the
-    base — is identical.
+    plus the CHECKPOINT IDENTITY (hash of the checkpoint path) are
+    written INSIDE the new state directory before the swap (they travel
+    with the directory in one rename), and a replayed batch whose id is
+    already recorded FOR THIS CHECKPOINT is skipped. The identity guard
+    matters: batch ids restart at 0 under a fresh checkpoint, so an
+    id-only marker would silently skip every batch of a new query
+    pointed at an old base — instead that mismatch raises, because
+    re-streaming into a count-accumulating base double-counts. Recovery:
+    if a crash stranded the base at its ``.__old-*`` name (between the
+    two renames), the next batch restores the newest by mtime before
+    applying. On a real lake the rewritten base becomes transactional
+    MERGE INTO on a table format; the join shape — small change set
+    broadcast against the base — is identical.
     """
     import glob as _glob
+    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
 
     from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+    from nyc_taxi_etl_pyspark_spark.sources.io import (
+        _restore_newest_stranded,
+        require_local_path,
+    )
 
     ensure_session_conf(spark)
+    require_local_path(base_path, "run_streaming_upsert_sink")
     stream = _events_stream(spark, sf_dir)
     state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
     root = base_path.rstrip("/")
     marker = "_applied_batch_id"
+    ckpt_identity = _hashlib.sha256(
+        _os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:16]
 
-    def _applied_id() -> int:
+    def _applied() -> tuple[str | None, int]:
+        """(checkpoint identity, batch id) recorded in the base, or
+        (None, -1) when the base carries no marker."""
         try:
             with open(_os.path.join(root, marker)) as f:
-                return int(f.read().strip())
+                lines = f.read().split()
         except OSError:
-            return -1
+            return None, -1
+        if len(lines) >= 2:
+            return lines[0], int(lines[1])
+        # legacy id-only marker: identity unknown
+        return None, int(lines[0]) if lines else -1
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # crash recovery: a failed swap may have stranded the base at
-        # .__old-<id>; restore the newest one if the base is missing.
-        if not _os.path.isdir(root):
-            stranded = sorted(_glob.glob(root + ".__old-*"))
-            if stranded:
-                _os.rename(stranded[-1], root)
+        # .__old-<id>; restore the newest (by mtime) if the base is missing.
+        _restore_newest_stranded(root, root + ".__old-*")
         for leftover in _glob.glob(root + ".__old-*"):
             _shutil.rmtree(leftover, ignore_errors=True)
         # replay protection: the marker rode the committed directory.
-        if _os.path.isdir(root) and _applied_id() >= batch_id:
-            return
+        if _os.path.isdir(root):
+            rec_identity, rec_id = _applied()
+            if rec_identity is not None and rec_identity != ckpt_identity:
+                raise ValueError(
+                    f"{root} was built by a different streaming query "
+                    f"(checkpoint identity {rec_identity}, this query "
+                    f"{ckpt_identity}): re-applying a fresh stream onto "
+                    "an accumulating base would double-count. Point the "
+                    "sink at a new base_path or resume the original "
+                    "checkpoint."
+                )
+            if rec_id >= batch_id:
+                return
         updates = (
             batch_df.groupBy("user_id", "event_type")
             .agg(
@@ -426,7 +454,7 @@ def run_streaming_upsert_sink(
         tmp = root + f".__batch{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         with open(_os.path.join(tmp, marker), "w") as f:
-            f.write(str(batch_id))
+            f.write(f"{ckpt_identity} {batch_id}")
         if _os.path.isdir(root):
             old = root + f".__old-{batch_id}"
             _os.rename(root, old)

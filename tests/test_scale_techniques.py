@@ -768,3 +768,38 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert got.select(F.sum("l_quantity")).first()[0] == li.select(
         F.sum("l_quantity")
     ).first()[0]
+
+
+def test_compact_parquet_recovery_reaps_and_restores(spark, sf_dir, tmp_path):
+    """Crash recovery: a stranded rewrite dir (.compact_new-*, crash
+    before the first rename) is reaped; a stranded old dir
+    (.compact_old-*, crash between the renames) is restored by MTIME —
+    not lexicographic uuid order — when the table itself is missing."""
+    import os
+    import time
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import compact_parquet
+
+    nat = load_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "t")
+
+    # crash-before-first-rename leftover, reaped even while recovering
+    leftover_new = root + ".compact_new-deadbeef"
+    os.mkdir(leftover_new)
+    # Two stranded old dirs with DIFFERENT data. The older one (10 rows)
+    # gets the lexicographically LAST uuid, so a sorted()[-1] pick would
+    # wrongly restore it; mtime must pick the newer full table instead.
+    nat.limit(10).write.parquet(root + ".compact_old-ffffffff")
+    time.sleep(0.05)
+    nat.write.parquet(root + ".compact_old-00000000")
+    n = nat.count()
+
+    stats = compact_parquet(spark, root, target_rows_per_file=1_000_000)
+    assert stats["rows"] == n  # restored the NEWEST stranded state
+    assert spark.read.parquet(root).count() == n
+    assert not os.path.exists(leftover_new)
+    assert not [
+        p
+        for p in os.listdir(str(tmp_path))
+        if ".compact_old-" in p or ".compact_new-" in p
+    ]

@@ -227,3 +227,40 @@ def test_streaming_upsert_sink_matches_batch_state(spark, sf_dir, tmp_path):
     g = sorted(map(tuple, got.select(*cols).collect()))
     w = sorted(map(tuple, want.select(*cols).collect()))
     assert g == w and len(g) > 0
+
+
+def test_streaming_upsert_sink_rejects_foreign_base(spark, sf_dir, tmp_path):
+    """Replay protection must key on the CHECKPOINT IDENTITY, not just
+    the integer batch_id: a fresh checkpoint restarts batch ids at 0, so
+    an id-only marker would silently skip every batch and leave a stale
+    base that looks committed. Pointing a new query at an existing
+    accumulating base raises instead."""
+    import pytest
+
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    base = str(tmp_path / "state")
+    run_streaming_upsert_sink(
+        spark, sf_dir, base, checkpoint_path=str(tmp_path / "ckpt_a")
+    )
+    with pytest.raises(Exception, match="different streaming query"):
+        run_streaming_upsert_sink(
+            spark, sf_dir, base, checkpoint_path=str(tmp_path / "ckpt_b")
+        )
+
+
+def test_swap_sinks_reject_object_store_paths(spark, sf_dir, tmp_path):
+    """The rename-swap sinks are only crash-safe on a local POSIX
+    filesystem; an object-store URI must be refused up front (rename is
+    copy+delete there — a reader can observe a missing table)."""
+    import pytest
+
+    from nyc_taxi_etl_pyspark_spark.sources.io import compact_parquet
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_parquet(spark, "s3://bucket/table")
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_streaming_upsert_sink(
+            spark, sf_dir, "gs://bucket/state", checkpoint_path=str(tmp_path / "c")
+        )
