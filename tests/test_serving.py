@@ -1,0 +1,87 @@
+"""Online-serving surface (SURVEY.md §3.3): the stdlib-HTTP ModelServer
+must reproduce the reference Flask contract — load-once model, POST
+/predict with validated/coerced JSON, round(x, 2) payload, 400 on bad
+input — and agree with the library predict_one path."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.ml.serving import (
+    ModelServer,
+    coerce_request,
+    load_model,
+    predict_one,
+)
+from nyc_taxi_etl_pyspark_spark.ml.trainer import train_gbt_regressor
+from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+REQUIRED = {"x1": float, "x2": int}
+
+
+@pytest.fixture(scope="module")
+def model(spark, sf_dir, tmp_path_factory):
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") / 1000.0).alias("x1"),
+        (F.col("o_orderkey") % 7).cast("int").alias("x2"),
+    )
+    result = train_gbt_regressor(
+        feats, label_col="y", numeric_features=["x1", "x2"], max_iter=3
+    )
+    path = str(tmp_path_factory.mktemp("m") / "model")
+    result.model.write().overwrite().save(path)
+    return load_model(path)  # exercise the model-source path too
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.load(resp)
+
+
+def test_server_predicts_and_matches_library_path(spark, model):
+    features = {"x1": 42.5, "x2": 3}
+    with ModelServer(spark, model, REQUIRED) as srv:
+        host, port = srv.addr
+        status, body = _post(f"http://{host}:{port}/predict", features)
+    assert status == 200
+    want = round(predict_one(spark, model, features), 2)
+    assert body == {"prediction": want}
+
+
+def test_server_rejects_bad_requests(spark, model):
+    with ModelServer(spark, model, REQUIRED) as srv:
+        host, port = srv.addr
+        url = f"http://{host}:{port}/predict"
+        for payload, expect in [
+            ({"x1": 1.0}, 400),  # missing field
+            ({"x1": "nope", "x2": 1}, 400),  # uncoercible
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(url, payload)
+            assert e.value.code == expect
+            assert "error" in json.load(e.value)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"http://{host}:{port}/other", {})
+        assert e.value.code == 404
+
+
+def test_coerce_request_contract():
+    assert coerce_request({"x1": "2.5", "x2": "7"}, REQUIRED) == {
+        "x1": 2.5,
+        "x2": 7,
+    }
+    with pytest.raises(ValueError, match="missing"):
+        coerce_request({"x1": 1.0}, REQUIRED)
+    with pytest.raises(ValueError, match="not coercible"):
+        coerce_request({"x1": 1.0, "x2": "seven"}, REQUIRED)
