@@ -4,11 +4,12 @@ Design: media are **opaque ``binary`` columns with typed metadata**, as in
 large-scale training-data pipelines. The decode / feature-extract / frame-
 sample steps run as Arrow-batched ``mapInPandas`` transforms — the real
 100 TB plumbing (schema contract, partition-preserving batch iteration,
-pandas/numpy inside, zero driver involvement). The *actual* image/audio
-codec step is stubbed (the container ships no PIL/ffmpeg): behind
-``decode_backend="real"`` it raises ``NotImplementedError``; the default
-``"fake"`` backend derives deterministic pseudo-features from the payload
-bytes so the whole pipeline is testable end-to-end and oracle-checkable.
+pandas/numpy inside, zero driver involvement). Two decode backends:
+``decode_backend="real"`` uses PIL when importable (raising
+``NotImplementedError`` only when the library is genuinely absent — this
+container ships no PIL/ffmpeg, so CI skips it); the default ``"fake"``
+backend derives deterministic pseudo-features from the payload bytes so
+the whole pipeline is testable end-to-end and oracle-checkable.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row Python
 overhead, no collect); each output row carries only metadata + small
@@ -72,13 +73,29 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 16 + n % 624, 16 + (n * 7) % 464, 3
 
 
-def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
-    """REAL DECODE STUB — image/audio libraries are not installed in this
-    environment. Wire PIL / torchaudio / pyav here on a real cluster."""
-    raise NotImplementedError(
-        "real media decode requires PIL/ffmpeg, which this container does "
-        "not ship; use decode_backend='fake' for the deterministic test path"
-    )
+def _real_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via PIL when the library is importable
+    (``pip install pillow`` on a real cluster); raises
+    ``NotImplementedError`` only when PIL is genuinely absent. Returns
+    (width, height, n_channels) from the actual image header — PIL's
+    lazy open reads only metadata, so this costs header-parse, not a
+    full raster decode. Audio/video payloads want torchaudio/pyav wired
+    into the same (bytes) -> (dims) contract. Tests exercising this
+    path skip when PIL is missing (tests/test_multimodal.py)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent in CI image
+        raise NotImplementedError(
+            "real media decode requires PIL (pillow), which this "
+            "environment does not ship; use decode_backend='fake' for "
+            "the deterministic test path"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        n_channels = len(img.getbands())
+    return width, height, n_channels
 
 
 def decode_features(

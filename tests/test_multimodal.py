@@ -54,11 +54,46 @@ def test_frame_sample_fanout(spark, sf_dir):
         ]
 
 
-def test_real_decode_is_stubbed(spark, sf_dir):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL installed: real backend is live, not stubbed"
+)
+def test_real_decode_raises_only_without_pil(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(1)
     df = decode_features(attach_payload(d, "text", "image"), decode_backend="real")
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         df.collect()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not installed")
+def test_real_decode_reads_actual_image_headers(spark):
+    """With PIL present, decode_backend='real' must return true raster
+    dimensions from the image header through the same mapInPandas
+    contract as the fake backend."""
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w: int, h: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(320, 200)), (2, png_bytes(64, 480))]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_channels"])
+        for r in decode_features(df, decode_backend="real").collect()
+    }
+    assert got == {1: (320, 200, 3), 2: (64, 480, 3)}
 
 
 def test_no_shuffle_in_decode_plan(spark, sf_dir):
