@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from nyc_taxi_etl_pyspark_spark.plans.registry import query
+from nyc_taxi_etl_pyspark_spark.sources.paths import normalize_uri
 from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
 
 
@@ -413,7 +414,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_taxi_etl_pyspark_spark.sources.io import read_csv
 
-    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    key = spark.sparkContext.applicationId + normalize_uri(sf_dir)
     csv_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_csv_{abs(hash(key))}"
     )
@@ -444,7 +445,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_taxi_etl_pyspark_spark.sources.io import read_json
 
-    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    key = spark.sparkContext.applicationId + normalize_uri(sf_dir)
     json_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_json_{abs(hash(key))}"
     )
@@ -473,7 +474,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_taxi_etl_pyspark_spark.sources.io import read_orc
 
-    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    key = spark.sparkContext.applicationId + normalize_uri(sf_dir)
     orc_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_orc_{abs(hash(key))}"
     )
@@ -557,7 +558,7 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    key = spark.sparkContext.applicationId + os.path.normpath(sf_dir)
+    key = spark.sparkContext.applicationId + normalize_uri(sf_dir)
     txt_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_txt_{abs(hash(key))}"
     )

@@ -213,10 +213,10 @@ def require_local_path(path: str, op: str) -> None:
     missing or half-copied table. Refuse non-local URIs up front instead
     of corrupting silently; on a real lake these routines are replaced
     by a table format's transactional MERGE/OPTIMIZE."""
-    from urllib.parse import urlsplit
+    from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri, uri_scheme
 
-    scheme = urlsplit(path).scheme
-    if scheme not in ("", "file"):
+    scheme = uri_scheme(path)
+    if not is_local_uri(path):
         raise ValueError(
             f"{op} requires a local filesystem path (os.rename-based "
             f"directory swap); got scheme '{scheme}://' in {path!r}. "

@@ -12,13 +12,13 @@ optimization that does not change plans' semantics.
 
 from __future__ import annotations
 
-import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+from nyc_taxi_etl_pyspark_spark.sources.paths import StorageLayout, normalize_uri
 
 TABLES = (
     "region",
@@ -84,24 +84,29 @@ def load_table(
     spark: SparkSession, sf_dir: str, name: str, cached: bool = True
 ) -> DataFrame:
     """Load one fixture table from ``sf_dir``; memoized per session.
-    Thread-safe: concurrent callers of the SAME table dedupe on a
-    per-key lock (one reader builds, the rest reuse — duplicate
-    ``.cache()`` registrations would leak executor memory); callers of
-    different tables proceed in parallel."""
+    ``sf_dir`` is any storage root URI (local path, file://, s3a://,
+    gs://, hdfs://) — resolution goes through the ``StorageLayout`` seam
+    (sources/paths.py), so swapping the lake location is config, never a
+    code change (the reference hardcodes gs:// constants,
+    ``src/gcs/paths.py:1-4``). Thread-safe: concurrent callers of the
+    SAME table dedupe on a per-key lock (one reader builds, the rest
+    reuse — duplicate ``.cache()`` registrations would leak executor
+    memory); callers of different tables proceed in parallel."""
     ensure_session_conf(spark)
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
+    layout = StorageLayout(root=sf_dir)
+    key = (spark.sparkContext.applicationId, normalize_uri(sf_dir), name)
     if cached:
         with _key_lock(key):
             with _CACHE_LOCK:
                 if key in _CACHE:
                     return _CACHE[key]
-            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            df = spark.read.parquet(layout.table(name))
             df = normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
             df = df.cache()
             with _CACHE_LOCK:
                 _CACHE[key] = df
             return df
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(layout.table(name))
     return normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
 
 

@@ -16,14 +16,13 @@ output.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+from nyc_taxi_etl_pyspark_spark.sources.paths import join_uri
 from nyc_taxi_etl_pyspark_spark.sources.tables import normalize_event_ts
 
 
@@ -73,7 +72,7 @@ def run_streaming_tumbling_agg(
     tests/test_streaming.py.
     """
     ensure_session_conf(spark)
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = spark.read.parquet(join_uri(sf_dir, "events.parquet")).schema
     # the file stream source wants a directory; glob down to the one table
     stream = (
         spark.readStream.schema(batch_schema)
@@ -102,7 +101,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture events parquet (shared by the
     streaming queries; ts normalized from TIMESTAMP(NANOS) longs)."""
     ensure_session_conf(spark)
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = spark.read.parquet(join_uri(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
@@ -199,7 +198,7 @@ def run_streaming_tumbling_to_parquet(
     closed windows idempotent; on a real stream you would switch to
     ``update`` + MERGE into a table format."""
     ensure_session_conf(spark)
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = spark.read.parquet(join_uri(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
@@ -293,7 +292,7 @@ def static_type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats materialized in batch (the broadcast-lookup side of the
     stream-static join; at scale this is the slowly-changing dim
     refreshed out-of-band while the stream runs)."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = spark.read.parquet(join_uri(sf_dir, "events.parquet"))
     ev = normalize_event_ts(ev)
     return ev.groupBy("event_type").agg(
         F.avg("value").alias("type_avg_value"),

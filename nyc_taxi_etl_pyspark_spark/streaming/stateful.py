@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from nyc_taxi_etl_pyspark_spark.session import ensure_session_conf
+from nyc_taxi_etl_pyspark_spark.sources.paths import join_uri
 from nyc_taxi_etl_pyspark_spark.sources.tables import normalize_event_ts
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -153,7 +154,7 @@ def run_streaming_sessionize(
     emitted subset matches batch sessionization exactly.
     """
     ensure_session_conf(spark)
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = spark.read.parquet(join_uri(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
