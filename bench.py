@@ -72,6 +72,8 @@ HEADLINE = [
     "q_record_linkage",
     "q_mad_outliers",
     "q_sql_lateral_topn",
+    # round-3 additions: scale-tier blocking
+    "q_record_linkage_snb",
 ]
 
 
@@ -136,17 +138,63 @@ def main() -> None:
     # the single-pass methodology too), so both passes measure execution
     # over identical in-memory inputs — the min removes per-run jitter,
     # not input-scan cost.
-    per_query: dict[str, float] = {}
-    for _run in range(2):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            if name not in per_query or elapsed < per_query[name]:
-                per_query[name] = elapsed
+    def time_headline(d: str) -> dict[str, float]:
+        best: dict[str, float] = {}
+        for _run in range(2):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                df = queries[name](spark, d)
+                df.count()
+                elapsed = round(time.perf_counter() - t0, 4)
+                if name not in best or elapsed < best[name]:
+                    best[name] = elapsed
+        return best
 
+    per_query = time_headline(sf_dir)
     total = round(sum(per_query.values()), 4)
+
+    # Scaling curve: the same headline set at a SECOND scale factor
+    # (default sf0.01, a 10x data step down) gives a per-query growth
+    # ratio. time(sf)/time(sf2) well above the data ratio flags a
+    # super-linear operator — the signal that a plan which passes at
+    # bench scale would NOT survive the next 100x. Caveat: per-query
+    # fixed overhead (~0.05-0.1 s of job scheduling at local scale)
+    # inflates the small-SF denominator, so ratios UNDERSTATE growth;
+    # the flag threshold compensates with slack and a noise floor.
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    sf2_block: dict = {}
+    if sf2_dir and os.path.isdir(sf2_dir) and os.path.abspath(
+        sf2_dir
+    ) != os.path.abspath(sf_dir):
+        clear_cache()
+        with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
+            list(ex.map(lambda t: load_table(spark, sf2_dir, t).count(), TABLES))
+        per_query_sf2 = time_headline(sf2_dir)
+        sf2 = sf2_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            data_ratio = float(sf) / float(sf2)
+        except ValueError:
+            data_ratio = None
+        ratios = {
+            n: round(per_query[n] / per_query_sf2[n], 2)
+            for n in per_query
+            if per_query_sf2.get(n, 0) > 0
+        }
+        superlinear = sorted(
+            n
+            for n, r in ratios.items()
+            if data_ratio is not None
+            and r > 1.2 * data_ratio
+            and per_query[n] > 0.2  # noise floor: sub-0.2 s is overhead
+        )
+        sf2_block = {
+            "sf2": float(sf2) if sf2.replace(".", "").isdigit() else sf2,
+            "queries_sf2": per_query_sf2,
+            "sf2_total_s": round(sum(per_query_sf2.values()), 4),
+            "data_ratio": data_ratio,
+            "scaling_ratio": ratios,
+            "superlinear": superlinear,
+        }
 
     # Baseline-comparable metric (BASELINE.md): the reference's full ETL
     # moved 12,380,927 rows in 124.79 s (~99.2k rows/s) on a Dataproc
@@ -210,6 +258,7 @@ def main() -> None:
                 "etl_rows_per_s": int(n_etl / etl_s),
                 "baseline_etl_rows_per_s": 99214,  # 12,380,927 / 124.79 s (BASELINE.md)
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+                **sf2_block,
             }
         )
     )

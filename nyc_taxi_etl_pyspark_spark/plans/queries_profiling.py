@@ -229,14 +229,14 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mad_outliers",
     oracle="""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
+      SELECT event_type, round(quantile_cont(value, 0.5) + 1e-9, 6) AS med
       FROM events GROUP BY event_type
     ), dev AS (
       SELECT e.event_type, e.value, m.med,
              abs(e.value - m.med) AS adev
       FROM events e JOIN med m ON e.event_type = m.event_type
     ), mad AS (
-      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      SELECT event_type, round(quantile_cont(adev, 0.5) + 1e-9, 6) AS mad
       FROM dev GROUP BY event_type
     )
     SELECT d.event_type,
@@ -259,10 +259,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same group key — both |group|-bounded — re-probing the fact scan
     through broadcast joins, so the big side never shuffles; at 100 TB
     the exact percentile swaps for the approx_percentile sketch with the
-    plan shape unchanged."""
+    plan shape unchanged. Both engines QUANTIZE the interpolated medians
+    (stable round, 6 decimals) before the deviation/3·MAD comparisons so
+    a 1-ulp cross-engine percentile divergence cannot flip the integer
+    outlier count (the q_winsorize lesson)."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        stable_round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -271,7 +274,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+        stable_round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
