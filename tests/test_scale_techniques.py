@@ -348,6 +348,25 @@ def test_headline_plan_shapes(spark, sf_dir):
         assert plan.count("*(") >= 1, (name, "no whole-stage codegen span")
 
 
+def test_record_linkage_snb_plan_is_bucket_equijoin(spark, sf_dir):
+    """The sorted-neighborhood linkage must plan as an EQUI-join keyed on
+    the bucket id (hashable → SMJ/SHJ-degradable at scale), with the band
+    and levenshtein predicates as join-time filters — never a nested-loop
+    over the raw pair space, and never an equi-join that silently keys on
+    something broader (e.g. nationkey)."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    plan = _executed_plan(
+        all_queries()["q_record_linkage_snb"](spark, sf_dir)
+    )
+    import re
+
+    assert "NestedLoop" not in plan
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[bucket", plan), plan
+    # the ±1 replication is a Generate (explode), not a shuffle fan-out
+    assert "Generate explode" in plan
+
+
 def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
     """write_parquet_zorder must cluster files into hyper-rectangles: a
     selective range predicate on EITHER z-ordered column overlaps only a
