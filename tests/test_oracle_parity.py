@@ -119,6 +119,38 @@ def test_threshold_class_parity_at_driver_sf(spark, name):
     assert not problems, "\n".join(problems)
 
 
+# Float-aggregating queries whose summation order depends on the
+# physical partitioning. The driver's session may run any parallelism,
+# so rounded outputs must not sit close enough to a rounding boundary
+# for partition-order jitter to flip them. (A fresh-session version of
+# this audit — local[7], 5 vs 32 shuffle partitions, ALL oracle queries
+# — ran clean in round 3; this in-session subset pins the property.)
+_JITTER_QUERIES = [
+    "q_agg_by_hour",
+    "q_winsorize",
+    "q_mad_outliers",
+    "q_agg_corr",
+    "q_agg_regression",
+]
+
+
+def test_float_outputs_partition_order_insensitive(spark, sf_dir):
+    from tests.oracle_harness import normalize_frame
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, list] = {}
+    try:
+        for parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in _JITTER_QUERIES:
+                frame = normalize_frame(QUERIES[name](spark, sf_dir).toPandas())
+                results.setdefault(name, []).append(frame)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name}: output depends on partition count"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

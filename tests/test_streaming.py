@@ -229,6 +229,66 @@ def test_streaming_upsert_sink_matches_batch_state(spark, sf_dir, tmp_path):
     assert g == w and len(g) > 0
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Actual late-data semantics, not just backlog draining: the fixture
+    tests drive one static backlog through processAllAvailable, so the
+    watermark never advances BETWEEN events and nothing is ever late.
+    Here the file source delivers two batches: batch 1 advances the
+    watermark past an hour window's end (finalizing it in append mode);
+    batch 2 then delivers an event INTO that closed window, which the
+    watermark must drop — the finalized aggregate keeps its batch-1
+    value and the window is emitted exactly once. This is the state
+    bound that makes event-time aggregation viable on an unbounded
+    stream: without the drop, every past window stays amendable and
+    state grows forever."""
+    import datetime
+
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import streaming_tumbling_agg
+
+    src = tmp_path / "src"
+    schema = "ts timestamp, event_type string, value double"
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch 1: two events in [08:00, 09:00), one at 10:00 that pushes the
+    # 10-minute watermark to 09:50 > 09:00, closing the 08:00 window.
+    land([(ts(8, 5), "click", 1.0), (ts(8, 10), "click", 1.0),
+          (ts(10, 0), "click", 1.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = streaming_tumbling_agg(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event aimed at the closed 08:00 window (behind
+        # the 09:50 watermark -> dropped) plus a fresh event at 12:30
+        # that advances the watermark past the 10:00 window.
+        land([(ts(8, 20), "click", 100.0), (ts(12, 30), "click", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("t_late").collect()
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in rows
+    }
+    assert got[(8, "click")] == (2, 2.0), got  # late 100.0 NOT folded in
+    assert got[(10, "click")] == (1, 1.0), got
+    # each window emitted exactly once (append-mode finalization)
+    assert len(rows) == len({(r["window_start"], r["event_type"]) for r in rows})
+
+
 def test_streaming_upsert_sink_rejects_foreign_base(spark, sf_dir, tmp_path):
     """Replay protection must key on the CHECKPOINT IDENTITY, not just
     the integer batch_id: a fresh checkpoint restarts batch ids at 0, so
