@@ -1,0 +1,78 @@
+"""End-to-end corpus pipeline composition (examples/corpus_pipeline_example):
+the staged operators must compose into one consistent result — dedup
+survivors are a subset with no duplicate fingerprints, every curated row
+passes the quality gate, and packing offsets form a correct per-source
+prefix sum."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "corpus_pipeline_example",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "corpus_pipeline_example.py",
+    ),
+)
+_mod = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("corpus_pipeline_example", _mod)
+_spec.loader.exec_module(_mod)
+
+
+def test_corpus_pipeline_invariants(spark, sf_dir):
+    from nyc_taxi_etl_pyspark_spark.functions.text import (
+        fingerprint_md5,
+        quality_gate,
+        tokens_col,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed, stats = _mod.build_curated_corpus(spark, sf_dir)
+    out = packed.cache()
+
+    # subset of the input, keyed by doc_id
+    n_docs = docs.count()
+    n_out = out.count()
+    assert 0 < n_out <= n_docs
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+
+    # exact dedup held: one row per content fingerprint
+    assert (
+        out.withColumn("fp", fingerprint_md5(F.col("text")))
+        .groupBy("fp")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+
+    # every curated row passes the quality gate
+    assert out.filter(~quality_gate(tokens_col(F.col("text")))).count() == 0
+
+    # packing: start_offset is the per-source prefix sum over doc_id order
+    rows = out.select("source", "doc_id", "n_tokens", "start_offset").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in rs:
+            assert r["start_offset"] == running, (source, r)
+            running += r["n_tokens"]
+
+    # mixture stats reconcile with the curated output
+    mix = stats["mixture"]
+    assert mix.agg(F.sum("n_docs")).first()[0] == n_out
+    assert (
+        mix.agg(F.sum("n_tokens")).first()[0]
+        == out.agg(F.sum("n_tokens")).first()[0]
+    )
+    out.unpersist()
