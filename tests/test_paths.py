@@ -48,11 +48,11 @@ def test_storage_layout_and_medallion():
     assert lay.scheme == "s3a" and not lay.is_local
     assert StorageLayout(root="/d", dir_per_table=True).table("t") == "/d/t"
 
-    lake = MedallionPaths(root="gs://corp-lake/nyc-taxi")
-    assert lake.raw == "gs://corp-lake/nyc-taxi/raw"
-    assert lake.curated == "gs://corp-lake/nyc-taxi/curated"
-    assert lake.agg == "gs://corp-lake/nyc-taxi/agg"
-    assert lake.models == "gs://corp-lake/nyc-taxi/models"
+    lake = MedallionPaths(root="gs://example-lake/nyc-taxi")
+    assert lake.raw == "gs://example-lake/nyc-taxi/raw"
+    assert lake.curated == "gs://example-lake/nyc-taxi/curated"
+    assert lake.agg == "gs://example-lake/nyc-taxi/agg"
+    assert lake.models == "gs://example-lake/nyc-taxi/models"
 
 
 def test_load_table_goes_through_layout(spark, sf_dir):
