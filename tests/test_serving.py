@@ -76,6 +76,25 @@ def test_server_rejects_bad_requests(spark, model):
         assert e.value.code == 404
 
 
+def test_server_scoring_failure_returns_500(spark, model):
+    """A request that validates but cannot be scored (the declared
+    required fields don't match the model's feature columns) must return
+    the reference's 500 contract, not crash the server."""
+    with ModelServer(spark, model, {"wrong_feature": float}) as srv:
+        host, port = srv.addr
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"http://{host}:{port}/predict", {"wrong_feature": 1.0})
+        assert e.value.code == 500
+        assert "error" in json.load(e.value)
+        # server survives the failure: a good request still succeeds
+    with ModelServer(spark, model, REQUIRED) as srv:
+        host, port = srv.addr
+        status, _ = _post(
+            f"http://{host}:{port}/predict", {"x1": 1.0, "x2": 2}
+        )
+        assert status == 200
+
+
 def test_coerce_request_contract():
     assert coerce_request({"x1": "2.5", "x2": "7"}, REQUIRED) == {
         "x1": 2.5,
