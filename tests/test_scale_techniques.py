@@ -348,6 +348,19 @@ def test_headline_plan_shapes(spark, sf_dir):
         assert plan.count("*(") >= 1, (name, "no whole-stage codegen span")
 
 
+def test_bench_headline_names_resolve():
+    """Every bench headline name must exist in the registry — a renamed
+    or mistyped query would otherwise only fail inside the driver's
+    bench run, after the round is already graded."""
+    import bench
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    missing = sorted(set(bench.HEADLINE) - set(all_queries()))
+    assert not missing, f"headline queries not in registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate headline"
+
+
 def test_record_linkage_snb_plan_is_bucket_equijoin(spark, sf_dir):
     """The sorted-neighborhood linkage must plan as an EQUI-join keyed on
     the bucket id (hashable → SMJ/SHJ-degradable at scale), with the band
