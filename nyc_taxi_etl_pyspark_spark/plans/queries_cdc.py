@@ -70,6 +70,75 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_table_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 1.1 + 1e-9, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           round((CASE WHEN u.o_orderkey IS NOT NULL
+                       THEN u.o_totalprice ELSE b.o_totalprice END) + 1e-9, 4)
+             AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_tx_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE INTO through the manifest commit-log table
+    (``sources/txtable.py``): the base snapshot is committed once, the
+    same deterministic change set as ``q_merge_upsert`` is merged with
+    optimistic concurrency, and the RESULT IS READ BACK FROM STORAGE by
+    resolving the latest manifest — so the oracle checks the whole
+    protocol round-trip (stage → atomic manifest put → snapshot read),
+    not just the join. Idempotent across invocations: latest-wins with
+    a fixed change set is a fixpoint, and ``vacuum`` bounds retained
+    versions. The object-store-safety contract (no rename anywhere on
+    the path) is what lets MERGE/OPTIMIZE run where the reference
+    actually stores data (``src/gcs/paths.py:1-4``)."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = os.path.abspath(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_txtable_{abs(hash(key))}"
+    )
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o)
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        stable_round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    t.merge(spark, updates, ["o_orderkey"])
+    t.vacuum(retain_versions=2)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_incremental_agg",
     oracle="""
     SELECT event_type, count(*) AS n_events,

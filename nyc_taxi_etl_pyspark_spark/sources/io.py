@@ -249,27 +249,48 @@ def compact_parquet(
     writers all fragment; thousands of KB-files turn a 100 TB scan into a
     metadata storm and starve the vectorized reader of row groups).
 
-    Reads the fragmented layout, rewrites it as ``ceil(rows/target)``
-    files via an even round-robin repartition, then swaps directories by
-    two renames — write-new, never delete-then-write, so the data is
-    never in a half-written state (a reader that lists the directory in
-    the instant BETWEEN the renames must retry; plain filesystems have
-    no atomic directory swap — that retry window is what table formats'
-    transactional metadata removes). Crash-safe: a crash between the
-    renames strands the data at a unique ``.compact_old-*`` name, which
-    the next invocation restores before compacting; stale leftovers are
-    reaped. Returns {files_before, files_after, rows}. At scale the
-    same routine runs per partition directory (bounded unit of work) —
-    exactly what table formats' OPTIMIZE does; pair with
-    ``write_parquet_range_sorted`` / ``write_parquet_zorder`` to
-    restore clustering while compacting.
+    Two tiers, dispatched on the table's layout:
+
+    - **Transactional table** (carries a ``_commits/`` manifest log,
+      ``sources/txtable.py``): OPTIMIZE through the commit protocol —
+      rewrite snapshot N into fewer immutable files and atomically
+      commit manifest N+1. Safe on ANY storage (object stores included):
+      readers resolve N or N+1, never a partial listing, and there is
+      no instant where the table is absent. This is the production
+      tier.
+    - **Plain parquet directory**: the original two-rename swap —
+      write-new, never delete-then-write, so the data is never
+      half-written (a reader that lists in the instant BETWEEN the
+      renames must retry; plain filesystems have no atomic directory
+      swap — removing that window is exactly what the manifest tier
+      does). Crash-safe: a crash between the renames strands the data
+      at a unique ``.compact_old-*`` name, which the next invocation
+      restores; stale leftovers are reaped. Rename-atomicity confines
+      this tier to local POSIX paths — an object-store path must use
+      the transactional layout (``TransactionalTable.commit`` once,
+      then every later compact routes through the protocol).
+
+    Returns {files_before, files_after, rows}. At scale the routine
+    runs per partition directory (bounded unit of work) — what table
+    formats' OPTIMIZE does; pair with ``write_parquet_range_sorted`` /
+    ``write_parquet_zorder`` to restore clustering while compacting.
     """
     import glob
     import math
     import shutil
     import uuid
 
-    require_local_path(path, "compact_parquet")
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        TransactionalTable,
+        is_transactional,
+    )
+
+    if is_transactional(path):
+        return TransactionalTable(path).optimize(
+            spark, target_rows_per_file=target_rows_per_file
+        )
+
+    require_local_path(path, "compact_parquet (plain-directory tier)")
     root = path.rstrip("/")
     # recover a crashed previous swap (newest by mtime), then reap
     # finished leftovers — including .compact_new-* dirs from a crash

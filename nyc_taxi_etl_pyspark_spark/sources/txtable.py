@@ -1,0 +1,413 @@
+"""Manifest/commit-log transactional tables — MERGE/OPTIMIZE that
+survive object stores.
+
+The engine's rename-swap maintenance routines (``io.compact_parquet``,
+the streaming upsert sink) are crash-safe only where same-filesystem
+``os.rename`` is atomic — a local POSIX volume. The reference actually
+stores its medallion layers on an object store
+(``/root/reference/src/gcs/paths.py:1-4``), where rename is copy+delete
+and a concurrent reader can observe a missing or half-copied table.
+
+This module is the minimal commit protocol that removes the rename
+dependence — the core idea of Delta Lake's ``_delta_log`` and Iceberg's
+snapshot/manifest scheme, reduced to the two primitives every storage
+system actually offers:
+
+1. **Immutable, uniquely-named data files.** Writers stage new parquet
+   files under ``data/`` with uuid names. Nothing ever overwrites or
+   renames a data file; unreferenced files are invisible to readers.
+2. **One atomic, conditional manifest put.** A commit is a single
+   ``_commits/v<N>.json`` object created with put-if-absent semantics.
+   The manifest lists the COMPLETE file set of snapshot ``N`` — readers
+   resolve the highest committed version and read exactly those files.
+
+Consequences:
+
+- A reader that lists mid-commit sees version N or version N+1, never a
+  partial table: data files only become reachable when the manifest
+  naming them lands, and the manifest lands atomically or not at all.
+- A crash mid-commit strands unreferenced data files (reclaimed by
+  ``vacuum``) and nothing else; the table is never unavailable — there
+  is no window where the root is renamed away, unlike the swap scheme.
+- Concurrent writers race on the SAME version number; put-if-absent
+  arbitrates, the loser re-reads and retries (optimistic concurrency) —
+  exactly Delta's commit-conflict protocol.
+- Time travel falls out for free: every retained version stays
+  readable (``read(spark, version=K)``).
+
+Storage backends implement only put-if-absent / put / read / list /
+delete / upload. ``LocalStorage`` targets POSIX (put-if-absent via
+``os.link``, which is atomic and fails on EEXIST).
+``ObjectStoreSimStorage`` (tests) models an object store: atomic PUT,
+listing, NO rename primitive — its ``rename`` is deliberately
+copy-then-delete with a visible intermediate window, and the protocol
+tests prove correctness without ever calling it. On a real lake the
+same protocol maps 1:1 onto S3 conditional PUT (If-None-Match) / GCS
+preconditions; data-file upload maps onto the cloud committers'
+direct-to-final-unique-name write, so no extra copy is paid at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+COMMITS_DIR = "_commits"
+DATA_DIR = "data"
+_V_WIDTH = 20  # zero-padded so lexicographic listing order == numeric order
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this commit targeted.
+    Re-read the table and retry the read-modify-write."""
+
+
+class LocalStorage:
+    """POSIX-backed storage. put-if-absent = write temp + ``os.link``:
+    the link is atomic, fails with EEXIST when the key exists, and the
+    linked content is complete (written and closed before linking) — a
+    reader can never observe a partial manifest."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root.rstrip("/")
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- key <-> filesystem ------------------------------------------------
+    def url(self, key: str) -> str:
+        """Spark-readable location of ``key`` (local path here; a cloud
+        backend returns the object URI)."""
+        return os.path.join(self.root, key)
+
+    # -- object ops --------------------------------------------------------
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        dest = self.url(key)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest))
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, dest)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+    def read(self, key: str) -> bytes:
+        with open(self.url(key), "rb") as f:
+            return f.read()
+
+    def list(self, prefix: str) -> list[str]:
+        base = self.url(prefix)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            f"{prefix}/{name}" for name in os.listdir(base)
+            if not name.startswith(".")
+        )
+
+    def delete(self, key: str) -> None:
+        try:
+            os.unlink(self.url(key))
+        except FileNotFoundError:
+            pass
+
+    def upload_file(self, local_path: str, key: str) -> None:
+        """Publish a locally-staged file at ``key``. Local backend: hard
+        link when possible (zero-copy), else copy. Cloud backends PUT the
+        object — atomic by the store's contract. Either way the key name
+        is unique and unreferenced until a manifest names it, so partial
+        visibility cannot affect readers."""
+        dest = self.url(key)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            os.link(local_path, dest)
+        except OSError:
+            shutil.copyfile(local_path, dest)
+
+
+class ObjectStoreSimStorage(LocalStorage):
+    """Object-store semantics simulator for tests: atomic conditional
+    PUT, flat listing, and — crucially — a ``rename`` that is
+    copy-then-delete with a crash hook, mirroring what s3/gs "rename"
+    actually does. The commit protocol never calls ``rename``; the test
+    suite uses it to demonstrate why the old swap scheme is unsafe here.
+    (PUT atomicity is emulated with a link because the sim runs on
+    POSIX; real object stores provide atomic PUT natively.)"""
+
+    def rename(self, src_key: str, dst_key: str, crash_after_copy: bool = False) -> None:
+        src, dst = self.url(src_key), self.url(dst_key)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+        if crash_after_copy:
+            raise RuntimeError("simulated crash between copy and delete")
+        if os.path.isdir(src):
+            shutil.rmtree(src)
+        else:
+            os.unlink(src)
+
+
+def _manifest_key(version: int) -> str:
+    return f"{COMMITS_DIR}/v{version:0{_V_WIDTH}d}.json"
+
+
+def _version_of(key: str) -> int:
+    name = key.rsplit("/", 1)[-1]
+    return int(name[1:].split(".", 1)[0])
+
+
+@dataclass
+class TransactionalTable:
+    """A parquet table governed by the manifest commit log.
+
+    ``root`` is any storage root; ``storage`` defaults to
+    ``LocalStorage`` (tests inject ``ObjectStoreSimStorage``).
+    """
+
+    root: str
+    storage: LocalStorage = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.storage is None:
+            self.storage = LocalStorage(self.root)
+
+    # -- snapshot resolution ----------------------------------------------
+    def versions(self) -> list[int]:
+        return sorted(
+            _version_of(k) for k in self.storage.list(COMMITS_DIR)
+            if k.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else -1
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        """The manifest of ``version`` (default: latest). Walks backward
+        past unreadable entries — with atomic puts none should exist,
+        but a vacuum racing this listing may have deleted an old one."""
+        vs = self.versions()
+        if version is not None:
+            vs = [v for v in vs if v == version]
+        for v in reversed(vs):
+            try:
+                return json.loads(self.storage.read(_manifest_key(v)))
+            except (OSError, ValueError):
+                continue
+        return None
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed version in transactional table {self.root}"
+            )
+        paths = [self.storage.url(f) for f in m["files"]]
+        return spark.read.parquet(*paths)
+
+    def exists(self) -> bool:
+        return self.latest_version() >= 0
+
+    # -- commit path -------------------------------------------------------
+    def _stage(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write ``df`` as uniquely-named immutable files under
+        ``data/``. Staged through a local temp dir then published
+        per-file; a cloud deployment instead writes directly to the
+        final unique names via the store's committer (same invariant:
+        names are fresh, nothing references them yet)."""
+        staging = tempfile.mkdtemp(prefix="txtable-stage-")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            keys: list[str] = []
+            for name in sorted(os.listdir(staging)):
+                if not name.endswith(".parquet"):
+                    continue
+                key = f"{DATA_DIR}/{uuid.uuid4().hex}-{name}"
+                self.storage.upload_file(os.path.join(staging, name), key)
+                keys.append(key)
+            return keys, len(keys)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "replace",
+        meta: dict | None = None,
+        expect_version: int | None = None,
+    ) -> int:
+        """Commit ``df`` as the next snapshot and return its version.
+
+        ``mode="replace"``: the new manifest lists only the staged
+        files (full-snapshot semantics — what merge/compact produce).
+        ``mode="append"``: staged files are added to the current file
+        set (blind append; on conflict the append rebases and retries,
+        since appends commute).
+
+        ``expect_version``: optimistic-concurrency guard for
+        read-modify-write commits — the version the writer derived its
+        result FROM. If someone else committed past it, raises
+        :class:`CommitConflict` (the caller re-reads and recomputes).
+        """
+        rows = df.count()
+        keys, _ = self._stage(df)
+        while True:
+            base_v = self.latest_version()
+            if expect_version is not None and base_v != expect_version:
+                raise CommitConflict(
+                    f"{self.root}: derived from v{expect_version} but table "
+                    f"is at v{base_v}; re-read and retry"
+                )
+            if mode == "append" and base_v >= 0:
+                files = list(self.manifest(base_v)["files"]) + keys
+                prev_rows = self.manifest(base_v).get("rows", 0)
+                total_rows = prev_rows + rows
+            else:
+                files = keys
+                total_rows = rows
+            new_v = base_v + 1
+            manifest = {
+                "version": new_v,
+                "parent": base_v if base_v >= 0 else None,
+                "files": files,
+                "rows": total_rows,
+                "meta": meta or {},
+            }
+            payload = json.dumps(manifest, sort_keys=True).encode()
+            if self.storage.put_if_absent(_manifest_key(new_v), payload):
+                return new_v
+            # lost the race for new_v
+            if expect_version is not None:
+                raise CommitConflict(
+                    f"{self.root}: v{new_v} committed concurrently; "
+                    "re-read and retry"
+                )
+            # blind replace/append: rebase on the winner and retry
+
+    # -- maintenance -------------------------------------------------------
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        max_retries: int = 5,
+    ) -> dict:
+        """Transactional small-file compaction (table-format OPTIMIZE):
+        read snapshot N, rewrite into ``ceil(rows/target)`` files,
+        commit as N+1 **iff the table is still at N** — a concurrent
+        writer wins the race and compaction retries against the new
+        snapshot. Readers of N keep their files (immutable) until
+        ``vacuum``; there is no retry-window where the table is absent,
+        which the rename-swap scheme could not avoid."""
+        import math
+
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to optimize in {self.root}")
+            df = self.read(spark, base_v)
+            rows = m.get("rows") or df.count()
+            n_files = max(1, math.ceil(rows / target_rows_per_file))
+            try:
+                new_v = self.commit(
+                    df.repartition(n_files),
+                    mode="replace",
+                    meta={"op": "optimize", "source_version": base_v},
+                    expect_version=base_v,
+                )
+            except CommitConflict:
+                continue
+            return {
+                "files_before": len(m["files"]),
+                "files_after": len(self.manifest(new_v)["files"]),
+                "rows": rows,
+                "version": new_v,
+            }
+        raise CommitConflict(f"optimize lost {max_retries} commit races on {self.root}")
+
+    def vacuum(self, retain_versions: int = 2) -> dict:
+        """Reclaim storage: drop manifests older than the newest
+        ``retain_versions`` and delete data files referenced by none of
+        the retained snapshots (plus any never-committed strays from
+        crashed commits). Retention is the reader grace period — an
+        in-flight reader of a retained version is never broken; size it
+        to the longest query you run (Delta's
+        ``delete.retentionDuration``, by version count)."""
+        vs = self.versions()
+        keep = set(vs[-retain_versions:]) if retain_versions > 0 else set(vs[-1:])
+        live: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            if m:
+                live.update(m["files"])
+        removed_manifests = 0
+        for v in vs:
+            if v not in keep:
+                self.storage.delete(_manifest_key(v))
+                removed_manifests += 1
+        removed_files = 0
+        for key in self.storage.list(DATA_DIR):
+            if key not in live:
+                self.storage.delete(key)
+                removed_files += 1
+        return {
+            "removed_manifests": removed_manifests,
+            "removed_data_files": removed_files,
+            "retained_versions": sorted(keep),
+        }
+
+    # -- MERGE -------------------------------------------------------------
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        *,
+        latest_by: list[str] | None = None,
+        meta: dict | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Transactional MERGE INTO: latest-wins upsert of ``updates``
+        against the current snapshot (``operators/merge.py`` semantics),
+        committed with optimistic concurrency — the read-merge-commit
+        loop retries from the NEW snapshot if another writer lands
+        first, so concurrent mergers serialize without locks."""
+        from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            if base_v < 0:
+                merged = updates
+            else:
+                merged = merge_upsert(
+                    self.read(spark, base_v), updates, key_cols, latest_by=latest_by
+                )
+            try:
+                return self.commit(
+                    merged,
+                    mode="replace",
+                    meta={**(meta or {}), "op": "merge", "source_version": base_v},
+                    expect_version=base_v if base_v >= 0 else None,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"merge lost {max_retries} commit races on {self.root}")
+
+
+def is_transactional(path: str) -> bool:
+    """True when ``path`` carries a commit log (used by
+    ``io.compact_parquet`` to dispatch OPTIMIZE through the protocol
+    instead of the local-only rename swap)."""
+    return os.path.isdir(os.path.join(path.rstrip("/"), COMMITS_DIR))

@@ -337,15 +337,48 @@ def run_streaming_static_join(
     return spark.table(query_name)
 
 
+def _checkpoint_identity(checkpoint_path: str) -> str:
+    """Stable random identity for a logical streaming query, stored
+    INSIDE the checkpoint directory (``engine_identity``): resuming the
+    same checkpoint — even after relocating the directory — yields the
+    same identity, while a fresh checkpoint gets a fresh one. (The
+    previous abspath-hash scheme made a merely-moved checkpoint look
+    like a different query; ADVICE r3.) Created with O_EXCL so two
+    racing starters of the same new checkpoint converge on one value."""
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(checkpoint_path, exist_ok=True)
+    p = _os.path.join(checkpoint_path, "engine_identity")
+    try:
+        with open(p) as f:
+            ident = f.read().strip()
+        if ident:
+            return ident
+    except OSError:
+        pass
+    ident = _uuid.uuid4().hex[:16]
+    try:
+        fd = _os.open(p, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        with _os.fdopen(fd, "w") as f:
+            f.write(ident)
+        return ident
+    except FileExistsError:
+        with open(p) as f:
+            return f.read().strip()
+
+
 def run_streaming_upsert_sink(
     spark: SparkSession,
     sf_dir: str,
     base_path: str,
     checkpoint_path: str,
+    protocol: str = "auto",
+    storage=None,
 ) -> None:
     """Streaming CDC apply: each micro-batch of events is reduced to one
     latest-state row per (user_id, event_type) key and MERGEd into a
-    parquet base table via ``operators/merge.py::merge_upsert`` inside
+    base table via ``operators/merge.py::merge_upsert`` inside
     ``foreachBatch`` — the standard "stream of changes → queryable
     current-state table" pattern. The in-batch reduction (max_by on
     event time) keeps the merge's update side one-row-per-key no matter
@@ -354,40 +387,84 @@ def run_streaming_upsert_sink(
     foreachBatch is AT-LEAST-once (a crash between the sink commit and
     the checkpoint commit replays the batch), and this sink accumulates
     counts — so replay protection is explicit: the applied ``batch_id``
-    plus the CHECKPOINT IDENTITY (hash of the checkpoint path) are
-    written INSIDE the new state directory before the swap (they travel
-    with the directory in one rename), and a replayed batch whose id is
-    already recorded FOR THIS CHECKPOINT is skipped. The identity guard
-    matters: batch ids restart at 0 under a fresh checkpoint, so an
-    id-only marker would silently skip every batch of a new query
-    pointed at an old base — instead that mismatch raises, because
-    re-streaming into a count-accumulating base double-counts. Recovery:
-    if a crash stranded the base at its ``.__old-*`` name (between the
-    two renames), the next batch restores the newest by mtime before
-    applying. On a real lake the rewritten base becomes transactional
-    MERGE INTO on a table format; the join shape — small change set
-    broadcast against the base — is identical.
+    plus the CHECKPOINT IDENTITY (a random id stored inside the
+    checkpoint directory, ``_checkpoint_identity``) ride the committed
+    base atomically, and a replayed batch whose id is already recorded
+    FOR THIS CHECKPOINT is skipped. The identity guard matters: batch
+    ids restart at 0 under a fresh checkpoint, so an id-only marker
+    would silently skip every batch of a new query pointed at an old
+    base — instead that mismatch raises, because re-streaming into a
+    count-accumulating base double-counts.
+
+    ``protocol`` selects how a commit becomes visible:
+
+    - ``"manifest"`` — the base is a :class:`~nyc_taxi_etl_pyspark_spark.
+      sources.txtable.TransactionalTable`: the merged snapshot's files
+      land under ``data/`` and ONE atomic manifest put publishes them,
+      with the (identity, batch_id) marker in the manifest ``meta`` —
+      safe on object stores, readers never see a partial table, and a
+      crash mid-commit leaves the previous version fully readable.
+      Read the result with ``TransactionalTable(base).read(spark)``.
+    - ``"rename"`` — legacy two-rename directory swap for plain local
+      parquet dirs (kept for existing layouts); crash recovery restores
+      the newest ``.__old-*`` stranded dir by mtime. Local POSIX only.
+    - ``"auto"`` (default) — ``"manifest"`` when the base already has a
+      commit log, a ``storage`` backend is injected, or the path is a
+      non-local URI; else ``"rename"``.
+
+    On a real lake ``storage`` is the object-store adapter (conditional
+    PUT); the join shape — small change set broadcast against the base
+    — is identical in every mode.
     """
     import glob as _glob
-    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
 
     from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
-    from nyc_taxi_etl_pyspark_spark.sources.io import (
-        _restore_newest_stranded,
-        require_local_path,
+    from nyc_taxi_etl_pyspark_spark.sources.io import _restore_newest_stranded
+    from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        TransactionalTable,
+        is_transactional,
     )
 
     ensure_session_conf(spark)
-    require_local_path(base_path, "run_streaming_upsert_sink")
+    root = base_path.rstrip("/")
+    if protocol == "auto":
+        protocol = (
+            "manifest"
+            if storage is not None or is_transactional(root) or not is_local_uri(root)
+            else "rename"
+        )
+    if protocol == "manifest" and storage is None and not is_local_uri(root):
+        raise ValueError(
+            f"run_streaming_upsert_sink: non-local base {root!r} needs an "
+            "injected storage backend implementing conditional PUT "
+            "(sources/txtable.py) — the default LocalStorage cannot "
+            "address it."
+        )
+    if protocol == "rename":
+        from nyc_taxi_etl_pyspark_spark.sources.io import require_local_path
+
+        require_local_path(root, "run_streaming_upsert_sink(protocol='rename')")
     stream = _events_stream(spark, sf_dir)
     state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
-    root = base_path.rstrip("/")
     marker = "_applied_batch_id"
-    ckpt_identity = _hashlib.sha256(
-        _os.path.abspath(checkpoint_path).encode()
-    ).hexdigest()[:16]
+    ckpt_identity = _checkpoint_identity(checkpoint_path)
+    table = TransactionalTable(root, storage=storage) if protocol == "manifest" else None
+
+    def _check_replay(rec_identity: str | None, rec_id: int, batch_id: int) -> bool:
+        """True → batch already applied (skip). Raises on foreign base."""
+        if rec_identity is not None and rec_identity != ckpt_identity:
+            raise ValueError(
+                f"{root} was built by a different streaming query "
+                f"(checkpoint identity {rec_identity}, this query "
+                f"{ckpt_identity}): re-applying a fresh stream onto "
+                "an accumulating base would double-count. Point the "
+                "sink at a new base_path or resume the original "
+                "checkpoint."
+            )
+        return rec_id >= batch_id
 
     def _applied() -> tuple[str | None, int]:
         """(checkpoint identity, batch id) recorded in the base, or
@@ -397,31 +474,21 @@ def run_streaming_upsert_sink(
                 lines = f.read().split()
         except OSError:
             return None, -1
-        if len(lines) >= 2:
-            return lines[0], int(lines[1])
-        # legacy id-only marker: identity unknown
-        return None, int(lines[0]) if lines else -1
+        try:
+            if len(lines) >= 2:
+                return lines[0], int(lines[1])
+            # legacy id-only marker: identity unknown
+            return None, int(lines[0]) if lines else -1
+        except ValueError:
+            # corrupted/truncated marker: fail loudly — silently treating
+            # it as "nothing applied" risks double-counting a replay.
+            raise ValueError(
+                f"corrupted replay marker in {root}/{marker}: {lines!r}; "
+                "restore the base from a good copy or remove it to "
+                "rebuild from the stream."
+            ) from None
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # crash recovery: a failed swap may have stranded the base at
-        # .__old-<id>; restore the newest (by mtime) if the base is missing.
-        _restore_newest_stranded(root, root + ".__old-*")
-        for leftover in _glob.glob(root + ".__old-*"):
-            _shutil.rmtree(leftover, ignore_errors=True)
-        # replay protection: the marker rode the committed directory.
-        if _os.path.isdir(root):
-            rec_identity, rec_id = _applied()
-            if rec_identity is not None and rec_identity != ckpt_identity:
-                raise ValueError(
-                    f"{root} was built by a different streaming query "
-                    f"(checkpoint identity {rec_identity}, this query "
-                    f"{ckpt_identity}): re-applying a fresh stream onto "
-                    "an accumulating base would double-count. Point the "
-                    "sink at a new base_path or resume the original "
-                    "checkpoint."
-                )
-            if rec_id >= batch_id:
-                return
+    def _merged_state(batch_df: DataFrame, base: DataFrame | None) -> DataFrame:
         updates = (
             batch_df.groupBy("user_id", "event_type")
             .agg(
@@ -430,26 +497,61 @@ def run_streaming_upsert_sink(
                 F.count("*").alias("n_events"),
             )
         )
-        if _os.path.isdir(root):
-            base = spark.read.parquet(root).select(*state_cols)
-            # n_events must ACCUMULATE across batches, not replace: fold
-            # the base count into the update before the latest-wins merge.
-            prev = base.select(
-                "user_id", "event_type", F.col("n_events").alias("__prev_n")
+        if base is None:
+            return updates.select(*state_cols)
+        base = base.select(*state_cols)
+        # n_events must ACCUMULATE across batches, not replace: fold
+        # the base count into the update before the latest-wins merge.
+        prev = base.select(
+            "user_id", "event_type", F.col("n_events").alias("__prev_n")
+        )
+        updates = (
+            updates.join(prev, ["user_id", "event_type"], "left")
+            .withColumn(
+                "n_events",
+                F.col("n_events") + F.coalesce(F.col("__prev_n"), F.lit(0)),
             )
-            updates = (
-                updates.join(prev, ["user_id", "event_type"], "left")
-                .withColumn(
-                    "n_events",
-                    F.col("n_events") + F.coalesce(F.col("__prev_n"), F.lit(0)),
-                )
-                .drop("__prev_n")
-            )
-            merged = merge_upsert(
-                base, updates.select(*state_cols), ["user_id", "event_type"]
-            )
+            .drop("__prev_n")
+        )
+        return merge_upsert(base, updates.select(*state_cols), ["user_id", "event_type"])
+
+    def apply_batch_manifest(batch_df: DataFrame, batch_id: int) -> None:
+        m = table.manifest()
+        if m is not None:
+            meta = m.get("meta", {})
+            if _check_replay(
+                meta.get("ckpt_identity"), int(meta.get("applied_batch_id", -1)), batch_id
+            ):
+                return
+            base = table.read(spark)
+            expect = m["version"]
         else:
-            merged = updates.select(*state_cols)
+            base, expect = None, None
+        merged = _merged_state(batch_df, base)
+        # single writer per checkpoint → the expect_version commit cannot
+        # conflict in normal operation; if it ever does (misconfigured
+        # second writer) the CommitConflict propagates and fails the
+        # stream rather than double-counting.
+        table.commit(
+            merged,
+            mode="replace",
+            meta={"ckpt_identity": ckpt_identity, "applied_batch_id": batch_id},
+            expect_version=expect,
+        )
+
+    def apply_batch_rename(batch_df: DataFrame, batch_id: int) -> None:
+        # crash recovery: a failed swap may have stranded the base at
+        # .__old-<id>; restore the newest (by mtime) if the base is missing.
+        _restore_newest_stranded(root, root + ".__old-*")
+        for leftover in _glob.glob(root + ".__old-*"):
+            _shutil.rmtree(leftover, ignore_errors=True)
+        base = None
+        if _os.path.isdir(root):
+            rec_identity, rec_id = _applied()
+            if _check_replay(rec_identity, rec_id, batch_id):
+                return
+            base = spark.read.parquet(root)
+        merged = _merged_state(batch_df, base)
         tmp = root + f".__batch{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         with open(_os.path.join(tmp, marker), "w") as f:
@@ -461,6 +563,10 @@ def run_streaming_upsert_sink(
             _shutil.rmtree(old)
         else:
             _os.rename(tmp, root)
+
+    apply_batch = (
+        apply_batch_manifest if protocol == "manifest" else apply_batch_rename
+    )
 
     q = (
         stream.writeStream.outputMode("update")

@@ -310,9 +310,12 @@ def test_streaming_upsert_sink_rejects_foreign_base(spark, sf_dir, tmp_path):
 
 
 def test_swap_sinks_reject_object_store_paths(spark, sf_dir, tmp_path):
-    """The rename-swap sinks are only crash-safe on a local POSIX
-    filesystem; an object-store URI must be refused up front (rename is
-    copy+delete there — a reader can observe a missing table)."""
+    """Object-store URIs never reach a rename: the plain-directory
+    compaction tier refuses them (rename is copy+delete there — a
+    reader can observe a missing table), and the upsert sink routes
+    them to the manifest protocol, which demands a real storage
+    backend rather than silently using POSIX calls on a URI. The
+    explicitly-forced legacy rename protocol also refuses."""
     import pytest
 
     from nyc_taxi_etl_pyspark_spark.sources.io import compact_parquet
@@ -320,7 +323,15 @@ def test_swap_sinks_reject_object_store_paths(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="local filesystem"):
         compact_parquet(spark, "s3://bucket/table")
-    with pytest.raises(ValueError, match="local filesystem"):
+    with pytest.raises(ValueError, match="storage backend"):
         run_streaming_upsert_sink(
             spark, sf_dir, "gs://bucket/state", checkpoint_path=str(tmp_path / "c")
+        )
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_streaming_upsert_sink(
+            spark,
+            sf_dir,
+            "gs://bucket/state",
+            checkpoint_path=str(tmp_path / "c2"),
+            protocol="rename",
         )

@@ -1,0 +1,359 @@
+"""Manifest/commit-log transactional table protocol (sources/txtable.py).
+
+The contract under test: on storage where rename is NOT atomic (object
+stores — simulated by ``ObjectStoreSimStorage``, whose only primitives
+are atomic PUT / list / delete), a reader that lists the table at ANY
+instant — including mid-commit — sees a complete committed snapshot,
+never a partial or missing table. Plus: optimistic concurrency
+(put-if-absent arbitration), crash recovery, vacuum, MERGE, and the
+OPTIMIZE dispatch from ``io.compact_parquet``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+    CommitConflict,
+    LocalStorage,
+    ObjectStoreSimStorage,
+    TransactionalTable,
+    is_transactional,
+)
+
+
+def _snapshot_df(spark, version: int, rows: int = 50):
+    """Deterministic content for snapshot ``version``: ``rows`` rows all
+    tagged v=version — a reader can verify snapshot consistency from the
+    data alone (mixed v values or a wrong count ⇒ torn read)."""
+    return spark.range(rows).select(
+        F.col("id"), F.lit(version).alias("v"), (F.col("id") * version).alias("x")
+    )
+
+
+def test_commit_read_roundtrip_and_time_travel(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    assert not t.exists()
+    v0 = t.commit(_snapshot_df(spark, 0, 10))
+    v1 = t.commit(_snapshot_df(spark, 1, 20))
+    assert (v0, v1) == (0, 1)
+    cur = t.read(spark)
+    assert cur.count() == 20 and cur.agg(F.max("v")).first()[0] == 1
+    # immutable history: version 0 still readable as committed
+    old = t.read(spark, version=0)
+    assert old.count() == 10 and old.agg(F.max("v")).first()[0] == 0
+    assert is_transactional(str(tmp_path / "t"))
+
+
+def test_append_mode_accumulates_files_and_rows(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).select("id"), mode="append")
+    t.commit(spark.range(10, 25).select("id"), mode="append")
+    got = t.read(spark)
+    assert got.count() == 25
+    assert sorted(r["id"] for r in got.collect()) == list(range(25))
+    assert t.manifest()["rows"] == 25
+
+
+def test_reader_mid_commit_sees_previous_complete_snapshot(spark, tmp_path):
+    """Deterministic torn-read probe on object-store semantics: a hook
+    fires at the exact instant BETWEEN data-file upload and the manifest
+    put — the widest inconsistency window the protocol has. A reader at
+    that instant must resolve the PREVIOUS version, complete."""
+    root = str(tmp_path / "t")
+    storage = ObjectStoreSimStorage(root)
+
+    reads_mid_commit = []
+
+    class HookedStorage(ObjectStoreSimStorage):
+        def put_if_absent(self, key, data):
+            if key.startswith("_commits/"):
+                # data files for the NEW version are already uploaded;
+                # the commit is not yet visible. Read now.
+                snap = TransactionalTable(root, storage=storage).read(spark)
+                rows = snap.collect()
+                reads_mid_commit.append(
+                    (len(rows), {r["v"] for r in rows})
+                )
+            return super().put_if_absent(key, data)
+
+    hooked = HookedStorage(root)
+    t = TransactionalTable(root, storage=storage)
+    t.commit(_snapshot_df(spark, 0, 30))
+
+    t_hooked = TransactionalTable(root, storage=hooked)
+    t_hooked.commit(_snapshot_df(spark, 1, 40))
+
+    # the mid-commit read saw version 0, whole and alone
+    assert reads_mid_commit == [(30, {0})]
+    # and after the put the new version is what readers resolve
+    final = t.read(spark)
+    assert final.count() == 40 and final.agg(F.max("v")).first()[0] == 1
+
+
+def test_concurrent_reader_race_never_tears(spark, tmp_path):
+    """Thread race on the shim: a writer commits 6 successive snapshots
+    while a reader loops full reads. EVERY read must be internally
+    consistent — all rows carry one version tag and the count matches
+    that version's contract. (The rename-swap scheme fails this on an
+    object store: the listing can catch the copy half-done.)"""
+    root = str(tmp_path / "t")
+    storage = ObjectStoreSimStorage(root)
+    t = TransactionalTable(root, storage=storage)
+    t.commit(_snapshot_df(spark, 0, rows=10))
+
+    bad: list = []
+    done = threading.Event()
+
+    def reader():
+        rt = TransactionalTable(root, storage=ObjectStoreSimStorage(root))
+        while not done.is_set():
+            rows = rt.read(spark).collect()
+            versions = {r["v"] for r in rows}
+            if len(versions) != 1 or len(rows) != 10 * (next(iter(versions)) + 1):
+                bad.append((len(rows), versions))
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for v in range(1, 6):
+            t.commit(_snapshot_df(spark, v, rows=10 * (v + 1)))
+    finally:
+        done.set()
+        th.join()
+    assert bad == []
+
+
+def test_crash_before_manifest_put_leaves_table_readable(spark, tmp_path):
+    """A writer that dies after uploading data files but before the
+    manifest put must leave the table exactly at the previous version;
+    the stranded files are invisible and vacuum reclaims them."""
+    root = str(tmp_path / "t")
+
+    class CrashingStorage(LocalStorage):
+        def put_if_absent(self, key, data):
+            if key.startswith("_commits/v" + "0" * 19 + "1"):
+                raise RuntimeError("simulated writer death before manifest put")
+            return super().put_if_absent(key, data)
+
+    t = TransactionalTable(root)
+    t.commit(_snapshot_df(spark, 0, 15))
+    crasher = TransactionalTable(root, storage=CrashingStorage(root))
+    with pytest.raises(RuntimeError, match="writer death"):
+        crasher.commit(_snapshot_df(spark, 1, 99))
+
+    got = t.read(spark)
+    assert got.count() == 15 and got.agg(F.max("v")).first()[0] == 0
+    # stranded (never-committed) data files exist, then vacuum reaps them
+    live = set(t.manifest()["files"])
+    all_data = set(t.storage.list("data"))
+    assert all_data - live, "crash should strand unreferenced files"
+    stats = t.vacuum(retain_versions=2)
+    assert stats["removed_data_files"] == len(all_data - live)
+    assert set(t.storage.list("data")) == live
+    assert t.read(spark).count() == 15
+
+
+def test_optimistic_concurrency_expect_version_and_retry(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_snapshot_df(spark, 0, 10))
+    # a read-modify-write derived from v0 loses to an interleaved commit
+    t.commit(_snapshot_df(spark, 1, 10))
+    with pytest.raises(CommitConflict):
+        t.commit(_snapshot_df(spark, 99, 5), expect_version=0)
+    # blind replace (no expectation) rebases past the conflict
+    v = t.commit(_snapshot_df(spark, 2, 10))
+    assert v == 2
+
+
+def test_merge_upsert_transactional(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, val double"
+    )
+    t.commit(base)
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "k int, name string, val double"
+    )
+    t.merge(spark, updates, ["k"])
+    got = {r["k"]: (r["name"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+    assert t.manifest()["meta"]["op"] == "merge"
+
+
+def test_optimize_retries_through_a_lost_commit_race(spark, tmp_path):
+    """OPTIMIZE derived from snapshot N must NOT clobber a concurrent
+    writer's N+1: the put-if-absent loses, optimize re-reads the new
+    snapshot and compacts THAT."""
+    root = str(tmp_path / "t")
+    plain = TransactionalTable(root)
+    plain.commit(_snapshot_df(spark, 0, 40).repartition(8))
+
+    raced = {"done": False}
+
+    class RacingStorage(LocalStorage):
+        def put_if_absent(self, key, data):
+            if key.startswith("_commits/") and not raced["done"]:
+                raced["done"] = True
+                # competing writer lands first, with DIFFERENT content
+                plain.commit(_snapshot_df(spark, 7, 60).repartition(8))
+            return super().put_if_absent(key, data)
+
+    t = TransactionalTable(root, storage=RacingStorage(root))
+    stats = t.optimize(spark, target_rows_per_file=1_000_000)
+    got = plain.read(spark)
+    # the competing snapshot (v=7, 60 rows) survived, compacted
+    assert got.count() == 60 and got.agg(F.max("v")).first()[0] == 7
+    assert stats["files_after"] == 1 and stats["files_before"] >= 8
+
+
+def test_compact_parquet_dispatches_to_protocol(spark, tmp_path):
+    """``io.compact_parquet`` on a commit-log table routes through
+    OPTIMIZE: works without any rename, previous version stays readable
+    (until vacuum), data identical."""
+    from nyc_taxi_etl_pyspark_spark.sources.io import compact_parquet
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_snapshot_df(spark, 0, 200).repartition(16))
+    assert len(t.manifest()["files"]) == 16
+    stats = compact_parquet(spark, root, target_rows_per_file=1_000_000)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    assert stats["rows"] == 200
+    assert t.read(spark).count() == 200
+    # the pre-compaction snapshot is still time-travel readable
+    assert t.read(spark, version=stats["version"] - 1).count() == 200
+
+
+def test_vacuum_retains_reader_grace_window(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    for v in range(4):
+        t.commit(_snapshot_df(spark, v, 10 + v))
+    stats = t.vacuum(retain_versions=2)
+    assert stats["retained_versions"] == [2, 3]
+    assert t.versions() == [2, 3]
+    assert t.read(spark, version=2).count() == 12
+    assert t.read(spark).count() == 13
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
+
+
+def test_shim_rename_is_genuinely_non_atomic(tmp_path):
+    """The negative control: the shim's rename (what the old swap scheme
+    would rely on) is copy+delete — a crash between them leaves BOTH
+    names visible, exactly the torn state the manifest protocol never
+    exposes."""
+    s = ObjectStoreSimStorage(str(tmp_path))
+    assert s.put_if_absent("a/f.txt", b"hello")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        s.rename("a", "b", crash_after_copy=True)
+    assert os.path.exists(s.url("a/f.txt")) and os.path.exists(s.url("b/f.txt"))
+
+
+def test_manifest_is_single_atomic_object(tmp_path):
+    """put_if_absent: loser of the race gets False and the winning
+    content is untouched; the committed object parses whole."""
+    s = LocalStorage(str(tmp_path))
+    assert s.put_if_absent("_commits/v1.json", json.dumps({"a": 1}).encode())
+    assert not s.put_if_absent("_commits/v1.json", json.dumps({"a": 2}).encode())
+    assert json.loads(s.read("_commits/v1.json")) == {"a": 1}
+
+
+def test_streaming_upsert_sink_manifest_protocol(spark, sf_dir, tmp_path):
+    """The CDC upsert sink on the manifest protocol: converges to the
+    same state as the batch computation, carries the replay marker in
+    the manifest meta, and rejects a foreign checkpoint — all without a
+    single rename, on the object-store shim."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    base = str(tmp_path / "state")
+    storage = ObjectStoreSimStorage(base)
+    run_streaming_upsert_sink(
+        spark,
+        sf_dir,
+        base,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        storage=storage,
+    )
+    t = TransactionalTable(base, storage=storage)
+    got = t.read(spark)
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id", "event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
+    cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert g == w and len(g) > 0
+    meta = t.manifest()["meta"]
+    assert meta["applied_batch_id"] >= 0 and meta["ckpt_identity"]
+
+    # foreign checkpoint → double-count guard fires (manifest-carried id)
+    with pytest.raises(Exception, match="different streaming query"):
+        run_streaming_upsert_sink(
+            spark,
+            sf_dir,
+            base,
+            checkpoint_path=str(tmp_path / "ckpt_other"),
+            storage=storage,
+        )
+
+
+def test_checkpoint_identity_survives_relocation(spark, sf_dir, tmp_path):
+    """ADVICE r3: identity lives INSIDE the checkpoint, so moving the
+    checkpoint directory (same logical query) keeps the same identity —
+    resuming against its base cannot raise 'different streaming query'.
+    (The previous abspath-hash scheme changed identity on relocation.)
+    Unit-level: the identity file travels with the move. Integration:
+    the sink resumed from the moved checkpoint leaves the state intact
+    and raises nothing."""
+    import shutil
+
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        _checkpoint_identity,
+        run_streaming_upsert_sink,
+    )
+
+    p1, p2 = str(tmp_path / "idck"), str(tmp_path / "idck_moved")
+    ident = _checkpoint_identity(p1)
+    assert ident and _checkpoint_identity(p1) == ident  # stable
+    shutil.move(p1, p2)
+    assert _checkpoint_identity(p2) == ident  # relocation-proof
+
+    base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
+    before = sorted(map(tuple, spark.read.parquet(base).collect()))
+    moved = str(tmp_path / "ckpt_moved")
+    shutil.move(ckpt, moved)
+    run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=moved)
+    after = sorted(map(tuple, spark.read.parquet(base).collect()))
+    assert after == before  # resumed, replay-skipped, no double count
+
+
+def test_corrupted_replay_marker_is_a_loud_error(spark, sf_dir, tmp_path):
+    """ADVICE r3: a truncated/garbage ``_applied_batch_id`` marker must
+    produce the explicit corruption error, not an opaque int() crash
+    inside the stream. A FRESH checkpoint forces the batches to replay
+    so the marker is actually consulted."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    base = str(tmp_path / "state")
+    run_streaming_upsert_sink(
+        spark, sf_dir, base, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    with open(os.path.join(base, "_applied_batch_id"), "w") as f:
+        f.write("garbage not-an-int")
+    with pytest.raises(Exception, match="corrupted replay marker"):
+        run_streaming_upsert_sink(
+            spark, sf_dir, base, checkpoint_path=str(tmp_path / "ckpt2")
+        )
