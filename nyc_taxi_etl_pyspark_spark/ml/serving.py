@@ -11,11 +11,15 @@ gap with the stdlib only: the same request contract as the reference's
 (``api/app.py:10-16,25-31``), 400 on bad input, 500 on scoring error,
 ``{"prediction": round(x, 2)}`` on success (``api/app.py:39-44``).
 
-Serving-at-scale note: a SparkSession scoring 1-row frames is the
-correct parity demo but the wrong production hot path — a real
-deployment exports the PipelineModel's trees and scores outside the JVM
-session, or batches requests. The request CONTRACT here is what carries
-over; it is deliberately identical to the reference's.
+Serving-at-scale: a SparkSession scoring 1-row frames is the correct
+parity demo but the wrong production hot path. The production path is
+``ml/export.py``: the fitted pipeline's trees and feature encoders are
+exported once to a JSON spec and ``GBTScorer`` evaluates it per request
+in pure Python — no SparkSession in the serving process at all.
+``ModelServer(scorer=...)`` is that deployment; the Spark-resident mode
+stays as the parity cross-check (scorer == ``transform`` to 1e-9,
+tests/test_serving.py). The request CONTRACT is identical either way
+and deliberately matches the reference's.
 """
 
 from __future__ import annotations
@@ -43,7 +47,14 @@ def predict_one(
 def coerce_request(data: dict, required_fields: dict[str, type]) -> dict:
     """Validate + type-coerce a request body the way the reference does
     (``api/app.py:25-31``): every required field present and castable to
-    its declared type, else ValueError (the 400 path)."""
+    its declared type, else ValueError (the 400 path). A valid-JSON but
+    non-object body (``5``, ``null``, ``[1]``) is rejected here too —
+    previously it slipped past json.loads and crashed the handler
+    thread with a TypeError instead of returning 400 (ADVICE r3)."""
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"request body must be a JSON object, got {type(data).__name__}"
+        )
     missing = sorted(set(required_fields) - set(data))
     if missing:
         raise ValueError(f"missing fields: {missing}")
@@ -58,26 +69,47 @@ def coerce_request(data: dict, required_fields: dict[str, type]) -> dict:
 
 
 class ModelServer:
-    """Stdlib-HTTP serving of a resident PipelineModel.
+    """Stdlib-HTTP serving of a trained model.
 
     ``POST /predict`` with a JSON object of features → 200
     ``{"prediction": <round(x, 2)>}``; 400 with ``{"error": ...}`` on
     missing/uncoercible fields; 500 on scoring failure — the reference's
     Flask contract (``src/api/app.py``) without the Flask dependency.
-    Model and session load ONCE (reference ``model_loader.py:17-42``
-    loads at module import); requests reuse them.
+    Model loads ONCE (reference ``model_loader.py:17-42`` loads at
+    module import); requests reuse it.
+
+    Two scoring backends:
+
+    - **session-free (production)**: pass ``scorer`` — any
+      ``dict -> float`` callable, typically
+      :class:`~nyc_taxi_etl_pyspark_spark.ml.export.GBTScorer` built
+      from the exported trees. No SparkSession in the serving process;
+      each request is a pure-Python tree walk.
+    - **Spark-resident (parity demo)**: pass ``spark`` + ``model`` and
+      each request runs ``predict_one`` through the PipelineModel —
+      the reference's exact shape, kept as the cross-check that the
+      exported scorer matches ``transform`` (tests/test_serving.py).
 
     Use as a context manager; ``addr`` gives the bound (host, port).
     """
 
     def __init__(
         self,
-        spark: SparkSession,
-        model: PipelineModel,
-        required_fields: dict[str, type],
+        spark: SparkSession | None = None,
+        model: PipelineModel | None = None,
+        required_fields: dict[str, type] | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        scorer=None,
     ):
+        if scorer is None and (spark is None or model is None):
+            raise ValueError(
+                "ModelServer needs either a session-free scorer= or the "
+                "(spark, model) pair for the Spark-resident path"
+            )
+        if required_fields is None:
+            raise ValueError("ModelServer requires the required_fields map")
+        self.scorer = scorer
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -104,7 +136,10 @@ class ModelServer:
                     self._reply(400, {"error": str(exc)})
                     return
                 try:
-                    pred = predict_one(server.spark, server.model, features)
+                    if server.scorer is not None:
+                        pred = float(server.scorer(features))
+                    else:
+                        pred = predict_one(server.spark, server.model, features)
                 except Exception as exc:  # scoring failure → 500
                     self._reply(500, {"error": str(exc)})
                     return

@@ -95,6 +95,104 @@ def test_server_scoring_failure_returns_500(spark, model):
         assert status == 200
 
 
+def test_non_object_json_body_returns_400(spark, model):
+    """ADVICE r3: a valid-JSON but non-object body (5, null, [1]) must
+    get the documented 400, not a dropped connection from a TypeError
+    in the handler thread."""
+    with ModelServer(spark, model, REQUIRED) as srv:
+        host, port = srv.addr
+        url = f"http://{host}:{port}/predict"
+        for raw in [b"5", b"null", b"[1, 2]", b'"text"']:
+            req = urllib.request.Request(
+                url, data=raw, headers={"Content-Type": "application/json"}
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 400
+            assert "JSON object" in json.load(e.value)["error"]
+
+
+@pytest.fixture(scope="module")
+def cat_model(spark, sf_dir):
+    """A pipeline WITH a categorical stage, so the export covers the
+    indexer→OHE encoding path, not just plain numerics."""
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") / 1000.0).alias("x1"),
+        (F.col("o_orderkey") % 7).cast("int").alias("x2"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return train_gbt_regressor(
+        feats,
+        label_col="y",
+        numeric_features=["x1", "x2"],
+        categorical_features=["status"],
+        max_iter=5,
+    ).model
+
+
+def test_exported_scorer_matches_spark_transform(spark, sf_dir, cat_model):
+    """The session-free scorer is only a production path if it IS the
+    model: on a fixture sample (numerics + categorical, including the
+    unseen-label bucket) scorer(features) must equal transform's
+    prediction to 1e-9."""
+    from nyc_taxi_etl_pyspark_spark.ml.export import GBTScorer
+
+    scorer = GBTScorer.from_pipeline(cat_model)
+    orders = load_table(spark, sf_dir, "orders")
+    sample = orders.select(
+        (F.col("o_totalprice") / 1000.0).alias("x1"),
+        (F.col("o_orderkey") % 7).cast("int").alias("x2"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("y"),
+    ).limit(200)
+    spark_preds = cat_model.transform(sample).select(
+        "x1", "x2", "status", "prediction"
+    ).collect()
+    assert len(spark_preds) == 200
+    for r in spark_preds:
+        got = scorer({"x1": r["x1"], "x2": r["x2"], "status": r["status"]})
+        assert abs(got - r["prediction"]) <= 1e-9, (r, got)
+
+    # unseen label → handleInvalid="keep" bucket, matching Spark
+    probe = spark.createDataFrame(
+        [(1.5, 3, "ZZ-UNSEEN")], "x1 double, x2 int, status string"
+    )
+    want = cat_model.transform(probe).first()["prediction"]
+    got = scorer({"x1": 1.5, "x2": 3, "status": "ZZ-UNSEEN"})
+    assert abs(got - want) <= 1e-9
+
+
+def test_scorer_json_roundtrip_is_sessionless(cat_model):
+    """Deploy artifact: to_json → from_json preserves predictions
+    exactly, and the loaded scorer touches no pyspark machinery (pure
+    dict/list walk — usable in a process that never imports pyspark)."""
+    from nyc_taxi_etl_pyspark_spark.ml.export import GBTScorer
+
+    s1 = GBTScorer.from_pipeline(cat_model)
+    s2 = GBTScorer.from_json(s1.to_json())
+    feats = {"x1": 12.3, "x2": 4, "status": "O"}
+    assert s2(feats) == s1(feats)
+
+
+def test_server_session_free_path(spark, cat_model):
+    """The HTTP server on the exported scorer: same contract, same
+    numbers as the Spark-resident path — with NO spark/model handed to
+    the server at all."""
+    from nyc_taxi_etl_pyspark_spark.ml.export import GBTScorer
+
+    scorer = GBTScorer.from_pipeline(cat_model)
+    required = {"x1": float, "x2": int, "status": str}
+    features = {"x1": 42.5, "x2": 3, "status": "F"}
+    with ModelServer(required_fields=required, scorer=scorer) as srv:
+        host, port = srv.addr
+        status, body = _post(f"http://{host}:{port}/predict", features)
+    assert status == 200
+    want = round(predict_one(spark, cat_model, features), 2)
+    assert body == {"prediction": want}
+
+
 def test_coerce_request_contract():
     assert coerce_request({"x1": "2.5", "x2": "7"}, REQUIRED) == {
         "x1": 2.5,
