@@ -212,3 +212,130 @@ def run_etl(
     finally:
         clean.unpersist()
     return {"rows_clean": n_clean, "rows_agg": n_agg, "metrics": obs.get}
+
+
+# --- incremental, partition-pruned ETL --------------------------------------
+
+AGG_STATE_SUM_COLS = ("trip_distance", "total_amount", "trip_duration_min")
+
+
+def hourly_agg_state(df: DataFrame) -> DataFrame:
+    """Partial aggregate STATE for the hourly rollup: count + per-column
+    sums — every column a commutative monoid, so states merge exactly
+    (sum-of-counts / sum-of-sums). The published averages are derived at
+    read time by :func:`hourly_agg_from_state`; carrying ``avg_*``
+    directly would force an inexact weighted re-average on every merge
+    (the q_incremental_agg rule: avg is carried as sum+count)."""
+    return df.groupBy("pickup_date", "pickup_hour").agg(
+        F.count("*").alias("total_trips"),
+        *[F.sum(c).alias(f"sum_{c}") for c in AGG_STATE_SUM_COLS],
+    )
+
+
+def hourly_agg_from_state(state: DataFrame) -> DataFrame:
+    """Derive the published ``trips_by_hour`` schema (avg_* columns,
+    display ordering) from the monoid state."""
+    return state.select(
+        "pickup_date",
+        "pickup_hour",
+        "total_trips",
+        *[
+            (F.col(f"sum_{c}") / F.col("total_trips")).alias(f"avg_{c}")
+            for c in AGG_STATE_SUM_COLS
+        ],
+    ).orderBy("pickup_date", "pickup_hour")
+
+
+def _curated_dates(spark: SparkSession, curated_path: str) -> list[str]:
+    """Date partitions already curated. Local layout: one directory
+    listing, zero data reads (on a cluster this is the metastore /
+    manifest listing). Non-local or unreadable: fall back to a
+    partition-values-only query, which Catalyst answers from directory
+    names without touching row data."""
+    import os
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri
+
+    if is_local_uri(curated_path):
+        if not os.path.isdir(curated_path):
+            return []
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(curated_path)
+            if d.startswith("pickup_date=")
+        )
+    try:
+        rows = (
+            spark.read.parquet(curated_path)
+            .select("pickup_date")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return []
+    return sorted(str(r["pickup_date"]) for r in rows)
+
+
+def run_etl_incremental(
+    spark: SparkSession,
+    raw_batch: DataFrame,
+    curated_path: str,
+    agg_state_path: str,
+    cfg: TaxiETLConfig = TaxiETLConfig(),
+    agg_target_files: int | None = 4,
+) -> dict:
+    """Partition-pruned incremental ETL: process ONLY the date
+    partitions the new batch introduces.
+
+    The reference reprocesses the full month on every run
+    (``src/pipeline/main_etl.py`` reads the whole CSV, recleans, and
+    rewrites everything); at 100 TB that is a full-table rewrite to add
+    a day. This driver:
+
+    1. cleans the incoming batch (same ``clean_and_transform`` plan),
+    2. drops rows whose ``pickup_date`` is already curated — the
+       date-aligned landing contract (a date's data arrives wholly in
+       one batch, the reference's monthly layout); re-delivered or
+       replayed batches therefore no-op instead of double-writing,
+    3. dynamic-partition-overwrites ONLY the new date directories in
+       the curated table (untouched partitions are never rewritten or
+       even listed),
+    4. maintains the hourly aggregate as a MONOID STATE table
+       (count + sums, ``hourly_agg_state``): the new dates' partial
+       states are written to their own partitions — no read-modify-
+       write of existing state at all, because step 2 guarantees key
+       disjointness. Publish with :func:`hourly_agg_from_state`.
+
+    Per-run cost is O(batch + new partitions), independent of table
+    size. Returns {dates_new, dates_skipped, rows_new}. Exactness
+    contract (tested): after any sequence of date-aligned batches,
+    curated == full recompute row-for-row, and the derived hourly
+    aggregate equals ``run_etl``'s within float-sum reassociation."""
+    existing = set(_curated_dates(spark, curated_path))
+    clean = clean_and_transform(spark, raw_batch, cfg).cache()
+    try:
+        batch_dates = {
+            str(r["pickup_date"])
+            for r in clean.select("pickup_date").distinct().collect()
+        }
+        new_dates = sorted(batch_dates - existing)
+        skipped = sorted(batch_dates & existing)
+        if not new_dates:
+            return {"dates_new": [], "dates_skipped": skipped, "rows_new": 0}
+        fresh = clean.filter(
+            F.col("pickup_date").isin([F.lit(d).cast("date") for d in new_dates])
+        )
+        n_new = fresh.count()
+        write_parquet_partitioned(
+            fresh, curated_path, ["pickup_date"], dynamic_overwrite=True
+        )
+        write_parquet_partitioned(
+            hourly_agg_state(fresh),
+            agg_state_path,
+            ["pickup_date"],
+            target_files=agg_target_files,
+            dynamic_overwrite=True,
+        )
+    finally:
+        clean.unpersist()
+    return {"dates_new": new_dates, "dates_skipped": skipped, "rows_new": n_new}

@@ -156,3 +156,62 @@ def test_run_etl_roundtrip(spark, tmp_path):
     assert m["null_payment_desc"] >= 0
     direct = back.agg(F.sum("total_amount")).first()[0]
     assert abs(m["sum_total_amount"] - direct) < 1e-6 * max(1.0, abs(direct))
+
+
+def test_incremental_etl_matches_full_recompute(spark, tmp_path):
+    """run_etl_incremental after two date-aligned batches must equal the
+    full recompute: curated row-for-row, hourly aggregate within float
+    reassociation — and a replayed batch must no-op (its dates are
+    already curated), so redelivery cannot double-write."""
+    from nyc_taxi_etl_pyspark_spark.etl import (
+        hourly_agg_from_state,
+        run_etl_incremental,
+    )
+
+    raw = synth_taxi(spark)
+    # date-aligned split: batch 1 = first 5 calendar days, batch 2 = rest
+    cutoff = "2015-01-06"
+    pick = F.to_date("tpep_pickup_datetime")
+    batch1 = raw.filter(pick < F.lit(cutoff))
+    batch2 = raw.filter(pick >= F.lit(cutoff))
+
+    curated = str(tmp_path / "curated_inc")
+    aggp = str(tmp_path / "agg_state")
+    s1 = run_etl_incremental(spark, batch1, curated, aggp)
+    s2 = run_etl_incremental(spark, batch2, curated, aggp)
+    assert s1["rows_new"] > 0 and s2["rows_new"] > 0
+    assert not (set(s1["dates_new"]) & set(s2["dates_new"]))
+
+    # replay of batch 2 (redelivery): every date already curated -> no-op
+    s3 = run_etl_incremental(spark, batch2, curated, aggp)
+    assert s3 == {
+        "dates_new": [],
+        "dates_skipped": s2["dates_new"],
+        "rows_new": 0,
+    }
+
+    # full recompute oracle
+    curated_full = str(tmp_path / "curated_full")
+    agg_full = str(tmp_path / "agg_full")
+    stats = run_etl(spark, raw, curated_full, agg_full)
+
+    inc_rows = spark.read.parquet(curated)
+    full_rows = spark.read.parquet(curated_full)
+    assert inc_rows.count() == full_rows.count() == stats["rows_clean"]
+    cols = sorted(set(full_rows.columns))
+    got = sorted(map(tuple, inc_rows.select(*cols).collect()), key=repr)
+    want = sorted(map(tuple, full_rows.select(*cols).collect()), key=repr)
+    assert got == want
+
+    agg_inc = hourly_agg_from_state(spark.read.parquet(aggp)).collect()
+    agg_want = spark.read.parquet(agg_full).orderBy(
+        "pickup_date", "pickup_hour"
+    ).collect()
+    assert len(agg_inc) == len(agg_want) == stats["rows_agg"]
+    for a, b in zip(agg_inc, agg_want):
+        assert (a["pickup_date"], a["pickup_hour"], a["total_trips"]) == (
+            b["pickup_date"], b["pickup_hour"], b["total_trips"]
+        )
+        for c in ("avg_trip_distance", "avg_total_amount",
+                  "avg_trip_duration_min"):
+            assert abs(a[c] - b[c]) <= 1e-9 * max(1.0, abs(b[c])), (a, b, c)
