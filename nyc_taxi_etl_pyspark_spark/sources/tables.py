@@ -104,6 +104,11 @@ def load_table(
             df = normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
             df = df.cache()
             with _CACHE_LOCK:
+                if key in _CACHE:  # lost a rare race (e.g. a clear_cache
+                    # pruned our key lock mid-load): keep the winner, drop
+                    # ours so no orphaned cache registration leaks.
+                    df.unpersist()
+                    return _CACHE[key]
                 _CACHE[key] = df
             return df
     df = spark.read.parquet(layout.table(name))
@@ -117,3 +122,10 @@ def clear_cache() -> None:
         except Exception:  # pragma: no cover - session already gone
             pass
     _CACHE.clear()
+    # Prune the per-key locks too: they key on (applicationId, sf_dir,
+    # table), so long-lived processes cycling sessions/scale factors
+    # would otherwise leak a Lock per combination ever loaded (ADVICE
+    # r3). Safe: any in-flight loader holding a pruned lock re-checks
+    # _CACHE before inserting, and a racer simply mints a fresh lock.
+    with _CACHE_LOCK:
+        _KEY_LOCKS.clear()

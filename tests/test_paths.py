@@ -63,3 +63,18 @@ def test_load_table_goes_through_layout(spark, sf_dir):
     b = load_table(spark, sf_dir + "/", "region")
     assert a is b
     assert a.count() == 5
+
+
+def test_clear_cache_prunes_key_locks(spark, sf_dir):
+    """ADVICE r3: the per-key lock dict must not grow monotonically —
+    clear_cache() prunes it alongside the DataFrame cache, and a reload
+    afterwards still works (fresh lock, fresh cache entry)."""
+    from nyc_taxi_etl_pyspark_spark.sources import tables as T
+
+    T.load_table(spark, sf_dir, "nation")
+    T.load_table(spark, sf_dir, "region")
+    assert len(T._KEY_LOCKS) >= 2
+    T.clear_cache()
+    assert T._KEY_LOCKS == {} and T._CACHE == {}
+    assert T.load_table(spark, sf_dir, "nation").count() > 0
+    assert len(T._KEY_LOCKS) == 1
