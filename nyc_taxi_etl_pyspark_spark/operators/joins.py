@@ -180,3 +180,55 @@ def salted_join(
         F.pmod(F.xxhash64(F.col(probe_hash_col)), F.lit(salt)).cast("int"),
     )
     return probe_s.join(build_s, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def sorted_neighborhood_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    window: int,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (SNB): all (left, right) pairs whose
+    numeric sort keys differ by at most ``window``, produced WITHOUT a
+    theta-join — keys are banded into buckets of width ``window``, the
+    right side is replicated into bucket ±1, and candidates meet in a
+    plain shuffle equi-join on the bucket id.
+
+    LOSSLESS within the window by construction: if |lk − rk| ≤ w then
+    rk lies in floor(lk/w) ± 1, so bucket replication covers every
+    in-window pair (property-tested on two fixture keys,
+    tests/test_property_joins.py). Pair space is bounded by per-bucket
+    occupancy (~w · key density), independent of total rows — the 100 TB
+    shape, with no broadcast assumption and no cartesian.
+
+    **Choosing the sort key** (the part a deployment must supply):
+
+    - *Monotone-ish in the true match distance* — records that should
+      link must land within ``window`` of each other on this key.
+      Numeric tails of structured names, normalized phonetic codes,
+      timestamps, and geo cell ids work; a hash does NOT (it destroys
+      locality — use LSH bucketing instead when no ordered key exists).
+    - *High cardinality / low per-bucket occupancy* — candidates per
+      bucket scale with w·density, so a key where thousands of records
+      share one value (e.g. a city id) recreates the quadratic block.
+      Prefer keys whose buckets hold O(10–100) records; widen buckets
+      only as match recall demands.
+    - *Cheap to derive* — the key is computed per row in the scan
+      projection; anything needing a join or aggregate belongs in a
+      precomputed column.
+
+    Column-name note: both inputs travel through the join unrenamed, so
+    they must not share column names (select/alias first)."""
+    if window <= 0:
+        raise ValueError(f"sorted_neighborhood_candidates: window must be > 0, got {window}")
+    lb = left.withColumn("__snb_bucket", F.floor(F.col(left_key) / window))
+    rb0 = F.floor(F.col(right_key) / window)
+    rb = right.withColumn(
+        "__snb_bucket", F.explode(F.array(rb0 - 1, rb0, rb0 + 1))
+    )
+    return (
+        lb.join(rb, "__snb_bucket")
+        .where(F.abs(F.col(left_key) - F.col(right_key)) <= window)
+        .drop("__snb_bucket")
+    )

@@ -92,8 +92,22 @@ def q_record_linkage_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~w·density), independent of how many nations or total rows exist.
     The oracle is the unblocked banded theta-join, hash-proving the
     bucket scheme drops no in-window pair. Same thresholded
-    ``levenshtein(l, r, 6)`` banded-DP comparison as q_record_linkage."""
-    w = 16
+    ``levenshtein(l, r, 6)`` banded-DP comparison as q_record_linkage.
+
+    The sort key here — the name's numeric tail via ``regexp_extract``
+    — is the right choice for THIS fixture (customer/supplier names
+    share the ``...#NNN`` shape, so numeric-tail distance upper-bounds
+    the name edit distance for near pairs). In a real deployment the
+    key is the one design decision the user supplies; the selection
+    criteria (monotone-ish in match distance, high cardinality, cheap
+    per-row derivation) are documented on the reusable operator,
+    ``operators/joins.py::sorted_neighborhood_candidates``, and the
+    zero-window-loss property is re-proven on a second, independent
+    fixture key (acctbal) in tests/test_property_joins.py."""
+    from nyc_taxi_etl_pyspark_spark.operators.joins import (
+        sorted_neighborhood_candidates,
+    )
+
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -104,15 +118,9 @@ def q_record_linkage_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.regexp_extract("s_name", r"([0-9]+)", 1).cast("long").alias("sk"),
     )
-    cust = cust.withColumn("bucket", F.floor(F.col("ck") / w))
-    sb = F.floor(F.col("sk") / w)
-    supp = supp.withColumn(
-        "bucket", F.explode(F.array(sb - 1, sb, sb + 1))
-    )
     dist = F.levenshtein(F.col("c_name"), F.col("s_name"), 6)
     return (
-        cust.join(supp, "bucket")
-        .where(F.abs(F.col("ck") - F.col("sk")) <= w)
+        sorted_neighborhood_candidates(cust, supp, "ck", "sk", window=16)
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("s_suppkey").alias("suppkey"),

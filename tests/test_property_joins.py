@@ -305,3 +305,44 @@ def test_minhash_oph_identical_docs_always_pair(spark):
     }
     assert pairs.get((1, 2)) == 8
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_snb_blocking_lossless_on_second_key(spark, sf_dir):
+    """Zero window-loss for sorted-neighborhood blocking on a SECOND,
+    independent fixture key (acctbal band, negative values included):
+    the bucket ±1 equi-join must produce EXACTLY the pairs of the
+    unblocked banded theta-join for multiple window widths — proving
+    the scheme's losslessness is a property of the banding, not of the
+    name-tail key q_record_linkage_snb happens to use."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.joins import (
+        sorted_neighborhood_candidates,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.floor("c_acctbal").cast("long").alias("ck")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.floor("s_acctbal").cast("long").alias("sk")
+    )
+    assert cust.where(F.col("ck") < 0).count() > 0  # negatives exercised
+    for w in (7, 50):
+        got = sorted(
+            map(
+                tuple,
+                sorted_neighborhood_candidates(cust, supp, "ck", "sk", w)
+                .select("c_custkey", "s_suppkey")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                cust.join(supp, F.abs(F.col("ck") - F.col("sk")) <= w)
+                .select("c_custkey", "s_suppkey")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0, f"window {w}"
