@@ -69,10 +69,14 @@ HEADLINE = [
     "q_cm_sketch",
     "q_weighted_sample",
     "q_unpivot",
-    "q_record_linkage",
     "q_mad_outliers",
     "q_sql_lateral_topn",
-    # round-3 additions: scale-tier blocking
+    # round-3 additions: scale-tier blocking. q_record_linkage (the
+    # nationkey-blocked tier) left the headline in round 4: it is
+    # measured super-linear (~11x on a 10x data step, SCALE.md) and
+    # exists as the oracle-checkable small-scale demo; the headline
+    # carries its scale-safe sorted-neighborhood replacement instead.
+    # Both stay registered and correctness-checked.
     "q_record_linkage_snb",
 ]
 
@@ -162,17 +166,33 @@ def main() -> None:
     # inflates the small-SF denominator, so ratios UNDERSTATE growth;
     # the flag threshold compensates with slack and a noise floor.
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    sf3_dir = os.environ.get("SPARK_GRAFT_SF3_DIR", "/root/testdata/sf0.001")
     sf2_block: dict = {}
-    if sf2_dir and os.path.isdir(sf2_dir) and os.path.abspath(
-        sf2_dir
-    ) != os.path.abspath(sf_dir):
+    extra_points: list[tuple[float, dict[str, float]]] = []  # (sf, times)
+    for idx, d in enumerate((sf2_dir, sf3_dir)):
+        if not (d and os.path.isdir(d)) or os.path.abspath(d) == os.path.abspath(
+            sf_dir
+        ):
+            continue
         clear_cache()
         with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
-            list(ex.map(lambda t: load_table(spark, sf2_dir, t).count(), TABLES))
-        per_query_sf2 = time_headline(sf2_dir)
-        sf2 = sf2_dir.rstrip("/").rsplit("sf", 1)[-1]
+            list(ex.map(lambda t: load_table(spark, d, t).count(), TABLES))
+        per_query_d = time_headline(d)
+        sf_d = d.rstrip("/").rsplit("sf", 1)[-1]
         try:
-            data_ratio = float(sf) / float(sf2)
+            sf_val = float(sf_d)
+        except ValueError:
+            continue
+        extra_points.append((sf_val, per_query_d))
+        key = f"sf{idx + 2}"
+        sf2_block[key] = sf_val
+        sf2_block[f"queries_{key}"] = per_query_d
+        sf2_block[f"{key}_total_s"] = round(sum(per_query_d.values()), 4)
+    if extra_points:
+        # two-point ratio vs the first extra SF (r2/r3-compatible fields)
+        sf2_val, per_query_sf2 = extra_points[0]
+        try:
+            data_ratio = float(sf) / sf2_val
         except ValueError:
             data_ratio = None
         ratios = {
@@ -187,14 +207,50 @@ def main() -> None:
             and r > 1.2 * data_ratio
             and per_query[n] > 0.2  # noise floor: sub-0.2 s is overhead
         )
-        sf2_block = {
-            "sf2": float(sf2) if sf2.replace(".", "").isdigit() else sf2,
-            "queries_sf2": per_query_sf2,
-            "sf2_total_s": round(sum(per_query_sf2.values()), 4),
-            "data_ratio": data_ratio,
-            "scaling_ratio": ratios,
-            "superlinear": superlinear,
-        }
+        sf2_block.update(
+            {
+                "data_ratio": data_ratio,
+                "scaling_ratio": ratios,
+                "superlinear": superlinear,
+            }
+        )
+    if len(extra_points) >= 1:
+        # 3-point fitted growth exponent: least-squares slope of
+        # log(time) vs log(sf) across every measured scale point. With
+        # only 2 points the slope degenerates to the ratio; the third
+        # point separates per-query fixed overhead (flattens the small-SF
+        # end, slope << 1) from real growth (slope ~= 1 linear, > 1.2
+        # super-linear). The slope UNDERSTATES true growth while any
+        # point is overhead-dominated, so the ratio flag above stays the
+        # primary alarm; the slope ranks how close each query is to it.
+        import math
+
+        points_all: list[tuple[float, dict[str, float]]] = [
+            (float(sf), per_query)
+        ] + extra_points
+        slopes = {}
+        for n in per_query:
+            pts = [
+                (math.log(s), math.log(t[n]))
+                for s, t in points_all
+                if t.get(n, 0) > 0
+            ]
+            if len(pts) < 2:
+                continue
+            mx = sum(x for x, _ in pts) / len(pts)
+            my = sum(y for _, y in pts) / len(pts)
+            var = sum((x - mx) ** 2 for x, _ in pts)
+            if var == 0:
+                continue
+            cov = sum((x - mx) * (y - my) for x, y in pts)
+            slopes[n] = round(cov / var, 3)
+        sf2_block["scale_points"] = sorted(s for s, _ in points_all)
+        sf2_block["scaling_slope"] = slopes
+        sf2_block["superlinear_slope"] = sorted(
+            n
+            for n, b in slopes.items()
+            if b > 1.2 and per_query.get(n, 0) > 0.2
+        )
 
     # Baseline-comparable metric (BASELINE.md): the reference's full ETL
     # moved 12,380,927 rows in 124.79 s (~99.2k rows/s) on a Dataproc
