@@ -34,6 +34,14 @@ Consequences:
   exactly Delta's commit-conflict protocol.
 - Time travel falls out for free: every retained version stays
   readable (``read(spark, version=K)``).
+- Manifest-level data skipping: commits harvest each staged file's
+  parquet FOOTER min/max into the manifest (``collect_file_stats``),
+  and ``read(..., where=[(col, lo, hi)])`` opens only the files whose
+  ranges can match (``prune_files``) — the Iceberg/Delta min-max
+  skipping idea, so a selective scan of a 100 TB table is planned from
+  the manifest alone. Pair with ``io.write_parquet_range_sorted``-style
+  layout before committing to make the ranges disjoint and the skip
+  rate high.
 
 Storage backends implement only put-if-absent / put / read / list /
 delete / upload. ``LocalStorage`` targets POSIX (put-if-absent via
@@ -158,6 +166,90 @@ class ObjectStoreSimStorage(LocalStorage):
             os.unlink(src)
 
 
+def _json_safe_stat(v):
+    """Make a parquet footer min/max JSON-serializable and ORDER-
+    comparable after a JSON round-trip. Non-primitive types (dates,
+    timestamps, decimals) are stringified — ISO forms compare in value
+    order lexicographically, which is all pruning needs."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def collect_file_stats(local_path: str) -> dict | None:
+    """Per-column min/max + row count from a parquet file's FOOTER
+    (pyarrow metadata read — no data pages touched). Returns
+    ``{"rows": n, "cols": {col: [min, max]}}`` or None when pyarrow is
+    unavailable or the footer carries no statistics. Nested columns and
+    stat-less columns are simply absent (pruning treats absence as
+    "cannot exclude")."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats are an optimization, never a requirement
+        return None
+    try:
+        md = pq.ParquetFile(local_path).metadata
+    except Exception:
+        return None
+    cols: dict[str, list] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested leaf: not a top-level prunable col
+                continue
+            mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
+            if mn is None or mx is None:
+                continue
+            if name in cols:
+                cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+            else:
+                cols[name] = [mn, mx]
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def prune_files(manifest: dict, where: list[tuple] | None) -> list[str]:
+    """File-level data skipping from manifest statistics: keep only
+    files whose [min, max] range can intersect every ``(col, lo, hi)``
+    predicate (``lo``/``hi`` may be None for one-sided bounds). Files
+    or columns WITHOUT stats are kept — pruning is only ever an
+    exclusion proof, so missing metadata degrades to a full read, never
+    a wrong one. This is the Iceberg/Delta min-max skipping idea on the
+    commit log: the planner decides from the manifest alone which of a
+    100 TB table's files a selective scan must open."""
+    files = manifest["files"]
+    if not where:
+        return list(files)
+    stats = manifest.get("stats", {})
+    kept = []
+    for f in files:
+        fstats = stats.get(f)
+        keep = True
+        if fstats:
+            for col, lo, hi in where:
+                rng = fstats.get("cols", {}).get(col)
+                if rng is None:
+                    continue
+                mn, mx = rng
+                try:
+                    if (lo is not None and mx < lo) or (
+                        hi is not None and mn > hi
+                    ):
+                        keep = False
+                        break
+                except TypeError:  # incomparable bound/stat types: no proof
+                    continue
+        if keep:
+            kept.append(f)
+    return kept
+
+
 def _manifest_key(version: int) -> str:
     return f"{COMMITS_DIR}/v{version:0{_V_WIDTH}d}.json"
 
@@ -207,36 +299,72 @@ class TransactionalTable:
                 continue
         return None
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. ``where=[(col, lo, hi), ...]`` applies
+        manifest-stats file pruning (``prune_files``) AND the residual
+        row filter — the file skip is a superset guarantee, the filter
+        makes it exact. Equivalent to a plain filtered read, but a scan
+        of a selective range opens only the files that can match."""
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(
                 f"no committed version in transactional table {self.root}"
             )
-        paths = [self.storage.url(f) for f in m["files"]]
-        return spark.read.parquet(*paths)
+        if not m["files"]:
+            raise FileNotFoundError(
+                f"snapshot v{m['version']} of {self.root} lists no files "
+                "(empty commit) — no schema to reconstruct a frame from"
+            )
+        files = prune_files(m, where)
+        if not files:
+            # every file excluded: empty frame with the table's schema
+            # (derived from one file; the manifest always has >= 1)
+            df = spark.read.parquet(self.storage.url(m["files"][0])).limit(0)
+        else:
+            df = spark.read.parquet(*[self.storage.url(f) for f in files])
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, lo, hi in where:
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def exists(self) -> bool:
         return self.latest_version() >= 0
 
     # -- commit path -------------------------------------------------------
-    def _stage(self, df: DataFrame) -> tuple[list[str], int]:
+    def _stage(self, df: DataFrame) -> tuple[list[str], dict]:
         """Write ``df`` as uniquely-named immutable files under
-        ``data/``. Staged through a local temp dir then published
-        per-file; a cloud deployment instead writes directly to the
-        final unique names via the store's committer (same invariant:
-        names are fresh, nothing references them yet)."""
+        ``data/``, harvesting per-file footer stats for manifest-level
+        data skipping on the way through. Staged via a local temp dir
+        then published per-file; a cloud deployment instead writes
+        directly to the final unique names via the store's committer
+        (same invariant: names are fresh, nothing references them
+        yet)."""
         staging = tempfile.mkdtemp(prefix="txtable-stage-")
         try:
             df.write.mode("overwrite").parquet(staging)
             keys: list[str] = []
+            stats: dict[str, dict] = {}
             for name in sorted(os.listdir(staging)):
                 if not name.endswith(".parquet"):
                     continue
+                local = os.path.join(staging, name)
                 key = f"{DATA_DIR}/{uuid.uuid4().hex}-{name}"
-                self.storage.upload_file(os.path.join(staging, name), key)
+                fstats = collect_file_stats(local)
+                self.storage.upload_file(local, key)
                 keys.append(key)
-            return keys, len(keys)
+                if fstats is not None:
+                    stats[key] = fstats
+            return keys, stats
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -262,7 +390,7 @@ class TransactionalTable:
         :class:`CommitConflict` (the caller re-reads and recomputes).
         """
         rows = df.count()
-        keys, _ = self._stage(df)
+        keys, staged_stats = self._stage(df)
         while True:
             base_v = self.latest_version()
             if expect_version is not None and base_v != expect_version:
@@ -271,18 +399,22 @@ class TransactionalTable:
                     f"is at v{base_v}; re-read and retry"
                 )
             if mode == "append" and base_v >= 0:
-                files = list(self.manifest(base_v)["files"]) + keys
-                prev_rows = self.manifest(base_v).get("rows", 0)
-                total_rows = prev_rows + rows
+                prev = self.manifest(base_v)
+                files = list(prev["files"]) + keys
+                total_rows = prev.get("rows", 0) + rows
+                # retained files keep their stats across the append
+                stats = {**prev.get("stats", {}), **staged_stats}
             else:
                 files = keys
                 total_rows = rows
+                stats = staged_stats
             new_v = base_v + 1
             manifest = {
                 "version": new_v,
                 "parent": base_v if base_v >= 0 else None,
                 "files": files,
                 "rows": total_rows,
+                "stats": stats,
                 "meta": meta or {},
             }
             payload = json.dumps(manifest, sort_keys=True).encode()

@@ -357,3 +357,57 @@ def test_corrupted_replay_marker_is_a_loud_error(spark, sf_dir, tmp_path):
         run_streaming_upsert_sink(
             spark, sf_dir, base, checkpoint_path=str(tmp_path / "ckpt2")
         )
+
+
+def test_manifest_stats_prune_files_and_exact_results(spark, tmp_path):
+    """Manifest-level data skipping: a range-layout commit stores
+    per-file footer min/max, a selective read opens ONLY the files that
+    can match, and the result is exactly the plain filtered read (the
+    residual row filter makes the superset skip exact)."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("m"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+    )
+    # disjoint per-file ranges on id -> prunable layout
+    t.commit(df.repartitionByRange(8, "id").sortWithinPartitions("id"))
+    m = t.manifest()
+    assert len(m["files"]) == 8 and set(m["stats"]) == set(m["files"])
+    for fstats in m["stats"].values():
+        assert {"id", "m", "s"} <= set(fstats["cols"])
+
+    where = [("id", 2000, 3200)]
+    kept = prune_files(m, where)
+    assert 0 < len(kept) < 8  # genuinely skipped files
+    got = sorted(r["id"] for r in t.read(spark, where=where).collect())
+    assert got == list(range(2000, 3201))
+
+    # string-column pruning works too (lexicographic zero-padded keys)
+    kept_s = prune_files(m, [("s", "k009000", None)])
+    assert 0 < len(kept_s) < 8
+    n = t.read(spark, where=[("s", "k009000", None)]).count()
+    assert n == 1000
+
+    # full-range predicate excludes nothing and loses nothing
+    assert t.read(spark, where=[("id", None, None)]).count() == 10_000
+    # out-of-domain predicate: all files pruned, empty frame, schema kept
+    empty = t.read(spark, where=[("id", 1_000_000, None)])
+    assert empty.count() == 0 and set(empty.columns) == {"id", "m", "s"}
+
+
+def test_prune_files_missing_stats_is_conservative(spark, tmp_path):
+    """Files without stats can never be excluded: stripping the stats
+    from a manifest must make pruning keep everything (metadata loss
+    degrades to a full read, never a wrong one)."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(1000).repartitionByRange(4, "id"))
+    m = dict(t.manifest())
+    assert len(prune_files(m, [("id", 0, 10)])) < 4
+    m_nostats = {**m, "stats": {}}
+    assert prune_files(m_nostats, [("id", 0, 10)]) == m["files"]
+    # incomparable predicate type: no exclusion proof, keep all
+    assert prune_files(m, [("id", "zzz", None)]) == m["files"]
