@@ -375,7 +375,9 @@ def test_record_linkage_snb_plan_is_bucket_equijoin(spark, sf_dir):
     import re
 
     assert "NestedLoop" not in plan
-    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[bucket", plan), plan
+    assert re.search(
+        r"(BroadcastHash|SortMerge|ShuffledHash)Join \[(__snb_)?bucket", plan
+    ), plan
     # the ±1 replication is a Generate (explode), not a shuffle fan-out
     assert "Generate explode" in plan
 
