@@ -247,15 +247,31 @@ def hourly_agg_from_state(state: DataFrame) -> DataFrame:
 
 
 def _curated_dates(spark: SparkSession, curated_path: str) -> list[str]:
-    """Date partitions already curated. Local layout: one directory
-    listing, zero data reads (on a cluster this is the metastore /
-    manifest listing). Non-local or unreadable: fall back to a
-    partition-values-only query, which Catalyst answers from directory
-    names without touching row data."""
+    """Date partitions already curated. Transactional layout: ONE
+    manifest read (the per-file partition values ride the commit log —
+    no listing at all). Plain local layout: one directory listing, zero
+    data reads (on a cluster this is the metastore listing). Non-local
+    or unreadable: fall back to a partition-values-only query, which
+    Catalyst answers from directory names without touching row data."""
     import os
 
     from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        TransactionalTable,
+        is_transactional,
+    )
 
+    if is_transactional(curated_path):
+        m = TransactionalTable(curated_path).manifest()
+        if not m:
+            return []
+        return sorted(
+            {
+                fs["partition"]["pickup_date"]
+                for fs in m.get("stats", {}).values()
+                if "partition" in fs and "pickup_date" in fs["partition"]
+            }
+        )
     if is_local_uri(curated_path):
         if not os.path.isdir(curated_path):
             return []
@@ -283,6 +299,7 @@ def run_etl_incremental(
     agg_state_path: str,
     cfg: TaxiETLConfig = TaxiETLConfig(),
     agg_target_files: int | None = 4,
+    table_format: str = "parquet",
 ) -> dict:
     """Partition-pruned incremental ETL: process ONLY the date
     partitions the new batch introduces.
@@ -310,7 +327,20 @@ def run_etl_incremental(
     size. Returns {dates_new, dates_skipped, rows_new}. Exactness
     contract (tested): after any sequence of date-aligned batches,
     curated == full recompute row-for-row, and the derived hourly
-    aggregate equals ``run_etl``'s within float-sum reassociation."""
+    aggregate equals ``run_etl``'s within float-sum reassociation.
+
+    ``table_format``: ``"parquet"`` writes plain hive-partitioned
+    directories via Spark's dynamic partition overwrite (correct on a
+    filesystem with atomic rename); ``"tx"`` commits through the
+    manifest commit-log table (``sources/txtable.py``,
+    ``mode="replace_partitions"``) — the object-store-safe path, where
+    the already-curated date set comes from ONE manifest read instead
+    of a directory listing, each batch is one atomic commit (a reader
+    can never see half a batch), and replayed batches no-op exactly as
+    in the plain layout. Read tx results with
+    ``TransactionalTable(path).read(spark)``."""
+    if table_format not in ("parquet", "tx"):
+        raise ValueError(f"table_format must be 'parquet' or 'tx', got {table_format!r}")
     existing = set(_curated_dates(spark, curated_path))
     clean = clean_and_transform(spark, raw_batch, cfg).cache()
     try:
@@ -326,16 +356,34 @@ def run_etl_incremental(
             F.col("pickup_date").isin([F.lit(d).cast("date") for d in new_dates])
         )
         n_new = fresh.count()
-        write_parquet_partitioned(
-            fresh, curated_path, ["pickup_date"], dynamic_overwrite=True
-        )
-        write_parquet_partitioned(
-            hourly_agg_state(fresh),
-            agg_state_path,
-            ["pickup_date"],
-            target_files=agg_target_files,
-            dynamic_overwrite=True,
-        )
+        if table_format == "tx":
+            from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+                TransactionalTable,
+            )
+
+            TransactionalTable(curated_path).commit(
+                fresh,
+                mode="replace_partitions",
+                partition_by=["pickup_date"],
+                meta={"op": "etl_incremental", "dates": new_dates},
+            )
+            TransactionalTable(agg_state_path).commit(
+                hourly_agg_state(fresh),
+                mode="replace_partitions",
+                partition_by=["pickup_date"],
+                meta={"op": "etl_incremental_agg", "dates": new_dates},
+            )
+        else:
+            write_parquet_partitioned(
+                fresh, curated_path, ["pickup_date"], dynamic_overwrite=True
+            )
+            write_parquet_partitioned(
+                hourly_agg_state(fresh),
+                agg_state_path,
+                ["pickup_date"],
+                target_files=agg_target_files,
+                dynamic_overwrite=True,
+            )
     finally:
         clean.unpersist()
     return {"dates_new": new_dates, "dates_skipped": skipped, "rows_new": n_new}

@@ -115,13 +115,22 @@ class LocalStorage:
             return f.read()
 
     def list(self, prefix: str) -> list[str]:
+        """Recursive listing under ``prefix`` (object stores list by key
+        prefix with no directory notion; partitioned data lives in
+        nested ``col=val/`` key segments)."""
         base = self.url(prefix)
         if not os.path.isdir(base):
             return []
-        return sorted(
-            f"{prefix}/{name}" for name in os.listdir(base)
-            if not name.startswith(".")
-        )
+        out = []
+        for dirpath, dirnames, filenames in os.walk(base):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+            rel = os.path.relpath(dirpath, base)
+            for name in filenames:
+                if name.startswith("."):
+                    continue
+                key = name if rel == "." else f"{rel}/{name}"
+                out.append(f"{prefix}/{key}")
+        return sorted(out)
 
     def delete(self, key: str) -> None:
         try:
@@ -304,12 +313,17 @@ class TransactionalTable:
         spark: SparkSession,
         version: int | None = None,
         where: list[tuple] | None = None,
+        partitions: dict[str, list] | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``where=[(col, lo, hi), ...]`` applies
         manifest-stats file pruning (``prune_files``) AND the residual
         row filter — the file skip is a superset guarantee, the filter
-        makes it exact. Equivalent to a plain filtered read, but a scan
-        of a selective range opens only the files that can match."""
+        makes it exact. ``partitions={col: [values]}`` (partitioned
+        tables) is EXACT manifest pruning: only files whose recorded
+        partition values match are opened, no residual filter needed —
+        the metastore-free form of partition pruning. Partitioned
+        snapshots are read with ``basePath`` so the hive-encoded
+        partition columns reappear in the frame."""
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(
@@ -321,12 +335,26 @@ class TransactionalTable:
                 "(empty commit) — no schema to reconstruct a frame from"
             )
         files = prune_files(m, where)
+        if partitions:
+            stats = m.get("stats", {})
+            sel = {c: {str(v) for v in vals} for c, vals in partitions.items()}
+            files = [
+                f
+                for f in files
+                if all(
+                    stats.get(f, {}).get("partition", {}).get(c) in vs
+                    for c, vs in sel.items()
+                )
+            ]
+        reader = spark.read
+        if m.get("partition_by"):
+            reader = reader.option("basePath", self.storage.url(DATA_DIR))
         if not files:
             # every file excluded: empty frame with the table's schema
             # (derived from one file; the manifest always has >= 1)
-            df = spark.read.parquet(self.storage.url(m["files"][0])).limit(0)
+            df = reader.parquet(self.storage.url(m["files"][0])).limit(0)
         else:
-            df = spark.read.parquet(*[self.storage.url(f) for f in files])
+            df = reader.parquet(*[self.storage.url(f) for f in files])
         if where:
             from pyspark.sql import functions as F
 
@@ -341,29 +369,49 @@ class TransactionalTable:
         return self.latest_version() >= 0
 
     # -- commit path -------------------------------------------------------
-    def _stage(self, df: DataFrame) -> tuple[list[str], dict]:
+    def _stage(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> tuple[list[str], dict]:
         """Write ``df`` as uniquely-named immutable files under
         ``data/``, harvesting per-file footer stats for manifest-level
-        data skipping on the way through. Staged via a local temp dir
-        then published per-file; a cloud deployment instead writes
-        directly to the final unique names via the store's committer
-        (same invariant: names are fresh, nothing references them
-        yet)."""
+        data skipping on the way through. With ``partition_by`` the
+        hive ``col=val/`` layout is preserved in the key space and each
+        file's partition values are recorded in its stats entry (the
+        data pages do NOT carry the partition columns — readers
+        reconstruct them from the paths via ``basePath``). Staged via a
+        local temp dir then published per-file; a cloud deployment
+        instead writes directly to the final unique names via the
+        store's committer (same invariant: names are fresh, nothing
+        references them yet)."""
         staging = tempfile.mkdtemp(prefix="txtable-stage-")
         try:
-            df.write.mode("overwrite").parquet(staging)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staging)
             keys: list[str] = []
             stats: dict[str, dict] = {}
-            for name in sorted(os.listdir(staging)):
-                if not name.endswith(".parquet"):
-                    continue
-                local = os.path.join(staging, name)
-                key = f"{DATA_DIR}/{uuid.uuid4().hex}-{name}"
-                fstats = collect_file_stats(local)
-                self.storage.upload_file(local, key)
-                keys.append(key)
-                if fstats is not None:
-                    stats[key] = fstats
+            for dirpath, dirnames, filenames in os.walk(staging):
+                dirnames[:] = [d for d in dirnames if "=" in d]
+                rel = os.path.relpath(dirpath, staging)
+                part_vals = (
+                    dict(seg.split("=", 1) for seg in rel.split(os.sep))
+                    if rel != "."
+                    else {}
+                )
+                for name in sorted(filenames):
+                    if not name.endswith(".parquet"):
+                        continue
+                    local = os.path.join(dirpath, name)
+                    sub = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+                    key = f"{DATA_DIR}/{sub}{uuid.uuid4().hex}-{name}"
+                    fstats = collect_file_stats(local) or {}
+                    if part_vals:
+                        fstats["partition"] = part_vals
+                    self.storage.upload_file(local, key)
+                    keys.append(key)
+                    if fstats:
+                        stats[key] = fstats
             return keys, stats
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -373,6 +421,7 @@ class TransactionalTable:
         df: DataFrame,
         *,
         mode: str = "replace",
+        partition_by: list[str] | None = None,
         meta: dict | None = None,
         expect_version: int | None = None,
     ) -> int:
@@ -383,14 +432,35 @@ class TransactionalTable:
         ``mode="append"``: staged files are added to the current file
         set (blind append; on conflict the append rebases and retries,
         since appends commute).
+        ``mode="replace_partitions"`` (requires ``partition_by``):
+        transactional dynamic partition overwrite — retained files are
+        the previous snapshot's EXCEPT those in the partitions the
+        staged data touches; a batch that rewrites 2 of 10,000 date
+        partitions commits one manifest and never lists, reads, or
+        rewrites the other 9,998. Commutes across disjoint partition
+        sets, so a conflict rebases and retries like append; two
+        writers overwriting the SAME partition serialize by version
+        with last-writer-wins (pass ``expect_version`` to forbid).
+
+        ``partition_by`` stages the hive layout (see ``_stage``) so
+        partition columns come back from file paths at read time and
+        per-file partition values ride the manifest for exact partition
+        pruning (``read(partitions={...})``).
 
         ``expect_version``: optimistic-concurrency guard for
         read-modify-write commits — the version the writer derived its
         result FROM. If someone else committed past it, raises
         :class:`CommitConflict` (the caller re-reads and recomputes).
         """
+        if mode == "replace_partitions" and not partition_by:
+            raise ValueError("replace_partitions requires partition_by")
         rows = df.count()
-        keys, staged_stats = self._stage(df)
+        keys, staged_stats = self._stage(df, partition_by=partition_by)
+        touched = {
+            tuple(sorted(staged_stats[k]["partition"].items()))
+            for k in keys
+            if "partition" in staged_stats.get(k, {})
+        }
         while True:
             base_v = self.latest_version()
             if expect_version is not None and base_v != expect_version:
@@ -398,12 +468,34 @@ class TransactionalTable:
                     f"{self.root}: derived from v{expect_version} but table "
                     f"is at v{base_v}; re-read and retry"
                 )
-            if mode == "append" and base_v >= 0:
-                prev = self.manifest(base_v)
+            prev = self.manifest(base_v) if base_v >= 0 else None
+            if mode == "append" and prev is not None:
                 files = list(prev["files"]) + keys
                 total_rows = prev.get("rows", 0) + rows
                 # retained files keep their stats across the append
                 stats = {**prev.get("stats", {}), **staged_stats}
+            elif mode == "replace_partitions" and prev is not None:
+                prev_stats = prev.get("stats", {})
+
+                def _in_touched(f: str) -> bool:
+                    part = prev_stats.get(f, {}).get("partition")
+                    return (
+                        part is not None
+                        and tuple(sorted(part.items())) in touched
+                    )
+
+                retained = [f for f in prev["files"] if not _in_touched(f)]
+                dropped_rows = sum(
+                    prev_stats.get(f, {}).get("rows", 0)
+                    for f in prev["files"]
+                    if _in_touched(f)
+                )
+                files = retained + keys
+                total_rows = max(0, prev.get("rows", 0) - dropped_rows) + rows
+                stats = {
+                    **{f: prev_stats[f] for f in retained if f in prev_stats},
+                    **staged_stats,
+                }
             else:
                 files = keys
                 total_rows = rows
@@ -417,6 +509,10 @@ class TransactionalTable:
                 "stats": stats,
                 "meta": meta or {},
             }
+            if partition_by:
+                manifest["partition_by"] = list(partition_by)
+            elif prev is not None and prev.get("partition_by") and mode == "append":
+                manifest["partition_by"] = prev["partition_by"]
             payload = json.dumps(manifest, sort_keys=True).encode()
             if self.storage.put_if_absent(_manifest_key(new_v), payload):
                 return new_v
@@ -451,11 +547,21 @@ class TransactionalTable:
                 raise FileNotFoundError(f"nothing to optimize in {self.root}")
             df = self.read(spark, base_v)
             rows = m.get("rows") or df.count()
-            n_files = max(1, math.ceil(rows / target_rows_per_file))
+            pb = m.get("partition_by")
+            if pb:
+                # partitioned table: the compaction unit is the partition
+                # — shuffle on the partition cols so each directory
+                # compacts to one writer's worth of files, leaving the
+                # layout (and partition pruning) intact.
+                compacted = df.repartition(*pb)
+            else:
+                n_files = max(1, math.ceil(rows / target_rows_per_file))
+                compacted = df.repartition(n_files)
             try:
                 new_v = self.commit(
-                    df.repartition(n_files),
+                    compacted,
                     mode="replace",
+                    partition_by=pb,
                     meta={"op": "optimize", "source_version": base_v},
                     expect_version=base_v,
                 )

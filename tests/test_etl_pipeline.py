@@ -9,6 +9,7 @@ the same rows — a composition-level oracle, not just per-operator.
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.etl import (
@@ -158,15 +159,25 @@ def test_run_etl_roundtrip(spark, tmp_path):
     assert abs(m["sum_total_amount"] - direct) < 1e-6 * max(1.0, abs(direct))
 
 
-def test_incremental_etl_matches_full_recompute(spark, tmp_path):
+@pytest.mark.parametrize("table_format", ["parquet", "tx"])
+def test_incremental_etl_matches_full_recompute(spark, tmp_path, table_format):
     """run_etl_incremental after two date-aligned batches must equal the
     full recompute: curated row-for-row, hourly aggregate within float
     reassociation — and a replayed batch must no-op (its dates are
-    already curated), so redelivery cannot double-write."""
+    already curated), so redelivery cannot double-write. Both storage
+    backends honor the same contract: plain hive-partitioned parquet
+    (dynamic partition overwrite) and the manifest commit-log table
+    (transactional replace_partitions — the object-store-safe path)."""
     from nyc_taxi_etl_pyspark_spark.etl import (
         hourly_agg_from_state,
         run_etl_incremental,
     )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    def read_back(path):
+        if table_format == "tx":
+            return TransactionalTable(path).read(spark)
+        return spark.read.parquet(path)
 
     raw = synth_taxi(spark)
     # date-aligned split: batch 1 = first 5 calendar days, batch 2 = rest
@@ -177,13 +188,13 @@ def test_incremental_etl_matches_full_recompute(spark, tmp_path):
 
     curated = str(tmp_path / "curated_inc")
     aggp = str(tmp_path / "agg_state")
-    s1 = run_etl_incremental(spark, batch1, curated, aggp)
-    s2 = run_etl_incremental(spark, batch2, curated, aggp)
+    s1 = run_etl_incremental(spark, batch1, curated, aggp, table_format=table_format)
+    s2 = run_etl_incremental(spark, batch2, curated, aggp, table_format=table_format)
     assert s1["rows_new"] > 0 and s2["rows_new"] > 0
     assert not (set(s1["dates_new"]) & set(s2["dates_new"]))
 
     # replay of batch 2 (redelivery): every date already curated -> no-op
-    s3 = run_etl_incremental(spark, batch2, curated, aggp)
+    s3 = run_etl_incremental(spark, batch2, curated, aggp, table_format=table_format)
     assert s3 == {
         "dates_new": [],
         "dates_skipped": s2["dates_new"],
@@ -195,7 +206,7 @@ def test_incremental_etl_matches_full_recompute(spark, tmp_path):
     agg_full = str(tmp_path / "agg_full")
     stats = run_etl(spark, raw, curated_full, agg_full)
 
-    inc_rows = spark.read.parquet(curated)
+    inc_rows = read_back(curated)
     full_rows = spark.read.parquet(curated_full)
     assert inc_rows.count() == full_rows.count() == stats["rows_clean"]
     cols = sorted(set(full_rows.columns))
@@ -203,7 +214,7 @@ def test_incremental_etl_matches_full_recompute(spark, tmp_path):
     want = sorted(map(tuple, full_rows.select(*cols).collect()), key=repr)
     assert got == want
 
-    agg_inc = hourly_agg_from_state(spark.read.parquet(aggp)).collect()
+    agg_inc = hourly_agg_from_state(read_back(aggp)).collect()
     agg_want = spark.read.parquet(agg_full).orderBy(
         "pickup_date", "pickup_hour"
     ).collect()

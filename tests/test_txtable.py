@@ -411,3 +411,101 @@ def test_prune_files_missing_stats_is_conservative(spark, tmp_path):
     assert prune_files(m_nostats, [("id", 0, 10)]) == m["files"]
     # incomparable predicate type: no exclusion proof, keep all
     assert prune_files(m, [("id", "zzz", None)]) == m["files"]
+
+
+def test_partitioned_commit_replace_partitions(spark, tmp_path):
+    """Transactional dynamic partition overwrite: a batch that touches
+    2 of 5 date partitions replaces exactly those partitions' files in
+    one atomic manifest; untouched partitions keep their original file
+    keys (never rewritten), partition columns come back from the hive
+    paths, and partition pruning opens only the matching files."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(500).select(
+        F.col("id"), (F.col("id") % 5).alias("d"), F.lit("old").alias("tag")
+    )
+    t.commit(base, partition_by=["d"])
+    m0 = t.manifest()
+    assert m0["partition_by"] == ["d"]
+    assert all("d=" in f for f in m0["files"])
+    old_files = {
+        f for f in m0["files"]
+        if m0["stats"][f]["partition"]["d"] in ("0", "3")
+    }
+    untouched = set(m0["files"]) - old_files
+
+    patch = spark.range(40).select(
+        (F.col("id") * 5).alias("id"),            # d = 0
+        F.lit(0).alias("d"),
+        F.lit("new").alias("tag"),
+    ).unionByName(
+        spark.range(30).select(
+            (F.col("id") * 5 + 3).alias("id"),    # d = 3
+            F.lit(3).alias("d"),
+            F.lit("new").alias("tag"),
+        )
+    )
+    t.commit(patch, mode="replace_partitions", partition_by=["d"])
+    m1 = t.manifest()
+    # untouched partitions: identical file keys, no rewrite
+    assert untouched <= set(m1["files"])
+    assert not (old_files & set(m1["files"]))
+
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "d", "tag"}  # d restored from paths
+    by_part = {
+        r["d"]: (r["n"], r["tags"])
+        for r in got.groupBy("d").agg(
+            F.count("*").alias("n"),
+            F.collect_set("tag").alias("tags"),
+        ).collect()
+    }
+    assert by_part[0] == (40, ["new"]) and by_part[3] == (30, ["new"])
+    for d in (1, 2, 4):
+        assert by_part[d] == (100, ["old"])
+    assert m1["rows"] == got.count() == 370
+
+    # exact partition pruning from the manifest: only d=3 files open
+    pruned = t.read(spark, partitions={"d": [3]})
+    assert pruned.count() == 30
+    assert {r["d"] for r in pruned.select("d").distinct().collect()} == {3}
+
+    # vacuum reclaims the replaced files (recursive listing)
+    t.vacuum(retain_versions=1)
+    assert not (old_files & set(t.storage.list("data")))
+    assert t.read(spark).count() == 370
+
+
+def test_partitioned_optimize_preserves_layout(spark, tmp_path):
+    """OPTIMIZE on a partitioned table compacts WITHIN partitions: the
+    fragmented per-partition files collapse, partition_by and pruning
+    survive, data identical."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(600).select(
+        F.col("id"), (F.col("id") % 3).alias("d")
+    ).repartition(8)
+    t.commit(df, partition_by=["d"])
+    files_before = len(t.manifest()["files"])
+    assert files_before > 3  # fragmented: several files per partition
+    stats = t.optimize(spark)
+    m = t.manifest()
+    assert m["partition_by"] == ["d"]
+    assert stats["files_after"] == 3  # one per partition
+    assert t.read(spark).count() == 600
+    assert t.read(spark, partitions={"d": [1]}).count() == 200
+
+
+def test_streaming_upsert_then_compact_on_partitioned_tx(spark, tmp_path):
+    """compact_parquet dispatch still works after partitioned commits
+    (end-to-end: commit partitioned -> compact via the io entry point)."""
+    from nyc_taxi_etl_pyspark_spark.sources.io import compact_parquet
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(200).select(F.col("id"), (F.col("id") % 2).alias("p"))
+        .repartition(6),
+        partition_by=["p"],
+    )
+    stats = compact_parquet(spark, root)
+    assert stats["files_after"] == 2
+    assert t.read(spark).count() == 200
