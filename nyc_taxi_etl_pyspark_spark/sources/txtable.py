@@ -61,6 +61,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -368,6 +369,28 @@ class TransactionalTable:
     def exists(self) -> bool:
         return self.latest_version() >= 0
 
+    def history(self) -> list[dict]:
+        """Audit trail of retained versions, newest first: version,
+        parent, operation meta, row/file counts, commit wall-time —
+        the table-format DESCRIBE HISTORY, answered entirely from the
+        commit log."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            if not m:
+                continue
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m.get("parent"),
+                    "rows": m.get("rows"),
+                    "n_files": len(m.get("files", [])),
+                    "meta": m.get("meta", {}),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return out
+
     # -- commit path -------------------------------------------------------
     def _stage(
         self, df: DataFrame, partition_by: list[str] | None = None
@@ -454,6 +477,17 @@ class TransactionalTable:
         """
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
+        schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if mode in ("append", "replace_partitions"):
+            prev_m = self.manifest()
+            prev_schema = (prev_m or {}).get("schema")
+            if prev_schema is not None and prev_schema != schema:
+                raise ValueError(
+                    f"{self.root}: {mode} schema mismatch — table has "
+                    f"{prev_schema}, commit brings {schema}. Appends must "
+                    "match the table schema exactly; evolve it with a "
+                    "full replace commit."
+                )
         rows = df.count()
         keys, staged_stats = self._stage(df, partition_by=partition_by)
         touched = {
@@ -506,8 +540,10 @@ class TransactionalTable:
                 "parent": base_v if base_v >= 0 else None,
                 "files": files,
                 "rows": total_rows,
+                "schema": schema,
                 "stats": stats,
                 "meta": meta or {},
+                "committed_at": time.time(),
             }
             if partition_by:
                 manifest["partition_by"] = list(partition_by)

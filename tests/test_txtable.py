@@ -435,12 +435,12 @@ def test_partitioned_commit_replace_partitions(spark, tmp_path):
 
     patch = spark.range(40).select(
         (F.col("id") * 5).alias("id"),            # d = 0
-        F.lit(0).alias("d"),
+        F.lit(0).cast("long").alias("d"),
         F.lit("new").alias("tag"),
     ).unionByName(
         spark.range(30).select(
             (F.col("id") * 5 + 3).alias("id"),    # d = 3
-            F.lit(3).alias("d"),
+            F.lit(3).cast("long").alias("d"),
             F.lit("new").alias("tag"),
         )
     )
@@ -509,3 +509,29 @@ def test_streaming_upsert_then_compact_on_partitioned_tx(spark, tmp_path):
     stats = compact_parquet(spark, root)
     assert stats["files_after"] == 2
     assert t.read(spark).count() == 200
+
+
+def test_append_schema_guard_and_history(spark, tmp_path):
+    """Appends and partition-replaces must match the table schema
+    exactly (silent drift would corrupt every later read); schema
+    evolution is an explicit full replace. history() reads the audit
+    trail straight from the commit log."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).select(F.col("id"), F.lit(1.0).alias("x")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit(
+            spark.range(5).select(F.col("id"), F.lit("s").alias("x")),
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit(spark.range(5).select("id"), mode="append")
+    # matching append fine; evolution via replace fine
+    t.commit(spark.range(10, 20).select(F.col("id"), F.lit(2.0).alias("x")),
+             mode="append")
+    t.commit(spark.range(3).select(F.col("id"), F.lit("s").alias("x")))
+    assert t.manifest()["schema"] == {"id": "bigint", "x": "string"}
+
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert h[0]["rows"] == 3 and h[1]["rows"] == 20
+    assert all(e["committed_at"] > 0 for e in h)
