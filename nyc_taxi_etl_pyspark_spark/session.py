@@ -25,6 +25,12 @@ _RUNTIME_CONF = {
     # scan with PARQUET_TYPE_ILLEGAL; read them as long and convert — see
     # sources/tables.py.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96 default:
+    # INT96 columns carry NO min/max statistics, which silently disables
+    # row-group/file skipping AND the transactional tables'
+    # manifest-level pruning (txtable.collect_file_stats) for every
+    # timestamp column — at 100 TB, time-range scans are the common case.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 _CONFIGURED_APPS: set[str] = set()

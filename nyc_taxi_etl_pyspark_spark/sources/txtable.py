@@ -337,16 +337,26 @@ class TransactionalTable:
             )
         files = prune_files(m, where)
         if partitions:
+            # File-level pruning is only sound for columns the snapshot
+            # is PHYSICALLY partitioned by (their values ride the
+            # manifest); any other column falls through to the residual
+            # row filter below — never a silent empty result.
+            pb = set(m.get("partition_by") or [])
             stats = m.get("stats", {})
-            sel = {c: {str(v) for v in vals} for c, vals in partitions.items()}
-            files = [
-                f
-                for f in files
-                if all(
-                    stats.get(f, {}).get("partition", {}).get(c) in vs
-                    for c, vs in sel.items()
-                )
-            ]
+            sel = {
+                c: {str(v) for v in vals}
+                for c, vals in partitions.items()
+                if c in pb
+            }
+            if sel:
+                files = [
+                    f
+                    for f in files
+                    if all(
+                        stats.get(f, {}).get("partition", {}).get(c) in vs
+                        for c, vs in sel.items()
+                    )
+                ]
         reader = spark.read
         if m.get("partition_by"):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
@@ -356,14 +366,19 @@ class TransactionalTable:
             df = reader.parquet(self.storage.url(m["files"][0])).limit(0)
         else:
             df = reader.parquet(*[self.storage.url(f) for f in files])
-        if where:
+        if where or partitions:
             from pyspark.sql import functions as F
 
-            for col, lo, hi in where:
+            for col, lo, hi in where or []:
                 if lo is not None:
                     df = df.where(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     df = df.where(F.col(col) <= F.lit(hi))
+            # residual partition-value filter: exact on any layout (the
+            # partition columns exist in the frame either from the data
+            # pages or reconstructed from the hive paths).
+            for col, vals in (partitions or {}).items():
+                df = df.where(F.col(col).isin(list(vals)))
         return df
 
     def exists(self) -> bool:
@@ -663,15 +678,22 @@ class TransactionalTable:
         for _ in range(max_retries):
             base_v = self.latest_version()
             if base_v < 0:
-                merged = updates
+                merged, pb = updates, None
             else:
+                m = self.manifest(base_v)
+                pb = m.get("partition_by") if m else None
                 merged = merge_upsert(
                     self.read(spark, base_v), updates, key_cols, latest_by=latest_by
                 )
             try:
+                # the merged snapshot keeps the table's physical layout:
+                # a merge must not silently flatten a partitioned table
+                # (that would break partition pruning for every later
+                # reader).
                 return self.commit(
                     merged,
                     mode="replace",
+                    partition_by=pb,
                     meta={**(meta or {}), "op": "merge", "source_version": base_v},
                     expect_version=base_v if base_v >= 0 else None,
                 )

@@ -535,3 +535,35 @@ def test_append_schema_guard_and_history(spark, tmp_path):
     assert [e["version"] for e in h] == [2, 1, 0]
     assert h[0]["rows"] == 3 and h[1]["rows"] == 20
     assert all(e["committed_at"] > 0 for e in h)
+
+
+def test_merge_preserves_partition_layout_and_partition_filter_fallback(
+    spark, tmp_path
+):
+    """Two regressions caught by the lakehouse example: (1) MERGE on a
+    partitioned table must keep the hive layout (flattening would break
+    partition pruning for every later reader); (2) a partitions= filter
+    on a column the snapshot is NOT physically partitioned by must fall
+    back to an exact row filter — never a silent empty result."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("d"), (F.col("id") * 2.0).alias("x")
+    )
+    t.commit(base, partition_by=["d"])
+    fixes = t.read(spark).where("id < 10").withColumn("x", F.lit(-1.0)).select(
+        "id", "d", "x"
+    )
+    t.merge(spark, fixes, key_cols=["id"])
+    m = t.manifest()
+    assert m["partition_by"] == ["d"]  # layout survived the merge
+    assert all("d=" in f for f in m["files"])
+    got = t.read(spark, partitions={"d": [1]})
+    assert got.count() == 100  # pruning still exact post-merge
+    assert t.read(spark).where("x = -1.0").count() == 10
+
+    # unpartitioned table: partitions= degrades to a row filter
+    u = TransactionalTable(str(tmp_path / "u"))
+    u.commit(spark.range(90).select(F.col("id"), (F.col("id") % 3).alias("d")))
+    got = u.read(spark, partitions={"d": [2]})
+    assert got.count() == 30
+    assert {r["d"] for r in got.select("d").distinct().collect()} == {2}
