@@ -185,3 +185,88 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.max("__mx"), 4).alias("max_value"),
         )
     )
+
+
+@query(
+    "q_tx_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice * 1.1 + 1e-9, 4)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NOT NULL
+                THEN n.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           round((CASE WHEN n.o_orderkey IS NOT NULL
+                       THEN n.o_totalprice ELSE b.o_totalprice END) + 1e-9, 4)
+             AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS _change_type
+    FROM base b FULL OUTER JOIN new n ON b.o_orderkey = n.o_orderkey
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR b.o_orderstatus != n.o_orderstatus
+       OR b.o_totalprice != n.o_totalprice
+    """,
+)
+def q_tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed snapshots (the Delta CDF
+    shape, ``txtable.TransactionalTable.changes``): version 0 is the
+    orders base, version 1 applies a deterministic update (every 7th
+    order re-priced), delete (every 13th order dropped), and insert
+    (every 97th order re-keyed); the feed is the full-outer snapshot
+    diff on the key, tagged insert/update/delete with new values for
+    upserts and old values for deletes. The oracle replays the same
+    diff declaratively from the raw table — proving time travel + diff
+    against storage, not just the join. Keys both %7- and %13-divisible
+    are deletes (the row left the table even though its price would
+    also have changed). Idempotent: the two versions are committed once
+    per fixture dir and re-read thereafter."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = os.path.abspath(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_txcdf_{abs(hash(key))}"
+    )
+    t = TransactionalTable(root)
+    if t.latest_version() < 1:
+        if t.latest_version() < 0:
+            t.commit(o)
+        is_upd = F.col("o_orderkey") % 7 == 0
+        new = o.where(F.col("o_orderkey") % 13 != 0).select(
+            "o_orderkey",
+            F.when(is_upd, F.lit("U")).otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(is_upd, stable_round(F.col("o_totalprice") * 1.1, 4))
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        ).unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+        t.commit(new)
+    feed = t.changes(spark, ["o_orderkey"], from_version=0, to_version=1)
+    return feed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        "_change_type",
+    )

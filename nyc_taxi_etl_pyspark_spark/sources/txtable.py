@@ -384,6 +384,58 @@ class TransactionalTable:
     def exists(self) -> bool:
         return self.latest_version() >= 0
 
+    def changes(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots (Delta CDF shape):
+        one row per key whose state differs, tagged ``_change_type`` ∈
+        {insert, update, delete}, carrying the NEW values for
+        insert/update and the OLD values for delete. Computed as a
+        full-outer join of the two immutable snapshots on the key — no
+        write-path bookkeeping needed because every retained version
+        stays readable; cost is a join of two snapshots, shuffled on
+        the key once each (AQE broadcasts the smaller snapshot when the
+        delta window is small). Downstream consumers (sync to a search
+        index, cache invalidation, incremental feature refresh) apply
+        the feed idempotently keyed on (key, to_version)."""
+        from pyspark.sql import functions as F
+
+        old = self.read(spark, from_version)
+        new = self.read(spark, to_version)  # None → latest
+        val_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *key_cols,
+            F.struct(*val_cols).alias("__old"),
+            F.lit(True).alias("__in_old"),
+        )
+        n = new.select(
+            *key_cols,
+            F.struct(*val_cols).alias("__new"),
+            F.lit(True).alias("__in_new"),
+        )
+        j = o.join(n, on=list(key_cols), how="full")
+        change = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(F.col("__old") != F.col("__new"), F.lit("update"))
+        )
+        picked = F.when(
+            F.col("__in_new").isNull(), F.col("__old")
+        ).otherwise(F.col("__new"))
+        return (
+            j.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *key_cols,
+                *[picked[c].alias(c) for c in val_cols],
+                "_change_type",
+            )
+        )
+
     def history(self) -> list[dict]:
         """Audit trail of retained versions, newest first: version,
         parent, operation meta, row/file counts, commit wall-time —

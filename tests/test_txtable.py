@@ -606,3 +606,30 @@ def test_concurrent_merges_serialize_without_lost_updates(spark, tmp_path):
     for i in range(100):
         want = 1.0 if i < 20 else 2.0 if i < 40 else 3.0 if i < 60 else 0.0
         assert got[i] == want, (i, got[i])
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    """changes(v0 -> v1) must emit exactly the keys whose state differs,
+    tagged insert/update/delete, new values for upserts and old values
+    for deletes — including NULL-valued fields on either side (struct
+    comparison must not three-valued-logic a real change away)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    ))
+    t.commit(spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "b", 2.0),        # null -> value: update
+         (3, None, 3.0),       # value -> null: update
+         (5, "e", 5.0)],       # insert; 4 deleted
+        "k int, s string, v double",
+    ))
+    feed = {r["k"]: (r["s"], r["v"], r["_change_type"])
+            for r in t.changes(spark, ["k"], from_version=0).collect()}
+    assert feed == {
+        2: ("b", 2.0, "update"),
+        3: (None, 3.0, "update"),
+        4: ("d", 4.0, "delete"),
+        5: ("e", 5.0, "insert"),
+    }
