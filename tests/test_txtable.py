@@ -633,3 +633,94 @@ def test_change_feed_between_versions(spark, tmp_path):
         4: ("d", 4.0, "delete"),
         5: ("e", 5.0, "insert"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Property: random operation sequences vs an in-memory reference model.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# ops: ("replace"|"append"|"merge", rows) | ("optimize",) | ("vacuum",)
+_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+    min_size=1,
+    max_size=6,
+)
+_op = st.one_of(
+    st.tuples(st.just("replace"), _rows),
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("merge"), _rows),
+    st.tuples(st.just("optimize")),
+    st.tuples(st.just("vacuum")),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=6))
+def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
+    """Model-based property: ANY interleaving of replace / append /
+    merge / optimize / vacuum leaves the table exactly where a trivial
+    in-memory model says it should be. replace and merge are keyed
+    (latest-wins per key k); append is a bag union; optimize and vacuum
+    must be pure no-ops on CONTENT. This is the whole protocol surface
+    exercised in combinations no example-based test enumerates."""
+    t = TransactionalTable(str(tmp_path_factory.mktemp("prop") / "t"))
+    # model: list of (k, v) bags for append semantics; replace/merge
+    # first collapse the incoming rows latest-wins by key (merge_upsert
+    # contract via latest_by on a sequence column).
+    model: list[tuple[int, int]] = []
+
+    def collapse(rows):
+        last = {}
+        for k, v in rows:
+            last[k] = v
+        return sorted(last.items())
+
+    for op in ops:
+        if op[0] == "replace":
+            rows = collapse(op[1])
+            t.commit(
+                spark.createDataFrame(rows, "k int, v int")
+            )
+            model = list(rows)
+        elif op[0] == "append":
+            if not t.exists():
+                continue
+            t.commit(
+                spark.createDataFrame(op[1], "k int, v int"), mode="append"
+            )
+            model = model + list(op[1])
+        elif op[0] == "merge":
+            if not t.exists():
+                continue
+            # merge requires unique update keys: collapse latest-wins,
+            # and requires a keyed model: only meaningful if the model
+            # itself is key-unique; skip when appends made duplicates.
+            if len({k for k, _ in model}) != len(model):
+                continue
+            updates = collapse(op[1])
+            t.merge(
+                spark,
+                spark.createDataFrame(updates, "k int, v int"),
+                key_cols=["k"],
+            )
+            d = dict(model)
+            d.update(dict(updates))
+            model = sorted(d.items())
+        elif op[0] == "optimize":
+            if not t.exists():
+                continue
+            t.optimize(spark)
+        elif op[0] == "vacuum":
+            if not t.exists():
+                continue
+            t.vacuum(retain_versions=2)
+        if t.exists():
+            got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+            assert got == sorted(model), (op, got, model)
