@@ -512,6 +512,8 @@ class TransactionalTable:
         *,
         mode: str = "replace",
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
         meta: dict | None = None,
         expect_version: int | None = None,
     ) -> int:
@@ -537,6 +539,15 @@ class TransactionalTable:
         per-file partition values ride the manifest for exact partition
         pruning (``read(partitions={...})``).
 
+        ``cluster_by`` range-partitions + sorts the staged files on the
+        given columns before writing (``num_files`` output files,
+        default the session parallelism): each file then covers a
+        DISJOINT slice of the cluster-key domain, which is what makes
+        the manifest's min/max stats actually skip — an unclustered
+        commit spreads every key range across every file and
+        ``prune_files`` can exclude nothing. Composable with
+        ``partition_by`` (cluster within partitions).
+
         ``expect_version``: optimistic-concurrency guard for
         read-modify-write commits — the version the writer derived its
         result FROM. If someone else committed past it, raises
@@ -544,6 +555,15 @@ class TransactionalTable:
         """
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            n = num_files or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(
+                n, *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+        elif num_files is not None:
+            df = df.repartition(num_files)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         if mode in ("append", "replace_partitions"):
             prev_m = self.manifest()

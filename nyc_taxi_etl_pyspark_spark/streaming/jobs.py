@@ -368,6 +368,82 @@ def _checkpoint_identity(checkpoint_path: str) -> str:
             return f.read().strip()
 
 
+def run_streaming_append_sink_tx(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    checkpoint_path: str,
+    storage=None,
+) -> None:
+    """Exactly-once streaming APPEND into a transactional table — the
+    bronze-ingest shape (stream → append-only raw table) made safe on
+    object stores. Each micro-batch is ONE atomic append commit
+    (``TransactionalTable.commit(mode="append")``): the new files and
+    the manifest naming them land together, so a reader never sees a
+    torn batch, and a crash mid-commit strands only unreferenced files
+    (reclaimed by vacuum).
+
+    Appends are NOT idempotent, so foreachBatch's at-least-once
+    redelivery needs explicit replay protection: the checkpoint
+    identity (``_checkpoint_identity``) and applied ``batch_id`` ride
+    the manifest meta atomically with the data; a replayed batch whose
+    id is already recorded for this checkpoint skips, and a FRESH
+    checkpoint pointed at an existing base raises (its batch ids
+    restart at 0 — silently skipping would drop data, re-appending
+    would duplicate it). This is Spark's own file-sink exactly-once
+    story (_spark_metadata log), generalized to a manifest any engine
+    can read and any storage can host."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    ensure_session_conf(spark)
+    root = base_path.rstrip("/")
+    if storage is None and not is_local_uri(root):
+        raise ValueError(
+            f"run_streaming_append_sink_tx: non-local base {root!r} needs "
+            "an injected storage backend implementing conditional PUT "
+            "(sources/txtable.py)."
+        )
+    ckpt_identity = _checkpoint_identity(checkpoint_path)
+    table = TransactionalTable(root, storage=storage)
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        m = table.manifest()
+        if m is not None:
+            meta = m.get("meta", {})
+            rec = meta.get("ckpt_identity")
+            if rec is not None and rec != ckpt_identity:
+                raise ValueError(
+                    f"{root} was built by a different streaming query "
+                    f"(checkpoint identity {rec}, this query "
+                    f"{ckpt_identity}): appending a fresh stream onto an "
+                    "existing base would duplicate or drop batches. Point "
+                    "the sink at a new base_path or resume the original "
+                    "checkpoint."
+                )
+            if int(meta.get("applied_batch_id", -1)) >= batch_id:
+                return  # replayed batch: already committed atomically
+        table.commit(
+            batch_df,
+            mode="append",
+            meta={"ckpt_identity": ckpt_identity, "applied_batch_id": batch_id},
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_streaming_upsert_sink(
     spark: SparkSession,
     sf_dir: str,

@@ -724,3 +724,70 @@ def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
         if t.exists():
             got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
             assert got == sorted(model), (op, got, model)
+
+
+def test_cluster_by_commit_enables_stats_skipping(spark, tmp_path):
+    """cluster_by gives files disjoint key ranges, which is what turns
+    manifest min/max stats into real file skipping; the same data
+    committed unclustered (round-robin) can exclude nothing."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    # value column deliberately uncorrelated with insertion order
+    df = spark.range(8000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 100000).alias("h")
+    )
+    where = [("h", 10000, 14000)]
+
+    flat = TransactionalTable(str(tmp_path / "flat"))
+    flat.commit(df, num_files=8)
+    m = flat.manifest()
+    assert len(m["files"]) == 8
+    assert len(prune_files(m, where)) == 8  # nothing skippable
+
+    clus = TransactionalTable(str(tmp_path / "clus"))
+    clus.commit(df, cluster_by=["h"], num_files=8)
+    m = clus.manifest()
+    assert len(m["files"]) == 8
+    kept = prune_files(m, where)
+    assert len(kept) <= 2  # ~4% of the domain -> 1-2 of 8 range slices
+    got = sorted(r["id"] for r in clus.read(spark, where=where).collect())
+    want = sorted(
+        r["id"] for r in df.where("h between 10000 and 14000").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_append_sink_tx_exactly_once(spark, sf_dir, tmp_path):
+    """Bronze-ingest stream → transactional append: every event lands
+    exactly once (batch commits are atomic appends with the replay
+    marker in manifest meta), re-running the drained checkpoint no-ops,
+    and a fresh checkpoint against the existing base raises instead of
+    duplicating or dropping batches."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_append_sink_tx,
+    )
+
+    base = str(tmp_path / "bronze")
+    storage = ObjectStoreSimStorage(base)
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_append_sink_tx(spark, sf_dir, base, ckpt, storage=storage)
+
+    t = TransactionalTable(base, storage=storage)
+    ev = load_table(spark, sf_dir, "events")
+    got = t.read(spark)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+    # drained checkpoint re-run: no new batches, nothing duplicated
+    v = t.latest_version()
+    run_streaming_append_sink_tx(spark, sf_dir, base, ckpt, storage=storage)
+    assert t.latest_version() == v
+    assert t.read(spark).count() == ev.count()
+
+    # foreign checkpoint: loud refusal (appends can't be replay-skipped
+    # by id alone — ids restart at 0)
+    with pytest.raises(Exception, match="different streaming query"):
+        run_streaming_append_sink_tx(
+            spark, sf_dir, base, str(tmp_path / "ckpt2"), storage=storage
+        )
