@@ -270,3 +270,46 @@ def q_tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
         "_change_type",
     )
+
+
+@query(
+    "q_tx_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE NOT (o_totalprice >= 50000.0 AND o_totalprice <= 150000.0)
+    """,
+)
+def q_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE through the commit-log table
+    (``txtable.TransactionalTable.delete``): the orders base is
+    committed CLUSTERED on the delete column, so the manifest's min/max
+    stats let the delete rewrite only the files that can contain the
+    price band — the copy-on-write shape where a selective delete on a
+    100 TB table touches a handful of files. The oracle is the plain
+    anti-filter over the raw table; matching it proves the rewrite
+    dropped exactly the banded rows and the retained files kept
+    everything else. Idempotent: re-running deletes nothing (the band
+    is already gone) and commits no new version."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = os.path.abspath(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_txdel_{abs(hash(key))}"
+    )
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_totalprice"], num_files=8)
+    t.delete(spark, [("o_totalprice", 50000.0, 150000.0)])
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

@@ -729,6 +729,98 @@ class TransactionalTable:
             "retained_versions": sorted(keep),
         }
 
+    # -- DELETE ------------------------------------------------------------
+    def delete(
+        self,
+        spark: SparkSession,
+        where: list[tuple],
+        max_retries: int = 5,
+    ) -> dict:
+        """Row-level DELETE with file-pruned rewrite: files whose
+        manifest min/max stats PROVE they contain no matching row are
+        retained byte-for-byte; only the files that can match are read,
+        filtered, and re-staged — the Delta/Iceberg copy-on-write
+        delete, planned from the manifest alone. On a clustered or
+        partitioned layout a selective delete rewrites a handful of
+        files out of thousands. ``where`` is the same conjunctive
+        ``[(col, lo, hi)]`` band form as ``read``; rows matching EVERY
+        band are deleted. Commits with optimistic concurrency (rebases
+        and retries if another writer lands first); returns
+        {version, files_rewritten, files_retained, rows_deleted}."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to delete from in {self.root}")
+            affected = prune_files(m, where)
+            retained = [f for f in m["files"] if f not in set(affected)]
+            if not affected:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(retained),
+                    "rows_deleted": 0,
+                }
+            pb = m.get("partition_by")
+            reader = spark.read
+            if pb:
+                reader = reader.option("basePath", self.storage.url(DATA_DIR))
+            df = reader.parquet(*[self.storage.url(f) for f in affected])
+            affected_rows = df.count()
+            pred = None
+            for col, lo, hi in where:
+                for bound in (
+                    F.col(col) >= F.lit(lo) if lo is not None else None,
+                    F.col(col) <= F.lit(hi) if hi is not None else None,
+                ):
+                    if bound is not None:
+                        pred = bound if pred is None else pred & bound
+            remaining = df.where(~pred) if pred is not None else df.limit(0)
+            kept_rows = remaining.count()
+            deleted = affected_rows - kept_rows
+            if deleted == 0:
+                # stats said "maybe", data said "no match": nothing to do
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(m["files"]),
+                    "rows_deleted": 0,
+                }
+            keys, staged_stats = (
+                self._stage(remaining, partition_by=pb)
+                if kept_rows
+                else ([], {})
+            )
+            prev_stats = m.get("stats", {})
+            manifest = {
+                "version": base_v + 1,
+                "parent": base_v,
+                "files": retained + keys,
+                "rows": max(0, m.get("rows", 0) - deleted),
+                "schema": m.get("schema"),
+                "stats": {
+                    **{f: prev_stats[f] for f in retained if f in prev_stats},
+                    **staged_stats,
+                },
+                "meta": {"op": "delete", "source_version": base_v},
+                "committed_at": time.time(),
+            }
+            if pb:
+                manifest["partition_by"] = pb
+            payload = json.dumps(manifest, sort_keys=True).encode()
+            if self.storage.put_if_absent(_manifest_key(base_v + 1), payload):
+                return {
+                    "version": base_v + 1,
+                    "files_rewritten": len(affected),
+                    "files_retained": len(retained),
+                    "rows_deleted": deleted,
+                }
+            # lost the race: stranded staged files are vacuum's problem;
+            # re-derive from the new snapshot.
+        raise CommitConflict(f"delete lost {max_retries} commit races on {self.root}")
+
     # -- MERGE -------------------------------------------------------------
     def merge(
         self,

@@ -791,3 +791,45 @@ def test_streaming_append_sink_tx_exactly_once(spark, sf_dir, tmp_path):
         run_streaming_append_sink_tx(
             spark, sf_dir, base, str(tmp_path / "ckpt2"), storage=storage
         )
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    """Copy-on-write DELETE plans from the manifest: on a clustered
+    layout a narrow band rewrites 1-2 of 8 files, retains the rest
+    byte-for-byte (same keys), and the surviving data equals the plain
+    anti-filter. Stats-only 'maybe' files with no actual match commit
+    nothing."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(8000).select(F.col("id"), (F.col("id") % 4).alias("g"))
+    t.commit(df, cluster_by=["id"], num_files=8)
+    m0 = t.manifest()
+
+    stats = t.delete(spark, [("id", 2000, 2999)])
+    assert stats["rows_deleted"] == 1000
+    assert 1 <= stats["files_rewritten"] <= 2
+    assert stats["files_retained"] >= 6
+    m1 = t.manifest()
+    # retained files kept their identity (no rewrite)
+    assert set(m1["files"]) & set(m0["files"])
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [i for i in range(8000) if not (2000 <= i <= 2999)]
+    assert m1["rows"] == 7000 and m1["meta"]["op"] == "delete"
+
+    # no-match delete: stats can't exclude g's full range, data has no
+    # match -> zero-commit no-op
+    v = t.latest_version()
+    stats = t.delete(spark, [("g", 99, 100)])
+    assert stats["rows_deleted"] == 0 and t.latest_version() == v
+
+    # partitioned table: delete prunes by partition-resident stats and
+    # keeps the hive layout
+    p = TransactionalTable(str(tmp_path / "p"))
+    p.commit(
+        spark.range(900).select(F.col("id"), (F.col("id") % 3).alias("d")),
+        partition_by=["d"],
+    )
+    stats = p.delete(spark, [("id", 0, 99)])
+    assert stats["rows_deleted"] == 100
+    assert p.manifest()["partition_by"] == ["d"]
+    assert p.read(spark, partitions={"d": [0]}).count() == 300 - 34
+    assert p.read(spark).count() == 800
