@@ -13,10 +13,11 @@ Flow:
 3. INCREMENT— run_etl_incremental(table_format="tx"): new dates only,
               one transactional dynamic-partition-overwrite per batch
 4. MERGE    — a CDC correction batch upserts rows by key
-5. OPTIMIZE — compact small files within partitions, layout preserved
-6. READ     — snapshot reads, time travel, manifest-stats file skipping
-              and exact partition pruning
-7. HISTORY / VACUUM — audit trail; reclaim unreferenced files
+5. DELETE   — copy-on-write row deletion, file-pruned from the manifest
+6. OPTIMIZE — compact small files within partitions, layout preserved
+7. READ     — snapshot reads, time travel, manifest-stats file skipping,
+              exact partition pruning, and the change data feed
+8. HISTORY / VACUUM — audit trail; reclaim unreferenced files
 
 Run: python examples/txtable_example.py
 """
@@ -113,7 +114,24 @@ def main() -> None:
           "history head:", table.history()[0]["meta"])
 
     # ------------------------------------------------------------------
-    # 5. OPTIMIZE: compact the per-batch small files within partitions.
+    # 5. DELETE: purge one bad ingest day (GDPR-style removal). The
+    # delete column must align with the physical layout for the
+    # manifest to prune: pickup timestamps are day-clustered by the
+    # date partitioning, so stats prove 51 of 52 files can't match and
+    # copy-on-write rewrites ONLY that day's file. (An unclustered
+    # column, e.g. trip_distance, would make every file a candidate —
+    # clustering IS the skip; see test_cluster_by_commit_enables_
+    # stats_skipping.)
+    dstats = table.delete(
+        spark,
+        [("tpep_pickup_datetime", "2015-01-05 00:00:00", "2015-01-05 23:59:59")],
+    )
+    print(f"delete: {dstats['rows_deleted']} rows, rewrote "
+          f"{dstats['files_rewritten']} files, retained "
+          f"{dstats['files_retained']}")
+
+    # ------------------------------------------------------------------
+    # 6. OPTIMIZE: compact the per-batch small files within partitions.
     # Readers of the pre-compaction snapshot are unaffected (immutable
     # files + retention); the compaction commit loses any race to a
     # concurrent writer and retries against the new snapshot.
@@ -121,7 +139,7 @@ def main() -> None:
     print("optimize:", ostats["files_before"], "->", ostats["files_after"], "files")
 
     # ------------------------------------------------------------------
-    # 6. Reads: current snapshot, time travel, partition pruning, and
+    # 7. Reads: current snapshot, time travel, partition pruning, and
     # manifest-stats file skipping for a selective range.
     m = table.manifest()
     # footer min/max skipping: the date-partitioned layout makes each
@@ -141,6 +159,19 @@ def main() -> None:
     # the hourly aggregate state table is transactional too
     agg_t = TransactionalTable(agg)
     print("hourly agg rows:", hourly_agg_from_state(agg_t.read(spark)).count())
+
+    # change data feed: what did the merge+delete window change? One
+    # full-outer snapshot diff, keyed — the sync feed for downstream
+    # consumers (index refresh, cache invalidation).
+    feed = table.changes(
+        spark,
+        ["tpep_pickup_datetime", "pickup_longitude"],
+        from_version=v_before_merge,
+    )
+    by_type = {r["_change_type"]: r["n"] for r in feed.groupBy(
+        "_change_type"
+    ).agg(F.count("*").alias("n")).collect()}
+    print("change feed since pre-merge:", by_type)
 
     # ------------------------------------------------------------------
     # 7. History + vacuum: audit trail from the commit log; reclaim
