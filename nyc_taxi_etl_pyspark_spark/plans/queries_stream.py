@@ -299,3 +299,49 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@query(
+    "q_streaming_append_tx",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    """,
+)
+def q_streaming_append_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming APPEND into the transactional commit-log
+    table (``streaming/jobs.py::run_streaming_append_sink_tx``): the
+    events backlog streams through foreachBatch, each micro-batch is
+    ONE atomic append commit with the replay marker riding the manifest
+    meta, and the materialized bronze table is read back by resolving
+    the manifest. The oracle is the whole events table — matching it
+    proves no batch was lost, duplicated, or torn across the
+    stream→commit→snapshot-read path. Idempotent: re-invocations resume
+    the drained checkpoint (no new batches) and read the same table.
+    Exempt from the collect guard like every q_streaming_* query: the
+    streaming run executes during plan construction."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_append_sink_tx,
+    )
+
+    key = os.path.abspath(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_txstream_{abs(hash(key))}"
+    )
+    run_streaming_append_sink_tx(
+        spark, sf_dir, base, checkpoint_path=base + "_ckpt"
+    )
+    t = TransactionalTable(base)
+    return t.read(spark).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        stable_round(F.col("value"), 4).alias("value"),
+    )

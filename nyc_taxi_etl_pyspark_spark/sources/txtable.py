@@ -43,6 +43,16 @@ Consequences:
   layout before committing to make the ranges disjoint and the skip
   rate high.
 
+Metadata scaling, honestly: each version's manifest is ONE JSON object
+listing every live file with its stats. That is the right shape up to
+~10⁵ files (a few tens of MB of metadata, read once per query plan);
+beyond it the next step is the hierarchical split the big table
+formats use — a root manifest listing per-partition segment manifests,
+which ``mode="replace_partitions"`` already writes the commit units
+for (only touched partitions' segments would be rewritten). The
+PROTOCOL (immutable files + one atomic root pointer) is unchanged by
+that split; it is a layout optimization, deliberately deferred.
+
 Storage backends implement only put-if-absent / put / read / list /
 delete / upload. ``LocalStorage`` targets POSIX (put-if-absent via
 ``os.link``, which is atomic and fails on EEXIST).
