@@ -356,33 +356,41 @@ def run_etl_incremental(
             F.col("pickup_date").isin([F.lit(d).cast("date") for d in new_dates])
         )
         n_new = fresh.count()
+        # ORDER MATTERS for crash recovery: the aggregate STATE commits
+        # FIRST, the curated partitions second. Replay detection keys on
+        # the CURATED date set, so a crash between the two writes leaves
+        # the batch's dates un-curated and the redelivered batch
+        # reprocesses BOTH — the agg partitions are overwritten
+        # idempotently (replace semantics per date partition). The
+        # reverse order would mark the batch done at the curated layer
+        # and permanently skip the lost aggregate write.
         if table_format == "tx":
             from nyc_taxi_etl_pyspark_spark.sources.txtable import (
                 TransactionalTable,
             )
 
-            TransactionalTable(curated_path).commit(
-                fresh,
-                mode="replace_partitions",
-                partition_by=["pickup_date"],
-                meta={"op": "etl_incremental", "dates": new_dates},
-            )
             TransactionalTable(agg_state_path).commit(
                 hourly_agg_state(fresh),
                 mode="replace_partitions",
                 partition_by=["pickup_date"],
                 meta={"op": "etl_incremental_agg", "dates": new_dates},
             )
-        else:
-            write_parquet_partitioned(
-                fresh, curated_path, ["pickup_date"], dynamic_overwrite=True
+            TransactionalTable(curated_path).commit(
+                fresh,
+                mode="replace_partitions",
+                partition_by=["pickup_date"],
+                meta={"op": "etl_incremental", "dates": new_dates},
             )
+        else:
             write_parquet_partitioned(
                 hourly_agg_state(fresh),
                 agg_state_path,
                 ["pickup_date"],
                 target_files=agg_target_files,
                 dynamic_overwrite=True,
+            )
+            write_parquet_partitioned(
+                fresh, curated_path, ["pickup_date"], dynamic_overwrite=True
             )
     finally:
         clean.unpersist()

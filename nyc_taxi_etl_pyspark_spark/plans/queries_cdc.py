@@ -103,18 +103,13 @@ def q_tx_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions. The object-store-safety contract (no rename anywhere on
     the path) is what lets MERGE/OPTIMIZE run where the reference
     actually stores data (``src/gcs/paths.py:1-4``)."""
-    import os
-    import tempfile
-
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
     from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    key = os.path.abspath(sf_dir)
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_txtable_{abs(hash(key))}"
-    )
+    root = fixture_scratch_dir("spark_graft_txtable", sf_dir)
     t = TransactionalTable(root)
     if not t.exists():
         t.commit(o)
@@ -232,18 +227,13 @@ def q_tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deletes (the row left the table even though its price would
     also have changed). Idempotent: the two versions are committed once
     per fixture dir and re-read thereafter."""
-    import os
-    import tempfile
-
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
     from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    key = os.path.abspath(sf_dir)
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_txcdf_{abs(hash(key))}"
-    )
+    root = fixture_scratch_dir("spark_graft_txcdf", sf_dir)
     t = TransactionalTable(root)
     if t.latest_version() < 1:
         if t.latest_version() < 0:
@@ -292,18 +282,13 @@ def q_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped exactly the banded rows and the retained files kept
     everything else. Idempotent: re-running deletes nothing (the band
     is already gone) and commits no new version."""
-    import os
-    import tempfile
-
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
     from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    key = os.path.abspath(sf_dir)
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_txdel_{abs(hash(key))}"
-    )
+    root = fixture_scratch_dir("spark_graft_txdel", sf_dir)
     t = TransactionalTable(root)
     if not t.exists():
         t.commit(o, cluster_by=["o_totalprice"], num_files=8)

@@ -322,18 +322,13 @@ def q_streaming_append_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained checkpoint (no new batches) and read the same table.
     Exempt from the collect guard like every q_streaming_* query: the
     streaming run executes during plan construction."""
-    import os
-    import tempfile
-
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
     from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
         run_streaming_append_sink_tx,
     )
 
-    key = os.path.abspath(sf_dir)
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_txstream_{abs(hash(key))}"
-    )
+    base = fixture_scratch_dir("spark_graft_txstream", sf_dir, anchor="events.parquet")
     run_streaming_append_sink_tx(
         spark, sf_dir, base, checkpoint_path=base + "_ckpt"
     )

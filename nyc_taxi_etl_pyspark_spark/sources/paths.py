@@ -109,3 +109,26 @@ class MedallionPaths:
     @property
     def models(self) -> str:
         return join_uri(self.root, "models")
+
+
+def fixture_scratch_dir(prefix: str, sf_dir: str, anchor: str = "orders.parquet") -> str:
+    """Deterministic per-fixture scratch directory for queries that
+    materialize state (transactional-table demos): keyed by a
+    ``hashlib`` digest — NOT the builtin ``hash()``, whose per-process
+    salting (PYTHONHASHSEED) would mint a new directory every run and
+    both defeat idempotent reuse and leak /tmp dirs — of the fixture
+    path PLUS the anchor file's mtime and size, so a REGENERATED
+    fixture gets a fresh scratch dir instead of replaying against a
+    stale committed base."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(os.path.abspath(sf_dir), anchor)
+    try:
+        st = os.stat(p)
+        tag = f"{p}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        tag = p
+    digest = hashlib.md5(tag.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")

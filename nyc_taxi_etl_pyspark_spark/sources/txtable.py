@@ -162,6 +162,14 @@ class LocalStorage:
         except OSError:
             shutil.copyfile(local_path, dest)
 
+    def age_seconds(self, key: str) -> float:
+        """Seconds since ``key`` was written (mtime here; creation time
+        on a real object store). Used by vacuum's in-flight grace."""
+        try:
+            return max(0.0, time.time() - os.path.getmtime(self.url(key)))
+        except OSError:
+            return float("inf")
+
 
 class ObjectStoreSimStorage(LocalStorage):
     """Object-store semantics simulator for tests: atomic conditional
@@ -516,6 +524,63 @@ class TransactionalTable:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
+    def _staged_rows(self, spark: SparkSession, keys: list[str], stats: dict) -> int:
+        """Row count of the staged files WITHOUT re-evaluating the input
+        frame (the stage write already computed it once): sum the footer
+        counts harvested into ``stats``; if any file lacks them (no
+        pyarrow), fall back to a parquet count over the staged files —
+        a metadata-only job, not a recompute of the plan."""
+        if not keys:
+            return 0
+        if all("rows" in stats.get(k, {}) for k in keys):
+            return sum(stats[k]["rows"] for k in keys)
+        return (
+            spark.read.parquet(*[self.storage.url(k) for k in keys]).count()
+        )
+
+    def _put_manifest(
+        self,
+        base_v: int,
+        files: list[str],
+        rows: int,
+        schema: dict | None,
+        stats: dict,
+        meta: dict | None,
+        partition_by: list[str] | None,
+        prev: dict | None,
+    ) -> bool:
+        """Build and conditionally put manifest ``base_v + 1``; the ONE
+        place the manifest shape is defined (commit and delete both
+        route here). Returns False when the version was taken.
+
+        The reserved ``meta["replay"]`` slot (streaming sinks' replay
+        watermark: checkpoint identity + applied batch id) is CARRIED
+        FORWARD from the previous manifest when this commit doesn't set
+        it — otherwise a maintenance commit (optimize/merge/delete) on
+        a streaming sink's table would erase the marker and a replayed
+        micro-batch would be re-applied (duplicate appends /
+        double-counted merges)."""
+        new_v = base_v + 1
+        meta = dict(meta or {})
+        if "replay" not in meta and prev is not None:
+            prev_replay = prev.get("meta", {}).get("replay")
+            if prev_replay is not None:
+                meta["replay"] = prev_replay
+        manifest = {
+            "version": new_v,
+            "parent": base_v if base_v >= 0 else None,
+            "files": files,
+            "rows": rows,
+            "schema": schema,
+            "stats": stats,
+            "meta": meta,
+            "committed_at": time.time(),
+        }
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
+        payload = json.dumps(manifest, sort_keys=True).encode()
+        return self.storage.put_if_absent(_manifest_key(new_v), payload)
+
     def commit(
         self,
         df: DataFrame,
@@ -575,18 +640,8 @@ class TransactionalTable:
         elif num_files is not None:
             df = df.repartition(num_files)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        if mode in ("append", "replace_partitions"):
-            prev_m = self.manifest()
-            prev_schema = (prev_m or {}).get("schema")
-            if prev_schema is not None and prev_schema != schema:
-                raise ValueError(
-                    f"{self.root}: {mode} schema mismatch — table has "
-                    f"{prev_schema}, commit brings {schema}. Appends must "
-                    "match the table schema exactly; evolve it with a "
-                    "full replace commit."
-                )
-        rows = df.count()
         keys, staged_stats = self._stage(df, partition_by=partition_by)
+        rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
             tuple(sorted(staged_stats[k]["partition"].items()))
             for k in keys
@@ -600,6 +655,19 @@ class TransactionalTable:
                     f"is at v{base_v}; re-read and retry"
                 )
             prev = self.manifest(base_v) if base_v >= 0 else None
+            if mode in ("append", "replace_partitions") and prev is not None:
+                # schema guard INSIDE the CAS loop: a rebase after a lost
+                # race re-validates against the WINNER's schema, or a
+                # concurrent schema evolution could silently produce a
+                # mixed-schema file set.
+                prev_schema = prev.get("schema")
+                if prev_schema is not None and prev_schema != schema:
+                    raise ValueError(
+                        f"{self.root}: {mode} schema mismatch — table has "
+                        f"{prev_schema}, commit brings {schema}. Appends "
+                        "must match the table schema exactly; evolve it "
+                        "with a full replace commit."
+                    )
             if mode == "append" and prev is not None:
                 files = list(prev["files"]) + keys
                 total_rows = prev.get("rows", 0) + rows
@@ -631,28 +699,25 @@ class TransactionalTable:
                 files = keys
                 total_rows = rows
                 stats = staged_stats
-            new_v = base_v + 1
-            manifest = {
-                "version": new_v,
-                "parent": base_v if base_v >= 0 else None,
-                "files": files,
-                "rows": total_rows,
-                "schema": schema,
-                "stats": stats,
-                "meta": meta or {},
-                "committed_at": time.time(),
-            }
-            if partition_by:
-                manifest["partition_by"] = list(partition_by)
-            elif prev is not None and prev.get("partition_by") and mode == "append":
-                manifest["partition_by"] = prev["partition_by"]
-            payload = json.dumps(manifest, sort_keys=True).encode()
-            if self.storage.put_if_absent(_manifest_key(new_v), payload):
-                return new_v
-            # lost the race for new_v
+            pb = (
+                list(partition_by)
+                if partition_by
+                else (
+                    prev["partition_by"]
+                    if prev is not None
+                    and prev.get("partition_by")
+                    and mode == "append"
+                    else None
+                )
+            )
+            if self._put_manifest(
+                base_v, files, total_rows, schema, stats, meta, pb, prev
+            ):
+                return base_v + 1
+            # lost the race for base_v + 1
             if expect_version is not None:
                 raise CommitConflict(
-                    f"{self.root}: v{new_v} committed concurrently; "
+                    f"{self.root}: v{base_v + 1} committed concurrently; "
                     "re-read and retry"
                 )
             # blind replace/append: rebase on the winner and retry
@@ -708,14 +773,26 @@ class TransactionalTable:
             }
         raise CommitConflict(f"optimize lost {max_retries} commit races on {self.root}")
 
-    def vacuum(self, retain_versions: int = 2) -> dict:
+    def vacuum(
+        self, retain_versions: int = 2, unreferenced_grace_s: float = 600.0
+    ) -> dict:
         """Reclaim storage: drop manifests older than the newest
         ``retain_versions`` and delete data files referenced by none of
-        the retained snapshots (plus any never-committed strays from
-        crashed commits). Retention is the reader grace period — an
-        in-flight reader of a retained version is never broken; size it
-        to the longest query you run (Delta's
-        ``delete.retentionDuration``, by version count)."""
+        the retained snapshots. Retention is the READER grace period —
+        an in-flight reader of a retained version is never broken; size
+        it to the longest query you run (Delta's
+        ``delete.retentionDuration``, by version count).
+
+        ``unreferenced_grace_s`` is the WRITER grace period: a
+        concurrent commit uploads its uniquely-named data files BEFORE
+        putting the manifest that references them, so an unreferenced
+        file younger than the grace window may belong to an in-flight
+        commit and must not be deleted (deleting it would commit a
+        manifest pointing at missing files). Only unreferenced files
+        OLDER than the window — crash strays and files released by
+        expired manifests — are reclaimed; size it above your longest
+        commit's stage time. Pass 0 only when no writer can be active
+        (tests, single-process maintenance)."""
         vs = self.versions()
         keep = set(vs[-retain_versions:]) if retain_versions > 0 else set(vs[-1:])
         live: set[str] = set()
@@ -729,13 +806,19 @@ class TransactionalTable:
                 self.storage.delete(_manifest_key(v))
                 removed_manifests += 1
         removed_files = 0
+        skipped_in_grace = 0
         for key in self.storage.list(DATA_DIR):
-            if key not in live:
-                self.storage.delete(key)
-                removed_files += 1
+            if key in live:
+                continue
+            if self.storage.age_seconds(key) < unreferenced_grace_s:
+                skipped_in_grace += 1
+                continue
+            self.storage.delete(key)
+            removed_files += 1
         return {
             "removed_manifests": removed_manifests,
             "removed_data_files": removed_files,
+            "skipped_in_grace": skipped_in_grace,
             "retained_versions": sorted(keep),
         }
 
@@ -778,7 +861,11 @@ class TransactionalTable:
             if pb:
                 reader = reader.option("basePath", self.storage.url(DATA_DIR))
             df = reader.parquet(*[self.storage.url(f) for f in affected])
-            affected_rows = df.count()
+            prev_stats = m.get("stats", {})
+            if all("rows" in prev_stats.get(f, {}) for f in affected):
+                affected_rows = sum(prev_stats[f]["rows"] for f in affected)
+            else:
+                affected_rows = df.count()
             pred = None
             for col, lo, hi in where:
                 for bound in (
@@ -787,10 +874,20 @@ class TransactionalTable:
                 ):
                     if bound is not None:
                         pred = bound if pred is None else pred & bound
-            remaining = df.where(~pred) if pred is not None else df.limit(0)
-            kept_rows = remaining.count()
-            deleted = affected_rows - kept_rows
-            if deleted == 0:
+            if pred is None:
+                # every band is (col, None, None): unconstrained
+                # conjunction matches everything in the affected files
+                remaining, has_match = df.limit(0), affected_rows > 0
+            else:
+                # SQL DELETE semantics: a row is deleted only when the
+                # predicate is TRUE — NULL-evaluating rows are KEPT, so
+                # the keep-filter is NOT(coalesce(pred, FALSE)), never
+                # the bare ~pred (three-valued logic would silently drop
+                # every NULL row).
+                pred = F.coalesce(pred, F.lit(False))
+                remaining = df.where(~pred)
+                has_match = df.where(pred).limit(1).count() > 0
+            if not has_match:
                 # stats said "maybe", data said "no match": nothing to do
                 return {
                     "version": base_v,
@@ -798,37 +895,31 @@ class TransactionalTable:
                     "files_retained": len(m["files"]),
                     "rows_deleted": 0,
                 }
-            keys, staged_stats = (
-                self._stage(remaining, partition_by=pb)
-                if kept_rows
-                else ([], {})
-            )
-            prev_stats = m.get("stats", {})
-            manifest = {
-                "version": base_v + 1,
-                "parent": base_v,
-                "files": retained + keys,
-                "rows": max(0, m.get("rows", 0) - deleted),
-                "schema": m.get("schema"),
-                "stats": {
+            keys, staged_stats = self._stage(remaining, partition_by=pb)
+            kept_rows = self._staged_rows(spark, keys, staged_stats)
+            deleted = affected_rows - kept_rows
+            if self._put_manifest(
+                base_v,
+                retained + keys,
+                max(0, m.get("rows", 0) - deleted),
+                m.get("schema"),
+                {
                     **{f: prev_stats[f] for f in retained if f in prev_stats},
                     **staged_stats,
                 },
-                "meta": {"op": "delete", "source_version": base_v},
-                "committed_at": time.time(),
-            }
-            if pb:
-                manifest["partition_by"] = pb
-            payload = json.dumps(manifest, sort_keys=True).encode()
-            if self.storage.put_if_absent(_manifest_key(base_v + 1), payload):
+                {"op": "delete", "source_version": base_v},
+                pb,
+                m,
+            ):
                 return {
                     "version": base_v + 1,
                     "files_rewritten": len(affected),
                     "files_retained": len(retained),
                     "rows_deleted": deleted,
                 }
-            # lost the race: stranded staged files are vacuum's problem;
-            # re-derive from the new snapshot.
+            # lost the race: stranded staged files are reclaimed by
+            # vacuum after the grace window; re-derive from the new
+            # snapshot.
         raise CommitConflict(f"delete lost {max_retries} commit races on {self.root}")
 
     # -- MERGE -------------------------------------------------------------
@@ -853,6 +944,10 @@ class TransactionalTable:
             base_v = self.latest_version()
             if base_v < 0:
                 merged, pb = updates, None
+                # expect_version=-1 (not None): two concurrent FIRST
+                # merges must conflict-and-retry, not blind-replace each
+                # other (the loser would silently erase the winner's
+                # rows).
             else:
                 m = self.manifest(base_v)
                 pb = m.get("partition_by") if m else None
@@ -869,7 +964,7 @@ class TransactionalTable:
                     mode="replace",
                     partition_by=pb,
                     meta={**(meta or {}), "op": "merge", "source_version": base_v},
-                    expect_version=base_v if base_v >= 0 else None,
+                    expect_version=base_v,
                 )
             except CommitConflict:
                 continue

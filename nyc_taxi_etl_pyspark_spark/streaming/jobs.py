@@ -364,8 +364,33 @@ def _checkpoint_identity(checkpoint_path: str) -> str:
             f.write(ident)
         return ident
     except FileExistsError:
-        with open(p) as f:
-            return f.read().strip()
+        # racer lost the O_EXCL: the winner created the file but may not
+        # have written yet — spin briefly until content lands rather
+        # than adopting an empty identity.
+        import time as _time
+
+        for _ in range(100):
+            with open(p) as f:
+                got = f.read().strip()
+            if got:
+                return got
+            _time.sleep(0.01)
+        raise RuntimeError(f"identity file {p} stayed empty")
+
+
+def _accepted_identities(checkpoint_path: str, ckpt_identity: str) -> set[str]:
+    """Identities that mean "this same logical query": the current
+    checkpoint-resident id plus the LEGACY sha256(abspath(checkpoint))
+    id earlier releases recorded in bases — without it, upgrading the
+    identity scheme would make every existing base raise 'different
+    streaming query' with no migration path."""
+    import hashlib as _hashlib
+    import os as _os
+
+    legacy = _hashlib.sha256(
+        _os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:16]
+    return {ckpt_identity, legacy}
 
 
 def run_streaming_append_sink_tx(
@@ -405,6 +430,7 @@ def run_streaming_append_sink_tx(
             "(sources/txtable.py)."
         )
     ckpt_identity = _checkpoint_identity(checkpoint_path)
+    accepted = _accepted_identities(checkpoint_path, ckpt_identity)
     table = TransactionalTable(root, storage=storage)
     stream = _events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value"
@@ -414,8 +440,13 @@ def run_streaming_append_sink_tx(
         m = table.manifest()
         if m is not None:
             meta = m.get("meta", {})
-            rec = meta.get("ckpt_identity")
-            if rec is not None and rec != ckpt_identity:
+            # replay watermark lives in the reserved meta["replay"] slot,
+            # which every other commit (optimize/merge/delete) carries
+            # forward — maintenance on the sink table cannot erase it.
+            # (Legacy manifests recorded the keys at meta top level.)
+            replay = meta.get("replay", meta)
+            rec = replay.get("ckpt_identity")
+            if rec is not None and rec not in accepted:
                 raise ValueError(
                     f"{root} was built by a different streaming query "
                     f"(checkpoint identity {rec}, this query "
@@ -424,12 +455,18 @@ def run_streaming_append_sink_tx(
                     "the sink at a new base_path or resume the original "
                     "checkpoint."
                 )
-            if int(meta.get("applied_batch_id", -1)) >= batch_id:
+            if int(replay.get("applied_batch_id", -1)) >= batch_id:
                 return  # replayed batch: already committed atomically
         table.commit(
             batch_df,
             mode="append",
-            meta={"ckpt_identity": ckpt_identity, "applied_batch_id": batch_id},
+            meta={
+                "op": "stream_append",
+                "replay": {
+                    "ckpt_identity": ckpt_identity,
+                    "applied_batch_id": batch_id,
+                },
+            },
         )
 
     q = (
@@ -527,11 +564,14 @@ def run_streaming_upsert_sink(
     state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
     marker = "_applied_batch_id"
     ckpt_identity = _checkpoint_identity(checkpoint_path)
+    accepted = _accepted_identities(checkpoint_path, ckpt_identity)
     table = TransactionalTable(root, storage=storage) if protocol == "manifest" else None
 
     def _check_replay(rec_identity: str | None, rec_id: int, batch_id: int) -> bool:
-        """True → batch already applied (skip). Raises on foreign base."""
-        if rec_identity is not None and rec_identity != ckpt_identity:
+        """True → batch already applied (skip). Raises on foreign base.
+        ``accepted`` includes the legacy abspath-hash identity so bases
+        built by earlier releases keep resuming after the upgrade."""
+        if rec_identity is not None and rec_identity not in accepted:
             raise ValueError(
                 f"{root} was built by a different streaming query "
                 f"(checkpoint identity {rec_identity}, this query "
@@ -595,8 +635,15 @@ def run_streaming_upsert_sink(
         m = table.manifest()
         if m is not None:
             meta = m.get("meta", {})
+            # replay watermark rides the reserved meta["replay"] slot,
+            # carried forward by every other commit (optimize/merge/
+            # delete) so maintenance cannot erase it; legacy manifests
+            # recorded the keys at meta top level.
+            replay = meta.get("replay", meta)
             if _check_replay(
-                meta.get("ckpt_identity"), int(meta.get("applied_batch_id", -1)), batch_id
+                replay.get("ckpt_identity"),
+                int(replay.get("applied_batch_id", -1)),
+                batch_id,
             ):
                 return
             base = table.read(spark)
@@ -611,7 +658,13 @@ def run_streaming_upsert_sink(
         table.commit(
             merged,
             mode="replace",
-            meta={"ckpt_identity": ckpt_identity, "applied_batch_id": batch_id},
+            meta={
+                "op": "stream_upsert",
+                "replay": {
+                    "ckpt_identity": ckpt_identity,
+                    "applied_batch_id": batch_id,
+                },
+            },
             expect_version=expect,
         )
 

@@ -226,3 +226,45 @@ def test_incremental_etl_matches_full_recompute(spark, tmp_path, table_format):
         for c in ("avg_trip_distance", "avg_total_amount",
                   "avg_trip_duration_min"):
             assert abs(a[c] - b[c]) <= 1e-9 * max(1.0, abs(b[c])), (a, b, c)
+
+
+def test_incremental_etl_recovers_from_crash_between_commits(spark, tmp_path):
+    """Review finding: the agg-state and curated writes are two commits;
+    replay detection keys on the CURATED dates. The agg state therefore
+    commits FIRST — a crash between them leaves the batch un-curated,
+    and the redelivered batch reprocesses BOTH (agg partitions are
+    overwritten idempotently). Simulated here by landing only the agg
+    state for a batch (exactly the crash residue), then redelivering."""
+    from nyc_taxi_etl_pyspark_spark.etl import (
+        hourly_agg_from_state,
+        hourly_agg_state,
+        clean_and_transform,
+        run_etl_incremental,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    raw = synth_taxi(spark)
+    curated = str(tmp_path / "curated")
+    aggp = str(tmp_path / "agg")
+
+    # crash residue: the batch's AGG commit landed, curated did not
+    clean = clean_and_transform(spark, raw)
+    TransactionalTable(aggp).commit(
+        hourly_agg_state(clean),
+        mode="replace_partitions",
+        partition_by=["pickup_date"],
+    )
+    # redelivery: dates are NOT curated, so the whole batch reprocesses
+    stats = run_etl_incremental(spark, raw, curated, aggp, table_format="tx")
+    assert stats["rows_new"] > 0 and stats["dates_skipped"] == []
+
+    got = hourly_agg_from_state(
+        TransactionalTable(aggp).read(spark)
+    ).collect()
+    want = hourly_agg_from_state(hourly_agg_state(clean)).collect()
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        assert (a["pickup_date"], a["pickup_hour"], a["total_trips"]) == (
+            b["pickup_date"], b["pickup_hour"], b["total_trips"]
+        )
+    assert TransactionalTable(curated).read(spark).count() == stats["rows_new"]

@@ -153,7 +153,12 @@ def test_crash_before_manifest_put_leaves_table_readable(spark, tmp_path):
     live = set(t.manifest()["files"])
     all_data = set(t.storage.list("data"))
     assert all_data - live, "crash should strand unreferenced files"
-    stats = t.vacuum(retain_versions=2)
+    # default writer-grace refuses to touch YOUNG unreferenced files
+    # (they may belong to an in-flight commit); grace 0 reclaims.
+    guard = t.vacuum(retain_versions=2)
+    assert guard["removed_data_files"] == 0
+    assert guard["skipped_in_grace"] == len(all_data - live)
+    stats = t.vacuum(retain_versions=2, unreferenced_grace_s=0)
     assert stats["removed_data_files"] == len(all_data - live)
     assert set(t.storage.list("data")) == live
     assert t.read(spark).count() == 15
@@ -294,8 +299,8 @@ def test_streaming_upsert_sink_manifest_protocol(spark, sf_dir, tmp_path):
     g = sorted(map(tuple, got.select(*cols).collect()))
     w = sorted(map(tuple, want.select(*cols).collect()))
     assert g == w and len(g) > 0
-    meta = t.manifest()["meta"]
-    assert meta["applied_batch_id"] >= 0 and meta["ckpt_identity"]
+    replay = t.manifest()["meta"]["replay"]
+    assert replay["applied_batch_id"] >= 0 and replay["ckpt_identity"]
 
     # foreign checkpoint → double-count guard fires (manifest-carried id)
     with pytest.raises(Exception, match="different streaming query"):
@@ -469,8 +474,9 @@ def test_partitioned_commit_replace_partitions(spark, tmp_path):
     assert pruned.count() == 30
     assert {r["d"] for r in pruned.select("d").distinct().collect()} == {3}
 
-    # vacuum reclaims the replaced files (recursive listing)
-    t.vacuum(retain_versions=1)
+    # vacuum reclaims the replaced files (recursive listing; grace 0 —
+    # no concurrent writer in this test)
+    t.vacuum(retain_versions=1, unreferenced_grace_s=0)
     assert not (old_files & set(t.storage.list("data")))
     assert t.read(spark).count() == 370
 
@@ -833,3 +839,126 @@ def test_delete_rewrites_only_matching_files(spark, tmp_path):
     assert p.manifest()["partition_by"] == ["d"]
     assert p.read(spark, partitions={"d": [0]}).count() == 300 - 34
     assert p.read(spark).count() == 800
+
+
+def test_replay_marker_survives_maintenance_commits(spark, sf_dir, tmp_path):
+    """Review finding: the streaming replay watermark must survive
+    OTHER commits on the sink table. optimize/merge write their own
+    meta, but the reserved meta['replay'] slot is carried forward — so
+    a maintenance pass between a batch commit and the checkpoint commit
+    can no longer erase the marker and cause a replayed batch to be
+    re-applied."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_append_sink_tx,
+    )
+
+    base = str(tmp_path / "bronze")
+    run_streaming_append_sink_tx(spark, sf_dir, base, str(tmp_path / "ckpt"))
+    t = TransactionalTable(base)
+    replay0 = t.manifest()["meta"]["replay"]
+    assert replay0["applied_batch_id"] >= 0
+
+    t.optimize(spark)
+    m = t.manifest()
+    assert m["meta"]["op"] == "optimize"
+    assert m["meta"]["replay"] == replay0  # carried forward
+
+    upd = t.read(spark).limit(1).withColumn("value", F.lit(0.0))
+    t.merge(spark, upd.select(*t.read(spark).columns), ["event_id"])
+    assert t.manifest()["meta"]["replay"] == replay0  # survives merge too
+
+
+def test_delete_keeps_null_rows(spark, tmp_path):
+    """Review finding: SQL DELETE semantics — a NULL-evaluating
+    predicate is NOT TRUE, so NULL rows in the banded column must be
+    KEPT, not silently dropped by three-valued ~pred."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 70.0), (4, None), (5, 55.0)],
+        "k int, v double",
+    ))
+    stats = t.delete(spark, [("v", 50.0, 100.0)])
+    assert stats["rows_deleted"] == 2  # 70.0 and 55.0 only
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, 10.0), (2, None), (4, None)]
+
+
+def test_first_merge_on_empty_table_conflicts_not_clobbers(spark, tmp_path):
+    """Review finding: two concurrent FIRST merges on an empty table
+    must serialize (conflict + re-merge), not blind-replace — the loser
+    previously committed a snapshot containing only its own rows,
+    silently erasing the winner's."""
+    root = str(tmp_path / "t")
+    plain = TransactionalTable(root)
+    raced = {"done": False}
+
+    class RacingStorage(LocalStorage):
+        def put_if_absent(self, key, data):
+            if key.startswith("_commits/") and not raced["done"]:
+                raced["done"] = True
+                plain.merge(
+                    spark,
+                    spark.createDataFrame([(100, "w")], "k int, s string"),
+                    ["k"],
+                )
+            return super().put_if_absent(key, data)
+
+    t = TransactionalTable(root, storage=RacingStorage(root))
+    t.merge(spark, spark.createDataFrame([(200, "l")], "k int, s string"), ["k"])
+    got = sorted((r["k"], r["s"]) for r in plain.read(spark).collect())
+    assert got == [(100, "w"), (200, "l")]  # BOTH writers' rows survive
+
+
+def test_vacuum_grace_protects_inflight_commit(spark, tmp_path):
+    """Review finding: vacuum must not delete young unreferenced files —
+    they may be a concurrent commit's staged uploads whose manifest has
+    not landed yet. With the grace window, a vacuum fired mid-commit
+    leaves the staged files alone and the commit completes readable."""
+    root = str(tmp_path / "t")
+    plain = TransactionalTable(root)
+    plain.commit(_snapshot_df(spark, 0, 10))
+
+    class VacuumingStorage(LocalStorage):
+        def put_if_absent(self, key, data):
+            if key.startswith("_commits/"):
+                # adversarial vacuum at the widest window: files staged,
+                # manifest not yet visible
+                plain.vacuum(retain_versions=2)
+            return super().put_if_absent(key, data)
+
+    t = TransactionalTable(root, storage=VacuumingStorage(root))
+    t.commit(_snapshot_df(spark, 1, 20))
+    got = plain.read(spark)
+    assert got.count() == 20 and got.agg(F.max("v")).first()[0] == 1
+
+
+def test_legacy_identity_base_still_resumes(spark, sf_dir, tmp_path):
+    """Review finding: bases built by the old sha256(abspath(ckpt))
+    identity scheme must keep resuming after the upgrade — the legacy
+    hash is in the accepted set, so the marker matches and replayed
+    batches skip instead of raising 'different streaming query'."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
+
+    base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt_legacy")
+    run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
+    before = sorted(map(tuple, spark.read.parquet(base).collect()))
+
+    # rewrite the marker as the OLD scheme would have recorded it, and
+    # drop the new identity file so the id must be re-minted
+    legacy = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:16]
+    with open(os.path.join(base, "_applied_batch_id"), "w") as f:
+        f.write(f"{legacy} 999999")
+    os.unlink(os.path.join(ckpt, "engine_identity"))
+
+    # fresh checkpoint state is NOT needed: same ckpt path, batches
+    # already drained; a FRESH checkpoint at the same path would replay
+    # and must skip via the legacy-accepted marker rather than raise.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
+    after = sorted(map(tuple, spark.read.parquet(base).collect()))
+    assert after == before  # resumed under legacy identity, no re-apply
