@@ -747,11 +747,34 @@ class TransactionalTable:
             rows = m.get("rows") or df.count()
             pb = m.get("partition_by")
             if pb:
-                # partitioned table: the compaction unit is the partition
+                # Partitioned table: the compaction unit is the partition
                 # — shuffle on the partition cols so each directory
-                # compacts to one writer's worth of files, leaving the
-                # layout (and partition pruning) intact.
-                compacted = df.repartition(*pb)
+                # compacts together, leaving the layout (and partition
+                # pruning) intact. But one-task-per-partition alone
+                # would merge a HUGE partition into one giant file, so
+                # the hottest partition's row count (from manifest
+                # stats) derives an intra-partition split factor: a
+                # deterministic hash-salt expression spreads each
+                # partition over ceil(hottest/target) tasks, and
+                # partitionBy staging still routes every row to its own
+                # directory. Small partitions stay one file; big ones
+                # split to ~target-row files.
+                from pyspark.sql import functions as F
+
+                per_part: dict[tuple, int] = {}
+                for fstats in m.get("stats", {}).values():
+                    part = fstats.get("partition")
+                    if part is not None:
+                        k = tuple(sorted(part.items()))
+                        per_part[k] = per_part.get(k, 0) + fstats.get("rows", 0)
+                hottest = max(per_part.values(), default=0)
+                split = max(1, math.ceil(hottest / target_rows_per_file))
+                exprs = [F.col(c) for c in pb]
+                if split > 1:
+                    data_cols = [c for c in df.columns if c not in pb]
+                    salt_src = data_cols[0] if data_cols else pb[0]
+                    exprs.append(F.pmod(F.xxhash64(F.col(salt_src)), F.lit(split)))
+                compacted = df.repartition(max(len(per_part), 1) * split, *exprs)
             else:
                 n_files = max(1, math.ceil(rows / target_rows_per_file))
                 compacted = df.repartition(n_files)

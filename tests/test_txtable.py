@@ -962,3 +962,34 @@ def test_legacy_identity_base_still_resumes(spark, sf_dir, tmp_path):
     run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
     after = sorted(map(tuple, spark.read.parquet(base).collect()))
     assert after == before  # resumed under legacy identity, no re-apply
+
+
+def test_partitioned_optimize_splits_oversized_partitions(spark, tmp_path):
+    """Partitioned OPTIMIZE must not fuse a huge partition into one
+    giant file: the manifest's per-partition row counts derive an
+    intra-partition split, so the hot partition compacts to
+    ~target-row files while small partitions still collapse to one."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    # skew: partition 0 has 5000 rows, partitions 1 and 2 have 100 each
+    df = spark.range(5200).select(
+        F.col("id"),
+        F.when(F.col("id") < 5000, F.lit(0))
+        .when(F.col("id") < 5100, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("d"),
+    ).repartition(10)
+    t.commit(df, partition_by=["d"])
+    t.optimize(spark, target_rows_per_file=1000)
+    m = t.manifest()
+    by_part: dict[str, list[int]] = {}
+    for fstats in m["stats"].values():
+        by_part.setdefault(fstats["partition"]["d"], []).append(fstats["rows"])
+    # hot partition split into ~5 files, none hugely over target
+    assert len(by_part["0"]) >= 4
+    assert max(by_part["0"]) <= 2500  # no giant fused file
+    assert sum(by_part["0"]) == 5000
+    # small partitions stay compact
+    assert sum(by_part["1"]) == 100 and sum(by_part["2"]) == 100
+    assert t.read(spark).count() == 5200
+    assert t.read(spark, partitions={"d": [1]}).count() == 100
