@@ -179,7 +179,11 @@ def main() -> None:
     for h in table.history():
         print(f"  v{h['version']:>2} rows={h['rows']:>6} files={h['n_files']:>3} "
               f"op={h['meta'].get('op', 'commit')}")
-    vstats = table.vacuum(retain_versions=2)
+    # grace 0: this example is single-process (no concurrent writer can
+    # have in-flight staged files), so young unreferenced files are
+    # reclaimable immediately; a shared production table keeps the
+    # default writer-grace window instead.
+    vstats = table.vacuum(retain_versions=2, unreferenced_grace_s=0)
     print("vacuum:", vstats)
     print("final state intact:", table.read(spark).count(), "rows")
     spark.stop()

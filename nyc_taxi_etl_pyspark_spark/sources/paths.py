@@ -119,7 +119,11 @@ def fixture_scratch_dir(prefix: str, sf_dir: str, anchor: str = "orders.parquet"
     both defeat idempotent reuse and leak /tmp dirs — of the fixture
     path PLUS the anchor file's mtime and size, so a REGENERATED
     fixture gets a fresh scratch dir instead of replaying against a
-    stale committed base."""
+    stale committed base. The pid is in the digest too: scratch tables
+    are mutated with read-modify-write sequences that assume a single
+    writer, so two parallel PROCESSES (pytest workers, concurrent
+    bench runs) must not share one directory — per-process isolation
+    with within-process reuse."""
     import hashlib
     import os
     import tempfile
@@ -127,8 +131,8 @@ def fixture_scratch_dir(prefix: str, sf_dir: str, anchor: str = "orders.parquet"
     p = os.path.join(os.path.abspath(sf_dir), anchor)
     try:
         st = os.stat(p)
-        tag = f"{p}|{st.st_mtime_ns}|{st.st_size}"
+        tag = f"{p}|{st.st_mtime_ns}|{st.st_size}|{os.getpid()}"
     except OSError:
-        tag = p
+        tag = f"{p}|{os.getpid()}"
     digest = hashlib.md5(tag.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")

@@ -478,7 +478,10 @@ class TransactionalTable:
 
     # -- commit path -------------------------------------------------------
     def _stage(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> tuple[list[str], dict]:
         """Write ``df`` as uniquely-named immutable files under
         ``data/``, harvesting per-file footer stats for manifest-level
@@ -496,6 +499,13 @@ class TransactionalTable:
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
+            if max_records_per_file:
+                # the writer itself rolls to a new file at the target
+                # row count — the exact mechanism for bounding file
+                # size, independent of how rows map to tasks.
+                writer = writer.option(
+                    "maxRecordsPerFile", int(max_records_per_file)
+                )
             writer.parquet(staging)
             keys: list[str] = []
             stats: dict[str, dict] = {}
@@ -589,6 +599,7 @@ class TransactionalTable:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         num_files: int | None = None,
+        max_records_per_file: int | None = None,
         meta: dict | None = None,
         expect_version: int | None = None,
     ) -> int:
@@ -640,7 +651,24 @@ class TransactionalTable:
         elif num_files is not None:
             df = df.repartition(num_files)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        keys, staged_stats = self._stage(df, partition_by=partition_by)
+        if mode in ("append", "replace_partitions"):
+            # cheap FAST-FAIL before the (expensive) stage writes a
+            # mismatched dataset; the authoritative re-check still runs
+            # inside the CAS loop against whatever manifest wins a race.
+            cur = self.manifest()
+            cur_schema = (cur or {}).get("schema")
+            if cur_schema is not None and cur_schema != schema:
+                raise ValueError(
+                    f"{self.root}: {mode} schema mismatch — table has "
+                    f"{cur_schema}, commit brings {schema}. Appends must "
+                    "match the table schema exactly; evolve it with a "
+                    "full replace commit."
+                )
+        keys, staged_stats = self._stage(
+            df,
+            partition_by=partition_by,
+            max_records_per_file=max_records_per_file,
+        )
         rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
             tuple(sorted(staged_stats[k]["partition"].items()))
@@ -747,34 +775,27 @@ class TransactionalTable:
             rows = m.get("rows") or df.count()
             pb = m.get("partition_by")
             if pb:
-                # Partitioned table: the compaction unit is the partition
-                # — shuffle on the partition cols so each directory
-                # compacts together, leaving the layout (and partition
-                # pruning) intact. But one-task-per-partition alone
-                # would merge a HUGE partition into one giant file, so
-                # the hottest partition's row count (from manifest
-                # stats) derives an intra-partition split factor: a
-                # deterministic hash-salt expression spreads each
-                # partition over ceil(hottest/target) tasks, and
-                # partitionBy staging still routes every row to its own
-                # directory. Small partitions stay one file; big ones
-                # split to ~target-row files.
+                # Partitioned table: the compaction unit is the
+                # partition — shuffle on the partition cols so each
+                # directory compacts together, leaving the layout (and
+                # partition pruning) intact. File sizing is delegated
+                # to the WRITER (maxRecordsPerFile below): a huge
+                # partition's single task rolls to a fresh file every
+                # target_rows_per_file rows, so hot partitions split to
+                # ~target-row files while small partitions stay one —
+                # no salt column, no fragmentation of the small ones.
+                n_parts = len(
+                    {
+                        tuple(sorted(fs["partition"].items()))
+                        for fs in m.get("stats", {}).values()
+                        if "partition" in fs
+                    }
+                )
                 from pyspark.sql import functions as F
 
-                per_part: dict[tuple, int] = {}
-                for fstats in m.get("stats", {}).values():
-                    part = fstats.get("partition")
-                    if part is not None:
-                        k = tuple(sorted(part.items()))
-                        per_part[k] = per_part.get(k, 0) + fstats.get("rows", 0)
-                hottest = max(per_part.values(), default=0)
-                split = max(1, math.ceil(hottest / target_rows_per_file))
-                exprs = [F.col(c) for c in pb]
-                if split > 1:
-                    data_cols = [c for c in df.columns if c not in pb]
-                    salt_src = data_cols[0] if data_cols else pb[0]
-                    exprs.append(F.pmod(F.xxhash64(F.col(salt_src)), F.lit(split)))
-                compacted = df.repartition(max(len(per_part), 1) * split, *exprs)
+                compacted = df.repartition(
+                    max(n_parts, 1), *[F.col(c) for c in pb]
+                )
             else:
                 n_files = max(1, math.ceil(rows / target_rows_per_file))
                 compacted = df.repartition(n_files)
@@ -783,6 +804,7 @@ class TransactionalTable:
                     compacted,
                     mode="replace",
                     partition_by=pb,
+                    max_records_per_file=target_rows_per_file,
                     meta={"op": "optimize", "source_version": base_v},
                     expect_version=base_v,
                 )
@@ -865,6 +887,15 @@ class TransactionalTable:
         {version, files_rewritten, files_retained, rows_deleted}."""
         from pyspark.sql import functions as F
 
+        if not where or all(lo is None and hi is None for _, lo, hi in where):
+            # an empty/unconstrained conjunction matches EVERY row — a
+            # programmatically-built filter that collapsed to nothing
+            # must not silently truncate the table. Truncation is an
+            # explicit act: commit an empty frame.
+            raise ValueError(
+                "delete: unconstrained predicate would remove every row; "
+                "to truncate, commit an empty snapshot explicitly"
+            )
         for _ in range(max_retries):
             base_v = self.latest_version()
             m = self.manifest(base_v)

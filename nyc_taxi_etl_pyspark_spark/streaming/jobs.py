@@ -338,13 +338,24 @@ def run_streaming_static_join(
 
 
 def _checkpoint_identity(checkpoint_path: str) -> str:
-    """Stable random identity for a logical streaming query, stored
-    INSIDE the checkpoint directory (``engine_identity``): resuming the
-    same checkpoint — even after relocating the directory — yields the
-    same identity, while a fresh checkpoint gets a fresh one. (The
-    previous abspath-hash scheme made a merely-moved checkpoint look
-    like a different query; ADVICE r3.) Created with O_EXCL so two
-    racing starters of the same new checkpoint converge on one value."""
+    """Stable identity for a logical streaming query, stored INSIDE the
+    checkpoint directory (``engine_identity``): resuming the same
+    checkpoint — even after relocating the directory — yields the same
+    identity, while a fresh checkpoint gets a fresh one. (The previous
+    abspath-hash scheme made a merely-moved checkpoint look like a
+    different query; ADVICE r3.) Created with O_EXCL so two racing
+    starters of the same new checkpoint converge on one value.
+
+    Upgrade-in-place: a checkpoint that already has STREAMING STATE
+    (an ``offsets`` log) but no identity file predates the identity
+    scheme — it mints the LEGACY sha256(abspath) id its bases were
+    marked with, so existing pipelines keep resuming. A checkpoint
+    with no prior state mints a RANDOM id, so a fresh query pointed at
+    an old base still fails loudly instead of silently skipping or
+    double-applying batches (blanket acceptance of the legacy hash
+    would turn that refusal into data loss whenever a checkpoint path
+    is recycled)."""
+    import hashlib as _hashlib
     import os as _os
     import uuid as _uuid
 
@@ -357,7 +368,12 @@ def _checkpoint_identity(checkpoint_path: str) -> str:
             return ident
     except OSError:
         pass
-    ident = _uuid.uuid4().hex[:16]
+    if _os.path.isdir(_os.path.join(checkpoint_path, "offsets")):
+        ident = _hashlib.sha256(
+            _os.path.abspath(checkpoint_path).encode()
+        ).hexdigest()[:16]
+    else:
+        ident = _uuid.uuid4().hex[:16]
     try:
         fd = _os.open(p, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
         with _os.fdopen(fd, "w") as f:
@@ -376,21 +392,6 @@ def _checkpoint_identity(checkpoint_path: str) -> str:
                 return got
             _time.sleep(0.01)
         raise RuntimeError(f"identity file {p} stayed empty")
-
-
-def _accepted_identities(checkpoint_path: str, ckpt_identity: str) -> set[str]:
-    """Identities that mean "this same logical query": the current
-    checkpoint-resident id plus the LEGACY sha256(abspath(checkpoint))
-    id earlier releases recorded in bases — without it, upgrading the
-    identity scheme would make every existing base raise 'different
-    streaming query' with no migration path."""
-    import hashlib as _hashlib
-    import os as _os
-
-    legacy = _hashlib.sha256(
-        _os.path.abspath(checkpoint_path).encode()
-    ).hexdigest()[:16]
-    return {ckpt_identity, legacy}
 
 
 def run_streaming_append_sink_tx(
@@ -430,7 +431,6 @@ def run_streaming_append_sink_tx(
             "(sources/txtable.py)."
         )
     ckpt_identity = _checkpoint_identity(checkpoint_path)
-    accepted = _accepted_identities(checkpoint_path, ckpt_identity)
     table = TransactionalTable(root, storage=storage)
     stream = _events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value"
@@ -446,7 +446,7 @@ def run_streaming_append_sink_tx(
             # (Legacy manifests recorded the keys at meta top level.)
             replay = meta.get("replay", meta)
             rec = replay.get("ckpt_identity")
-            if rec is not None and rec not in accepted:
+            if rec is not None and rec != ckpt_identity:
                 raise ValueError(
                     f"{root} was built by a different streaming query "
                     f"(checkpoint identity {rec}, this query "
@@ -457,16 +457,40 @@ def run_streaming_append_sink_tx(
                 )
             if int(replay.get("applied_batch_id", -1)) >= batch_id:
                 return  # replayed batch: already committed atomically
-        table.commit(
-            batch_df,
-            mode="append",
-            meta={
-                "op": "stream_append",
-                "replay": {
-                    "ckpt_identity": ckpt_identity,
-                    "applied_batch_id": batch_id,
-                },
-            },
+        # replay-check and append must be ATOMIC: expect_version pins
+        # the manifest the check was made against. If another writer (a
+        # racing starter of the same checkpoint) lands first, the
+        # CommitConflict loops back, RE-READS the marker — which now
+        # records the batch — and skips, where a blind append would
+        # duplicate every row of the batch.
+        from nyc_taxi_etl_pyspark_spark.sources.txtable import CommitConflict
+
+        for _ in range(10):
+            m = table.manifest()
+            if m is not None:
+                replay = m.get("meta", {}).get("replay", m.get("meta", {}))
+                if int(replay.get("applied_batch_id", -1)) >= batch_id:
+                    return
+            try:
+                table.commit(
+                    batch_df,
+                    mode="append",
+                    meta={
+                        "op": "stream_append",
+                        "replay": {
+                            "ckpt_identity": ckpt_identity,
+                            "applied_batch_id": batch_id,
+                        },
+                    },
+                    # -1 (not None) on an empty table: the FIRST append
+                    # must also conflict-and-recheck, not blind-rebase.
+                    expect_version=m["version"] if m is not None else -1,
+                )
+                return
+            except CommitConflict:
+                continue
+        raise RuntimeError(
+            f"append of batch {batch_id} lost 10 commit races on {root}"
         )
 
     q = (
@@ -564,14 +588,14 @@ def run_streaming_upsert_sink(
     state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
     marker = "_applied_batch_id"
     ckpt_identity = _checkpoint_identity(checkpoint_path)
-    accepted = _accepted_identities(checkpoint_path, ckpt_identity)
     table = TransactionalTable(root, storage=storage) if protocol == "manifest" else None
 
     def _check_replay(rec_identity: str | None, rec_id: int, batch_id: int) -> bool:
         """True → batch already applied (skip). Raises on foreign base.
-        ``accepted`` includes the legacy abspath-hash identity so bases
-        built by earlier releases keep resuming after the upgrade."""
-        if rec_identity is not None and rec_identity not in accepted:
+        (A pre-upgrade checkpoint with prior streaming state mints the
+        legacy abspath-hash identity — see _checkpoint_identity — so
+        old bases resume without widening this equality check.)"""
+        if rec_identity is not None and rec_identity != ckpt_identity:
             raise ValueError(
                 f"{root} was built by a different streaming query "
                 f"(checkpoint identity {rec_identity}, this query "

@@ -932,12 +932,18 @@ def test_vacuum_grace_protects_inflight_commit(spark, tmp_path):
     assert got.count() == 20 and got.agg(F.max("v")).first()[0] == 1
 
 
-def test_legacy_identity_base_still_resumes(spark, sf_dir, tmp_path):
-    """Review finding: bases built by the old sha256(abspath(ckpt))
-    identity scheme must keep resuming after the upgrade — the legacy
-    hash is in the accepted set, so the marker matches and replayed
-    batches skip instead of raising 'different streaming query'."""
+def test_legacy_identity_upgrade_in_place_resumes_fresh_ckpt_refuses(
+    spark, sf_dir, tmp_path
+):
+    """Review findings, both directions: (a) a base built by the old
+    sha256(abspath(ckpt)) identity scheme must keep resuming when its
+    checkpoint is upgraded IN PLACE (offsets exist, identity file does
+    not — the minted identity IS the legacy hash); (b) a FRESH
+    checkpoint at a recycled path must still refuse the legacy-marked
+    base — blanket acceptance of the legacy hash would silently skip
+    the new stream's batches (data loss) instead of raising."""
     import hashlib
+    import shutil
 
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_upsert_sink
 
@@ -946,22 +952,25 @@ def test_legacy_identity_base_still_resumes(spark, sf_dir, tmp_path):
     run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
     before = sorted(map(tuple, spark.read.parquet(base).collect()))
 
-    # rewrite the marker as the OLD scheme would have recorded it, and
-    # drop the new identity file so the id must be re-minted
+    # base marked as the OLD scheme recorded it; checkpoint keeps its
+    # offsets but loses the identity file (the pre-upgrade state)
     legacy = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:16]
     with open(os.path.join(base, "_applied_batch_id"), "w") as f:
         f.write(f"{legacy} 999999")
     os.unlink(os.path.join(ckpt, "engine_identity"))
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
 
-    # fresh checkpoint state is NOT needed: same ckpt path, batches
-    # already drained; a FRESH checkpoint at the same path would replay
-    # and must skip via the legacy-accepted marker rather than raise.
-    import shutil
-
-    shutil.rmtree(ckpt)
     run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
     after = sorted(map(tuple, spark.read.parquet(base).collect()))
-    assert after == before  # resumed under legacy identity, no re-apply
+    assert after == before  # upgrade-in-place resumed, no re-apply
+
+    # recycled path, FRESH checkpoint: no prior state -> random id ->
+    # the legacy-marked base is foreign and must raise, not skip
+    shutil.rmtree(ckpt)
+    with open(os.path.join(base, "_applied_batch_id"), "w") as f:
+        f.write(f"{legacy} 999999")
+    with pytest.raises(Exception, match="different streaming query"):
+        run_streaming_upsert_sink(spark, sf_dir, base, checkpoint_path=ckpt)
 
 
 def test_partitioned_optimize_splits_oversized_partitions(spark, tmp_path):
@@ -985,11 +994,13 @@ def test_partitioned_optimize_splits_oversized_partitions(spark, tmp_path):
     by_part: dict[str, list[int]] = {}
     for fstats in m["stats"].values():
         by_part.setdefault(fstats["partition"]["d"], []).append(fstats["rows"])
-    # hot partition split into ~5 files, none hugely over target
-    assert len(by_part["0"]) >= 4
-    assert max(by_part["0"]) <= 2500  # no giant fused file
+    # hot partition split at the writer: 5 files of exactly <= target
+    assert len(by_part["0"]) == 5
+    assert max(by_part["0"]) <= 1000  # no giant fused file
     assert sum(by_part["0"]) == 5000
-    # small partitions stay compact
-    assert sum(by_part["1"]) == 100 and sum(by_part["2"]) == 100
+    # small partitions stay EXACTLY one file each (a global split
+    # factor would have fragmented them)
+    assert len(by_part["1"]) == 1 and sum(by_part["1"]) == 100
+    assert len(by_part["2"]) == 1 and sum(by_part["2"]) == 100
     assert t.read(spark).count() == 5200
     assert t.read(spark, partitions={"d": [1]}).count() == 100
