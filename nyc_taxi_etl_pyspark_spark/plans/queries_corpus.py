@@ -442,3 +442,74 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thr"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fprint
+      FROM documents
+    ), old AS (
+      SELECT DISTINCT fprint FROM fp WHERE doc_id % 10 < 7
+    ), batch AS (
+      SELECT doc_id, fprint FROM fp WHERE doc_id % 10 >= 7
+    ), ranked AS (
+      SELECT doc_id, fprint,
+             row_number() OVER (PARTITION BY fprint ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT r.doc_id, r.fprint
+    FROM ranked r LEFT JOIN old o ON r.fprint = o.fprint
+    WHERE r.rn = 1 AND o.fprint IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion with dedup against HISTORY — the
+    shape a continuously-fed training corpus actually needs: the
+    fingerprints of everything already admitted live in a persisted
+    index (a transactional commit-log table), a new batch dedups
+    within itself (lowest doc_id survives) and then anti-joins the
+    index, and the admitted fingerprints are APPENDED back so the next
+    batch sees them. Per-batch cost is O(batch + |index|) — the corpus
+    itself is never rescanned, unlike q_dedup_exact's full-table pass.
+
+    The anti-join reads the index PINNED AT VERSION 0 (time travel),
+    which is what makes this replayable: the later index append cannot
+    change what this batch's admission decision was — the
+    reproducibility contract an audited data pipeline needs, and the
+    reason the oracle (a declarative replay of the same decision) stays
+    valid across invocations. At 100 TB the index is |corpus| rows of
+    32-char keys — a fraction of a percent of the corpus — and the
+    anti-join shuffles batch + index on the fingerprint, never the
+    document bodies."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fprint")
+    )
+    is_old = F.pmod(F.col("doc_id"), F.lit(10)) < 7
+
+    root = fixture_scratch_dir(
+        "spark_graft_fpindex", sf_dir, anchor="documents.parquet"
+    )
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(fp.where(is_old).select("fprint").distinct())
+    index_v0 = t.read(spark, version=0)
+
+    w = Window.partitionBy("fprint").orderBy("doc_id")
+    batch_survivors = (
+        fp.where(~is_old)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    admitted = batch_survivors.join(index_v0, "fprint", "left_anti")
+    if t.latest_version() == 0:
+        # maintain the index: the admitted fingerprints ride one append
+        # commit; a replayed/raced maintenance run no-ops on version.
+        t.commit(admitted.select("fprint"), mode="append")
+    return admitted.select("doc_id", "fprint")
