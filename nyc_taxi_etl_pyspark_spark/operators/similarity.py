@@ -162,20 +162,7 @@ def ivf_topk_cosine(
     against the query on the driver-side-small codebook, keep ``n_probe``
     cells, and run the exact ranking only inside them.
     """
-    assign = (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("centroid_id"),
-            cosine_similarity_col(F.col(vec_col), F.col("centroid_vec")).alias("__csim"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by("centroid_id", "__csim").alias("centroid_id"),
-            F.first(vec_col).alias(vec_col),
-        )
-    )
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
     probe_cells = (
         centroids.crossJoin(F.broadcast(query_vec))
         .select(
@@ -189,6 +176,111 @@ def ivf_topk_cosine(
         .select("centroid_id")
     )
     candidates = assign.join(F.broadcast(probe_cells), on="centroid_id")
+    sim = stable_round(
+        cosine_similarity_col(F.col(vec_col), F.col("query_embedding")), 4
+    ).alias("cosine_sim")
+    return (
+        candidates.crossJoin(F.broadcast(query_vec))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine centroid: broadcast the
+    small codebook, compute similarity per (vector, centroid) row,
+    reduce with max_by — no shuffle of the vector side beyond the
+    groupBy on its own id."""
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            cosine_similarity_col(
+                F.col(vec_col), F.col("centroid_vec")
+            ).alias("__csim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by("centroid_id", "__csim").alias("centroid_id"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+
+def build_ivf_index(
+    table,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Persist an IVF index into a transactional commit-log table
+    (``sources/txtable.py``): the cell ASSIGNMENTS are the data,
+    hive-partitioned by ``centroid_id`` so a probe opens ONLY the
+    probed cells' files (exact manifest partition pruning — no listing,
+    no scan of unprobed cells), and the CODEBOOK (|centroids| × dim
+    floats — small by construction) rides the manifest ``meta``, so
+    probe planning needs one manifest read and zero Spark jobs.
+
+    Maintenance falls out of the table protocol: new vectors append
+    into their cells (``mode="append"`` after ``ivf_assign``), a
+    re-trained codebook is a full replace, OPTIMIZE compacts cells, and
+    time travel reproduces any historical probe. Returns the committed
+    version."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    codebook = {
+        str(r["centroid_id"]): [float(x) for x in r["centroid_vec"]]
+        for r in centroids.collect()  # |codebook|-bounded driver fetch
+    }
+    return table.commit(
+        assign,
+        partition_by=["centroid_id"],
+        meta={"op": "ivf_index", "codebook": codebook},
+    )
+
+
+def ivf_index_probe(
+    spark,
+    table,
+    query_vec: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Probe a persisted IVF index: rank the manifest-resident codebook
+    against the query IN PURE PYTHON (microseconds — no Spark job to
+    plan the probe), read only the ``n_probe`` best cells' partitions,
+    and run the exact cosine ranking inside them. Same semantics as the
+    in-memory ``ivf_topk_cosine`` over identical centroids — asserted
+    equal in tests/test_txtable.py."""
+    import math
+
+    m = table.manifest()
+    codebook = m["meta"]["codebook"]
+    q = [float(x) for x in query_vec.first()["query_embedding"]]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos(vec: list) -> float:
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return sum(a * b for a, b in zip(vec, q)) / (n * qn)
+
+    cells = [
+        c
+        for c, _ in sorted(
+            ((c, cos(v)) for c, v in codebook.items()),
+            key=lambda cv: (-cv[1], int(cv[0])),
+        )[:n_probe]
+    ]
+    candidates = table.read(spark, partitions={"centroid_id": cells})
     sim = stable_round(
         cosine_similarity_col(F.col(vec_col), F.col("query_embedding")), 4
     ).alias("cosine_sim")

@@ -1009,3 +1009,43 @@ def q_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "tok_a", "tok_b")
         .limit(25)
     )
+
+
+@query("q_ann_ivf_persisted", oracle=None)  # approximate by construction => rows-only
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index PERSISTED: same codebook and probe budget as
+    q_ann_ivf, but the cell assignments live in a transactional
+    commit-log table partitioned by centroid cell (codebook in the
+    manifest meta), so the probe plans from ONE manifest read — pure-
+    Python codebook ranking, then exact cosine over only the probed
+    cells' files via manifest partition pruning. Equality with the
+    in-memory IVF over identical centroids is asserted in
+    tests/test_txtable.py; approximate vs exact top-k by construction
+    ⇒ rows-only (exactness baseline q_topk_cosine)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = fixture_scratch_dir(
+        "spark_graft_ivfindex", sf_dir, anchor="embeddings.parquet"
+    )
+    t = TransactionalTable(root)
+    if not t.exists():
+        centroids = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        build_ivf_index(t, e, centroids, id_col="vec_id", vec_col="embedding")
+    return ivf_index_probe(
+        spark,
+        t,
+        _query_vec(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        n_probe=4,
+    )

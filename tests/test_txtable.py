@@ -1004,3 +1004,47 @@ def test_partitioned_optimize_splits_oversized_partitions(spark, tmp_path):
     assert len(by_part["2"]) == 1 and sum(by_part["2"]) == 100
     assert t.read(spark).count() == 5200
     assert t.read(spark, partitions={"d": [1]}).count() == 100
+
+
+def test_persisted_ivf_probe_equals_in_memory_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF index must return EXACTLY what the in-memory
+    IVF returns over identical centroids/probes (persistence changes
+    the storage, not the math), and the probe must open only the probed
+    cells' files (manifest partition pruning)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+        ivf_topk_cosine,
+    )
+    from nyc_taxi_etl_pyspark_spark.plans.queries_text import _query_vec
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    q = _query_vec(spark, sf_dir)
+
+    t = TransactionalTable(str(tmp_path / "ivf"))
+    build_ivf_index(t, e, centroids, id_col="vec_id", vec_col="embedding")
+    m = t.manifest()
+    assert len(m["meta"]["codebook"]) == 16
+    assert m["partition_by"] == ["centroid_id"]
+
+    got = ivf_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
+    ).collect()
+    want = ivf_topk_cosine(
+        e, centroids, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in got] == [
+        (r["vec_id"], r["cosine_sim"]) for r in want
+    ]
+    assert len(got) == 10
+
+    # pruning: the probe's partition filter keeps only probed cells
+    cells = {
+        fs["partition"]["centroid_id"] for fs in m["stats"].values()
+    }
+    assert len(cells) > 4  # more cells exist than the probe opens
