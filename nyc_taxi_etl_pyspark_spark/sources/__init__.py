@@ -4,6 +4,7 @@ from nyc_taxi_etl_pyspark_spark.sources.io import (
     write_parquet_partitioned,
 )
 from nyc_taxi_etl_pyspark_spark.sources.tables import TABLES, load_table
+from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
 
 __all__ = [
     "read_csv",
@@ -11,4 +12,5 @@ __all__ = [
     "write_parquet_partitioned",
     "load_table",
     "TABLES",
+    "TransactionalTable",
 ]

@@ -202,3 +202,34 @@ def test_coerce_request_contract():
         coerce_request({"x1": 1.0}, REQUIRED)
     with pytest.raises(ValueError, match="not coercible"):
         coerce_request({"x1": 1.0, "x2": "seven"}, REQUIRED)
+
+
+def test_exported_scorer_matches_deep_model(spark, sf_dir):
+    """Parity must hold for a DEEPER ensemble too (depth 7, 40 trees):
+    more levels exercise long split chains and leaf precision where a
+    subtle export bug (off-by-one on threshold comparison, wrong child
+    routing) would first surface."""
+    from nyc_taxi_etl_pyspark_spark.ml.export import GBTScorer
+
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") / 1000.0).alias("x1"),
+        (F.col("o_orderkey") % 97).cast("int").alias("x2"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    model = train_gbt_regressor(
+        feats,
+        label_col="y",
+        numeric_features=["x1", "x2"],
+        categorical_features=["prio"],
+        max_depth=7,
+        max_iter=40,
+    ).model
+    scorer = GBTScorer.from_pipeline(model)
+    sample = feats.drop("y").limit(100)
+    preds = model.transform(sample).collect()
+    assert len(preds) == 100
+    for r in preds:
+        got = scorer({"x1": r["x1"], "x2": r["x2"], "prio": r["prio"]})
+        assert abs(got - r["prediction"]) <= 1e-9
