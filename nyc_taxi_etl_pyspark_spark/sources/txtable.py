@@ -563,19 +563,26 @@ class TransactionalTable:
         place the manifest shape is defined (commit and delete both
         route here). Returns False when the version was taken.
 
-        The reserved ``meta["replay"]`` slot (streaming sinks' replay
-        watermark: checkpoint identity + applied batch id) is CARRIED
-        FORWARD from the previous manifest when this commit doesn't set
-        it — otherwise a maintenance commit (optimize/merge/delete) on
-        a streaming sink's table would erase the marker and a replayed
-        micro-batch would be re-applied (duplicate appends /
-        double-counted merges)."""
+        STICKY meta keys are CARRIED FORWARD from the previous
+        manifest when this commit doesn't set them — application state
+        that rides the table and must survive maintenance commits:
+
+        - ``"replay"`` (streaming sinks' replay watermark: checkpoint
+          identity + applied batch id) — without the carry, an
+          optimize/merge/delete on a sink table would erase the marker
+          and a replayed micro-batch would be re-applied (duplicate
+          appends / double-counted merges).
+        - ``"codebook"`` (the persisted IVF index's centroid vectors,
+          ``operators/similarity.py::build_ivf_index``) — without the
+          carry, compacting an index table would orphan its
+          assignments from the codebook probes plan with."""
         new_v = base_v + 1
         meta = dict(meta or {})
-        if "replay" not in meta and prev is not None:
-            prev_replay = prev.get("meta", {}).get("replay")
-            if prev_replay is not None:
-                meta["replay"] = prev_replay
+        for sticky in ("replay", "codebook"):
+            if sticky not in meta and prev is not None:
+                carried = prev.get("meta", {}).get(sticky)
+                if carried is not None:
+                    meta[sticky] = carried
         manifest = {
             "version": new_v,
             "parent": base_v if base_v >= 0 else None,

@@ -1048,3 +1048,34 @@ def test_persisted_ivf_probe_equals_in_memory_and_prunes(spark, sf_dir, tmp_path
         fs["partition"]["centroid_id"] for fs in m["stats"].values()
     }
     assert len(cells) > 4  # more cells exist than the probe opens
+
+
+def test_ivf_codebook_survives_optimize(spark, sf_dir, tmp_path):
+    """The persisted index's codebook is sticky meta: compacting the
+    index table must not orphan the assignments from the codebook —
+    probes after OPTIMIZE return exactly the pre-OPTIMIZE results."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+    )
+    from nyc_taxi_etl_pyspark_spark.plans.queries_text import _query_vec
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    q = _query_vec(spark, sf_dir)
+    t = TransactionalTable(str(tmp_path / "ivf"))
+    build_ivf_index(t, e, centroids, id_col="vec_id", vec_col="embedding")
+    before = ivf_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
+    ).collect()
+    t.optimize(spark)
+    assert t.manifest()["meta"]["op"] == "optimize"
+    assert len(t.manifest()["meta"]["codebook"]) == 16  # carried forward
+    after = ivf_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
