@@ -243,7 +243,9 @@ def build_ivf_index(
     return table.commit(
         assign,
         partition_by=["centroid_id"],
-        meta={"op": "ivf_index", "codebook": codebook},
+        # the codebook rides the sticky app namespace: maintenance
+        # commits (OPTIMIZE etc.) carry it forward automatically.
+        meta={"op": "ivf_index", "app": {"codebook": codebook}},
     )
 
 
@@ -265,22 +267,43 @@ def ivf_index_probe(
     import math
 
     m = table.manifest()
-    codebook = m["meta"]["codebook"]
+    codebook = m["meta"]["app"]["codebook"]
     q = [float(x) for x in query_vec.first()["query_embedding"]]
-    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    qn = math.sqrt(sum(x * x for x in q))
 
     def cos(vec: list) -> float:
-        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        n = math.sqrt(sum(x * x for x in vec))
+        if n == 0.0 or qn == 0.0:
+            # mirror cosine_similarity_col's NULL on zero vectors:
+            # NULLs sort LAST under the in-memory probe's descending
+            # order, so a zero centroid must rank below every real
+            # similarity (including negative ones) here too.
+            return float("-inf")
         return sum(a * b for a, b in zip(vec, q)) / (n * qn)
+
+    def cid_key(c: str):
+        # tie-break matches the in-memory probe's orderBy on the TYPED
+        # centroid_id column: numeric ids compare numerically, anything
+        # else lexicographically (never crash on non-integer ids).
+        try:
+            return (0, int(c), "")
+        except ValueError:
+            return (1, 0, c)
 
     cells = [
         c
         for c, _ in sorted(
             ((c, cos(v)) for c, v in codebook.items()),
-            key=lambda cv: (-cv[1], int(cv[0])),
+            key=lambda cv: (-cv[1], cid_key(cv[0])),
         )[:n_probe]
     ]
-    candidates = table.read(spark, partitions={"centroid_id": cells})
+    # PIN assignments to the SAME snapshot the codebook came from: a
+    # concurrent index rebuild (new codebook, new assignments) must not
+    # be half-read — stale cells over fresh assignments would return
+    # wrong neighbors silently.
+    candidates = table.read(
+        spark, version=m["version"], partitions={"centroid_id": cells}
+    )
     sim = stable_round(
         cosine_similarity_col(F.col(vec_col), F.col("query_embedding")), 4
     ).alias("cosine_sim")

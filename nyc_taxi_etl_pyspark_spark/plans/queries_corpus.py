@@ -491,25 +491,36 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", fingerprint_md5(F.col("text")).alias("fprint")
     )
     is_old = F.pmod(F.col("doc_id"), F.lit(10)) < 7
+    w = Window.partitionBy("fprint").orderBy("doc_id")
+
+    def survivors(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     root = fixture_scratch_dir(
         "spark_graft_fpindex", sf_dir, anchor="documents.parquet"
     )
     t = TransactionalTable(root)
     if not t.exists():
-        t.commit(fp.where(is_old).select("fprint").distinct())
-    index_v0 = t.read(spark, version=0)
-
-    w = Window.partitionBy("fprint").orderBy("doc_id")
-    batch_survivors = (
-        fp.where(~is_old)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    admitted = batch_survivors.join(index_v0, "fprint", "left_anti")
+        # index rows carry (doc_id, fprint): first-seen provenance, and
+        # it lets the admitted batch be read straight back out of the
+        # files its append commit added (below).
+        t.commit(survivors(fp.where(is_old)))
     if t.latest_version() == 0:
-        # maintain the index: the admitted fingerprints ride one append
-        # commit; a replayed/raced maintenance run no-ops on version.
-        t.commit(admitted.select("fprint"), mode="append")
-    return admitted.select("doc_id", "fprint")
+        index_v0 = t.read(spark, version=0)
+        admitted = survivors(fp.where(~is_old)).join(
+            index_v0.select("fprint"), "fprint", "left_anti"
+        )
+        t.commit(admitted.select("doc_id", "fprint"), mode="append")
+    # the admission decision is exactly the file set version 1 ADDED —
+    # return it from storage instead of re-running the fingerprint scan
+    # + window + anti-join a second time (the commit already evaluated
+    # that plan once while staging).
+    m0, m1 = t.manifest(0), t.manifest(1)
+    added = [f for f in m1["files"] if f not in set(m0["files"])]
+    return spark.read.parquet(
+        *[t.storage.url(f) for f in added]
+    ).select("doc_id", "fprint")

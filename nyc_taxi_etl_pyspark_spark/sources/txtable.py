@@ -572,13 +572,15 @@ class TransactionalTable:
           optimize/merge/delete on a sink table would erase the marker
           and a replayed micro-batch would be re-applied (duplicate
           appends / double-counted merges).
-        - ``"codebook"`` (the persisted IVF index's centroid vectors,
-          ``operators/similarity.py::build_ivf_index``) — without the
-          carry, compacting an index table would orphan its
-          assignments from the codebook probes plan with."""
+        - ``"app"`` — an application-owned namespace carried
+          WHOLESALE, so features that park state on the table (the
+          persisted IVF index's codebook,
+          ``operators/similarity.py::build_ivf_index``; any future
+          bloom filter / marker) survive maintenance without the
+          storage layer learning their key names."""
         new_v = base_v + 1
         meta = dict(meta or {})
-        for sticky in ("replay", "codebook"):
+        for sticky in ("replay", "app"):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
                 if carried is not None:
@@ -648,6 +650,13 @@ class TransactionalTable:
         """
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
+        if mode == "append" and partition_by is None:
+            # an append MUST stage in the table's physical layout: flat
+            # files appended to a hive-partitioned table would carry no
+            # partition path/stats — invisible to partition pruning and
+            # unreadable mixed with partitioned files. Inherit the
+            # layout; the CAS loop re-validates against the race winner.
+            partition_by = (self.manifest() or {}).get("partition_by")
         if cluster_by:
             from pyspark.sql import functions as F
 
@@ -704,6 +713,16 @@ class TransactionalTable:
                         "with a full replace commit."
                     )
             if mode == "append" and prev is not None:
+                if (prev.get("partition_by") or None) != (
+                    list(partition_by) if partition_by else None
+                ):
+                    raise ValueError(
+                        f"{self.root}: append staged with layout "
+                        f"{partition_by} but the table is partitioned by "
+                        f"{prev.get('partition_by')} (changed by a "
+                        "concurrent commit?); re-stage with the table's "
+                        "layout."
+                    )
                 files = list(prev["files"]) + keys
                 total_rows = prev.get("rows", 0) + rows
                 # retained files keep their stats across the append

@@ -1029,8 +1029,21 @@ def test_persisted_ivf_probe_equals_in_memory_and_prunes(spark, sf_dir, tmp_path
     t = TransactionalTable(str(tmp_path / "ivf"))
     build_ivf_index(t, e, centroids, id_col="vec_id", vec_col="embedding")
     m = t.manifest()
-    assert len(m["meta"]["codebook"]) == 16
+    assert len(m["meta"]["app"]["codebook"]) == 16
     assert m["partition_by"] == ["centroid_id"]
+
+    got_df = ivf_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
+    )
+    # pruning contract: the probe's scan must touch ONLY probed cells'
+    # files — every input file path carries one of <= 4 centroid dirs
+    probed_dirs = {
+        f.split("/centroid_id=")[1].split("/")[0]
+        for f in got_df.inputFiles()
+    }
+    assert 1 <= len(probed_dirs) <= 4
+    all_dirs = {fs["partition"]["centroid_id"] for fs in m["stats"].values()}
+    assert probed_dirs < all_dirs  # strict subset: files were skipped
 
     got = ivf_index_probe(
         spark, t, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
@@ -1074,8 +1087,39 @@ def test_ivf_codebook_survives_optimize(spark, sf_dir, tmp_path):
     ).collect()
     t.optimize(spark)
     assert t.manifest()["meta"]["op"] == "optimize"
-    assert len(t.manifest()["meta"]["codebook"]) == 16  # carried forward
+    # carried forward via the sticky app namespace
+    assert len(t.manifest()["meta"]["app"]["codebook"]) == 16
     after = ivf_index_probe(
         spark, t, q, id_col="vec_id", vec_col="embedding", k=10, n_probe=4
     ).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_append_to_partitioned_table_inherits_layout(spark, tmp_path):
+    """Review finding: a plain append to a hive-partitioned table must
+    stage in the table's layout — flat appended files would carry no
+    partition path/stats, silently vanish from partition-pruned reads,
+    and break mixed-layout scans. The layout is inherited; the appended
+    rows are pruning-visible; an explicit conflicting layout raises."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(300).select(F.col("id"), (F.col("id") % 3).alias("d")),
+        partition_by=["d"],
+    )
+    t.commit(
+        spark.range(300, 330).select(F.col("id"), (F.col("id") % 3).alias("d")),
+        mode="append",
+    )
+    m = t.manifest()
+    assert m["partition_by"] == ["d"]
+    assert all("d=" in f for f in m["files"])  # layout preserved
+    assert t.read(spark).count() == 330
+    # appended rows visible through partition pruning (ids 300..329,
+    # 10 per residue class)
+    assert t.read(spark, partitions={"d": [1]}).count() == 110
+    with pytest.raises(ValueError, match="append staged with layout"):
+        t.commit(
+            spark.range(5).select(F.col("id"), (F.col("id") % 3).alias("d")),
+            mode="append",
+            partition_by=["id"],
+        )
