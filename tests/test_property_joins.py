@@ -346,3 +346,46 @@ def test_snb_blocking_lossless_on_second_key(spark, sf_dir):
             )
         )
         assert got == want and len(got) > 0, f"window {w}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lkeys=st.lists(st.integers(-40, 40), min_size=0, max_size=15),
+    rkeys=st.lists(st.integers(-40, 40), min_size=0, max_size=15),
+    window=st.integers(1, 9),
+)
+def test_snb_candidates_property_lossless(spark, lkeys, rkeys, window):
+    """Property form of the sorted-neighborhood losslessness proof:
+    for ARBITRARY key multisets (negatives, duplicates, empties) and
+    window widths, the bucket ±1 equi-join produces exactly the pairs
+    of the banded theta-join — the guarantee is the banding algebra,
+    not any fixture's key distribution."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.joins import (
+        sorted_neighborhood_candidates,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(lkeys)] or [(0, None)], "lid int, lk long"
+    ).where(F.col("lk").isNotNull())
+    right = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(rkeys)] or [(0, None)], "rid int, rk long"
+    ).where(F.col("rk").isNotNull())
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in sorted_neighborhood_candidates(
+            left, right, "lk", "rk", window
+        ).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, F.abs(F.col("lk") - F.col("rk")) <= window
+        ).collect()
+    )
+    assert got == want
