@@ -263,6 +263,57 @@ def q_tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_time_travel",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice + 1e-9, 4) AS price_v0,
+           round(o_totalprice * 2 + 1e-9, 4) AS price_v1
+    FROM orders
+    """,
+)
+def q_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-pinned snapshot read (time travel) through the commit
+    log (``txtable.TransactionalTable.read(version=...)``): version 0
+    commits the orders base, version 1 commits a full rewrite with
+    every price doubled, and the query joins the PINNED version-0 read
+    against the latest read on the key. Matching the oracle (original
+    price as ``price_v0``, doubled as ``price_v1``, same row count as
+    orders) proves the newer commit did not disturb the older
+    snapshot's file set AND that the latest-manifest resolution sees
+    the rewrite — the isolation property MERGE/OPTIMIZE rely on when
+    readers run concurrently with writers on an object store. The
+    reference has no snapshot story at all: every run clobbers the
+    curated layer in place (``src/pipeline/etl_writer.py:7-12``).
+    Idempotent: versions 0 and 1 are committed once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txtt", sf_dir)
+    t = TransactionalTable(root)
+    if t.latest_version() < 1:
+        if t.latest_version() < 0:
+            t.commit(o)
+        t.commit(
+            o.select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+    v0 = t.read(spark, version=0).select(
+        "o_orderkey",
+        stable_round(F.col("o_totalprice"), 4).alias("price_v0"),
+    )
+    v1 = t.read(spark).select(
+        "o_orderkey",
+        stable_round(F.col("o_totalprice"), 4).alias("price_v1"),
+    )
+    return v0.join(v1, "o_orderkey")
+
+
+@query(
     "q_tx_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
