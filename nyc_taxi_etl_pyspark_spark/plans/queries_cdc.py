@@ -314,6 +314,83 @@ def q_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_partition_pruned_read",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_tx_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metastore-free partition pruning through the manifest
+    (``TransactionalTable.read(partitions=...)``): orders is committed
+    hive-partitioned on ``o_orderstatus`` (per-file partition values
+    ride the manifest), and the read opens ONLY the files whose
+    recorded partition value is 'F' — no directory listing, no
+    metastore, the manifest IS the partition index. The oracle is the
+    plain predicate over the raw table; matching it proves the pruned
+    file set is exactly the partition (nothing dropped, nothing
+    leaked) and that the hive-encoded partition column reconstructs
+    with its original values. At 100 TB this is the read shape for
+    date-partitioned corpora: one manifest read plans a scan that
+    touches 1 of 10,000 partitions. Idempotent: the partitioned
+    snapshot is committed once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = fixture_scratch_dir("spark_graft_txpart", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, partition_by=["o_orderstatus"])
+    return t.read(spark, partitions={"o_orderstatus": ["F"]}).select(
+        "o_orderkey",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
+    "q_tx_stats_skipping_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 900.0 AND o_totalprice <= 50000.0
+    """,
+)
+def q_tx_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max file skipping (``TransactionalTable.read``
+    with ``where=``): orders is committed CLUSTERED on ``o_totalprice``
+    into 8 range-disjoint files, so the manifest's per-file min/max
+    stats exclude every file whose range cannot intersect the band —
+    the zone-map shape where a selective range scan on a 100 TB table
+    opens a handful of files. The skip is a superset guarantee and the
+    residual row filter makes it exact; the oracle is the plain range
+    predicate, so matching proves both halves (no file wrongly
+    skipped, residual filter exact). Idempotent: the clustered
+    snapshot is committed once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txskip", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_totalprice"], num_files=8)
+    return t.read(spark, where=[("o_totalprice", 900.0, 50000.0)]).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
