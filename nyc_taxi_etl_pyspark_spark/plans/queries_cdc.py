@@ -391,6 +391,48 @@ def q_tx_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_zorder_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 900.0 AND o_totalprice <= 60000.0
+      AND o_custkey >= 1 AND o_custkey <= 120
+    """,
+)
+def q_tx_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered commit + two-column zone-map read
+    (``commit(zorder_by=[...])`` → ``read(where=[...])``): orders is
+    committed on the Morton interleave of (o_totalprice, o_custkey)
+    into 16 files, so each file covers a small hyper-rectangle of the
+    combined domain and the manifest's min/max stats skip files for
+    selective bands on EITHER column — the Delta/Iceberg OPTIMIZE
+    ZORDER shape, where a lexicographic sort would only skip on the
+    leading column (`test_zorder_commit_skips_on_any_clustered_column`
+    pins the asymmetry). The oracle is the plain two-band predicate;
+    matching proves the skip + residual filter are exact. Idempotent:
+    the Z-ordered snapshot is committed once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txz", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, zorder_by=["o_totalprice", "o_custkey"], num_files=16)
+    return t.read(
+        spark,
+        where=[("o_totalprice", 900.0, 60000.0), ("o_custkey", 1, 120)],
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

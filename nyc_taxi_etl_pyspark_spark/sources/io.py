@@ -131,6 +131,22 @@ def write_parquet_zorder(
     power-law user_id would otherwise collapse most rows into a few
     Z-cells and recreate the hot-file problem at 100 TB).
     """
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        zorder_frame(df, list(zorder_cols), bits=bits, num_files=n, bucketing=bucketing)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_bucket_exprs(
+    df: DataFrame, zorder_cols: list[str], bits: int = 8, bucketing: str = "width"
+) -> list:
+    """Per-column cell-index expressions in [0, 2**bits) feeding
+    ``zorder_key_col``. ``bucketing="width"``: equal-width cells from the
+    global min/max (one agg job). ``bucketing="quantile"``: approxQuantile
+    cut points (one sketch job) — equal-populated cells for skewed
+    domains. Runs one small action on ``df`` either way."""
     nb = 1 << bits
     buckets = []
     if bucketing == "quantile":
@@ -157,14 +173,27 @@ def write_parquet_zorder(
                     F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nb),
                 )
             )
+    return buckets
+
+
+def zorder_frame(
+    df: DataFrame,
+    zorder_cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    bucketing: str = "width",
+) -> DataFrame:
+    """Return ``df`` range-partitioned + sorted on the Morton key of
+    ``zorder_cols`` (key dropped from the output) — the reusable
+    clustering step shared by the plain-parquet Z-order sink and the
+    transactional table's ``commit(zorder_by=...)``."""
+    buckets = zorder_bucket_exprs(df, zorder_cols, bits=bits, bucketing=bucketing)
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    (
+    return (
         df.withColumn("__zkey", zorder_key_col(buckets, bits))
         .repartitionByRange(n, F.col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
-        .write.mode(mode)
-        .parquet(path)
     )
 
 

@@ -607,6 +607,8 @@ class TransactionalTable:
         mode: str = "replace",
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
         num_files: int | None = None,
         max_records_per_file: int | None = None,
         meta: dict | None = None,
@@ -643,6 +645,16 @@ class TransactionalTable:
         ``prune_files`` can exclude nothing. Composable with
         ``partition_by`` (cluster within partitions).
 
+        ``zorder_by`` (mutually exclusive with ``cluster_by``)
+        range-partitions + sorts on the Morton interleave of the given
+        columns' cell indexes (``sources/io.py::zorder_frame``,
+        2**``zorder_bits`` cells per column): each file covers a small
+        hyper-rectangle of the combined domain, so the manifest's
+        min/max stats skip files for a selective predicate on ANY of
+        the Z-ordered columns — the Delta/Iceberg OPTIMIZE ZORDER
+        shape, costing the same single range exchange as ``cluster_by``
+        plus one tiny min/max agg job.
+
         ``expect_version``: optimistic-concurrency guard for
         read-modify-write commits — the version the writer derived its
         result FROM. If someone else committed past it, raises
@@ -657,7 +669,20 @@ class TransactionalTable:
             # unreadable mixed with partitioned files. Inherit the
             # layout; the CAS loop re-validates against the race winner.
             partition_by = (self.manifest() or {}).get("partition_by")
-        if cluster_by:
+        if cluster_by and zorder_by:
+            raise ValueError(
+                "cluster_by and zorder_by are mutually exclusive: "
+                "lexicographic range clustering skips on the leading "
+                "column only; Z-order trades a little per-column "
+                "tightness for skipping on ANY clustered column"
+            )
+        if zorder_by:
+            from nyc_taxi_etl_pyspark_spark.sources.io import zorder_frame
+
+            df = zorder_frame(
+                df, list(zorder_by), bits=zorder_bits, num_files=num_files
+            )
+        elif cluster_by:
             from pyspark.sql import functions as F
 
             n = num_files or df.sparkSession.sparkContext.defaultParallelism

@@ -763,6 +763,55 @@ def test_cluster_by_commit_enables_stats_skipping(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_zorder_commit_skips_on_any_clustered_column(spark, tmp_path):
+    """zorder_by interleaves the clustered columns into one Morton key,
+    so every file covers a small hyper-rectangle and manifest min/max
+    stats skip files for a selective band on EITHER column; the same
+    data committed cluster_by (lexicographic) skips on the leading
+    column only — a band on the second column reads every file."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    # two mutually-independent hashed columns (uncorrelated with id
+    # and with each other), so any skipping comes from layout alone
+    df = spark.range(32000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 100000).alias("a"),
+        (F.col("id") * 40503 % 100000).alias("b"),
+    )
+    band_a = [("a", 10000, 14000)]
+    band_b = [("b", 10000, 14000)]
+
+    lex = TransactionalTable(str(tmp_path / "lex"))
+    lex.commit(df, cluster_by=["a", "b"], num_files=16)
+    m_lex = lex.manifest()
+    assert len(m_lex["files"]) == 16
+    assert len(prune_files(m_lex, band_a)) <= 2  # leading col: tight
+    assert len(prune_files(m_lex, band_b)) == 16  # second col: nothing
+
+    z = TransactionalTable(str(tmp_path / "z"))
+    z.commit(df, zorder_by=["a", "b"], num_files=16)
+    m_z = z.manifest()
+    assert len(m_z["files"]) == 16
+    # 16 files over a 256x256 cell grid -> each file spans ~1/4 of each
+    # dimension; a 4%-wide band intersects at most 2 of 4 slabs
+    assert len(prune_files(m_z, band_a)) <= 8
+    assert len(prune_files(m_z, band_b)) <= 8
+
+    for where in (band_a, band_b):
+        col, lo, hi = where[0]
+        got = sorted(r["id"] for r in z.read(spark, where=where).collect())
+        want = sorted(
+            r["id"]
+            for r in df.where(f"{col} between {lo} and {hi}").collect()
+        )
+        assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        TransactionalTable(str(tmp_path / "bad")).commit(
+            df, cluster_by=["a"], zorder_by=["b"]
+        )
+
+
 def test_streaming_append_sink_tx_exactly_once(spark, sf_dir, tmp_path):
     """Bronze-ingest stream → transactional append: every event lands
     exactly once (batch commits are atomic appends with the replay
