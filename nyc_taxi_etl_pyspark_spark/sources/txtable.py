@@ -577,10 +577,15 @@ class TransactionalTable:
           persisted IVF index's codebook,
           ``operators/similarity.py::build_ivf_index``; any future
           bloom filter / marker) survive maintenance without the
-          storage layer learning their key names."""
+          storage layer learning their key names.
+        - ``"clustering"`` — the declared cluster/Z-order columns
+          (set by ``commit(cluster_by=...)`` / ``commit(zorder_by=
+          ...)``): a layout INTENT that appends and merges must not
+          erase, so a later ``optimize()`` knows how to re-cluster.
+          Change it by committing with different clustering args."""
         new_v = base_v + 1
         meta = dict(meta or {})
-        for sticky in ("replay", "app"):
+        for sticky in ("replay", "app", "clustering"):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
                 if carried is not None:
@@ -691,6 +696,19 @@ class TransactionalTable:
             ).sortWithinPartitions(*cluster_by)
         elif num_files is not None:
             df = df.repartition(num_files)
+        if zorder_by or cluster_by:
+            # record the clustering as a TABLE PROPERTY (declared
+            # intent, like Delta's clustering columns): sticky across
+            # commits (see _put_manifest), consumed by optimize() to
+            # re-establish the layout after compaction/appends. Only a
+            # hint — skipping correctness always comes from per-file
+            # stats, never from this claim.
+            meta = dict(meta or {})
+            meta["clustering"] = (
+                {"kind": "zorder", "cols": list(zorder_by), "bits": zorder_bits}
+                if zorder_by
+                else {"kind": "range", "cols": list(cluster_by)}
+            )
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         if mode in ("append", "replace_partitions"):
             # cheap FAST-FAIL before the (expensive) stage writes a
@@ -807,6 +825,9 @@ class TransactionalTable:
         spark: SparkSession,
         target_rows_per_file: int = 1_000_000,
         max_retries: int = 5,
+        zorder_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> dict:
         """Transactional small-file compaction (table-format OPTIMIZE):
         read snapshot N, rewrite into ``ceil(rows/target)`` files,
@@ -814,9 +835,22 @@ class TransactionalTable:
         writer wins the race and compaction retries against the new
         snapshot. Readers of N keep their files (immutable) until
         ``vacuum``; there is no retry-window where the table is absent,
-        which the rename-swap scheme could not avoid."""
+        which the rename-swap scheme could not avoid.
+
+        Clustering-aware: the table's declared ``clustering`` property
+        (sticky meta, set by ``commit(cluster_by=...)`` /
+        ``commit(zorder_by=...)``) is RE-APPLIED during the rewrite —
+        appends land unclustered between optimizes, and a compaction
+        that round-robined the rows would silently destroy the layout
+        the manifest's zone-map skipping depends on; this is
+        Delta/Iceberg's OPTIMIZE ZORDER. Pass ``zorder_by`` /
+        ``cluster_by`` here to (re)declare the clustering instead; on
+        a hive-partitioned table the clustering sort happens WITHIN
+        each partition (partition layout itself is always preserved)."""
         import math
 
+        if zorder_by and cluster_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
         for _ in range(max_retries):
             base_v = self.latest_version()
             m = self.manifest(base_v)
@@ -825,6 +859,12 @@ class TransactionalTable:
             df = self.read(spark, base_v)
             rows = m.get("rows") or df.count()
             pb = m.get("partition_by")
+            if zorder_by:
+                clus = {"kind": "zorder", "cols": list(zorder_by), "bits": zorder_bits}
+            elif cluster_by:
+                clus = {"kind": "range", "cols": list(cluster_by)}
+            else:
+                clus = m.get("meta", {}).get("clustering")
             if pb:
                 # Partitioned table: the compaction unit is the
                 # partition — shuffle on the partition cols so each
@@ -847,16 +887,58 @@ class TransactionalTable:
                 compacted = df.repartition(
                     max(n_parts, 1), *[F.col(c) for c in pb]
                 )
+                if clus:
+                    # clustering WITHIN partitions: each task holds
+                    # whole partition dirs; a within-task sort on the
+                    # cluster key (Morton key for zorder) means the
+                    # writer's maxRecordsPerFile rolls produce files
+                    # covering contiguous key slices per partition.
+                    if clus["kind"] == "zorder":
+                        from nyc_taxi_etl_pyspark_spark.sources.io import (
+                            zorder_bucket_exprs,
+                            zorder_key_col,
+                        )
+
+                        bits = int(clus.get("bits", 8))
+                        buckets = zorder_bucket_exprs(df, clus["cols"], bits=bits)
+                        compacted = (
+                            compacted.withColumn(
+                                "__zkey", zorder_key_col(buckets, bits)
+                            )
+                            .sortWithinPartitions("__zkey")
+                            .drop("__zkey")
+                        )
+                    else:
+                        compacted = compacted.sortWithinPartitions(*clus["cols"])
             else:
                 n_files = max(1, math.ceil(rows / target_rows_per_file))
-                compacted = df.repartition(n_files)
+                if clus and clus["kind"] == "zorder":
+                    from nyc_taxi_etl_pyspark_spark.sources.io import zorder_frame
+
+                    compacted = zorder_frame(
+                        df,
+                        clus["cols"],
+                        bits=int(clus.get("bits", 8)),
+                        num_files=n_files,
+                    )
+                elif clus:
+                    from pyspark.sql import functions as F
+
+                    compacted = df.repartitionByRange(
+                        n_files, *[F.col(c) for c in clus["cols"]]
+                    ).sortWithinPartitions(*clus["cols"])
+                else:
+                    compacted = df.repartition(n_files)
+            meta = {"op": "optimize", "source_version": base_v}
+            if clus:
+                meta["clustering"] = clus
             try:
                 new_v = self.commit(
                     compacted,
                     mode="replace",
                     partition_by=pb,
                     max_records_per_file=target_rows_per_file,
-                    meta={"op": "optimize", "source_version": base_v},
+                    meta=meta,
                     expect_version=base_v,
                 )
             except CommitConflict:

@@ -812,6 +812,49 @@ def test_zorder_commit_skips_on_any_clustered_column(spark, tmp_path):
         )
 
 
+def test_optimize_reapplies_declared_clustering(spark, tmp_path):
+    """The clustering declared at commit time is a sticky table
+    property: appends land unclustered (and carry the property
+    forward), and a no-args optimize() re-clusters the WHOLE table —
+    without this, compaction would round-robin the rows and silently
+    destroy the layout that zone-map skipping depends on."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    df = spark.range(16000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 100000).alias("a"),
+        (F.col("id") * 40503 % 100000).alias("b"),
+    )
+    extra = spark.range(16000, 32000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 100000).alias("a"),
+        (F.col("id") * 40503 % 100000).alias("b"),
+    )
+    band = [("b", 10000, 14000)]
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, zorder_by=["a", "b"], num_files=16)
+    # blind append: unclustered files, property carried forward
+    t.commit(extra, mode="append", num_files=8)
+    m = t.manifest()
+    assert m["meta"]["clustering"]["kind"] == "zorder"
+    kept_before = len(prune_files(m, band))
+    assert kept_before > 8  # the 8 appended files all overlap the band
+
+    res = t.optimize(spark, target_rows_per_file=2000)
+    m2 = t.manifest()
+    assert m2["meta"]["clustering"] == m["meta"]["clustering"]  # still sticky
+    kept_after = len(prune_files(m2, band))
+    assert kept_after <= len(m2["files"]) // 2  # layout restored
+    got = sorted(r["id"] for r in t.read(spark, where=band).collect())
+    want = sorted(
+        r["id"]
+        for r in df.unionByName(extra).where("b between 10000 and 14000").collect()
+    )
+    assert got == want and len(got) > 0
+    assert res["rows"] == 32000
+
+
 def test_streaming_append_sink_tx_exactly_once(spark, sf_dir, tmp_path):
     """Bronze-ingest stream → transactional append: every event lands
     exactly once (batch commits are atomic appends with the replay
