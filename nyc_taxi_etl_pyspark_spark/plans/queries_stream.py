@@ -340,3 +340,32 @@ def q_streaming_append_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("ts_s"),
         stable_round(F.col("value"), 4).alias("value"),
     )
+
+
+@query(
+    "q_streaming_tx_source",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    """,
+)
+def q_streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming READ of the transactional commit log
+    (``streaming/jobs.py::run_streaming_tx_source`` over
+    ``sources/txstream.py``): events land in a commit-log table as
+    three append commits, then a Structured Streaming query tails the
+    log — offsets are versions, each appended file is one executor-side
+    input partition, replays re-derive the identical file list from the
+    immutable manifests (exactly-once without source-side state), and
+    non-append commits fail loudly (the Delta streaming-source
+    contract). The oracle is the whole events table: matching proves no
+    file was skipped, re-emitted, or torn across commit→tail→sink.
+    Exempt from the collect guard like every q_streaming_* query: the
+    streaming run executes during plan construction."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_tx_source
+
+    return run_streaming_tx_source(
+        spark, sf_dir, query_name="q_streaming_tx_source"
+    )

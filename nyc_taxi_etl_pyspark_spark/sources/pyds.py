@@ -116,8 +116,11 @@ _REGISTERED_APPS: set[str] = set()
 
 def register_python_sources(spark: SparkSession) -> None:
     """Idempotently register the engine's Python data sources."""
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import TxTableStreamSource
+
     app_id = spark.sparkContext.applicationId
     if app_id in _REGISTERED_APPS:
         return
     spark.dataSource.register(RangeDocSource)
+    spark.dataSource.register(TxTableStreamSource)
     _REGISTERED_APPS.add(app_id)

@@ -731,3 +731,59 @@ def run_streaming_upsert_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_streaming_tx_source(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_tx_source",
+) -> DataFrame:
+    """Stream OUT of a transactional table (``sources/txstream.py``):
+    the events fixture is committed to a commit-log table in three
+    deterministic append batches, a ``txstream`` Structured Streaming
+    query tails the log (offsets = versions, one input partition per
+    appended file, executor-side pyarrow reads), and the drained memory
+    sink is returned — the consumer half of the medallion flow whose
+    producer half is ``run_streaming_append_sink_tx``. Deterministic
+    (fixed batch split, immutable manifests), so the DuckDB oracle is
+    the plain events table."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    ensure_session_conf(spark)
+    register_python_sources(spark)
+    ev = normalize_event_ts(
+        spark.read.parquet(join_uri(sf_dir, "events.parquet"))
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        stable_round(F.col("value"), 4).alias("value"),
+    )
+    root = fixture_scratch_dir(
+        "spark_graft_txsrc", sf_dir, anchor="events.parquet"
+    )
+    t = TransactionalTable(root)
+    while t.latest_version() < 2:
+        i = t.latest_version() + 1
+        part = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        t.commit(
+            part,
+            mode="replace" if i == 0 else "append",
+            num_files=2,
+            meta={"op": f"ingest_batch_{i}"},
+        )
+    stream = spark.readStream.format("txstream").option("path", root).load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

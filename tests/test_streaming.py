@@ -335,3 +335,108 @@ def test_swap_sinks_reject_object_store_paths(spark, sf_dir, tmp_path):
             checkpoint_path=str(tmp_path / "c2"),
             protocol="rename",
         )
+
+
+def test_txstream_source_tails_commit_log_exactly_once(spark, tmp_path):
+    """The txstream streaming source: offsets are versions, each batch
+    emits exactly the files appended by the covered commits, a live
+    append is picked up by the running stream, and restarting from the
+    checkpoint re-emits nothing (manifests are immutable => replays are
+    deterministic)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 3).alias("grp")
+        )
+
+    t.commit(batch(0, 100), num_files=2)
+    t.commit(batch(100, 200), mode="append", num_files=2)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        s = spark.readStream.format("txstream").option("path", root).load()
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 200
+        t.commit(batch(200, 260), mode="append", num_files=1)  # live append
+        q.processAllAvailable()
+        got = spark.read.parquet(out).selectExpr(
+            "count(*) c", "count(distinct id) d", "min(id) mn", "max(id) mx"
+        ).first()
+        assert (got.c, got.d, got.mn, got.mx) == (260, 260, 0, 259)
+    finally:
+        q.stop()
+
+    # commit while the stream is DOWN, restart from the checkpoint:
+    # only the missed batch is emitted, nothing is replayed
+    t.commit(batch(260, 300), mode="append", num_files=1)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        got = spark.read.parquet(out).selectExpr(
+            "count(*) c", "count(distinct id) d", "min(id) mn", "max(id) mx"
+        ).first()
+        assert (got.c, got.d, got.mn, got.mx) == (300, 300, 0, 299)
+    finally:
+        q2.stop()
+
+
+def test_txstream_source_partitioned_and_append_only_guard(spark, tmp_path):
+    """Partition-column values are rebuilt from the manifest (the hive
+    data pages don't carry them), and a commit that rewrites files
+    (optimize/merge/delete/replace) fails the stream loudly instead of
+    double-counting or dropping the rewrite."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "p")
+    t = TransactionalTable(root)
+    df = spark.range(90).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    t.commit(df, partition_by=["grp"])
+
+    s = spark.readStream.format("txstream").option("path", root).load()
+    q = (
+        s.writeStream.format("memory")
+        .queryName("txs_part")
+        .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select grp, count(*) c from txs_part group by grp order by grp"
+        ).collect()
+        assert [(r.grp, r.c) for r in got] == [(0, 30), (1, 30), (2, 30)]
+        # grp must come back as a LONG rebuilt from the manifest value
+        assert dict(spark.table("txs_part").dtypes)["grp"] == "bigint"
+
+        t.optimize(spark, target_rows_per_file=1000)  # rewrites files
+        q.processAllAvailable()
+        raise AssertionError("stream should have failed on the rewrite")
+    except Exception as exc:  # noqa: BLE001 - StreamingQueryException wrapper
+        assert "append-only" in str(exc)
+    finally:
+        q.stop()
