@@ -433,6 +433,55 @@ def q_tx_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution append (``commit(mode="append",
+    allow_schema_evolution=True)`` — Delta's mergeSchema): version 0
+    commits the even orders WITHOUT ``o_orderstatus``, version 1
+    appends the odd orders WITH it; the manifest schema becomes the
+    union, the table is flagged ``mixed_schemas``, and the read merges
+    footers so pre-evolution rows surface the new column as NULL. The
+    oracle replays the same shape declaratively (status only on odd
+    keys); matching proves no column was dropped, no row lost, and the
+    NULL-fill landed exactly on the pre-evolution files. Type changes
+    never merge (guarded); a full replace homogenizes and clears the
+    flag (`test_schema_evolution_append_and_merge_read`). Idempotent:
+    both versions are committed once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = fixture_scratch_dir("spark_graft_txevo", sf_dir)
+    t = TransactionalTable(root)
+    if t.latest_version() < 1:
+        if t.latest_version() < 0:
+            t.commit(
+                o.where(F.col("o_orderkey") % 2 == 0).select(
+                    "o_orderkey", "o_totalprice"
+                )
+            )
+        t.commit(
+            o.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
+            ),
+            mode="append",
+            allow_schema_evolution=True,
+        )
+    return t.read(spark).select(
+        "o_orderkey",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
     "q_tx_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -171,8 +171,14 @@ class TxTableStreamReader(DataSourceStreamReader):
         for name, type_str in schema_items:
             if name in part_vals:
                 cols[name] = [_cast_partition_value(part_vals[name], type_str)] * n
-            else:
+            elif name in table.column_names:
                 cols[name] = table.column(name).to_pylist()
+            else:
+                # schema-evolution append: this file predates (or
+                # omitted) the column — NULL-fill, like the batch
+                # reader's mergeSchema. (A stream only surfaces columns
+                # in its START schema; restart to pick up new ones.)
+                cols[name] = [None] * n
         names = [n_ for n_, _ in schema_items]
         for i in range(n):
             yield tuple(cols[name][i] for name in names)

@@ -278,6 +278,34 @@ def prune_files(manifest: dict, where: list[tuple] | None) -> list[str]:
     return kept
 
 
+def _evolve_schema(
+    old: dict | None, new: dict, allow: bool, root: str, mode: str
+) -> tuple[dict, bool]:
+    """Merge an incoming commit schema into the table schema for
+    append-family commits. Returns ``(manifest_schema, evolved)``;
+    raises when the schemas differ and evolution is not allowed, or
+    when a column present in both changed type (never mergeable —
+    readers cannot reconcile two physical types for one column)."""
+    if old is None or old == new:
+        return new, False
+    if not allow:
+        raise ValueError(
+            f"{root}: {mode} schema mismatch — table has {old}, commit "
+            f"brings {new}. Appends must match the table schema exactly; "
+            "pass allow_schema_evolution=True to add or omit columns, or "
+            "evolve types with a full replace commit."
+        )
+    conflicts = {
+        c: (old[c], new[c]) for c in old.keys() & new.keys() if old[c] != new[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"{root}: {mode} schema evolution cannot change column types: "
+            f"{conflicts}; rewrite with a full replace commit instead"
+        )
+    return {**old, **new}, True
+
+
 def _manifest_key(version: int) -> str:
     return f"{COMMITS_DIR}/v{version:0{_V_WIDTH}d}.json"
 
@@ -378,6 +406,11 @@ class TransactionalTable:
         reader = spark.read
         if m.get("partition_by"):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
+        if m.get("mixed_schemas"):
+            # evolution appends left files under more than one physical
+            # schema; merge footers so pre-evolution files surface the
+            # added columns as NULL (and omitted columns reappear)
+            reader = reader.option("mergeSchema", "true")
         if not files:
             # every file excluded: empty frame with the table's schema
             # (derived from one file; the manifest always has >= 1)
@@ -558,6 +591,7 @@ class TransactionalTable:
         meta: dict | None,
         partition_by: list[str] | None,
         prev: dict | None,
+        mixed_schemas: bool = False,
     ) -> bool:
         """Build and conditionally put manifest ``base_v + 1``; the ONE
         place the manifest shape is defined (commit and delete both
@@ -602,6 +636,11 @@ class TransactionalTable:
         }
         if partition_by:
             manifest["partition_by"] = list(partition_by)
+        if mixed_schemas:
+            # files under more than one physical schema (evolution
+            # appends): readers must merge footers; cleared by the next
+            # full replace (optimize/merge), which rewrites every file
+            manifest["mixed_schemas"] = True
         payload = json.dumps(manifest, sort_keys=True).encode()
         return self.storage.put_if_absent(_manifest_key(new_v), payload)
 
@@ -618,8 +657,19 @@ class TransactionalTable:
         max_records_per_file: int | None = None,
         meta: dict | None = None,
         expect_version: int | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """Commit ``df`` as the next snapshot and return its version.
+
+        ``allow_schema_evolution`` (append / replace_partitions only):
+        permit the staged schema to ADD columns to — or omit columns
+        from — the table schema, as long as every column present in
+        both has the identical type (Delta's ``mergeSchema``). The
+        manifest schema becomes the union, the manifest is flagged
+        ``mixed_schemas``, and readers merge footers so files written
+        before the evolution surface the new columns as NULL. A full
+        ``replace`` rewrites every file under one schema and clears
+        the flag.
 
         ``mode="replace"``: the new manifest lists only the staged
         files (full-snapshot semantics — what merge/compact produce).
@@ -715,14 +765,13 @@ class TransactionalTable:
             # mismatched dataset; the authoritative re-check still runs
             # inside the CAS loop against whatever manifest wins a race.
             cur = self.manifest()
-            cur_schema = (cur or {}).get("schema")
-            if cur_schema is not None and cur_schema != schema:
-                raise ValueError(
-                    f"{self.root}: {mode} schema mismatch — table has "
-                    f"{cur_schema}, commit brings {schema}. Appends must "
-                    "match the table schema exactly; evolve it with a "
-                    "full replace commit."
-                )
+            _evolve_schema(
+                (cur or {}).get("schema"),
+                schema,
+                allow_schema_evolution,
+                self.root,
+                mode,
+            )
         keys, staged_stats = self._stage(
             df,
             partition_by=partition_by,
@@ -742,19 +791,19 @@ class TransactionalTable:
                     f"is at v{base_v}; re-read and retry"
                 )
             prev = self.manifest(base_v) if base_v >= 0 else None
+            m_schema, evolved = schema, False
             if mode in ("append", "replace_partitions") and prev is not None:
                 # schema guard INSIDE the CAS loop: a rebase after a lost
                 # race re-validates against the WINNER's schema, or a
                 # concurrent schema evolution could silently produce a
                 # mixed-schema file set.
-                prev_schema = prev.get("schema")
-                if prev_schema is not None and prev_schema != schema:
-                    raise ValueError(
-                        f"{self.root}: {mode} schema mismatch — table has "
-                        f"{prev_schema}, commit brings {schema}. Appends "
-                        "must match the table schema exactly; evolve it "
-                        "with a full replace commit."
-                    )
+                m_schema, evolved = _evolve_schema(
+                    prev.get("schema"),
+                    schema,
+                    allow_schema_evolution,
+                    self.root,
+                    mode,
+                )
             if mode == "append" and prev is not None:
                 if (prev.get("partition_by") or None) != (
                     list(partition_by) if partition_by else None
@@ -807,8 +856,19 @@ class TransactionalTable:
                     else None
                 )
             )
+            mixed = mode in ("append", "replace_partitions") and (
+                evolved or bool((prev or {}).get("mixed_schemas"))
+            )
             if self._put_manifest(
-                base_v, files, total_rows, schema, stats, meta, pb, prev
+                base_v,
+                files,
+                total_rows,
+                m_schema,
+                stats,
+                meta,
+                pb,
+                prev,
+                mixed_schemas=mixed,
             ):
                 return base_v + 1
             # lost the race for base_v + 1
@@ -1047,6 +1107,11 @@ class TransactionalTable:
             reader = spark.read
             if pb:
                 reader = reader.option("basePath", self.storage.url(DATA_DIR))
+            if m.get("mixed_schemas"):
+                # rewriting a subset of heterogeneous files: merge
+                # footers or the first file's schema would silently
+                # drop evolved columns from the re-staged rows
+                reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*[self.storage.url(f) for f in affected])
             prev_stats = m.get("stats", {})
             if all("rows" in prev_stats.get(f, {}) for f in affected):
@@ -1097,6 +1162,7 @@ class TransactionalTable:
                 {"op": "delete", "source_version": base_v},
                 pb,
                 m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
             ):
                 return {
                     "version": base_v + 1,

@@ -1215,3 +1215,56 @@ def test_append_to_partitioned_table_inherits_layout(spark, tmp_path):
             mode="append",
             partition_by=["id"],
         )
+
+
+def test_schema_evolution_append_and_merge_read(spark, tmp_path):
+    """allow_schema_evolution appends: added columns NULL-fill on old
+    files, omitted columns NULL-fill on new files, type changes never
+    merge, the flag survives delete, and a full-replace optimize
+    rewrites everything under the union schema and clears the flag."""
+    df1 = spark.range(10).selectExpr("id", "cast(id * 1.5 as double) v")
+    df2 = spark.range(10, 20).selectExpr(
+        "id", "cast(id * 1.5 as double) v", "concat('t', id) tag"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df1)
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit(df2, mode="append")
+    t.commit(df2, mode="append", allow_schema_evolution=True)
+    m = t.manifest()
+    assert m["mixed_schemas"] is True
+    assert set(m["schema"]) == {"id", "v", "tag"}
+
+    out = t.read(spark)
+    assert set(out.columns) == {"id", "v", "tag"}
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows[5] is None and rows[15] == "t15"
+    assert len(rows) == 20
+
+    # appending with a MISSING column is also legal: NULL-fill
+    df3 = spark.range(20, 25).selectExpr("id", "concat('t', id) tag")
+    t.commit(df3, mode="append", allow_schema_evolution=True)
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got[22] == (None, "t22") and got[3] == (4.5, None)
+
+    # type change never merges
+    bad = spark.range(3).selectExpr("id", "cast(id as string) v")
+    with pytest.raises(ValueError, match="change column types"):
+        t.commit(bad, mode="append", allow_schema_evolution=True)
+
+    # delete on the mixed table keeps the flag and the evolved columns
+    t.delete(spark, [("id", 0.0, 1.0)])
+    m = t.manifest()
+    assert m.get("mixed_schemas") is True
+    assert set(t.read(spark).columns) == {"id", "v", "tag"}
+    assert t.read(spark).count() == 23
+
+    # full-replace optimize homogenizes the files and clears the flag
+    t.optimize(spark, target_rows_per_file=1000)
+    m = t.manifest()
+    assert m.get("mixed_schemas") is None
+    assert set(m["schema"]) == {"id", "v", "tag"}
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got[22] == (None, "t22") and got[3] == (4.5, None)
+    assert len(got) == 23
