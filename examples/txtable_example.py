@@ -174,7 +174,51 @@ def main() -> None:
     print("change feed since pre-merge:", by_type)
 
     # ------------------------------------------------------------------
-    # 7. History + vacuum: audit trail from the commit log; reclaim
+    # 8. Schema evolution: a new ingest source starts carrying
+    # tip_amount. The append merges the column into the table schema
+    # (types can never change — guarded); pre-evolution files surface
+    # it as NULL via merge-schema reads, and the next full-replace
+    # optimize homogenizes the files again.
+    evolved = synth_taxi(spark, 500).withColumn(
+        "tip_amount", (F.col("trip_distance") * 1.5)
+    ).withColumn("pickup_date", F.to_date("tpep_pickup_datetime"))
+    table.commit(
+        evolved,
+        mode="append",
+        partition_by=["pickup_date"],
+        allow_schema_evolution=True,
+    )
+    snap = table.read(spark)
+    print("after evolution:", snap.where(F.col("tip_amount").isNull()).count(),
+          "legacy rows NULL-tip /", snap.count(), "total")
+
+    # ------------------------------------------------------------------
+    # 9. Stream OUT of the commit log (sources/txstream.py): a bronze
+    # append-only table is tailed as a Structured Streaming source —
+    # offsets are versions, each appended file is one executor-side
+    # input partition, replays are exactly-once because manifests are
+    # immutable. (Non-append commits fail the stream loudly; mutating
+    # tables feed consumers via .changes() instead.)
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    bronze_root = os.path.join(root, "bronze")
+    bronze = TransactionalTable(bronze_root)
+    bronze.commit(synth_taxi(spark, 400).select(
+        "tpep_pickup_datetime", "trip_distance", "total_amount"
+    ), num_files=2)
+    bronze.commit(synth_taxi(spark, 300).select(
+        "tpep_pickup_datetime", "trip_distance", "total_amount"
+    ), mode="append", num_files=2)
+    stream = spark.readStream.format("txstream").option("path", bronze_root).load()
+    q = (stream.writeStream.format("memory").queryName("bronze_tail").start())
+    q.processAllAvailable()
+    q.stop()
+    print("streamed out of the commit log:",
+          spark.table("bronze_tail").count(), "rows across 2 commits")
+
+    # ------------------------------------------------------------------
+    # 10. History + vacuum: audit trail from the commit log; reclaim
     # files referenced by no retained version (retention = reader grace).
     for h in table.history():
         print(f"  v{h['version']:>2} rows={h['rows']:>6} files={h['n_files']:>3} "
