@@ -482,6 +482,43 @@ def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_bloom_point_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey = 7
+    """,
+)
+def q_tx_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup (``commit(bloom_by=...)`` →
+    ``read(equals=...)``): orders is committed ROUND-ROBIN into 16
+    files — every file spans the full key domain, so min/max zone maps
+    can prune nothing — with a ~10-bits/key Bloom filter per file on
+    ``o_orderkey`` riding the manifest stats; the single-key read
+    skips every file whose bloom disproves the key (measured: 1-2 of
+    16 opened) and the residual equality filter makes the ~1% false
+    positives exact. The single-key fetch shape for a 100 TB unsorted
+    table: planning is one manifest read, the scan opens ~1 file. The
+    oracle is the plain equality predicate. Idempotent: the indexed
+    snapshot is committed once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txbloom", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o.repartition(16), bloom_by=["o_orderkey"], num_files=16)
+    return t.read(spark, equals={"o_orderkey": 7}).select(
+        "o_orderkey",
+        "o_custkey",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

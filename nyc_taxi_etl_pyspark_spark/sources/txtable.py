@@ -242,17 +242,91 @@ def collect_file_stats(local_path: str) -> dict | None:
     return {"rows": md.num_rows, "cols": cols}
 
 
-def prune_files(manifest: dict, where: list[tuple] | None) -> list[str]:
+_BLOOM_K = 7  # ~optimal for 10 bits/key => ~1% false-positive rate
+_BLOOM_MAX_BITS = 1 << 18  # 32 KiB/bloom cap; overfull blooms only raise FPR
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """k bit positions for ``value`` via double hashing of one md5.
+    Canonicalized with ``repr`` — deterministic across processes for
+    int/float/str (no PYTHONHASHSEED dependence), and the SAME
+    canonicalization runs at build and probe time."""
+    import hashlib
+
+    d = hashlib.md5(repr(value).encode()).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd => full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bloom_stats(local_path: str, cols: list[str]) -> dict:
+    """Per-column Bloom filters over a staged parquet file's distinct
+    values — the point-lookup complement to min/max zone maps: an
+    equality predicate on a HIGH-CARDINALITY, UNSORTED key (user_id,
+    order id, doc fingerprint) spans every file's [min,max], so range
+    stats exclude nothing, but a ~10-bits/key bloom excludes ~99% of
+    non-matching files from the manifest alone (the Delta/Iceberg/
+    Parquet bloom-filter idea, lifted to manifest level so planning
+    never opens a footer). Sized from the file's actual distinct
+    count, capped at 32 KiB; correctness is one-sided (no false
+    negatives), so an overfull bloom only skips less."""
+    import base64
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # blooms are an optimization, never a requirement
+        return {}
+    try:
+        t = pq.read_table(local_path, columns=list(cols))
+    except Exception:
+        return {}
+    out: dict[str, dict] = {}
+    for c in t.column_names:
+        vals = {v for v in t.column(c).to_pylist() if v is not None}
+        if not vals:
+            continue
+        m = min(_BLOOM_MAX_BITS, max(64, 10 * len(vals)))
+        m = (m + 7) // 8 * 8
+        bits = bytearray(m // 8)
+        for v in vals:
+            for h in _bloom_positions(v, m, _BLOOM_K):
+                bits[h >> 3] |= 1 << (h & 7)
+        out[c] = {
+            "m": m,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+    return out
+
+
+def bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[h >> 3] & (1 << (h & 7))
+        for h in _bloom_positions(value, bloom["m"], bloom.get("k", _BLOOM_K))
+    )
+
+
+def prune_files(
+    manifest: dict,
+    where: list[tuple] | None,
+    equals: list[tuple] | None = None,
+) -> list[str]:
     """File-level data skipping from manifest statistics: keep only
     files whose [min, max] range can intersect every ``(col, lo, hi)``
-    predicate (``lo``/``hi`` may be None for one-sided bounds). Files
+    predicate (``lo``/``hi`` may be None for one-sided bounds) AND
+    whose stats cannot disprove every ``(col, value)`` equality in
+    ``equals`` — by range (value outside [min,max]) or by Bloom filter
+    (``build_bloom_stats``) when the commit indexed the column. Files
     or columns WITHOUT stats are kept — pruning is only ever an
     exclusion proof, so missing metadata degrades to a full read, never
-    a wrong one. This is the Iceberg/Delta min-max skipping idea on the
-    commit log: the planner decides from the manifest alone which of a
-    100 TB table's files a selective scan must open."""
+    a wrong one. This is the Iceberg/Delta min-max + bloom skipping
+    idea on the commit log: the planner decides from the manifest alone
+    which of a 100 TB table's files a selective scan must open."""
     files = manifest["files"]
-    if not where:
+    if not where and not equals:
         return list(files)
     stats = manifest.get("stats", {})
     kept = []
@@ -260,7 +334,10 @@ def prune_files(manifest: dict, where: list[tuple] | None) -> list[str]:
         fstats = stats.get(f)
         keep = True
         if fstats:
-            for col, lo, hi in where:
+            bands = list(where or []) + [
+                (col, v, v) for col, v in (equals or [])
+            ]
+            for col, lo, hi in bands:
                 rng = fstats.get("cols", {}).get(col)
                 if rng is None:
                     continue
@@ -273,6 +350,12 @@ def prune_files(manifest: dict, where: list[tuple] | None) -> list[str]:
                         break
                 except TypeError:  # incomparable bound/stat types: no proof
                     continue
+            if keep:
+                for col, v in equals or []:
+                    bloom = fstats.get("bloom", {}).get(col)
+                    if bloom is not None and not bloom_might_contain(bloom, v):
+                        keep = False
+                        break
         if keep:
             kept.append(f)
     return kept
@@ -361,11 +444,16 @@ class TransactionalTable:
         version: int | None = None,
         where: list[tuple] | None = None,
         partitions: dict[str, list] | None = None,
+        equals: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``where=[(col, lo, hi), ...]`` applies
         manifest-stats file pruning (``prune_files``) AND the residual
         row filter — the file skip is a superset guarantee, the filter
-        makes it exact. ``partitions={col: [values]}`` (partitioned
+        makes it exact. ``equals={col: value}`` is the point-lookup
+        form: files are skipped by range AND by the per-file Bloom
+        filters a ``commit(bloom_by=...)`` table carries, then the
+        exact equality filter applies — how a single-key fetch against
+        a 100 TB unsorted table opens ~1 file instead of all of them. ``partitions={col: [values]}`` (partitioned
         tables) is EXACT manifest pruning: only files whose recorded
         partition values match are opened, no residual filter needed —
         the metastore-free form of partition pruning. Partitioned
@@ -381,7 +469,9 @@ class TransactionalTable:
                 f"snapshot v{m['version']} of {self.root} lists no files "
                 "(empty commit) — no schema to reconstruct a frame from"
             )
-        files = prune_files(m, where)
+        files = prune_files(
+            m, where, list(equals.items()) if equals else None
+        )
         if partitions:
             # File-level pruning is only sound for columns the snapshot
             # is PHYSICALLY partitioned by (their values ride the
@@ -417,7 +507,7 @@ class TransactionalTable:
             df = reader.parquet(self.storage.url(m["files"][0])).limit(0)
         else:
             df = reader.parquet(*[self.storage.url(f) for f in files])
-        if where or partitions:
+        if where or partitions or equals:
             from pyspark.sql import functions as F
 
             for col, lo, hi in where or []:
@@ -430,6 +520,10 @@ class TransactionalTable:
             # pages or reconstructed from the hive paths).
             for col, vals in (partitions or {}).items():
                 df = df.where(F.col(col).isin(list(vals)))
+            # residual equality filter makes the bloom skip exact
+            # (blooms have false positives, never false negatives)
+            for col, v in (equals or {}).items():
+                df = df.where(F.col(col) == F.lit(v))
         return df
 
     def exists(self) -> bool:
@@ -515,6 +609,7 @@ class TransactionalTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        bloom_by: list[str] | None = None,
     ) -> tuple[list[str], dict]:
         """Write ``df`` as uniquely-named immutable files under
         ``data/``, harvesting per-file footer stats for manifest-level
@@ -559,6 +654,13 @@ class TransactionalTable:
                     fstats = collect_file_stats(local) or {}
                     if part_vals:
                         fstats["partition"] = part_vals
+                    if bloom_by:
+                        # one column-projected local read per staged
+                        # file — the same moment Delta's writer collects
+                        # its bloom; never touches committed files
+                        blooms = build_bloom_stats(local, bloom_by)
+                        if blooms:
+                            fstats["bloom"] = blooms
                     self.storage.upload_file(local, key)
                     keys.append(key)
                     if fstats:
@@ -619,7 +721,7 @@ class TransactionalTable:
           Change it by committing with different clustering args."""
         new_v = base_v + 1
         meta = dict(meta or {})
-        for sticky in ("replay", "app", "clustering"):
+        for sticky in ("replay", "app", "clustering", "bloom_index"):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
                 if carried is not None:
@@ -653,6 +755,7 @@ class TransactionalTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_bits: int = 8,
+        bloom_by: list[str] | None = None,
         num_files: int | None = None,
         max_records_per_file: int | None = None,
         meta: dict | None = None,
@@ -660,6 +763,16 @@ class TransactionalTable:
         allow_schema_evolution: bool = False,
     ) -> int:
         """Commit ``df`` as the next snapshot and return its version.
+
+        ``bloom_by`` declares per-file Bloom-filter indexing on the
+        given columns (``build_bloom_stats``): each staged file gets a
+        ~10-bits/key bloom in its manifest stats, and
+        ``read(equals={col: value})`` / ``prune_files(..., equals=...)``
+        skip every file whose bloom disproves the key — the
+        point-lookup complement to min/max zone maps, which cannot
+        prune an unsorted high-cardinality key. STICKY like
+        clustering: once declared, appends and copy-on-write rewrites
+        keep indexing without re-stating it.
 
         ``allow_schema_evolution`` (append / replace_partitions only):
         permit the staged schema to ADD columns to — or omit columns
@@ -759,6 +872,15 @@ class TransactionalTable:
                 if zorder_by
                 else {"kind": "range", "cols": list(cluster_by)}
             )
+        if bloom_by is None:
+            # sticky bloom property: appends and rewrites keep indexing
+            # the declared columns without every writer re-stating them
+            prop = (self.manifest() or {}).get("meta", {}).get("bloom_index")
+            if prop:
+                bloom_by = prop.get("cols")
+        else:
+            meta = dict(meta or {})
+            meta["bloom_index"] = {"cols": list(bloom_by)}
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         if mode in ("append", "replace_partitions"):
             # cheap FAST-FAIL before the (expensive) stage writes a
@@ -776,6 +898,7 @@ class TransactionalTable:
             df,
             partition_by=partition_by,
             max_records_per_file=max_records_per_file,
+            bloom_by=bloom_by,
         )
         rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
@@ -1147,7 +1270,13 @@ class TransactionalTable:
                     "files_retained": len(m["files"]),
                     "rows_deleted": 0,
                 }
-            keys, staged_stats = self._stage(remaining, partition_by=pb)
+            keys, staged_stats = self._stage(
+                remaining,
+                partition_by=pb,
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+            )
             kept_rows = self._staged_rows(spark, keys, staged_stats)
             deleted = affected_rows - kept_rows
             if self._put_manifest(

@@ -1268,3 +1268,55 @@ def test_schema_evolution_append_and_merge_read(spark, tmp_path):
     got = {r["id"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
     assert got[22] == (None, "t22") and got[3] == (4.5, None)
     assert len(got) == 23
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_path):
+    """bloom_by: equality predicates on an unsorted high-cardinality
+    key prune by per-file Bloom filter where min/max can prove nothing;
+    no false negatives (the matching file is always kept), the property
+    is sticky through appends, and copy-on-write delete rebuilds blooms
+    for the re-staged files."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    df = spark.range(20000).select(
+        (F.col("id") * 2654435761 % 10**9).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df.repartition(8), bloom_by=["k"], num_files=8)
+    m = t.manifest()
+    assert m["meta"]["bloom_index"] == {"cols": ["k"]}
+
+    key = df.where("id = 77").first().k
+    # round-robin layout: every file spans the key domain, range stats
+    # keep everything; the bloom keeps ~1 (FPR makes >1 possible)
+    assert len(prune_files(m, [("k", key, key)])) == 8
+    assert len(prune_files(m, None, [("k", key)])) <= 2
+    got = t.read(spark, equals={"k": key}).collect()
+    assert len(got) == 1 and got[0].payload == 77
+
+    # no false negatives across many probes
+    probe = {r.k: r.payload for r in df.where("id % 997 = 0").collect()}
+    for k, payload in probe.items():
+        rows = t.read(spark, equals={"k": int(k)}).collect()
+        assert [r.payload for r in rows] == [payload]
+
+    # sticky: an append without bloom_by still indexes its new files
+    extra = spark.range(20000, 21000).select(
+        (F.col("id") * 2654435761 % 10**9).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    t.commit(extra.repartition(2), mode="append", num_files=2)
+    m = t.manifest()
+    new_key = extra.where("payload = 20500").first().k
+    assert len(prune_files(m, None, [("k", int(new_key))])) <= 3
+    assert t.read(spark, equals={"k": int(new_key)}).first().payload == 20500
+
+    # delete rewrite keeps the index on re-staged files
+    victim = int(df.where("id = 5").first().k)
+    t.delete(spark, [("k", victim, victim)])
+    m = t.manifest()
+    rewritten = [f for f in m["files"] if "bloom" not in m["stats"].get(f, {})]
+    assert rewritten == []  # every live file still carries its bloom
+    assert t.read(spark, equals={"k": victim}).count() == 0
+    assert t.read(spark, equals={"k": key}).first().payload == 77
