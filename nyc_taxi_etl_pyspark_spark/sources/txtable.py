@@ -529,6 +529,40 @@ class TransactionalTable:
     def exists(self) -> bool:
         return self.latest_version() >= 0
 
+    def describe(self, version: int | None = None) -> dict:
+        """Table health and layout summary from ONE manifest read — the
+        `DESCRIBE DETAIL` an operator checks before deciding whether to
+        OPTIMIZE or re-cluster. Everything is planner-side metadata; no
+        data file is opened."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        stats = m.get("stats", {})
+        rows_per_file = sorted(
+            stats[f]["rows"] for f in m["files"] if "rows" in stats.get(f, {})
+        )
+        meta = m.get("meta", {})
+        part_vals = {
+            tuple(sorted(stats[f]["partition"].items()))
+            for f in m["files"]
+            if "partition" in stats.get(f, {})
+        }
+        return {
+            "version": m["version"],
+            "rows": m.get("rows"),
+            "n_files": len(m["files"]),
+            "rows_per_file_min": rows_per_file[0] if rows_per_file else None,
+            "rows_per_file_max": rows_per_file[-1] if rows_per_file else None,
+            "partition_by": m.get("partition_by"),
+            "n_partitions": len(part_vals) or None,
+            "clustering": meta.get("clustering"),
+            "bloom_index": meta.get("bloom_index"),
+            "mixed_schemas": bool(m.get("mixed_schemas")),
+            "schema": m.get("schema"),
+            "n_versions_retained": len(self.versions()),
+            "committed_at": m.get("committed_at"),
+        }
+
     def changes(
         self,
         spark: SparkSession,

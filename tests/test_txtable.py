@@ -1320,3 +1320,34 @@ def test_bloom_index_prunes_point_lookups(spark, tmp_path):
     assert rewritten == []  # every live file still carries its bloom
     assert t.read(spark, equals={"k": victim}).count() == 0
     assert t.read(spark, equals={"k": key}).first().payload == 77
+
+
+def test_describe_reports_layout_and_health(spark, tmp_path):
+    """describe() summarizes version, file sizing, layout, and declared
+    properties from one manifest read — the operator's pre-OPTIMIZE
+    health check."""
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 2654435761 % 10**6).alias("k"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        df,
+        partition_by=["grp"],
+        bloom_by=["k"],
+        max_records_per_file=1000,
+    )
+    d = t.describe()
+    assert d["version"] == 0 and d["rows"] == 5000
+    assert d["partition_by"] == ["grp"] and d["n_partitions"] == 4
+    assert d["bloom_index"] == {"cols": ["k"]}
+    assert d["mixed_schemas"] is False
+    assert d["rows_per_file_max"] <= 1000
+    assert set(d["schema"]) == {"id", "grp", "k"}
+
+    t.commit(df.limit(100), mode="append")
+    d2 = t.describe()
+    assert d2["version"] == 1 and d2["rows"] == 5100
+    assert d2["bloom_index"] == {"cols": ["k"]}  # sticky survives append
+    assert t.describe(version=0)["rows"] == 5000  # time-travel describe
