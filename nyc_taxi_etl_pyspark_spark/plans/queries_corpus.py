@@ -524,3 +524,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *[t.storage.url(f) for f in added]
     ).select("doc_id", "fprint")
+
+
+@query(
+    "q_streaming_corpus_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             md5(array_to_string({_TOKS_SQL}, ' ')) AS fprint
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, fprint,
+             row_number() OVER (PARTITION BY fprint ORDER BY b, doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, fprint FROM ranked WHERE rn = 1
+    """,
+)
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming training-data front door
+    (``streaming/jobs.py::run_streaming_corpus_dedup``): bronze doc
+    commits → commit-log streaming source → per-micro-batch
+    fingerprint + within-batch survivors + anti-join against the
+    admitted table (which doubles as the fingerprint index) → append
+    the novel fingerprints. Self-idempotent under redelivery (a
+    replayed batch anti-joins its own admissions to nothing — no
+    replay marker needed) and batch-deterministic (the driver drains
+    per commit, so admission is "first batch wins, then lowest
+    doc_id"). The oracle replays that admission rule declaratively:
+    rank per fingerprint by (batch, doc_id), keep rank 1. Exempt from
+    the collect guard like every q_streaming_* query: the streaming
+    run executes during plan construction."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_corpus_dedup,
+    )
+
+    return run_streaming_corpus_dedup(
+        spark, sf_dir, query_name="q_streaming_corpus_dedup"
+    )

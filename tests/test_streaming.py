@@ -440,3 +440,71 @@ def test_txstream_source_partitioned_and_append_only_guard(spark, tmp_path):
         assert "append-only" in str(exc)
     finally:
         q.stop()
+
+
+def test_streaming_corpus_dedup_replay_is_idempotent(spark, tmp_path, sf_dir):
+    """Content-addressed streaming ingestion needs no replay marker: a
+    FULL re-tail of the bronze log with a fresh checkpoint (worst-case
+    redelivery — every batch replayed) anti-joins the admitted table's
+    own contents and appends nothing."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_corpus_dedup,
+    )
+
+    out1 = run_streaming_corpus_dedup(spark, sf_dir)
+    n1 = out1.count()
+    rows1 = set(map(tuple, out1.collect()))
+    assert n1 > 0
+
+    base = fixture_scratch_dir(
+        "spark_graft_streamdedup", sf_dir, anchor="documents.parquet"
+    )
+    index = TransactionalTable(base + "/admitted")
+    v_before = index.latest_version()
+
+    # worst-case redelivery: fresh checkpoint, full re-tail of bronze
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("txstream")
+        .option("path", base + "/bronze")
+        .load()
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from nyc_taxi_etl_pyspark_spark.functions.text import fingerprint_md5
+
+    w = Window.partitionBy("fprint").orderBy("doc_id")
+
+    def apply_batch(batch_df, batch_id):
+        surv = (
+            batch_df.select(
+                "doc_id", fingerprint_md5(F.col("text")).alias("fprint")
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        admitted = surv.join(
+            index.read(spark).select("fprint"), "fprint", "left_anti"
+        )
+        index.commit(admitted, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out2 = index.read(spark).select("doc_id", "fprint")
+    assert out2.count() == n1
+    assert set(map(tuple, out2.collect())) == rows1
+    # the replay DID commit (empty appends), but admitted nothing new
+    assert index.latest_version() >= v_before
