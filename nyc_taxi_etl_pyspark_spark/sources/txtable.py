@@ -45,7 +45,10 @@ Consequences:
 
 Metadata scaling, honestly: each version's manifest is ONE JSON object
 listing every live file with its stats. That is the right shape up to
-~10⁵ files (a few tens of MB of metadata, read once per query plan);
+~10⁵ files — measured: 10⁴ files = 1.3 MB manifest, 29 ms dump /
+20 ms load / 6 ms prune; 10⁵ files = 13 MB, 350 ms / 605 ms / 96 ms
+(plus ~1.7 KB/file/bloom-column when bloom-indexed) — metadata read
+once per query plan;
 beyond it the next step is the hierarchical split the big table
 formats use — a root manifest listing per-partition segment manifests,
 which ``mode="replace_partitions"`` already writes the commit units
