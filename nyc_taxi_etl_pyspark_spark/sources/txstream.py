@@ -96,15 +96,28 @@ class TxTableStreamSource(DataSource):
         return ", ".join(f"`{n}` {t}" for n, t in m["schema"].items())
 
     def streamReader(self, schema) -> "TxTableStreamReader":  # noqa: ANN001
-        return TxTableStreamReader(self.options)
+        return TxTableStreamReader(self.options, schema)
 
 
 class TxTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:  # noqa: ANN001
         self.path = options.get("path")
         if not self.path:
             raise ValueError("txstream requires .option('path', <table root>)")
         self.starting_version = int(options.get("startingversion", 0))
+        # The stream's DECLARED schema (fixed at start) is the one
+        # emission contract for EVERY batch: per-version manifest
+        # schemas may differ on an evolved table — a pre-evolution
+        # version must still emit the declared width (missing columns
+        # NULL-fill), and a column added mid-stream must NOT widen the
+        # tuples (restart the stream to surface it) — so the per-batch
+        # plan always canonicalizes to this list, never to the
+        # version's own schema.
+        self.schema_fields = (
+            [(f.name, f.dataType.simpleString()) for f in schema.fields]
+            if schema is not None
+            else None
+        )
 
     def _table(self):
         from nyc_taxi_etl_pyspark_spark.sources.txtable import (
@@ -145,7 +158,7 @@ class TxTableStreamReader(DataSourceStreamReader):
                     "streaming source is append-only; consume mutations "
                     "with TransactionalTable.changes() instead"
                 )
-            schema_items = list(m["schema"].items())
+            schema_items = self.schema_fields or list(m["schema"].items())
             stats = m.get("stats", {})
             for key in m["files"]:
                 if key in prev_files:

@@ -249,14 +249,32 @@ _BLOOM_K = 7  # ~optimal for 10 bits/key => ~1% false-positive rate
 _BLOOM_MAX_BITS = 1 << 18  # 32 KiB/bloom cap; overfull blooms only raise FPR
 
 
+def _canon_bloom_value(v) -> str:
+    """Deterministic canonical form hashed into blooms at BUILD and
+    PROBE time. Integral-valued numerics collapse to one form (``7``,
+    ``7.0`` and ``np.int64(7)`` all canonicalize to ``"7"``) because
+    Spark's residual equality would match them after cast — a
+    type-sensitive canonicalization here would turn that into a bloom
+    FALSE NEGATIVE, i.e. a wrongly skipped file. Strings use repr (no
+    PYTHONHASHSEED dependence)."""
+    import numbers
+
+    if isinstance(v, bool) or v is None or isinstance(v, (str, bytes)):
+        return repr(v)
+    if isinstance(v, numbers.Integral):
+        return repr(int(v))
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        return repr(int(f)) if f.is_integer() else repr(f)
+    return repr(v)
+
+
 def _bloom_positions(value, m: int, k: int) -> list[int]:
-    """k bit positions for ``value`` via double hashing of one md5.
-    Canonicalized with ``repr`` — deterministic across processes for
-    int/float/str (no PYTHONHASHSEED dependence), and the SAME
-    canonicalization runs at build and probe time."""
+    """k bit positions for ``value`` via double hashing of one md5 of
+    the canonical form (``_canon_bloom_value``)."""
     import hashlib
 
-    d = hashlib.md5(repr(value).encode()).digest()
+    d = hashlib.md5(_canon_bloom_value(value).encode()).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:], "little") | 1  # odd => full-period stride
     return [(h1 + i * h2) % m for i in range(k)]
@@ -280,7 +298,14 @@ def build_bloom_stats(local_path: str, cols: list[str]) -> dict:
     except ImportError:  # blooms are an optimization, never a requirement
         return {}
     try:
-        t = pq.read_table(local_path, columns=list(cols))
+        f = pq.ParquetFile(local_path)
+        # intersect with the file's actual columns: an evolution append
+        # may stage files that lack an indexed column (NULL-filled at
+        # read time — nothing to index)
+        present = [c for c in cols if c in f.schema_arrow.names]
+        if not present:
+            return {}
+        t = f.read(columns=present)
     except Exception:
         return {}
     out: dict[str, dict] = {}

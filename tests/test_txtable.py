@@ -1351,3 +1351,61 @@ def test_describe_reports_layout_and_health(spark, tmp_path):
     assert d2["version"] == 1 and d2["rows"] == 5100
     assert d2["bloom_index"] == {"cols": ["k"]}  # sticky survives append
     assert t.describe(version=0)["rows"] == 5000  # time-travel describe
+
+
+def test_bloom_probe_is_numeric_type_insensitive(spark, tmp_path):
+    """Spark's equality matches 7 == 7.0 after cast, so the bloom's
+    canonicalization must too — a type-sensitive hash would produce a
+    FALSE NEGATIVE (wrongly skipped file) when the probe value arrives
+    as float or numpy scalar for an int column."""
+    import numpy as np
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    df = spark.range(4000).select(
+        (F.col("id") * 2654435761 % 10**6).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df.repartition(8), bloom_by=["k"], num_files=8)
+    m = t.manifest()
+    key = int(df.where("id = 9").first().k)
+    for probe in (key, float(key), np.int64(key)):
+        kept = prune_files(m, None, [("k", probe)])
+        assert 1 <= len(kept) <= 2, f"probe {probe!r} kept {len(kept)}"
+        got = t.read(spark, equals={"k": probe}).collect()
+        assert [r.payload for r in got] == [9], f"probe {probe!r}"
+
+
+def test_txstream_emits_declared_schema_across_evolution(spark, tmp_path):
+    """A stream over an evolved table must emit the DECLARED (stream-
+    start) schema for every batch: pre-evolution files NULL-fill the
+    added column instead of emitting short tuples."""
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(spark.range(10).selectExpr("id", "cast(id*2 as double) v"))
+    t.commit(
+        spark.range(10, 20).selectExpr(
+            "id", "cast(id*2 as double) v", "concat('t', id) tag"
+        ),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    s = spark.readStream.format("txstream").option("path", root).load()
+    assert set(s.schema.fieldNames()) == {"id", "v", "tag"}
+    q = (
+        s.writeStream.format("memory")
+        .queryName("txs_evo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["id"]: (r["v"], r["tag"]) for r in spark.table("txs_evo").collect()}
+    assert len(rows) == 20
+    assert rows[3] == (6.0, None) and rows[15] == (30.0, "t15")
