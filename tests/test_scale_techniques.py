@@ -500,8 +500,11 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     fact = spark.read.parquet(out)
     dim = (
         load_table(spark, sf_dir, "supplier")
-        .select((F.col("s_suppkey") % 10).alias("supp_part"), "s_acctbal")
         .filter(F.col("s_acctbal") > 3000)  # selective on the dim (sf0.001 range is ~537-6035)
+        .select((F.col("s_suppkey") % 10).alias("supp_part"))
+        # ONE row per surviving partition key: at larger SFs many
+        # suppliers share a part, and a non-distinct dim would multiply
+        # fact rows and break the count equality below
         .distinct()
     )
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
