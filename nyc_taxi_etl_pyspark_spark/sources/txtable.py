@@ -356,6 +356,11 @@ def prune_files(
     files = manifest["files"]
     if not where and not equals:
         return list(files)
+    # each equality is a value SET (IN-list); a scalar is a 1-list
+    eq = [
+        (col, list(v) if isinstance(v, (list, tuple, set)) else [v])
+        for col, v in (equals or [])
+    ]
     stats = manifest.get("stats", {})
     kept = []
     for f in files:
@@ -363,7 +368,7 @@ def prune_files(
         keep = True
         if fstats:
             bands = list(where or []) + [
-                (col, v, v) for col, v in (equals or [])
+                (col, min(vs), max(vs)) for col, vs in eq if vs
             ]
             for col, lo, hi in bands:
                 rng = fstats.get("cols", {}).get(col)
@@ -379,9 +384,11 @@ def prune_files(
                 except TypeError:  # incomparable bound/stat types: no proof
                     continue
             if keep:
-                for col, v in equals or []:
+                for col, vs in eq:
                     bloom = fstats.get("bloom", {}).get(col)
-                    if bloom is not None and not bloom_might_contain(bloom, v):
+                    if bloom is not None and vs and not any(
+                        bloom_might_contain(bloom, v) for v in vs
+                    ):
                         keep = False
                         break
         if keep:
@@ -481,7 +488,10 @@ class TransactionalTable:
         form: files are skipped by range AND by the per-file Bloom
         filters a ``commit(bloom_by=...)`` table carries, then the
         exact equality filter applies — how a single-key fetch against
-        a 100 TB unsorted table opens ~1 file instead of all of them. ``partitions={col: [values]}`` (partitioned
+        a 100 TB unsorted table opens ~1 file instead of all of them.
+        A list/tuple/set value is an IN-list: a file survives only if
+        its bloom might contain AT LEAST ONE listed key (k keys open
+        ≤ k files + false positives), and the residual is ``isin``. ``partitions={col: [values]}`` (partitioned
         tables) is EXACT manifest pruning: only files whose recorded
         partition values match are opened, no residual filter needed —
         the metastore-free form of partition pruning. Partitioned
@@ -549,9 +559,13 @@ class TransactionalTable:
             for col, vals in (partitions or {}).items():
                 df = df.where(F.col(col).isin(list(vals)))
             # residual equality filter makes the bloom skip exact
-            # (blooms have false positives, never false negatives)
+            # (blooms have false positives, never false negatives);
+            # a list/tuple/set value is an IN-list
             for col, v in (equals or {}).items():
-                df = df.where(F.col(col) == F.lit(v))
+                if isinstance(v, (list, tuple, set)):
+                    df = df.where(F.col(col).isin(list(v)))
+                else:
+                    df = df.where(F.col(col) == F.lit(v))
         return df
 
     def exists(self) -> bool:

@@ -1409,3 +1409,26 @@ def test_txstream_emits_declared_schema_across_evolution(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["tag"]) for r in spark.table("txs_evo").collect()}
     assert len(rows) == 20
     assert rows[3] == (6.0, None) and rows[15] == (30.0, "t15")
+
+
+def test_bloom_in_list_lookup(spark, tmp_path):
+    """equals with a value LIST: a file survives only if its bloom
+    might contain at least one listed key — a k-key fetch opens at
+    most ~k files plus false positives, and the residual isin keeps it
+    exact."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    df = spark.range(16000).select(
+        (F.col("id") * 2654435761 % 10**9).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df.repartition(16), bloom_by=["k"], num_files=16)
+    m = t.manifest()
+    keys = [int(r.k) for r in df.where("id in (3, 4444, 15999)").collect()]
+    kept = prune_files(m, None, [("k", keys)])
+    assert 1 <= len(kept) <= 5  # ≤ 3 true files + FPR slack
+    got = t.read(spark, equals={"k": keys}).collect()
+    assert sorted(r.payload for r in got) == [3, 4444, 15999]
+    # absent keys prune everything
+    assert t.read(spark, equals={"k": [111, 222]}).count() == 0
