@@ -605,6 +605,61 @@ class TransactionalTable:
             "committed_at": m.get("committed_at"),
         }
 
+    def fsck(self, version: int | None = None) -> dict:
+        """Offline consistency check of a snapshot against storage —
+        the audit an operator runs after an incident (partial vacuum,
+        manual file deletion, bucket lifecycle policy misfire):
+
+        - ``missing_files``: manifest-referenced keys absent from
+          storage (FATAL: the snapshot cannot be fully read);
+        - ``row_mismatches``: files whose parquet footer row count
+          disagrees with the manifest stats (stats lie ⇒ pruning and
+          fast row counts are suspect — re-commit to rebuild);
+        - ``orphan_files``: data keys referenced by NO retained
+          manifest (benign: in-flight commits or vacuum backlog);
+        - ``ok``: True iff nothing fatal.
+
+        Metadata-only except one footer read per checked file; no data
+        pages are scanned and nothing is mutated."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        missing: list[str] = []
+        row_mismatches: list[str] = []
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            pq = None
+        stats = m.get("stats", {})
+        for key in m["files"]:
+            path = self.storage.url(key)
+            if not os.path.exists(path):
+                missing.append(key)
+                continue
+            want = stats.get(key, {}).get("rows")
+            if pq is not None and want is not None:
+                try:
+                    have = pq.ParquetFile(path).metadata.num_rows
+                except Exception:
+                    missing.append(key)  # unreadable == unusable
+                    continue
+                if have != want:
+                    row_mismatches.append(key)
+        referenced: set[str] = set()
+        for v in self.versions():
+            mv = self.manifest(v)
+            if mv:
+                referenced.update(mv["files"])
+        orphans = [k for k in self.storage.list(DATA_DIR) if k not in referenced]
+        return {
+            "version": m["version"],
+            "checked_files": len(m["files"]),
+            "missing_files": missing,
+            "row_mismatches": row_mismatches,
+            "orphan_files": orphans,
+            "ok": not missing and not row_mismatches,
+        }
+
     def changes(
         self,
         spark: SparkSession,

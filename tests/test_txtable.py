@@ -1432,3 +1432,38 @@ def test_bloom_in_list_lookup(spark, tmp_path):
     assert sorted(r.payload for r in got) == [3, 4444, 15999]
     # absent keys prune everything
     assert t.read(spark, equals={"k": [111, 222]}).count() == 0
+
+
+def test_fsck_detects_missing_files_and_orphans(spark, tmp_path):
+    """fsck(): clean table passes; deleting a referenced file is FATAL
+    (missing_files); an unreferenced stray is a benign orphan; a
+    corrupted stats row count is flagged."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(100).select("id"), num_files=4)
+    rep = t.fsck()
+    assert rep["ok"] and rep["checked_files"] == 4
+    assert rep["missing_files"] == [] and rep["orphan_files"] == []
+
+    # stray file under data/ that no manifest references
+    stray = os.path.join(str(tmp_path / "t"), "data", "stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    rep = t.fsck()
+    assert rep["ok"] and rep["orphan_files"] == ["data/stray.parquet"]
+
+    # delete a referenced file: fatal
+    victim = t.manifest()["files"][0]
+    os.remove(os.path.join(str(tmp_path / "t"), victim))
+    rep = t.fsck()
+    assert not rep["ok"] and rep["missing_files"] == [victim]
+
+    # corrupt the recorded row count of a healthy file: stats mismatch
+    m_key = f"_commits/v{t.latest_version():020d}.json"
+    m = json.loads(t.storage.read(m_key))
+    healthy = m["files"][1]
+    m["stats"][healthy]["rows"] += 1
+    path = os.path.join(str(tmp_path / "t"), m_key)
+    with open(path, "w") as f:
+        json.dump(m, f)
+    rep = t.fsck()
+    assert healthy in rep["row_mismatches"] and not rep["ok"]
