@@ -648,7 +648,8 @@ def test_change_feed_between_versions(spark, tmp_path):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-# ops: ("replace"|"append"|"merge", rows) | ("optimize",) | ("vacuum",)
+# ops: ("replace"|"append"|"merge"|"zorder_replace"|"bloom_replace", rows)
+#    | ("delete", (lo, width)) | ("optimize",) | ("vacuum",)
 _rows = st.lists(
     st.tuples(st.integers(0, 9), st.integers(-50, 50)),
     min_size=1,
@@ -658,6 +659,12 @@ _op = st.one_of(
     st.tuples(st.just("replace"), _rows),
     st.tuples(st.just("append"), _rows),
     st.tuples(st.just("merge"), _rows),
+    st.tuples(st.just("zorder_replace"), _rows),
+    st.tuples(st.just("bloom_replace"), _rows),
+    st.tuples(
+        st.just("delete"),
+        st.tuples(st.integers(-50, 50), st.integers(0, 20)),
+    ),
     st.tuples(st.just("optimize")),
     st.tuples(st.just("vacuum")),
 )
@@ -671,11 +678,15 @@ _op = st.one_of(
 @given(ops=st.lists(_op, min_size=1, max_size=6))
 def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
     """Model-based property: ANY interleaving of replace / append /
-    merge / optimize / vacuum leaves the table exactly where a trivial
-    in-memory model says it should be. replace and merge are keyed
-    (latest-wins per key k); append is a bag union; optimize and vacuum
-    must be pure no-ops on CONTENT. This is the whole protocol surface
-    exercised in combinations no example-based test enumerates."""
+    merge / delete / Z-order or bloom-indexed replace / optimize /
+    vacuum leaves the table exactly where a trivial in-memory model
+    says it should be — for the FULL read, for a zone-map band read,
+    and for a bloom/stats point read, after every single op. replace
+    and merge are keyed (latest-wins per key k); append is a bag
+    union; delete removes a v-band; optimize and vacuum must be pure
+    no-ops on CONTENT whatever clustering/bloom state the interleaving
+    left. This is the whole protocol surface exercised in combinations
+    no example-based test enumerates."""
     t = TransactionalTable(str(tmp_path_factory.mktemp("prop") / "t"))
     # model: list of (k, v) bags for append semantics; replace/merge
     # first collapse the incoming rows latest-wins by key (merge_upsert
@@ -719,6 +730,32 @@ def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
             d = dict(model)
             d.update(dict(updates))
             model = sorted(d.items())
+        elif op[0] == "zorder_replace":
+            # content-wise identical to replace; additionally declares
+            # the Z-order clustering property that optimize re-applies
+            rows = collapse(op[1])
+            t.commit(
+                spark.createDataFrame(rows, "k int, v int"),
+                zorder_by=["k", "v"],
+                zorder_bits=4,
+                num_files=2,
+            )
+            model = list(rows)
+        elif op[0] == "bloom_replace":
+            rows = collapse(op[1])
+            t.commit(
+                spark.createDataFrame(rows, "k int, v int"),
+                bloom_by=["k"],
+                num_files=2,
+            )
+            model = list(rows)
+        elif op[0] == "delete":
+            if not t.exists() or not model:
+                continue
+            lo, width = op[1]
+            hi = lo + width
+            t.delete(spark, [("v", lo, hi)])
+            model = [r for r in model if not (lo <= r[1] <= hi)]
         elif op[0] == "optimize":
             if not t.exists():
                 continue
@@ -730,6 +767,28 @@ def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
         if t.exists():
             got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
             assert got == sorted(model), (op, got, model)
+            # pruned reads must agree with the model after EVERY op,
+            # whatever layout/stats/bloom state the interleaving left:
+            # zone-map band read...
+            band = sorted(
+                (r["k"], r["v"]) for r in t.read(
+                    spark, where=[("v", -10, 10)]
+                ).collect()
+            )
+            assert band == sorted(
+                r for r in model if -10 <= r[1] <= 10
+            ), (op, "band", band)
+            # ...and bloom/stats point read on a key the model holds
+            if model:
+                k0 = model[0][0]
+                point = sorted(
+                    (r["k"], r["v"]) for r in t.read(
+                        spark, equals={"k": k0}
+                    ).collect()
+                )
+                assert point == sorted(
+                    r for r in model if r[0] == k0
+                ), (op, "point", point)
 
 
 def test_cluster_by_commit_enables_stats_skipping(spark, tmp_path):
