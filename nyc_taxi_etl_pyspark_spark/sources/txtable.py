@@ -1450,7 +1450,11 @@ class TransactionalTable:
         against the current snapshot (``operators/merge.py`` semantics),
         committed with optimistic concurrency — the read-merge-commit
         loop retries from the NEW snapshot if another writer lands
-        first, so concurrent mergers serialize without locks."""
+        first, so concurrent mergers serialize without locks. On a
+        schema-evolved table the updates frame must carry the FULL
+        current schema (merge_upsert raises a loud schema-mismatch
+        otherwise — add the evolved columns as NULL literals to the
+        updates before merging)."""
         from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
 
         for _ in range(max_retries):
