@@ -369,3 +369,33 @@ def q_streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_tx_source(
         spark, sf_dir, query_name="q_streaming_tx_source"
     )
+
+
+@query(
+    "q_streaming_silver_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_streaming_silver_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view through the commit log
+    (``streaming/jobs.py::run_streaming_silver_agg``): bronze event
+    commits → txstream tail → per-micro-batch partial aggregates
+    monoid-merged into a silver transactional table, with the replay
+    marker riding the silver manifest (aggregate increments are not
+    idempotent — the one streaming shape that NEEDS exactly-once).
+    The oracle is the full batch aggregate over events: matching
+    proves every event entered the state exactly once, across any
+    micro-batch slicing (commutative monoids) and any redelivery
+    (marker). Exempt from the collect guard like every q_streaming_*
+    query: the streaming run executes during plan construction."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_silver_agg,
+    )
+
+    return run_streaming_silver_agg(
+        spark, sf_dir, query_name="q_streaming_silver_agg"
+    )

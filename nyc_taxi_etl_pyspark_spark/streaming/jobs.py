@@ -878,3 +878,124 @@ def run_streaming_corpus_dedup(
     finally:
         q.stop()
     return index.read(spark).select("doc_id", "fprint")
+
+
+def run_streaming_silver_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_silver_agg",
+) -> DataFrame:
+    """Streaming MATERIALIZED VIEW through the commit log — the
+    medallion silver job end-to-end: events land in a bronze
+    transactional table (three append commits), a ``txstream`` query
+    tails it, and each micro-batch folds its PARTIAL aggregate
+    (count + sum per event_type — commutative monoids, so any micro-
+    batch slicing converges to the same state) into a silver
+    transactional table via a replace commit. Unlike the dedup
+    pipeline, aggregate increments are NOT idempotent, so the replay
+    marker (checkpoint identity + applied batch id) rides the silver
+    manifest meta atomically with the state: a redelivered batch whose
+    id is already recorded skips, a foreign checkpoint pointed at the
+    same silver table fails loudly, and a lost commit race re-reads
+    the marker before retrying (the
+    ``run_streaming_append_sink_tx`` protocol applied to state
+    maintenance). Per refresh the silver table holds |keys| rows —
+    the events corpus is scanned once as it streams, never again."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        CommitConflict,
+        TransactionalTable,
+    )
+
+    ensure_session_conf(spark)
+    register_python_sources(spark)
+    base = fixture_scratch_dir(
+        "spark_graft_silver", sf_dir, anchor="events.parquet"
+    )
+    bronze = TransactionalTable(base + "/bronze")
+    silver = TransactionalTable(base + "/silver")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    if not bronze.exists():
+        for i in range(3):
+            bronze.commit(
+                ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                mode="replace" if i == 0 else "append",
+                num_files=2,
+            )
+    ckpt = base + "/ckpt"
+    ident = _checkpoint_identity(ckpt)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("__c"), F.sum("value").alias("__s")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for _ in range(10):
+            m = silver.manifest()
+            if m is not None:
+                replay = m.get("meta", {}).get("replay", {})
+                rec = replay.get("ckpt_identity")
+                if rec is not None and rec != ident:
+                    raise ValueError(
+                        f"{base}/silver was built by a different streaming "
+                        f"query (identity {rec}, this query {ident}); "
+                        "increments would double-count — use a fresh "
+                        "silver path or resume the original checkpoint"
+                    )
+                if int(replay.get("applied_batch_id", -1)) >= batch_id:
+                    return  # redelivered batch: state already holds it
+            p = partial(batch_df)
+            if m is not None:
+                # monoid merge: sum-of-counts, sum-of-sums over the
+                # |keys|-sized state + the batch partial — never the
+                # corpus
+                p = (
+                    silver.read(spark)
+                    .select("event_type", "__c", "__s")
+                    .unionByName(p)
+                    .groupBy("event_type")
+                    .agg(F.sum("__c").alias("__c"), F.sum("__s").alias("__s"))
+                )
+            try:
+                silver.commit(
+                    p,
+                    meta={
+                        "op": "silver_agg",
+                        "replay": {
+                            "ckpt_identity": ident,
+                            "applied_batch_id": batch_id,
+                        },
+                    },
+                    expect_version=m["version"] if m is not None else -1,
+                )
+                return
+            except CommitConflict:
+                continue
+        raise RuntimeError(
+            f"silver refresh of batch {batch_id} lost 10 commit races"
+        )
+
+    stream = (
+        spark.readStream.format("txstream")
+        .option("path", base + "/bronze")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return silver.read(spark).select(
+        "event_type",
+        F.col("__c").alias("n_events"),
+        stable_round(F.col("__s"), 4).alias("sum_value"),
+    )

@@ -508,3 +508,46 @@ def test_streaming_corpus_dedup_replay_is_idempotent(spark, tmp_path, sf_dir):
     assert set(map(tuple, out2.collect())) == rows1
     # the replay DID commit (empty appends), but admitted nothing new
     assert index.latest_version() >= v_before
+
+def test_streaming_silver_agg_exactly_once_contract(spark, sf_dir, tmp_path):
+    """Aggregate increments are not idempotent, so the silver view
+    enforces the replay contract: resuming the SAME checkpoint no-ops
+    (the marker skips every redelivered batch), while a FRESH
+    checkpoint pointed at the same silver table is refused loudly
+    instead of double-counting — and the refused run leaves the state
+    untouched."""
+    import shutil
+
+    import pytest
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_silver_agg,
+    )
+
+    out1 = run_streaming_silver_agg(spark, sf_dir)
+    state1 = sorted(map(tuple, out1.collect()))
+    assert len(state1) > 0
+
+    # resume same checkpoint: no new batches, state unchanged
+    out2 = run_streaming_silver_agg(spark, sf_dir)
+    assert sorted(map(tuple, out2.collect())) == state1
+
+    # fresh checkpoint (simulating a new query pointed at the same
+    # silver table): the identity guard must refuse before any commit
+    base = fixture_scratch_dir(
+        "spark_graft_silver", sf_dir, anchor="events.parquet"
+    )
+    ckpt = base + "/ckpt"
+    saved = str(tmp_path / "saved_ckpt")
+    shutil.move(ckpt, saved)
+    try:
+        with pytest.raises(Exception, match="different streaming query"):
+            run_streaming_silver_agg(spark, sf_dir)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.move(saved, ckpt)
+
+    # state untouched by the refused run; original checkpoint resumes
+    out3 = run_streaming_silver_agg(spark, sf_dir)
+    assert sorted(map(tuple, out3.collect())) == state1
