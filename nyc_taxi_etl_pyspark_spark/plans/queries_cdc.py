@@ -519,6 +519,44 @@ def q_tx_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_optimize_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    """,
+)
+def q_tx_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE round-trip through the commit log: orders is committed
+    fragmented (64 small files — the shape streaming appends leave
+    behind), compacted by ``TransactionalTable.optimize`` into
+    ~target-row files as ONE atomic replace commit, and read back from
+    the post-compaction manifest. The oracle is the plain table:
+    matching proves compaction moved every row exactly once — no
+    dropped file, no double-read — while readers of the pre-compaction
+    snapshot stay unaffected (immutable files + retention; raced
+    commits retry, `test_optimize_retries_through_a_lost_commit_race`).
+    Idempotent: a second optimize on the compacted table rewrites to
+    the same content."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txopt", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, num_files=64)
+        t.optimize(spark, target_rows_per_file=500_000)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
