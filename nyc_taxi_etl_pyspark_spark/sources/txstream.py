@@ -17,9 +17,12 @@ Semantics (same contract as Delta's default source):
   latest version; the engine's checkpoint persists offsets, and
   ``partitions(start, end)`` re-derives the same file list for any
   replayed range (manifests are immutable), so recovery is exactly-once
-  without source-side state. Manifests within the checkpoint's
-  unprocessed range must not be vacuumed — retention is the replay
-  window, exactly Delta's constraint.
+  without source-side state. Every manifest in a range the stream may
+  still (re)plan — from the checkpoint's last committed offset onward,
+  plus its immediate predecessor (the file-diff base) — must not be
+  vacuumed; a missing manifest is a LOUD error either way, never a
+  silent full re-emit. Retention is the replay window, exactly Delta's
+  constraint.
 - **Append-only.** A version that REMOVES files (replace / merge /
   delete / optimize) raises a loud error naming the version: silently
   re-emitting rewritten files would double-count, and skipping them
@@ -27,13 +30,17 @@ Semantics (same contract as Delta's default source):
   ``TransactionalTable.changes`` (the change feed) instead.
 - **Partition-parallel reads.** Each new file is one
   ``InputPartition``; executors read it with pyarrow directly (no
-  driver materialization), reconstructing hive partition-column values
-  from the manifest's per-file stats — the same metastore-free pruning
-  metadata the batch reader uses.
+  driver materialization) and emit Arrow record batches, reconstructing
+  hive partition-column values from the manifest's per-file stats — the
+  same metastore-free pruning metadata the batch reader uses (values
+  are stored DECODED: percent-escapes resolved, the hive NULL sentinel
+  mapped to None).
 
 ``startingversion`` option (default 0) mirrors Delta's
 ``startingVersion``: 0 streams the table from its first commit
-(initial snapshot included, as append-at-v0); N starts after N-1.
+(initial snapshot included, as append-at-v0); N starts after N-1. A
+``startingversion`` beyond the current latest simply waits for that
+version (the reported offset never regresses below it).
 """
 
 from __future__ import annotations
@@ -46,26 +53,66 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-# partition-column value casters by manifest simpleString type prefix
-_CASTERS = {
-    "tinyint": int,
-    "smallint": int,
-    "int": int,
-    "bigint": int,
-    "float": float,
-    "double": float,
-    "string": str,
-}
+# partition-column value casters by manifest simpleString type
+_CASTERS: dict = {}
 
 
-def _cast_partition_value(raw: str, type_str: str):
+def _build_casters() -> dict:
+    import datetime
+    import decimal
+
+    return {
+        "tinyint": int,
+        "smallint": int,
+        "int": int,
+        "bigint": int,
+        "float": float,
+        "double": float,
+        "string": str,
+        "boolean": lambda s: s.lower() == "true",
+        "date": datetime.date.fromisoformat,
+        "timestamp": datetime.datetime.fromisoformat,
+        "timestamp_ntz": datetime.datetime.fromisoformat,
+        "decimal": decimal.Decimal,
+    }
+
+
+def _cast_partition_value(raw, type_str: str):
+    """Typed value for a manifest-recorded partition string (already
+    hive-decoded by the writer; None = hive NULL sentinel)."""
+    if raw is None:
+        return None
+    global _CASTERS
+    if not _CASTERS:
+        _CASTERS = _build_casters()
     for prefix, fn in _CASTERS.items():
         if type_str == prefix or type_str.startswith(prefix + "("):
             return fn(raw)
     raise ValueError(
         f"unsupported partition column type {type_str!r} for streaming "
-        "source (supported: int/bigint/float/double/string)"
+        "source (supported: int family / float / double / string / "
+        "boolean / date / timestamp / decimal)"
     )
+
+
+def _arrow_type(type_str: str):
+    """pyarrow type for a Spark simpleString scalar type, or None when
+    unmappable (caller falls back to row-tuple emission)."""
+    import pyarrow as pa
+
+    table = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+    }
+    return table.get(type_str)
 
 
 class TxTableStreamSource(DataSource):
@@ -105,19 +152,31 @@ class TxTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txstream requires .option('path', <table root>)")
         self.starting_version = int(options.get("startingversion", 0))
+        if self.starting_version < 0:
+            raise ValueError(
+                f"txstream: startingversion must be >= 0, got "
+                f"{self.starting_version}"
+            )
         # The stream's DECLARED schema (fixed at start) is the one
         # emission contract for EVERY batch: per-version manifest
         # schemas may differ on an evolved table — a pre-evolution
         # version must still emit the declared width (missing columns
         # NULL-fill), and a column added mid-stream must NOT widen the
-        # tuples (restart the stream to surface it) — so the per-batch
-        # plan always canonicalizes to this list, never to the
-        # version's own schema.
-        self.schema_fields = (
-            [(f.name, f.dataType.simpleString()) for f in schema.fields]
-            if schema is not None
-            else None
-        )
+        # rows (restart the stream to surface it) — so the per-batch
+        # plan always canonicalizes to this list, never to a version's
+        # own schema. A direct construction without a schema derives it
+        # ONCE from the latest manifest for the same reason.
+        if schema is not None:
+            self.schema_fields = [
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            ]
+        else:
+            m = self._table().manifest()
+            if m is None or not m.get("schema"):
+                raise ValueError(
+                    f"txstream: no committed schema at {self.path}"
+                )
+            self.schema_fields = list(m["schema"].items())
 
     def _table(self):
         from nyc_taxi_etl_pyspark_spark.sources.txtable import (
@@ -131,15 +190,40 @@ class TxTableStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table().latest_version()}
+        # never below starting_version - 1: a starting point beyond the
+        # table's current head must WAIT for it, not let the offset
+        # regress and later re-emit the skipped range
+        return {
+            "version": max(
+                self._table().latest_version(), self.starting_version - 1
+            )
+        }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         """One InputPartition per file appended in (start, end] —
         derived purely from the immutable manifests, so a checkpoint
-        replay of the same range plans the identical partitions."""
+        replay of the same range plans the identical partitions. One
+        manifest read per version in the range (the previous iteration's
+        manifest is carried as the diff base — object-store LIST/GET
+        round-trips are the planning cost here)."""
         t = self._table()
         parts: list[InputPartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        lo, hi = start["version"] + 1, end["version"] + 1
+        prev = None
+        if lo > 0:
+            prev = t.manifest(lo - 1)
+            if prev is None and lo - 1 >= 0 and hi > lo:
+                # the diff base is gone: treating it as empty would
+                # re-emit version lo's ENTIRE cumulative file set as
+                # "new" — the silent-duplication failure mode; fail the
+                # way a missing in-range manifest fails
+                raise ValueError(
+                    f"txstream: manifest v{lo - 1} of {self.path} (the "
+                    "file-diff base for this batch) is missing "
+                    "(vacuumed?) — cannot replay; restart from a newer "
+                    "startingversion or raise vacuum retention"
+                )
+        for v in range(lo, hi):
             m = t.manifest(v)
             if m is None:
                 raise ValueError(
@@ -147,7 +231,6 @@ class TxTableStreamReader(DataSourceStreamReader):
                     "(vacuumed?) — cannot replay; restart from a newer "
                     "startingversion or raise vacuum retention"
                 )
-            prev = t.manifest(v - 1) if v > 0 else None
             prev_files = set(prev["files"]) if prev else set()
             removed = prev_files - set(m["files"])
             if removed:
@@ -158,7 +241,6 @@ class TxTableStreamReader(DataSourceStreamReader):
                     "streaming source is append-only; consume mutations "
                     "with TransactionalTable.changes() instead"
                 )
-            schema_items = self.schema_fields or list(m["schema"].items())
             stats = m.get("stats", {})
             for key in m["files"]:
                 if key in prev_files:
@@ -166,33 +248,68 @@ class TxTableStreamReader(DataSourceStreamReader):
                 part_vals = stats.get(key, {}).get("partition", {})
                 parts.append(
                     InputPartition(
-                        (t.storage.url(key), schema_items, part_vals)
+                        (t.storage.url(key), self.schema_fields, part_vals)
                     )
                 )
+            prev = m
         return parts
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
-        """Executor-side: one staged parquet file → tuples in declared
-        field order, hive partition columns rebuilt from the manifest's
-        recorded values (the data pages don't carry them)."""
+    def read(self, partition: InputPartition) -> Iterator:
+        """Executor-side: one staged parquet file → Arrow record
+        batches in declared field order, hive partition columns rebuilt
+        from the manifest's recorded values (the data pages don't carry
+        them). Columns whose declared type has no direct Arrow mapping
+        fall back to row-tuple emission — correctness over speed for
+        the exotic types, zero per-value Python objects for the common
+        ones."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         path, schema_items, part_vals = partition.value
         table = pq.read_table(path)
-        cols = {}
         n = table.num_rows
+        arrays, fallback = [], False
         for name, type_str in schema_items:
             if name in part_vals:
-                cols[name] = [_cast_partition_value(part_vals[name], type_str)] * n
+                at = _arrow_type(type_str)
+                if at is None:
+                    fallback = True
+                    break
+                arrays.append(
+                    pa.array(
+                        [_cast_partition_value(part_vals[name], type_str)] * n,
+                        type=at,
+                    )
+                )
             elif name in table.column_names:
-                cols[name] = table.column(name).to_pylist()
+                arrays.append(table.column(name).combine_chunks())
             else:
                 # schema-evolution append: this file predates (or
                 # omitted) the column — NULL-fill, like the batch
-                # reader's mergeSchema. (A stream only surfaces columns
-                # in its START schema; restart to pick up new ones.)
+                # reader's mergeSchema
+                at = _arrow_type(type_str)
+                if at is None:
+                    fallback = True
+                    break
+                arrays.append(pa.nulls(n, type=at))
+        if not fallback:
+            out = pa.table(
+                arrays, names=[name for name, _ in schema_items]
+            )
+            yield from out.to_batches(max_chunksize=1 << 16)
+            return
+        # tuple fallback for unmappable declared types
+        cols = {}
+        for name, type_str in schema_items:
+            if name in part_vals:
+                cols[name] = [
+                    _cast_partition_value(part_vals[name], type_str)
+                ] * n
+            elif name in table.column_names:
+                cols[name] = table.column(name).to_pylist()
+            else:
                 cols[name] = [None] * n
-        names = [n_ for n_, _ in schema_items]
+        names = [name for name, _ in schema_items]
         for i in range(n):
             yield tuple(cols[name][i] for name in names)
 

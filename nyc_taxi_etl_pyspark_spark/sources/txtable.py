@@ -197,6 +197,24 @@ class ObjectStoreSimStorage(LocalStorage):
             os.unlink(src)
 
 
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_hive_partition_value(raw: str):
+    """Decode a hive directory-name partition value to its logical
+    form: Spark percent-escapes special characters in partition paths
+    (``col=a%3Ab`` for value ``a:b``) and writes NULL as the
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel. Manifests record the
+    DECODED value so partition pruning and the streaming source
+    compare/emit what the batch reader reconstructs, not the escaped
+    path segment."""
+    if raw == HIVE_NULL_PARTITION:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
+
+
 def _json_safe_stat(v):
     """Make a parquet footer min/max JSON-serializable and ORDER-
     comparable after a JSON round-trip. Non-primitive types (dates,
@@ -772,7 +790,12 @@ class TransactionalTable:
                 dirnames[:] = [d for d in dirnames if "=" in d]
                 rel = os.path.relpath(dirpath, staging)
                 part_vals = (
-                    dict(seg.split("=", 1) for seg in rel.split(os.sep))
+                    {
+                        k: _decode_hive_partition_value(v)
+                        for k, v in (
+                            seg.split("=", 1) for seg in rel.split(os.sep)
+                        )
+                    }
                     if rel != "."
                     else {}
                 )

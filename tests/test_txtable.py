@@ -1526,3 +1526,106 @@ def test_fsck_detects_missing_files_and_orphans(spark, tmp_path):
         json.dump(m, f)
     rep = t.fsck()
     assert healthy in rep["row_mismatches"] and not rep["ok"]
+
+
+def test_partition_values_hive_decoded_in_manifest(spark, tmp_path):
+    """Manifests record DECODED partition values: percent-escapes
+    resolved and the hive NULL sentinel mapped to None, so manifest
+    partition pruning compares what the batch reader reconstructs —
+    not the escaped path segment."""
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "plain"), (3, None)], "id int, grp string"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"])
+    vals = {
+        s["partition"]["grp"]
+        for s in t.manifest()["stats"].values()
+        if "partition" in s
+    }
+    assert vals == {"a:b", "plain", None}
+    got = t.read(spark, partitions={"grp": ["a:b"]}).collect()
+    assert [(r.id, r.grp) for r in got] == [(1, "a:b")]
+
+
+def test_txstream_date_partitions_and_escaped_values(spark, tmp_path):
+    """The streaming source reconstructs typed partition values the
+    batch reader would: date-typed partition columns cast correctly
+    and escaped string values come back unescaped."""
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    df = spark.createDataFrame(
+        [(1, "2015-01-01", "x:y"), (2, "2015-01-02", "plain")],
+        "id int, d string, grp string",
+    ).selectExpr("id", "cast(d as date) d", "grp")
+    t.commit(df, partition_by=["d", "grp"])
+    s = spark.readStream.format("txstream").option("path", root).load()
+    q = (
+        s.writeStream.format("memory")
+        .queryName("txs_dates")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.id: (str(r.d), r.grp) for r in spark.table("txs_dates").collect()
+    }
+    assert got == {1: ("2015-01-01", "x:y"), 2: ("2015-01-02", "plain")}
+
+
+def test_txstream_missing_diff_base_fails_loudly(spark, tmp_path):
+    """A vacuumed predecessor manifest must fail the batch plan the
+    same way a missing in-range manifest does — silently treating it
+    as empty would re-emit version N's whole cumulative file set."""
+    import pytest
+
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import TxTableStreamReader
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    for i in range(4):
+        t.commit(
+            spark.range(i * 10, (i + 1) * 10).select("id"),
+            mode="append" if i else "replace",
+        )
+    t.vacuum(retain_versions=2, unreferenced_grace_s=0)  # drops v0, v1
+    r = TxTableStreamReader({"path": root})
+    with pytest.raises(ValueError, match="file-diff base"):
+        r.partitions({"version": 0}, {"version": 3})
+    # a range whose base survives still plans
+    parts = r.partitions({"version": 2}, {"version": 3})
+    assert len(parts) >= 1
+
+
+def test_txstream_startingversion_beyond_head_waits(spark, tmp_path):
+    """startingversion above the table head must WAIT for that version
+    (offset never regresses), not silently re-emit the skipped range
+    once the table catches up."""
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import TxTableStreamReader
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(spark.range(10).select("id"))  # v0
+    r = TxTableStreamReader({"path": root, "startingversion": "3"})
+    assert r.initialOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 2}  # clamped: waits, no regress
+    t.commit(spark.range(10, 20).select("id"), mode="append")  # v1
+    t.commit(spark.range(20, 30).select("id"), mode="append")  # v2
+    t.commit(spark.range(30, 40).select("id"), mode="append")  # v3
+    assert r.latestOffset() == {"version": 3}
+    parts = r.partitions({"version": 2}, {"version": 3})
+    # only v3's files — versions 0-2 stay skipped as requested
+    v3, v2 = t.manifest(3), t.manifest(2)
+    assert {p.value[0].split("/")[-1] for p in parts} == {
+        f.split("/")[-1] for f in set(v3["files"]) - set(v2["files"])
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="startingversion"):
+        TxTableStreamReader({"path": root, "startingversion": "-2"})
