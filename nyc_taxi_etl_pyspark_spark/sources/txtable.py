@@ -200,6 +200,12 @@ class ObjectStoreSimStorage(LocalStorage):
 HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _unquote(raw: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(raw)
+
+
 def _decode_hive_partition_value(raw: str):
     """Decode a hive directory-name partition value to its logical
     form: Spark percent-escapes special characters in partition paths
@@ -207,12 +213,27 @@ def _decode_hive_partition_value(raw: str):
     ``__HIVE_DEFAULT_PARTITION__`` sentinel. Manifests record the
     DECODED value so partition pruning and the streaming source
     compare/emit what the batch reader reconstructs, not the escaped
-    path segment."""
+    path segment. Decoded manifests carry ``partition_encoding:
+    "decoded"``; ``manifest()`` upgrades legacy (encoded) manifests on
+    read — decode must happen exactly once, because Spark escapes
+    ``%`` itself, so re-decoding an already-decoded value that
+    legitimately contains ``%XX`` would corrupt it."""
     if raw == HIVE_NULL_PARTITION:
         return None
-    from urllib.parse import unquote
+    return _unquote(raw)
 
-    return unquote(raw)
+
+def _canon_partition_query_value(v):
+    """Canonical string form of a user-supplied ``partitions=`` value,
+    matching how Spark renders the value in a hive path (post-decode):
+    booleans are lowercase, None stays None (the NULL partition),
+    everything else is ``str`` (dates/timestamps stringify to the path
+    form already)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _json_safe_stat(v):
@@ -486,10 +507,33 @@ class TransactionalTable:
             vs = [v for v in vs if v == version]
         for v in reversed(vs):
             try:
-                return json.loads(self.storage.read(_manifest_key(v)))
+                m = json.loads(self.storage.read(_manifest_key(v)))
             except (OSError, ValueError):
                 continue
+            return self._upgrade_partition_encoding(m)
         return None
+
+    @staticmethod
+    def _upgrade_partition_encoding(m: dict) -> dict:
+        """In-memory upgrade of LEGACY manifests whose partition values
+        were recorded as raw path segments (percent-escaped, hive NULL
+        sentinel): decode them once so every consumer compares logical
+        values. New manifests are flagged ``partition_encoding:
+        "decoded"`` and pass through untouched — decoding is not
+        idempotent (Spark escapes ``%`` itself), so the flag is what
+        prevents double-decoding."""
+        if m.get("partition_encoding") == "decoded":
+            return m
+        for fstats in m.get("stats", {}).values():
+            part = fstats.get("partition")
+            if part:
+                fstats["partition"] = {
+                    _unquote(k): _decode_hive_partition_value(v)
+                    if isinstance(v, str)
+                    else v
+                    for k, v in part.items()
+                }
+        return m
 
     def read(
         self,
@@ -535,8 +579,11 @@ class TransactionalTable:
             # row filter below — never a silent empty result.
             pb = set(m.get("partition_by") or [])
             stats = m.get("stats", {})
+            # canonicalize the query values to the path-rendered form
+            # the manifest records (booleans lowercase, None = the hive
+            # NULL partition, dates/timestamps via str)
             sel = {
-                c: {str(v) for v in vals}
+                c: {_canon_partition_query_value(v) for v in vals}
                 for c, vals in partitions.items()
                 if c in pb
             }
@@ -573,9 +620,19 @@ class TransactionalTable:
                     df = df.where(F.col(col) <= F.lit(hi))
             # residual partition-value filter: exact on any layout (the
             # partition columns exist in the frame either from the data
-            # pages or reconstructed from the hive paths).
+            # pages or reconstructed from the hive paths). None selects
+            # the NULL partition — three-valued isin would silently
+            # drop it, so it becomes an explicit isNull disjunct.
             for col, vals in (partitions or {}).items():
-                df = df.where(F.col(col).isin(list(vals)))
+                concrete = [v for v in vals if v is not None]
+                cond = None
+                if concrete:
+                    cond = F.col(col).isin(concrete)
+                if any(v is None for v in vals):
+                    null_cond = F.col(col).isNull()
+                    cond = null_cond if cond is None else (cond | null_cond)
+                if cond is not None:
+                    df = df.where(cond)
             # residual equality filter makes the bloom skip exact
             # (blooms have false positives, never false negatives);
             # a list/tuple/set value is an IN-list
@@ -791,7 +848,9 @@ class TransactionalTable:
                 rel = os.path.relpath(dirpath, staging)
                 part_vals = (
                     {
-                        k: _decode_hive_partition_value(v)
+                        # the column NAME is escaped in the path too
+                        # (never the NULL sentinel, only percent-escapes)
+                        _unquote(k): _decode_hive_partition_value(v)
                         for k, v in (
                             seg.split("=", 1) for seg in rel.split(os.sep)
                         )
@@ -892,6 +951,11 @@ class TransactionalTable:
         }
         if partition_by:
             manifest["partition_by"] = list(partition_by)
+        if any("partition" in s for s in stats.values()):
+            # stats record LOGICAL (hive-decoded) partition values;
+            # readers use this flag to upgrade legacy manifests exactly
+            # once (see _upgrade_partition_encoding)
+            manifest["partition_encoding"] = "decoded"
         if mixed_schemas:
             # files under more than one physical schema (evolution
             # appends): readers must merge footers; cleared by the next

@@ -1629,3 +1629,80 @@ def test_txstream_startingversion_beyond_head_waits(spark, tmp_path):
 
     with pytest.raises(ValueError, match="startingversion"):
         TxTableStreamReader({"path": root, "startingversion": "-2"})
+
+
+def test_partition_query_none_and_boolean_values(spark, tmp_path):
+    """partitions= handles the NULL partition (None selects it via an
+    isNull residual — three-valued isin would drop it) and boolean
+    columns (canonicalized to the lowercase path form the manifest
+    records, not str(True))."""
+    df = spark.createDataFrame(
+        [(1, "a", True), (2, None, False), (3, "b", True)],
+        "id int, grp string, flag boolean",
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"])
+    got = t.read(spark, partitions={"grp": [None]}).collect()
+    assert [(r.id, r.grp) for r in got] == [(2, None)]
+    both = t.read(spark, partitions={"grp": ["a", None]}).collect()
+    assert sorted(r.id for r in both) == [1, 2]
+
+    tb = TransactionalTable(str(tmp_path / "tb"))
+    tb.commit(df, partition_by=["flag"])
+    got = tb.read(spark, partitions={"flag": [True]}).collect()
+    assert sorted(r.id for r in got) == [1, 3]
+    assert [r.id for r in tb.read(spark, partitions={"flag": [False]}).collect()] == [2]
+
+
+def test_legacy_encoded_manifest_upgrades_on_read(spark, tmp_path):
+    """A manifest written before partition-value decoding (raw path
+    segments: percent-escapes, hive NULL sentinel, no
+    partition_encoding flag) is upgraded in memory exactly once —
+    partition pruning and replace_partitions compare logical values,
+    and a modern flagged manifest passes through untouched (decode is
+    not idempotent for values containing %XX)."""
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, None)], "id int, grp string"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"])
+
+    # forge a LEGACY manifest: strip the flag, re-encode the values
+    key = f"_commits/v{t.latest_version():020d}.json"
+    raw = json.loads(t.storage.read(key))
+    assert raw["partition_encoding"] == "decoded"
+    del raw["partition_encoding"]
+    for s in raw["stats"].values():
+        if "partition" in s:
+            v = s["partition"]["grp"]
+            s["partition"]["grp"] = (
+                "__HIVE_DEFAULT_PARTITION__" if v is None
+                else v.replace("%", "%25").replace(":", "%3A")
+            )
+    path = os.path.join(str(tmp_path / "t"), key)
+    with open(path, "w") as f:
+        json.dump(raw, f)
+
+    m = t.manifest()
+    vals = {
+        s["partition"]["grp"]
+        for s in m["stats"].values()
+        if "partition" in s
+    }
+    assert vals == {"a:b", None}  # decoded on read
+    got = t.read(spark, partitions={"grp": ["a:b"]}).collect()
+    assert [(r.id, r.grp) for r in got] == [(1, "a:b")]
+
+    # a modern manifest with a literal %XX in the VALUE survives
+    # untouched (the flag prevents double-decoding)
+    df2 = spark.createDataFrame([(9, "p%3Aq")], "id int, grp string")
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(df2, partition_by=["grp"])
+    m2 = t2.manifest()
+    vals2 = {
+        s["partition"]["grp"]
+        for s in m2["stats"].values()
+        if "partition" in s
+    }
+    assert vals2 == {"p%3Aq"}
+    assert [r.id for r in t2.read(spark, partitions={"grp": ["p%3Aq"]}).collect()] == [9]
