@@ -71,18 +71,7 @@ def run_streaming_tumbling_agg(
     the result matches the batch tumbling aggregation — asserted in
     tests/test_streaming.py.
     """
-    ensure_session_conf(spark)
-    batch_schema = spark.read.parquet(join_uri(sf_dir, "events.parquet")).schema
-    # the file stream source wants a directory; glob down to the one table
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    # events.ts physical encoding varies by fixture generation; normalize
-    # to a session-zoned timestamp (see sources/tables.py).
-    stream = normalize_event_ts(stream)
+    stream = _events_stream(spark, sf_dir)
     agg = streaming_tumbling_agg(stream, window=window)
     q = (
         agg.writeStream.outputMode("complete")
@@ -123,8 +112,9 @@ def run_streaming_sliding_agg(
     """Sliding event-time window over the fixture backlog: each event
     lands in window/slide (=4) overlapping windows — the windowing state
     multiplier a 100 TB/day stream must budget for (state keys ×4 vs
-    tumbling; watermark still bounds it). Same shared agg exprs as the
-    batch q_window_sliding, driven synchronously to completion."""
+    tumbling; watermark still bounds it). Driven synchronously to
+    completion; row-for-row equality with the batch q_window_sliding on
+    (window, count, sum) is asserted in tests/test_streaming.py."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -193,19 +183,13 @@ def run_streaming_tumbling_to_parquet(
     window: str = "1 hour",
 ) -> None:
     """Cluster-shaped sink: the same streaming aggregation written to
-    partitioned parquet via ``foreachBatch`` (exactly-once per micro-batch
-    under the checkpoint). ``complete`` mode + overwrite per batch keeps
-    closed windows idempotent; on a real stream you would switch to
-    ``update`` + MERGE into a table format."""
-    ensure_session_conf(spark)
-    batch_schema = spark.read.parquet(join_uri(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    stream = normalize_event_ts(stream)
+    a parquet directory via ``foreachBatch`` (exactly-once per
+    micro-batch under the checkpoint). ``complete`` mode + overwrite
+    per batch keeps closed windows idempotent; on a real stream you
+    would switch to ``update`` + MERGE into a table format, and
+    partition the sink (``write_parquet_partitioned``) once the
+    aggregate outgrows one directory."""
+    stream = _events_stream(spark, sf_dir)
     agg = streaming_tumbling_agg(stream, window=window)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -437,40 +421,37 @@ def run_streaming_append_sink_tx(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        m = table.manifest()
-        if m is not None:
-            meta = m.get("meta", {})
-            # replay watermark lives in the reserved meta["replay"] slot,
-            # which every other commit (optimize/merge/delete) carries
-            # forward — maintenance on the sink table cannot erase it.
-            # (Legacy manifests recorded the keys at meta top level.)
-            replay = meta.get("replay", meta)
-            rec = replay.get("ckpt_identity")
-            if rec is not None and rec != ckpt_identity:
-                raise ValueError(
-                    f"{root} was built by a different streaming query "
-                    f"(checkpoint identity {rec}, this query "
-                    f"{ckpt_identity}): appending a fresh stream onto an "
-                    "existing base would duplicate or drop batches. Point "
-                    "the sink at a new base_path or resume the original "
-                    "checkpoint."
-                )
-            if int(replay.get("applied_batch_id", -1)) >= batch_id:
-                return  # replayed batch: already committed atomically
-        # replay-check and append must be ATOMIC: expect_version pins
-        # the manifest the check was made against. If another writer (a
-        # racing starter of the same checkpoint) lands first, the
-        # CommitConflict loops back, RE-READS the marker — which now
-        # records the batch — and skips, where a blind append would
-        # duplicate every row of the batch.
+        # The COMPLETE replay check (identity + applied batch id) lives
+        # inside the CAS loop: replay-check and append must be ATOMIC
+        # (expect_version pins the manifest the check was made against),
+        # and every lost race must RE-RUN the whole check — a loop that
+        # re-checked only the batch id would let a FOREIGN-checkpoint
+        # writer's win register as "already applied" and silently drop
+        # this stream's batch instead of raising.
         from nyc_taxi_etl_pyspark_spark.sources.txtable import CommitConflict
 
         for _ in range(10):
             m = table.manifest()
             if m is not None:
-                replay = m.get("meta", {}).get("replay", m.get("meta", {}))
+                meta = m.get("meta", {})
+                # replay watermark lives in the reserved meta["replay"]
+                # slot, which every other commit (optimize/merge/delete)
+                # carries forward — maintenance on the sink table cannot
+                # erase it. (Legacy manifests recorded the keys at meta
+                # top level.)
+                replay = meta.get("replay", meta)
+                rec = replay.get("ckpt_identity")
+                if rec is not None and rec != ckpt_identity:
+                    raise ValueError(
+                        f"{root} was built by a different streaming query "
+                        f"(checkpoint identity {rec}, this query "
+                        f"{ckpt_identity}): appending a fresh stream onto "
+                        "an existing base would duplicate or drop batches. "
+                        "Point the sink at a new base_path or resume the "
+                        "original checkpoint."
+                    )
                 if int(replay.get("applied_batch_id", -1)) >= batch_id:
-                    return
+                    return  # replayed batch: already committed atomically
             try:
                 table.commit(
                     batch_df,
@@ -505,6 +486,65 @@ def run_streaming_append_sink_tx(
         q.stop()
 
 
+CDC_STATE_COLS = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
+
+
+def merged_cdc_state(
+    batch_df: DataFrame, base: DataFrame | None
+) -> DataFrame:
+    """Fold one CDC micro-batch into the per-key state table:
+    in-batch reduction (max_by on event time), count accumulation,
+    and latest-wins BY EVENT TIME against the base — module-level so
+    the out-of-order-batch protection is directly testable."""
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+
+    state_cols = CDC_STATE_COLS
+    updates = (
+        batch_df.groupBy("user_id", "event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    if base is None:
+        return updates.select(*state_cols)
+    base = base.select(*state_cols)
+    # Fold the base state into the update before the merge:
+    # n_events ACCUMULATES across batches (never replaces), and
+    # last_ts/last_value are latest-wins BY EVENT TIME against the
+    # base — a later micro-batch carrying only OLDER events for a
+    # key (out-of-order delivery) must not regress the recorded
+    # latest state, which a blind row replacement would.
+    prev = base.select(
+        "user_id",
+        "event_type",
+        F.col("n_events").alias("__prev_n"),
+        F.col("last_ts").alias("__prev_ts"),
+        F.col("last_value").alias("__prev_v"),
+    )
+    stale = F.col("__prev_ts") > F.col("last_ts")  # NULL-safe: new
+    # keys have NULL __prev_ts => condition false => update wins
+    updates = (
+        updates.join(prev, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.when(stale, F.col("__prev_ts"))
+            .otherwise(F.col("last_ts"))
+            .alias("last_ts"),
+            F.when(stale, F.col("__prev_v"))
+            .otherwise(F.col("last_value"))
+            .alias("last_value"),
+            (
+                F.col("n_events")
+                + F.coalesce(F.col("__prev_n"), F.lit(0))
+            ).alias("n_events"),
+        )
+    )
+    return merge_upsert(base, updates.select(*state_cols), ["user_id", "event_type"])
+
+
 def run_streaming_upsert_sink(
     spark: SparkSession,
     sf_dir: str,
@@ -531,7 +571,13 @@ def run_streaming_upsert_sink(
     ids restart at 0 under a fresh checkpoint, so an id-only marker
     would silently skip every batch of a new query pointed at an old
     base — instead that mismatch raises, because re-streaming into a
-    count-accumulating base double-counts.
+    count-accumulating base double-counts. Scope, honestly: the raise
+    requires a marker that CARRIES an identity (every marker this code
+    writes). A legacy rename-protocol base whose marker is id-only has
+    no identity to compare, so a fresh query pointed at it skips
+    batches up to the recorded id rather than raising — resuming such
+    a base needs its ORIGINAL checkpoint; retire legacy bases by
+    re-materializing through the manifest protocol.
 
     ``protocol`` selects how a commit becomes visible:
 
@@ -585,7 +631,7 @@ def run_streaming_upsert_sink(
 
         require_local_path(root, "run_streaming_upsert_sink(protocol='rename')")
     stream = _events_stream(spark, sf_dir)
-    state_cols = ["user_id", "event_type", "last_ts", "last_value", "n_events"]
+    state_cols = CDC_STATE_COLS
     marker = "_applied_batch_id"
     ckpt_identity = _checkpoint_identity(checkpoint_path)
     table = TransactionalTable(root, storage=storage) if protocol == "manifest" else None
@@ -628,32 +674,7 @@ def run_streaming_upsert_sink(
                 "rebuild from the stream."
             ) from None
 
-    def _merged_state(batch_df: DataFrame, base: DataFrame | None) -> DataFrame:
-        updates = (
-            batch_df.groupBy("user_id", "event_type")
-            .agg(
-                F.max("ts").alias("last_ts"),
-                F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
-                F.count("*").alias("n_events"),
-            )
-        )
-        if base is None:
-            return updates.select(*state_cols)
-        base = base.select(*state_cols)
-        # n_events must ACCUMULATE across batches, not replace: fold
-        # the base count into the update before the latest-wins merge.
-        prev = base.select(
-            "user_id", "event_type", F.col("n_events").alias("__prev_n")
-        )
-        updates = (
-            updates.join(prev, ["user_id", "event_type"], "left")
-            .withColumn(
-                "n_events",
-                F.col("n_events") + F.coalesce(F.col("__prev_n"), F.lit(0)),
-            )
-            .drop("__prev_n")
-        )
-        return merge_upsert(base, updates.select(*state_cols), ["user_id", "event_type"])
+    _merged_state = merged_cdc_state
 
     def apply_batch_manifest(batch_df: DataFrame, batch_id: int) -> None:
         m = table.manifest()
@@ -864,7 +885,8 @@ def run_streaming_corpus_dedup(
         .load()
     )
     q = (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(apply_batch)
         .option("checkpointLocation", base + "/ckpt")
         .start()
     )
@@ -919,13 +941,16 @@ def run_streaming_silver_agg(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    if not bronze.exists():
-        for i in range(3):
-            bronze.commit(
-                ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
-                mode="replace" if i == 0 else "append",
-                num_files=2,
-            )
+    # per-commit guard (not one exists() around all three): a run that
+    # died mid-bootstrap resumes exactly where it stopped instead of
+    # permanently streaming a partial bronze
+    while bronze.latest_version() < 2:
+        i = bronze.latest_version() + 1
+        bronze.commit(
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            mode="replace" if i == 0 else "append",
+            num_files=2,
+        )
     ckpt = base + "/ckpt"
     ident = _checkpoint_identity(ckpt)
 
@@ -986,7 +1011,8 @@ def run_streaming_silver_agg(
         .load()
     )
     q = (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
         .start()
     )

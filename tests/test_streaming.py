@@ -551,3 +551,34 @@ def test_streaming_silver_agg_exactly_once_contract(spark, sf_dir, tmp_path):
     # state untouched by the refused run; original checkpoint resumes
     out3 = run_streaming_silver_agg(spark, sf_dir)
     assert sorted(map(tuple, out3.collect())) == state1
+
+
+def test_cdc_state_merge_resists_out_of_order_batches(spark):
+    """merged_cdc_state: a later micro-batch carrying only OLDER events
+    for a key must not regress last_ts/last_value, while n_events still
+    accumulates — the cross-batch out-of-order case the in-batch max_by
+    cannot see."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import merged_cdc_state
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id int, event_type string, ts timestamp, value double, event_id int"
+        ).selectExpr("user_id", "event_type", "ts", "value", "event_id")
+
+    import datetime
+
+    t10 = datetime.datetime(2025, 1, 1, 10, 0)
+    t9 = datetime.datetime(2025, 1, 1, 9, 0)
+    b0 = batch([(1, "click", t10, 100.0, 1)])
+    state = merged_cdc_state(b0, None)
+    # batch 1: only an OLDER event for the same key
+    b1 = batch([(1, "click", t9, 50.0, 2)])
+    state = merged_cdc_state(b1, state)
+    row = state.collect()[0]
+    assert row.last_ts == t10 and row.last_value == 100.0  # no regress
+    assert row.n_events == 2  # but the count accumulated
+    # batch 2: a NEWER event wins normally
+    t11 = datetime.datetime(2025, 1, 1, 11, 0)
+    state = merged_cdc_state(batch([(1, "click", t11, 7.0, 3)]), state)
+    row = state.collect()[0]
+    assert row.last_ts == t11 and row.last_value == 7.0 and row.n_events == 3
