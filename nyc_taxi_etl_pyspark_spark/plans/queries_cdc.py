@@ -183,6 +183,107 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_expectations",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 13 != 0 AND o_totalprice > 0
+    """,
+)
+def q_tx_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time data-quality expectations (the Delta Live Tables
+    EXPECT shape, ``txtable.TransactionalTable.commit_with_expectations``):
+    orders is committed under two declared rules — a synthetic
+    ``o_orderkey % 13 != 0`` that quarantines every 13th order, and an
+    always-true ``o_totalprice > 0`` — with ``on_violation="quarantine"``,
+    so violating rows land in the sibling ``_quarantine`` table tagged
+    with the rules they broke, per-rule violation counts ride the
+    manifest meta, and ONLY passing rows become the snapshot. The query
+    reads the committed table back; the oracle is the conjunction of
+    the predicates over raw orders, proving the gate dropped exactly
+    the violators and the round-trip lost nothing. Fail-closed and
+    drop modes, the quarantine contents, and the manifest audit trail
+    are pinned in tests/test_txtable.py."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txexpect", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit_with_expectations(
+            o,
+            {
+                "key_not_13": "o_orderkey % 13 != 0",
+                "positive_price": "o_totalprice > 0",
+            },
+            on_violation="quarantine",
+        )
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_incremental_join_view",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name,
+           round(o.o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance by delta propagation: the
+    materialized view ``orders JOIN customer`` is refreshed from its
+    previous state plus the classic three delta terms
+
+        new_view = old_view UNION (dR JOIN S_old)
+                            UNION (R_old JOIN dS)
+                            UNION (dR JOIN dS)
+
+    (insert-only deltas; deletes retract via the same terms anti-joined,
+    upserts via q_merge_upsert on the view key). The deterministic split
+    — orders with ``o_orderkey % 10 < 7`` and customers with
+    ``c_custkey % 4 != 0`` stand in for yesterday's snapshots, the
+    complements for today's arrivals — lets the oracle be the FULL
+    recompute join: matching proves the algebra drops and duplicates
+    nothing. This is the join analogue of q_incremental_agg's partial
+    re-aggregation; at 100 TB the three delta joins each have at least
+    one delta-sized (small, broadcastable) side, so a refresh costs
+    O(|delta| + |matches|) instead of re-shuffling both full tables —
+    the difference between an hourly view refresh scanning an hour and
+    scanning a decade."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    r_old = o.where(F.pmod(F.col("o_orderkey"), F.lit(10)) < 7)
+    r_new = o.where(~(F.pmod(F.col("o_orderkey"), F.lit(10)) < 7))
+    s_old = c.where(F.pmod(F.col("c_custkey"), F.lit(4)) != 0)
+    s_new = c.where(~(F.pmod(F.col("c_custkey"), F.lit(4)) != 0))
+
+    def j(r: DataFrame, s: DataFrame) -> DataFrame:
+        return r.join(s, r["o_custkey"] == s["c_custkey"]).select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        )
+
+    old_view = j(r_old, s_old)
+    return (
+        old_view.unionByName(j(r_new, s_old))
+        .unionByName(j(r_old, s_new))
+        .unionByName(j(r_new, s_new))
+    )
+
+
+@query(
     "q_tx_change_feed",
     oracle="""
     WITH base AS (

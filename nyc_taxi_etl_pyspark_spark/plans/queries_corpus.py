@@ -300,6 +300,100 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_duplicate_spans",
+    oracle="""
+    WITH spans AS (
+      SELECT d.doc_id, substr(d.text, g.pos, 32) AS span
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(length(d.text) - 31, 1), 16)) AS pos) g
+    ), per AS (
+      SELECT span, doc_id, count(*) AS k FROM spans GROUP BY 1, 2
+    ), dup_spans AS (
+      SELECT span FROM per GROUP BY span HAVING count(*) >= 2
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1
+    ), dup AS (
+      SELECT p.doc_id, CAST(sum(p.k) AS BIGINT) AS n_dup_spans
+      FROM per p JOIN dup_spans USING (span) GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_spans,
+           coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+           round(CAST(coalesce(d.n_dup_spans, 0) AS DOUBLE)
+                 / t.n_spans + 1e-9, 4) AS dup_ratio
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, re-shaped for Spark): slide a 32-char
+    window at stride 16 over every document, and flag each sampled
+    position whose exact content also occurs in at least one OTHER
+    document. Per doc: sampled span count, cross-doc duplicated span
+    count, and their ratio — the score a curation pipeline thresholds
+    to drop boilerplate-heavy documents that document-level near-dup
+    (MinHash, q_dedup_minhash) cannot see because only a passage
+    repeats, not the whole text.
+
+    Scale shape: span volume is |corpus chars| / stride rows of one
+    8-byte ``xxhash64`` key each (the suffix-array of the paper is
+    replaced by a sampled hash join — no global sort, no in-memory
+    index); the only wide operation is the hash-partitioned groupBy on
+    the span hash, then a |dup hashes|-sized self-join back. Stride
+    halves trade recall of short duplicated runs for shuffle volume —
+    any duplicated run of >= 47 chars (L + S - 1) is guaranteed to
+    contain a sampled window at the same offset in both copies only
+    when copies are stride-aligned; production stride-1 runs make the
+    guarantee unconditional at 16x the (still linear) volume. The
+    oracle replays the same windows on raw substrings; the engine
+    groups on their 64-bit hash (collision-free at any realistic
+    corpus: 2^-64 per pair, and a collision would only merge two span
+    classes)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - F.lit(31), F.lit(1)),
+                F.lit(16),
+            )
+        ).alias("__pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.xxhash64(F.expr("substring(text, __pos, 32)")).alias("__h"),
+    )
+    per = spans.groupBy("__h", "doc_id").agg(F.count("*").alias("__k"))
+    dup_hashes = (
+        per.groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    tot = per.groupBy("doc_id").agg(F.sum("__k").alias("n_spans"))
+    dup = (
+        per.join(dup_hashes, "__h")
+        .groupBy("doc_id")
+        .agg(F.sum("__k").alias("__dup"))
+    )
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("n_dup_spans"),
+            stable_round(
+                F.coalesce(F.col("__dup"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
     "q_sequence_packing",
     oracle=f"""
     WITH t AS (

@@ -90,6 +90,11 @@ class CommitConflict(Exception):
     Re-read the table and retry the read-modify-write."""
 
 
+class ExpectationViolation(ValueError):
+    """``commit_with_expectations(on_violation="fail")`` found rows
+    violating a declared expectation; nothing was committed."""
+
+
 class LocalStorage:
     """POSIX-backed storage. put-if-absent = write temp + ``os.link``:
     the link is atomic, fails with EEXIST when the key exists, and the
@@ -1219,6 +1224,106 @@ class TransactionalTable:
                     "re-read and retry"
                 )
             # blind replace/append: rebase on the winner and retry
+
+    def commit_with_expectations(
+        self,
+        df: DataFrame,
+        expectations: dict[str, str],
+        *,
+        on_violation: str = "quarantine",
+        quarantine_root: str | None = None,
+        **commit_kwargs,
+    ) -> int:
+        """Commit ``df`` gated by declared data-quality expectations
+        (the Delta Live Tables ``EXPECT`` shape): each entry maps an
+        expectation name to a SQL boolean predicate; a row PASSES an
+        expectation when the predicate is TRUE (NULL counts as a
+        violation, so ``x > 0`` quarantines NULL x).
+
+        ``on_violation``:
+          - ``"quarantine"`` (default): violating rows are appended to a
+            sibling transactional table (``<root>_quarantine`` unless
+            ``quarantine_root`` is given) with ``__failed_expectations``
+            naming the violated rules; passing rows are committed here.
+          - ``"drop"``: violating rows are discarded (counts still
+            recorded).
+          - ``"fail"``: any violation raises :class:`ExpectationViolation`
+            and commits NOTHING (the CI-gate mode).
+
+        Per-expectation violation counts, the total row/violation
+        counts, and the predicates themselves ride the committed
+        manifest under ``meta["expectations"]`` — the audit trail a
+        data contract needs (``describe()`` surfaces it). Cost: one
+        dedicated counting aggregate over ``df`` before the filtered
+        stage write. Catalyst prunes that scan to only the columns the
+        predicates reference, and at scale the count can instead ride
+        the staging action itself via ``DataFrame.observe`` — kept
+        separate here because ``fail`` must decide BEFORE any file is
+        staged, and the split keeps commit() untouched.
+
+        Returns the committed version (of the PASSING rows). All other
+        keyword arguments pass through to :meth:`commit`.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if on_violation not in ("quarantine", "drop", "fail"):
+            raise ValueError(
+                f"on_violation={on_violation!r}: expected "
+                "'quarantine', 'drop' or 'fail'"
+            )
+        if not expectations:
+            raise ValueError("expectations must be a non-empty dict")
+        flags = {
+            name: F.coalesce(F.expr(pred), F.lit(False))
+            for name, pred in expectations.items()
+        }
+        all_pass = reduce(lambda a, b: a & b, flags.values())
+        counts = df.agg(
+            F.count(F.lit(1)).alias("__rows__"),
+            F.sum((~all_pass).cast("long")).alias("__failed__"),
+            *[
+                F.sum((~flag).cast("long")).alias(name)
+                for name, flag in flags.items()
+            ],
+        ).first()
+        rows_seen = int(counts["__rows__"] or 0)
+        failed = int(counts["__failed__"] or 0)
+        audit = {
+            "rows_seen": rows_seen,
+            "rows_failed": failed,
+            "on_violation": on_violation,
+            "predicates": dict(expectations),
+            "violations": {n: int(counts[n] or 0) for n in expectations},
+        }
+        if failed and on_violation == "fail":
+            raise ExpectationViolation(
+                f"{self.root}: {failed}/{rows_seen} rows violate "
+                f"expectations {audit['violations']}; nothing committed"
+            )
+        if failed and on_violation == "quarantine":
+            qroot = quarantine_root or self.root + "_quarantine"
+            qtable = TransactionalTable(qroot, storage=type(self.storage)(qroot))
+            bad = df.filter(~all_pass).withColumn(
+                "__failed_expectations",
+                F.array_compact(
+                    F.array(
+                        *[
+                            F.when(~flag, F.lit(name))
+                            for name, flag in flags.items()
+                        ]
+                    )
+                ),
+            )
+            qtable.commit(
+                bad,
+                mode="append" if qtable.exists() else "replace",
+                meta={"expectations": audit},
+            )
+        meta = dict(commit_kwargs.pop("meta", None) or {})
+        meta["expectations"] = audit
+        return self.commit(df.filter(all_pass), meta=meta, **commit_kwargs)
 
     # -- maintenance -------------------------------------------------------
     def optimize(

@@ -1706,3 +1706,71 @@ def test_legacy_encoded_manifest_upgrades_on_read(spark, tmp_path):
     }
     assert vals2 == {"p%3Aq"}
     assert [r.id for r in t2.read(spark, partitions={"grp": ["p%3Aq"]}).collect()] == [9]
+
+
+def test_expectations_quarantine_splits_and_audits(spark, tmp_path):
+    """commit_with_expectations(on_violation='quarantine'): passing rows
+    become the snapshot, violators land in the sibling quarantine table
+    tagged with the rules they broke, and per-rule counts ride the
+    manifest meta."""
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.when(F.col("id") % 20 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("val"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    v = t.commit_with_expectations(
+        df,
+        {
+            "bucket_nonzero": "bucket != 0",  # fails ids 0,10,...,90
+            "val_present": "val IS NOT NULL",  # fails ids 0,20,...,80 (NULL)
+        },
+    )
+    assert v == 0
+    good = t.read(spark)
+    ids = sorted(r["id"] for r in good.collect())
+    assert ids == sorted(i for i in range(100) if i % 10 != 0 and i % 20 != 0)
+    audit = t.manifest()["meta"]["expectations"]
+    assert audit["rows_seen"] == 100
+    assert audit["violations"] == {"bucket_nonzero": 10, "val_present": 5}
+    assert audit["rows_failed"] == 10  # union, not sum: overlap at %20==0
+    # quarantine holds exactly the complement, tagged per-rule
+    q = TransactionalTable(str(tmp_path / "t_quarantine"))
+    bad = {r["id"]: sorted(r["__failed_expectations"]) for r in q.read(spark).collect()}
+    assert sorted(bad) == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    assert bad[10] == ["bucket_nonzero"]
+    assert bad[20] == ["bucket_nonzero", "val_present"]
+    # NULL predicate result counts as a violation (fail-closed)
+    assert "val_present" in bad[0]
+
+
+def test_expectations_fail_mode_commits_nothing(spark, tmp_path):
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import ExpectationViolation
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    with pytest.raises(ExpectationViolation, match="violate"):
+        t.commit_with_expectations(
+            spark.range(10).select("id"),
+            {"small": "id < 5"},
+            on_violation="fail",
+        )
+    assert not t.exists()  # nothing staged into a manifest
+    # a clean frame under the same gate commits normally
+    t.commit_with_expectations(
+        spark.range(5).select("id"), {"small": "id < 5"}, on_violation="fail"
+    )
+    assert t.read(spark).count() == 5
+    audit = t.manifest()["meta"]["expectations"]
+    assert audit["rows_failed"] == 0 and audit["violations"] == {"small": 0}
+
+
+def test_expectations_drop_mode_discards_but_counts(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit_with_expectations(
+        spark.range(10).select("id"), {"even": "id % 2 = 0"}, on_violation="drop"
+    )
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 2, 4, 6, 8]
+    assert t.manifest()["meta"]["expectations"]["violations"] == {"even": 5}
+    assert not os.path.isdir(str(tmp_path / "t_quarantine"))
