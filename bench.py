@@ -78,6 +78,10 @@ HEADLINE = [
     # carries its scale-safe sorted-neighborhood replacement instead.
     # Both stay registered and correctness-checked.
     "q_record_linkage_snb",
+    # round-4 addition: the sampled substring-dedup signal — linear span
+    # volume, one 8-byte-key shuffle; the passage-level complement to
+    # q_dedup_minhash in the headline dedup family.
+    "q_duplicate_spans",
 ]
 
 

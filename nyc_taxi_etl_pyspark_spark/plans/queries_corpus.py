@@ -656,3 +656,91 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_corpus_dedup(
         spark, sf_dir, query_name="q_streaming_corpus_dedup"
     )
+
+
+@query(
+    "q_bm25_score",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, toks, len(toks) AS dl
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ), g AS (
+      SELECT count(*) AS n, sum(dl) AS sum_dl FROM d
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+      WHERE t IN ('merge', 'window', 'vector')
+      GROUP BY 1, 2
+    ), dft AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), j AS (
+      SELECT tf.doc_id, tf.t,
+             ln((g.n - dft.df + 0.5) / (dft.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                               / (CAST(g.sum_dl AS DOUBLE) / g.n))) AS c
+      FROM tf JOIN dft USING (t) CROSS JOIN g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_terms,
+           round(coalesce(sum(CASE WHEN t = 'merge' THEN c END), 0)
+               + coalesce(sum(CASE WHEN t = 'window' THEN c END), 0)
+               + coalesce(sum(CASE WHEN t = 'vector' THEN c END), 0)
+               + 1e-9, 4) AS bm25
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring of the corpus against a fixed query
+    (terms: merge, window, vector; k1=1.2, b=0.75) — the
+    retrieval-standard upgrade of q_tfidf_top_terms' TF-IDF, with
+    per-document length normalization and saturating term frequency.
+    Plan shape at 100 TB: documents explode to (doc, query-term) hits
+    FILTERED to the |Q| query terms before any shuffle (token volume
+    drops to matches only), the |Q|-bounded df table and the 1-row
+    (N, sum_dl) corpus stats BROADCAST back, and the big side shuffles
+    once on doc_id for the final per-doc sum. Determinism: avgdl is
+    computed as exact-integer sum(dl)/N (never a float avg whose
+    partial-agg order drifts), and the <=|Q| per-doc contributions are
+    added in FIXED literal term order via conditional sums, not a
+    float sum over nondeterministically-ordered rows — both engines
+    evaluate the identical expression tree, so the 4-decimal hash
+    holds."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+        .select("doc_id", "__toks", F.size("__toks").alias("__dl"))
+    )
+    terms = ["merge", "window", "vector"]
+    stats = d.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sum_dl")
+    )
+    tf = (
+        d.select("doc_id", "__dl", F.explode("__toks").alias("__t"))
+        .where(F.col("__t").isin(terms))
+        .groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n")
+    contrib = (
+        F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
+        * F.col("__tf")
+        * 2.2
+        / (F.col("__tf") + 1.2 * (0.25 + 0.75 * F.col("__dl") / avgdl))
+    )
+    j = (
+        tf.join(F.broadcast(dft), "__t")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "__t", contrib.alias("__c"))
+    )
+    term_sum = [
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == t, F.col("__c"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        stable_round(term_sum[0] + term_sum[1] + term_sum[2], 4).alias("bm25"),
+    )

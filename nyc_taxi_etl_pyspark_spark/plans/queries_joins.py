@@ -347,3 +347,71 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh, F.floor(F.col("click_ts_last").cast("double")).cast("bigint")
         ).alias("last_click_epoch_s"),
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           round(o.o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED TABLES (§2.11): orders
+    and customer are both materialized ``CLUSTERED BY`` the join key
+    into the same bucket count (8), so each side's scan already carries
+    hash partitioning on o_custkey/c_custkey and the sort-merge join
+    plans with ZERO Exchange — the bucketing pays the shuffle ONCE at
+    write time and every subsequent join/aggregation on the key rides
+    it free. This is the batch complement to broadcast (q_join_
+    broadcast_lookup: dim too big to broadcast, key too hot to reshuffle
+    per query) and the design rule the 100 TB layout depends on: fact
+    tables bucketed on their primary join key amortize the dominant
+    exchange across the whole query mix. The exchange-free plan is
+    asserted in tests/test_scale_techniques.py; the oracle is the plain
+    join, proving bucketing is semantically invisible. Tables are
+    external (LOCATION in the per-fixture scratch dir) and re-registered
+    idempotently, so a vanilla driver session rebuilds metadata but
+    reuses the bucketed files."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+
+    scratch = fixture_scratch_dir("spark_graft_bucketed", sf_dir)
+    tag = hashlib.sha256(scratch.encode()).hexdigest()[:8]
+    specs = [
+        (
+            f"bkt_orders_{tag}",
+            "orders",
+            "o_custkey",
+            "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        (
+            f"bkt_customer_{tag}",
+            "customer",
+            "c_custkey",
+            "c_custkey BIGINT, c_name STRING",
+            ["c_custkey", "c_name"],
+        ),
+    ]
+    for name, src, key, ddl_cols, cols in specs:
+        import os
+
+        os.makedirs(f"{scratch}/{src}", exist_ok=True)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl_cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) INTO 8 BUCKETS "
+            f"LOCATION '{scratch}/{src}'"
+        )
+        if spark.table(name).limit(1).count() == 0:
+            load_table(spark, sf_dir, src).select(*cols).write.insertInto(name)
+    o = spark.table(specs[0][0])
+    c = spark.table(specs[1][0])
+    return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

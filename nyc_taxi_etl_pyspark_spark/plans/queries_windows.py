@@ -295,3 +295,77 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "value", stable_round(F.col("__z"), 4).alias("z")
         )
     )
+
+
+@query(
+    "q_window_ewma",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(
+             list_reduce(list_transform(generate_series(1, len(l)),
+                           i -> l[i] * pow(0.8, len(l) - i)), (a, b) -> a + b)
+             / list_reduce(list_transform(generate_series(1, len(l)),
+                           i -> pow(0.8, len(l) - i)), (a, b) -> a + b)
+             + 1e-9, 4) AS ewma
+    FROM w
+    """,
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over event time —
+    the time-series smoothing primitive (trend extraction, anomaly
+    baselines) that plain SQL windows cannot express because EWMA's
+    recurrence s_t = a*x_t + (1-a)*s_{t-1} references its own previous
+    output. Spark-first spelling WITHOUT a stateful UDF: truncate the
+    (geometrically vanishing) tail to the last 20 observations, so the
+    recurrence becomes a FINITE weighted sum over an ordinary window
+    frame — collect the frame with ``collect_list`` (frame order is the
+    window order, tie-broken by event_id) and fold it JVM-side with
+    indexed ``transform`` + ``aggregate`` higher-order functions:
+    weights pow(0.8, n-1-i), normalized by the same folded weight sum
+    (finite-window normalization, pandas ``ewm(alpha=0.2).mean()``'s
+    convention). Truncation error is bounded by 0.8^20 ≈ 1.2% of the
+    oldest mass — below the 4-decimal round — and the oracle replays
+    the IDENTICAL left-fold via list_reduce, so the hash check pins
+    both the frame contents and the fold. One shuffle on user_id; the
+    frame list is 20 elements regardless of history length, so state
+    per row is O(20), not O(history) — at 100 TB this outperforms an
+    applyInPandas re-sort of every user's full history and never holds
+    a whole user in one task's memory."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    l = F.collect_list("value").over(w)
+    n = F.size(F.col("__l"))
+    num = F.aggregate(
+        F.transform(
+            F.col("__l"),
+            lambda x, i: x * F.pow(F.lit(0.8), n - 1 - i),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.col("__l"),
+            lambda x, i: F.pow(F.lit(0.8), n - 1 - i),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        e.select("event_id", "user_id", l.alias("__l"))
+        .select(
+            "event_id",
+            "user_id",
+            stable_round(num / den, 4).alias("ewma"),
+        )
+    )

@@ -840,3 +840,25 @@ def test_compact_parquet_recovery_reaps_and_restores(spark, sf_dir, tmp_path):
         for p in os.listdir(str(tmp_path))
         if ".compact_old-" in p or ".compact_new-" in p
     ]
+
+
+def test_join_bucketed_registry_query_plan_and_idempotence(spark, sf_dir):
+    """q_join_bucketed (registry surface over external CLUSTERED BY
+    tables): with broadcast disabled the join must plan exchange-free
+    sort-merge (each bucketed scan already carries hash partitioning),
+    and a second invocation — a fresh driver session's re-registration
+    path — must reuse the bucketed files rather than re-inserting."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    q = all_queries()["q_join_bucketed"]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(spark, sf_dir)
+        plan = _executed_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        n1 = df.count()
+        # idempotent rebuild: same row count, no duplicate insert
+        assert q(spark, sf_dir).count() == n1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
