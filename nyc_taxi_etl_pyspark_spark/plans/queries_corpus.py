@@ -338,9 +338,11 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: span volume is |corpus chars| / stride rows of one
     8-byte ``xxhash64`` key each (the suffix-array of the paper is
-    replaced by a sampled hash join — no global sort, no in-memory
-    index); the only wide operation is the hash-partitioned groupBy on
-    the span hash, then a |dup hashes|-sized self-join back. Stride
+    replaced by a sampled hash-partitioned count — no global sort, no
+    in-memory index); three shuffles total — (hash, doc) partial agg,
+    a whole-partition window on the hash (rows per hash after the
+    per-doc collapse = distinct docs carrying the span), one per-doc
+    aggregate — and no join-back. Stride
     halves trade recall of short duplicated runs for shuffle volume —
     any duplicated run of >= 47 chars (L + S - 1) is guaranteed to
     contain a sampled window at the same offset in both copies only
@@ -365,28 +367,25 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64(F.expr("substring(text, __pos, 32)")).alias("__h"),
     )
+    # Three shuffles total, no join-back: (h, doc) partial-agg, a
+    # whole-partition window on h (count of rows per hash AFTER the
+    # per-doc collapse == distinct docs carrying the span), then one
+    # per-doc aggregate computing total and duplicated counts together.
     per = spans.groupBy("__h", "doc_id").agg(F.count("*").alias("__k"))
-    dup_hashes = (
-        per.groupBy("__h")
-        .agg(F.count("*").alias("__nd"))
-        .where(F.col("__nd") >= 2)
-        .select("__h")
-    )
-    tot = per.groupBy("doc_id").agg(F.sum("__k").alias("n_spans"))
-    dup = (
-        per.join(dup_hashes, "__h")
-        .groupBy("doc_id")
-        .agg(F.sum("__k").alias("__dup"))
-    )
+    nd = F.count("*").over(Window.partitionBy("__h"))
     return (
-        tot.join(dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_spans",
-            F.coalesce(F.col("__dup"), F.lit(0)).alias("n_dup_spans"),
+        per.select("doc_id", "__k", nd.alias("__nd"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__k").alias("n_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("__nd") >= 2, F.col("__k"))), F.lit(0)
+            ).alias("n_dup_spans"),
             stable_round(
-                F.coalesce(F.col("__dup"), F.lit(0)).cast("double")
-                / F.col("n_spans"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__nd") >= 2, F.col("__k"))), F.lit(0)
+                ).cast("double")
+                / F.sum("__k"),
                 4,
             ).alias("dup_ratio"),
         )
