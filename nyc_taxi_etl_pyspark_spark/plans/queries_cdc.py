@@ -284,6 +284,62 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mv_join_refresh",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name,
+           round(o.o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN view maintained through the commit log
+    (``operators/mv.py::refresh_join_view`` — the operator form of
+    q_incremental_join_view's algebra): orders and customer are
+    committed in two append batches each (the same deterministic
+    %10/%4 splits), the view bootstraps with a full materialization
+    after batch 1, and the second refresh APPENDS only the three delta
+    terms — ΔL and ΔR resolved by ``read_appended`` from the manifest
+    file-set difference, so the refresh opens only the appended files
+    plus the version-pinned old snapshots. The result read back from
+    the view table must equal the oracle's full-recompute join over
+    ALL the data: the whole protocol — delta extraction, delta
+    propagation, append commit, recorded base versions — is
+    hash-proven, not just the algebra. Non-append windows and refresh
+    races are pinned in tests/test_txtable.py."""
+    from nyc_taxi_etl_pyspark_spark.operators.mv import refresh_join_view
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    root = fixture_scratch_dir("spark_graft_mvjoin", sf_dir)
+    left = TransactionalTable(root + "/orders")
+    right = TransactionalTable(root + "/customer")
+    view = TransactionalTable(root + "/view")
+
+    def join_fn(l: DataFrame, r: DataFrame) -> DataFrame:
+        return l.join(r, l["o_custkey"] == r["c_custkey"]).select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        )
+
+    if not view.exists():
+        o_old = F.pmod(F.col("o_orderkey"), F.lit(10)) < 7
+        c_old = F.pmod(F.col("c_custkey"), F.lit(4)) != 0
+        left.commit(o.where(o_old))
+        right.commit(c.where(c_old))
+        refresh_join_view(spark, left, right, view, join_fn)  # bootstrap
+        left.commit(o.where(~o_old), mode="append")
+        right.commit(c.where(~c_old), mode="append")
+        refresh_join_view(spark, left, right, view, join_fn)  # delta append
+    return view.read(spark)
+
+
+@query(
     "q_tx_change_feed",
     oracle="""
     WITH base AS (

@@ -648,6 +648,61 @@ class TransactionalTable:
                     df = df.where(F.col(col) == F.lit(v))
         return df
 
+    def read_appended(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots as a DataFrame, resolved
+        purely from the manifest file-set difference — the O(|delta|)
+        change feed for append-only windows (no snapshot join, no full
+        scan; the planner opens ONLY the appended files). This is what
+        makes incremental consumers (materialized-view refresh,
+        ``operators/mv.py``; the streaming source, ``txstream.py``)
+        cost proportional to the delta instead of the table.
+
+        Raises ``ValueError`` when any file of ``from_version`` is
+        absent from ``to_version`` — a compaction/delete/replace inside
+        the window means the file diff no longer equals the row delta;
+        the caller must fall back to ``changes()`` (snapshot diff) or a
+        full refresh. ``from_version=-1`` returns the whole target
+        snapshot (the bootstrap read)."""
+        if from_version < 0:
+            return self.read(spark, to_version)
+        m0 = self.manifest(from_version)
+        m1 = self.manifest(to_version)
+        if m0 is None or m1 is None:
+            raise FileNotFoundError(
+                f"{self.root}: missing manifest for appended-window read "
+                f"(from v{from_version}, to "
+                f"{'latest' if to_version is None else f'v{to_version}'})"
+            )
+        old_files = set(m0["files"])
+        removed = old_files - set(m1["files"])
+        if removed:
+            raise ValueError(
+                f"{self.root}: window v{m0['version']}→v{m1['version']} is "
+                f"not append-only ({len(removed)} file(s) rewritten or "
+                "removed — compaction/delete/replace); use changes() or a "
+                "full refresh"
+            )
+        new_files = [f for f in m1["files"] if f not in old_files]
+        reader = spark.read
+        if m1.get("partition_by"):
+            reader = reader.option("basePath", self.storage.url(DATA_DIR))
+        if m1.get("mixed_schemas"):
+            reader = reader.option("mergeSchema", "true")
+        if not new_files:
+            anchor = m1["files"] or m0["files"]
+            if not anchor:
+                raise FileNotFoundError(
+                    f"{self.root}: no files in either snapshot to derive "
+                    "a schema from"
+                )
+            return reader.parquet(self.storage.url(anchor[0])).limit(0)
+        return reader.parquet(*[self.storage.url(f) for f in new_files])
+
     def exists(self) -> bool:
         return self.latest_version() >= 0
 

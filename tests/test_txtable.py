@@ -1774,3 +1774,95 @@ def test_expectations_drop_mode_discards_but_counts(spark, tmp_path):
     assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 2, 4, 6, 8]
     assert t.manifest()["meta"]["expectations"]["violations"] == {"even": 5}
     assert not os.path.isdir(str(tmp_path / "t_quarantine"))
+
+
+def test_read_appended_resolves_delta_from_manifests(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).select("id"), mode="append", num_files=2)
+    v1 = t.commit(spark.range(10, 25).select("id"), mode="append", num_files=2)
+    d = t.read_appended(spark, 0, v1)
+    assert sorted(r["id"] for r in d.collect()) == list(range(10, 25))
+    # same-version window: empty frame, schema intact
+    assert t.read_appended(spark, v1, v1).count() == 0
+    assert t.read_appended(spark, v1, v1).columns == ["id"]
+    # bootstrap sentinel reads the whole snapshot
+    assert t.read_appended(spark, -1).count() == 25
+    # a rewrite inside the window breaks file-diff == row-delta: refuse
+    t.optimize(spark, target_rows_per_file=100)
+    with pytest.raises(ValueError, match="not append-only"):
+        t.read_appended(spark, 0)
+
+
+def test_mv_incremental_join_refresh_matches_full_recompute(spark, tmp_path):
+    """operators/mv.py: the view maintained by delta propagation over
+    three append schedules (left only, right only, both) must equal the
+    full-recompute join at every step, refresh only APPENDS, a
+    no-change refresh is a no-op, and a non-append base window raises
+    with full_refresh as the documented recovery."""
+    from nyc_taxi_etl_pyspark_spark.operators.mv import (
+        full_refresh_join_view,
+        refresh_join_view,
+    )
+
+    left = TransactionalTable(str(tmp_path / "L"))
+    right = TransactionalTable(str(tmp_path / "R"))
+    view = TransactionalTable(str(tmp_path / "V"))
+
+    def join_fn(l, r):
+        return l.join(r, l["k"] == r["rk"]).select("lid", "k", "rv")
+
+    def lbatch(ids):
+        return spark.createDataFrame(
+            [(i, i % 5) for i in ids], "lid int, k int"
+        )
+
+    def rbatch(keys):
+        return spark.createDataFrame(
+            [(k, k * 100) for k in keys], "rk int, rv int"
+        )
+
+    def check():
+        got = sorted(map(tuple, view.read(spark).collect()))
+        want = sorted(
+            map(tuple, join_fn(left.read(spark), right.read(spark)).collect())
+        )
+        assert got == want
+
+    left.commit(lbatch(range(10)))
+    right.commit(rbatch([0, 1, 2]))
+    s = refresh_join_view(spark, left, right, view, join_fn)
+    assert s["mode"] == "full"
+    check()
+    # left-only append
+    left.commit(lbatch(range(10, 20)), mode="append")
+    s = refresh_join_view(spark, left, right, view, join_fn)
+    assert s["mode"] == "incremental"
+    check()
+    # right-only append (new key 3 joins OLD left rows too)
+    right.commit(rbatch([3]), mode="append")
+    s = refresh_join_view(spark, left, right, view, join_fn)
+    assert s["mode"] == "incremental"
+    check()
+    # both sides advance in one window (the ΔL⋈ΔR term matters: key 4)
+    left.commit(lbatch(range(20, 30)), mode="append")
+    right.commit(rbatch([4]), mode="append")
+    s = refresh_join_view(spark, left, right, view, join_fn)
+    assert s["mode"] == "incremental"
+    check()
+    # nothing new: noop, no commit
+    v_before = view.latest_version()
+    assert refresh_join_view(spark, left, right, view, join_fn)["mode"] == "noop"
+    assert view.latest_version() == v_before
+    # compaction on a base breaks the append-only window: refuse loudly,
+    # recover with a full refresh
+    left.optimize(spark, target_rows_per_file=1000)
+    left.commit(lbatch(range(30, 35)), mode="append")
+    with pytest.raises(ValueError, match="not append-only"):
+        refresh_join_view(spark, left, right, view, join_fn)
+    s = full_refresh_join_view(spark, left, right, view, join_fn)
+    assert s["mode"] == "full"
+    check()
+    # and incremental resumes cleanly on top of the full refresh
+    left.commit(lbatch(range(35, 40)), mode="append")
+    assert refresh_join_view(spark, left, right, view, join_fn)["mode"] == "incremental"
+    check()
