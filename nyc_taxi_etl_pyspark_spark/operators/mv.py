@@ -70,6 +70,59 @@ def full_refresh_join_view(
     }
 
 
+def refresh_agg_view(
+    spark: SparkSession,
+    base: TransactionalTable,
+    view: TransactionalTable,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    merge_fn: Callable[[DataFrame], DataFrame],
+) -> dict:
+    """Incrementally refresh an AGGREGATE view (q_incremental_agg's
+    partial re-aggregation, wired to real table state): the view stores
+    per-key PARTIAL STATE — ``partial_fn(rows) -> state`` must produce
+    mergeable monoid partials (count/sum/min/max; carry avg as
+    sum+count and divide at read time) and ``merge_fn(state ∪ state) ->
+    state`` must re-aggregate them — and a refresh folds only the
+    appended delta:
+
+        new_state = merge_fn(old_state ∪ partial_fn(Δbase))
+
+    with Δbase from ``read_appended`` (manifest file-set diff). The
+    view is REPLACED each refresh — correct and cheap because state is
+    |keys| rows, not |base| rows; the base is never re-scanned.
+    Optimistic concurrency via ``expect_version``; non-append base
+    windows raise ``ValueError`` (re-bootstrap by vacating the view or
+    recompute via a fresh ``partial_fn(base.read())``)."""
+    m, app = _mv_state(view)
+    state = app.get("mv")
+    bv = base.latest_version()
+    if m is None or state is None:
+        result = partial_fn(base.read(spark))
+        app["mv"] = {"base_version": bv}
+        version = view.commit(result, mode="replace", meta={"app": app})
+        return {"mode": "full", "view_version": version, "base_version": bv}
+    b0 = state["base_version"]
+    if b0 == bv:
+        return {
+            "mode": "noop",
+            "view_version": m["version"],
+            "base_version": bv,
+        }
+    delta = base.read_appended(spark, b0, bv)
+    new_state = merge_fn(
+        view.read(spark).unionByName(partial_fn(delta))
+    )
+    app["mv"] = {"base_version": bv}
+    version = view.commit(
+        new_state, mode="replace", expect_version=m["version"], meta={"app": app}
+    )
+    return {
+        "mode": "incremental",
+        "view_version": version,
+        "base_version": bv,
+    }
+
+
 def refresh_join_view(
     spark: SparkSession,
     left: TransactionalTable,

@@ -340,6 +340,72 @@ def q_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mv_agg_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(min(value) + 1e-9, 4) AS min_value,
+           round(max(value) + 1e-9, 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_mv_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate materialized view maintained through the commit log
+    (``operators/mv.py::refresh_agg_view`` — the operator form of
+    q_incremental_agg's partial re-aggregation): events is committed in
+    two append batches (the %10<7 split), the view bootstraps from
+    batch 1's partials, and the second refresh folds ONLY the appended
+    delta — read via ``read_appended``'s manifest file-set diff — into
+    the |keys|-row state with one monoid merge, replacing the tiny view
+    snapshot. The finalized read-back must equal the oracle's full
+    recompute over all events: refresh cost scales with the delta, the
+    base is never re-scanned, and the recorded base version makes the
+    refresh idempotent."""
+    from nyc_taxi_etl_pyspark_spark.operators.mv import refresh_agg_view
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = fixture_scratch_dir("spark_graft_mvagg", sf_dir)
+    base = TransactionalTable(root + "/events")
+    view = TransactionalTable(root + "/view")
+
+    def partial_fn(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("__c"),
+            F.sum("value").alias("__s"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        )
+
+    def merge_fn(states: DataFrame) -> DataFrame:
+        return states.groupBy("event_type").agg(
+            F.sum("__c").alias("__c"),
+            F.sum("__s").alias("__s"),
+            F.min("__mn").alias("__mn"),
+            F.max("__mx").alias("__mx"),
+        )
+
+    if not view.exists():
+        is_old = F.pmod(F.col("event_id"), F.lit(10)) < 7
+        base.commit(ev.where(is_old))
+        refresh_agg_view(spark, base, view, partial_fn, merge_fn)
+        base.commit(ev.where(~is_old), mode="append")
+        refresh_agg_view(spark, base, view, partial_fn, merge_fn)
+    return view.read(spark).select(
+        "event_type",
+        F.col("__c").alias("n_events"),
+        stable_round(F.col("__s"), 4).alias("sum_value"),
+        stable_round(F.col("__mn"), 4).alias("min_value"),
+        stable_round(F.col("__mx"), 4).alias("max_value"),
+    )
+
+
+@query(
     "q_tx_change_feed",
     oracle="""
     WITH base AS (

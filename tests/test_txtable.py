@@ -1866,3 +1866,47 @@ def test_mv_incremental_join_refresh_matches_full_recompute(spark, tmp_path):
     left.commit(lbatch(range(35, 40)), mode="append")
     assert refresh_join_view(spark, left, right, view, join_fn)["mode"] == "incremental"
     check()
+
+
+def test_mv_agg_refresh_matches_full_recompute(spark, tmp_path):
+    """refresh_agg_view: partial-state view over appends equals the full
+    recompute at every step; refresh REPLACES the tiny state snapshot;
+    a compacted base window is refused."""
+    from nyc_taxi_etl_pyspark_spark.operators.mv import refresh_agg_view
+
+    base = TransactionalTable(str(tmp_path / "B"))
+    view = TransactionalTable(str(tmp_path / "V"))
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, "t" + str(i % 3), float(i)) for i in ids],
+            "id int, k string, v double",
+        )
+
+    def partial_fn(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("__c"), F.sum("v").alias("__s")
+        )
+
+    def merge_fn(states):
+        return states.groupBy("k").agg(
+            F.sum("__c").alias("__c"), F.sum("__s").alias("__s")
+        )
+
+    def check():
+        got = sorted(map(tuple, view.read(spark).collect()))
+        want = sorted(map(tuple, partial_fn(base.read(spark)).collect()))
+        assert got == want
+
+    base.commit(batch(range(20)))
+    assert refresh_agg_view(spark, base, view, partial_fn, merge_fn)["mode"] == "full"
+    check()
+    base.commit(batch(range(20, 50)), mode="append")
+    s = refresh_agg_view(spark, base, view, partial_fn, merge_fn)
+    assert s["mode"] == "incremental"
+    check()
+    assert refresh_agg_view(spark, base, view, partial_fn, merge_fn)["mode"] == "noop"
+    base.optimize(spark, target_rows_per_file=1000)
+    base.commit(batch(range(50, 60)), mode="append")
+    with pytest.raises(ValueError, match="not append-only"):
+        refresh_agg_view(spark, base, view, partial_fn, merge_fn)
