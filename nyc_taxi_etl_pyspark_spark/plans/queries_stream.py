@@ -343,6 +343,62 @@ def q_streaming_append_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_expectations",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    WHERE event_id % 10 != 0 AND value IS NOT NULL
+    """,
+)
+def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with data-quality expectations
+    (``run_streaming_append_sink_tx(expectations=...)``): the events
+    backlog streams into the bronze commit-log table gated by two
+    declared rules — a synthetic ``event_id % 10 != 0`` and
+    ``value IS NOT NULL`` — with ``on_violation="quarantine"``, so each
+    micro-batch commits ONLY its passing rows (atomically with the
+    replay marker AND the cumulative per-rule violation counters in
+    the manifest's sticky app meta), and violators land in the sibling
+    quarantine table tagged with the rules they broke, exactly-once
+    under its own replay marker. The oracle is the predicate
+    conjunction over all events: matching proves the gate dropped
+    exactly the violators across every micro-batch with no batch lost,
+    duplicated, or torn. Quarantine contents, counter accumulation,
+    and fail-mode are pinned in tests/test_streaming.py. Exempt from
+    the collect guard like every q_streaming_* query."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_append_sink_tx,
+    )
+
+    base = fixture_scratch_dir(
+        "spark_graft_expstream", sf_dir, anchor="events.parquet"
+    )
+    run_streaming_append_sink_tx(
+        spark,
+        sf_dir,
+        base,
+        checkpoint_path=base + "_ckpt",
+        expectations={
+            "key_not_10": "event_id % 10 != 0",
+            "value_present": "value IS NOT NULL",
+        },
+        on_violation="quarantine",
+    )
+    t = TransactionalTable(base)
+    return t.read(spark).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        stable_round(F.col("value"), 4).alias("value"),
+    )
+
+
+@query(
     "q_streaming_tx_source",
     oracle="""
     SELECT event_id, user_id, event_type,

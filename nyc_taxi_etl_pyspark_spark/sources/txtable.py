@@ -95,6 +95,55 @@ class ExpectationViolation(ValueError):
     violating a declared expectation; nothing was committed."""
 
 
+def evaluate_expectations(
+    df: "DataFrame", expectations: dict[str, str]
+) -> tuple:
+    """Shared expectation-gate core (batch commits AND streaming
+    micro-batches): evaluate each named SQL predicate fail-closed
+    (NULL = violation), count per-rule and total violations in ONE
+    aggregate over ``df`` (pruned to the predicate columns), and
+    return ``(all_pass_col, flag_cols, audit)`` where ``audit`` is the
+    JSON-safe counts dict callers park in manifest meta."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not expectations:
+        raise ValueError("expectations must be a non-empty dict")
+    flags = {
+        name: F.coalesce(F.expr(pred), F.lit(False))
+        for name, pred in expectations.items()
+    }
+    all_pass = reduce(lambda a, b: a & b, flags.values())
+    counts = df.agg(
+        F.count(F.lit(1)).alias("__rows__"),
+        F.sum((~all_pass).cast("long")).alias("__failed__"),
+        *[
+            F.sum((~flag).cast("long")).alias(name)
+            for name, flag in flags.items()
+        ],
+    ).first()
+    audit = {
+        "rows_seen": int(counts["__rows__"] or 0),
+        "rows_failed": int(counts["__failed__"] or 0),
+        "predicates": dict(expectations),
+        "violations": {n: int(counts[n] or 0) for n in expectations},
+    }
+    return all_pass, flags, audit
+
+
+def failed_expectation_names(flags: dict) -> "object":
+    """Column listing which of ``flags`` a row violates (for tagging
+    quarantined rows)."""
+    from pyspark.sql import functions as F
+
+    return F.array_compact(
+        F.array(
+            *[F.when(~flag, F.lit(name)) for name, flag in flags.items()]
+        )
+    )
+
+
 class LocalStorage:
     """POSIX-backed storage. put-if-absent = write temp + ``os.link``:
     the link is atomic, fails with EEXIST when the key exists, and the
@@ -1319,8 +1368,6 @@ class TransactionalTable:
         Returns the committed version (of the PASSING rows). All other
         keyword arguments pass through to :meth:`commit`.
         """
-        from functools import reduce
-
         from pyspark.sql import functions as F
 
         if on_violation not in ("quarantine", "drop", "fail"):
@@ -1328,48 +1375,19 @@ class TransactionalTable:
                 f"on_violation={on_violation!r}: expected "
                 "'quarantine', 'drop' or 'fail'"
             )
-        if not expectations:
-            raise ValueError("expectations must be a non-empty dict")
-        flags = {
-            name: F.coalesce(F.expr(pred), F.lit(False))
-            for name, pred in expectations.items()
-        }
-        all_pass = reduce(lambda a, b: a & b, flags.values())
-        counts = df.agg(
-            F.count(F.lit(1)).alias("__rows__"),
-            F.sum((~all_pass).cast("long")).alias("__failed__"),
-            *[
-                F.sum((~flag).cast("long")).alias(name)
-                for name, flag in flags.items()
-            ],
-        ).first()
-        rows_seen = int(counts["__rows__"] or 0)
-        failed = int(counts["__failed__"] or 0)
-        audit = {
-            "rows_seen": rows_seen,
-            "rows_failed": failed,
-            "on_violation": on_violation,
-            "predicates": dict(expectations),
-            "violations": {n: int(counts[n] or 0) for n in expectations},
-        }
+        all_pass, flags, audit = evaluate_expectations(df, expectations)
+        audit["on_violation"] = on_violation
+        failed = audit["rows_failed"]
         if failed and on_violation == "fail":
             raise ExpectationViolation(
-                f"{self.root}: {failed}/{rows_seen} rows violate "
+                f"{self.root}: {failed}/{audit['rows_seen']} rows violate "
                 f"expectations {audit['violations']}; nothing committed"
             )
         if failed and on_violation == "quarantine":
             qroot = quarantine_root or self.root + "_quarantine"
             qtable = TransactionalTable(qroot, storage=type(self.storage)(qroot))
             bad = df.filter(~all_pass).withColumn(
-                "__failed_expectations",
-                F.array_compact(
-                    F.array(
-                        *[
-                            F.when(~flag, F.lit(name))
-                            for name, flag in flags.items()
-                        ]
-                    )
-                ),
+                "__failed_expectations", failed_expectation_names(flags)
             )
             qtable.commit(
                 bad,

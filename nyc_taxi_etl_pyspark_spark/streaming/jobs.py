@@ -384,6 +384,9 @@ def run_streaming_append_sink_tx(
     base_path: str,
     checkpoint_path: str,
     storage=None,
+    expectations: dict[str, str] | None = None,
+    on_violation: str = "drop",
+    quarantine_path: str | None = None,
 ) -> None:
     """Exactly-once streaming APPEND into a transactional table — the
     bronze-ingest shape (stream → append-only raw table) made safe on
@@ -402,9 +405,30 @@ def run_streaming_append_sink_tx(
     restart at 0 — silently skipping would drop data, re-appending
     would duplicate it). This is Spark's own file-sink exactly-once
     story (_spark_metadata log), generalized to a manifest any engine
-    can read and any storage can host."""
+    can read and any storage can host.
+
+    ``expectations`` adds streaming data-quality gates (the Delta Live
+    Tables EXPECT shape on a stream, sharing the batch gate's core,
+    ``txtable.evaluate_expectations``): per micro-batch, named SQL
+    predicates are evaluated fail-closed; per-rule CUMULATIVE violation
+    counters ride the committed manifest's sticky ``app`` meta
+    ATOMICALLY with the data (a maintenance commit cannot erase them,
+    and a replayed batch cannot double-count because the counter update
+    and the replay marker land in one manifest put). ``on_violation``:
+    ``"drop"`` discards violators (counts still recorded), ``"fail"``
+    fails the stream (the CI-gate mode), ``"quarantine"`` additionally
+    appends violators — tagged ``__failed_expectations`` — to a sibling
+    transactional table with its OWN replay marker: the two tables are
+    not updated in one atomic step, but each is exactly-once under
+    replay, so a crash between the two commits heals on the replayed
+    batch (the applied side skips, the missing side applies)."""
     from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri
-    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ExpectationViolation,
+        TransactionalTable,
+        evaluate_expectations,
+        failed_expectation_names,
+    )
 
     ensure_session_conf(spark)
     root = base_path.rstrip("/")
@@ -414,37 +438,42 @@ def run_streaming_append_sink_tx(
             "an injected storage backend implementing conditional PUT "
             "(sources/txtable.py)."
         )
+    if on_violation not in ("drop", "fail", "quarantine"):
+        raise ValueError(
+            f"on_violation={on_violation!r}: expected "
+            "'drop', 'fail' or 'quarantine'"
+        )
     ckpt_identity = _checkpoint_identity(checkpoint_path)
     table = TransactionalTable(root, storage=storage)
+    qroot = (quarantine_path or root + "_quarantine").rstrip("/")
+    qtable = (
+        TransactionalTable(qroot, storage=type(table.storage)(qroot))
+        if expectations and on_violation == "quarantine"
+        else None
+    )
     stream = _events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # The COMPLETE replay check (identity + applied batch id) lives
-        # inside the CAS loop: replay-check and append must be ATOMIC
-        # (expect_version pins the manifest the check was made against),
-        # and every lost race must RE-RUN the whole check — a loop that
-        # re-checked only the batch id would let a FOREIGN-checkpoint
-        # writer's win register as "already applied" and silently drop
-        # this stream's batch instead of raising.
+    def apply_marked_append(
+        t: TransactionalTable, df: DataFrame, batch_id: int, extra_app=None
+    ) -> None:
+        """One exactly-once append under this checkpoint's replay
+        marker — the CAS loop shared by the main and quarantine
+        tables. ``extra_app(prev_app) -> app`` lets the main table fold
+        cumulative expectation counters into the same atomic put."""
         from nyc_taxi_etl_pyspark_spark.sources.txtable import CommitConflict
 
         for _ in range(10):
-            m = table.manifest()
+            m = t.manifest()
             if m is not None:
                 meta = m.get("meta", {})
-                # replay watermark lives in the reserved meta["replay"]
-                # slot, which every other commit (optimize/merge/delete)
-                # carries forward — maintenance on the sink table cannot
-                # erase it. (Legacy manifests recorded the keys at meta
-                # top level.)
                 replay = meta.get("replay", meta)
                 rec = replay.get("ckpt_identity")
                 if rec is not None and rec != ckpt_identity:
                     raise ValueError(
-                        f"{root} was built by a different streaming query "
-                        f"(checkpoint identity {rec}, this query "
+                        f"{t.root} was built by a different streaming "
+                        f"query (checkpoint identity {rec}, this query "
                         f"{ckpt_identity}): appending a fresh stream onto "
                         "an existing base would duplicate or drop batches. "
                         "Point the sink at a new base_path or resume the "
@@ -452,17 +481,23 @@ def run_streaming_append_sink_tx(
                     )
                 if int(replay.get("applied_batch_id", -1)) >= batch_id:
                     return  # replayed batch: already committed atomically
+            meta_new = {
+                "op": "stream_append",
+                "replay": {
+                    "ckpt_identity": ckpt_identity,
+                    "applied_batch_id": batch_id,
+                },
+            }
+            if extra_app is not None:
+                prev_app = (
+                    (m or {}).get("meta", {}).get("app") or {}
+                )
+                meta_new["app"] = extra_app(dict(prev_app))
             try:
-                table.commit(
-                    batch_df,
+                t.commit(
+                    df,
                     mode="append",
-                    meta={
-                        "op": "stream_append",
-                        "replay": {
-                            "ckpt_identity": ckpt_identity,
-                            "applied_batch_id": batch_id,
-                        },
-                    },
+                    meta=meta_new,
                     # -1 (not None) on an empty table: the FIRST append
                     # must also conflict-and-recheck, not blind-rebase.
                     expect_version=m["version"] if m is not None else -1,
@@ -471,8 +506,55 @@ def run_streaming_append_sink_tx(
             except CommitConflict:
                 continue
         raise RuntimeError(
-            f"append of batch {batch_id} lost 10 commit races on {root}"
+            f"append of batch {batch_id} lost 10 commit races on {t.root}"
         )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # The COMPLETE replay check (identity + applied batch id) lives
+        # inside the CAS loop (apply_marked_append): replay-check and
+        # append must be ATOMIC (expect_version pins the manifest the
+        # check was made against), and every lost race must RE-RUN the
+        # whole check — a loop that re-checked only the batch id would
+        # let a FOREIGN-checkpoint writer's win register as "already
+        # applied" and silently drop this stream's batch.
+        if not expectations:
+            apply_marked_append(table, batch_df, batch_id)
+            return
+        all_pass, flags, audit = evaluate_expectations(batch_df, expectations)
+        if audit["rows_failed"] and on_violation == "fail":
+            raise ExpectationViolation(
+                f"{root}: batch {batch_id} has {audit['rows_failed']}/"
+                f"{audit['rows_seen']} rows violating expectations "
+                f"{audit['violations']}; stream stopped, nothing committed"
+            )
+
+        def fold_counters(prev_app: dict) -> dict:
+            prev = prev_app.get("expectations") or {}
+            prev_v = prev.get("violations") or {}
+            prev_app["expectations"] = {
+                "on_violation": on_violation,
+                "predicates": dict(expectations),
+                "rows_seen": prev.get("rows_seen", 0) + audit["rows_seen"],
+                "rows_failed": prev.get("rows_failed", 0)
+                + audit["rows_failed"],
+                "violations": {
+                    n: prev_v.get(n, 0) + audit["violations"][n]
+                    for n in expectations
+                },
+            }
+            return prev_app
+
+        # main table first: primary data + counters land atomically;
+        # a crash before the quarantine append heals on replay (main
+        # skips via its marker, quarantine applies via its own).
+        apply_marked_append(
+            table, batch_df.filter(all_pass), batch_id, extra_app=fold_counters
+        )
+        if qtable is not None and audit["rows_failed"]:
+            bad = batch_df.filter(~all_pass).withColumn(
+                "__failed_expectations", failed_expectation_names(flags)
+            )
+            apply_marked_append(qtable, bad, batch_id)
 
     q = (
         stream.writeStream.outputMode("append")

@@ -7,6 +7,7 @@ Structured Streaming runtime must reproduce the batch answer.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
@@ -582,3 +583,62 @@ def test_cdc_state_merge_resists_out_of_order_batches(spark):
     state = merged_cdc_state(batch([(1, "click", t11, 7.0, 3)]), state)
     row = state.collect()[0]
     assert row.last_ts == t11 and row.last_value == 7.0 and row.n_events == 3
+
+
+def test_streaming_expectations_gate_quarantine_and_counters(spark, sf_dir, tmp_path):
+    """Streaming expectations: main table holds exactly the passing
+    rows, cumulative per-rule violation counters ride the final
+    manifest's app meta, quarantine holds the tagged complement
+    exactly-once, and a re-run from the drained checkpoint changes
+    nothing (no double-counted counters, no duplicate quarantine)."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_append_sink_tx,
+    )
+
+    base = str(tmp_path / "bronze")
+    exp = {"key_not_7": "event_id % 7 != 0", "value_present": "value IS NOT NULL"}
+    run_streaming_append_sink_tx(
+        spark, sf_dir, base, checkpoint_path=base + "_ckpt",
+        expectations=exp, on_violation="quarantine",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    n_bad = ev.where("event_id % 7 = 0 OR value IS NULL").count()
+    t = TransactionalTable(base)
+    q = TransactionalTable(base + "_quarantine")
+    assert t.read(spark).count() == n_total - n_bad
+    assert t.read(spark).where("event_id % 7 = 0").count() == 0
+    assert q.read(spark).count() == n_bad
+    tagged = q.read(spark).where(
+        "array_contains(__failed_expectations, 'key_not_7')"
+    ).count()
+    assert tagged == ev.where("event_id % 7 = 0").count()
+    audit = t.manifest()["meta"]["app"]["expectations"]
+    assert audit["rows_seen"] == n_total
+    assert audit["rows_failed"] == n_bad
+    assert audit["violations"]["key_not_7"] == ev.where("event_id % 7 = 0").count()
+    # drained checkpoint: re-run is a no-op on rows AND counters
+    run_streaming_append_sink_tx(
+        spark, sf_dir, base, checkpoint_path=base + "_ckpt",
+        expectations=exp, on_violation="quarantine",
+    )
+    assert t.read(spark).count() == n_total - n_bad
+    assert q.read(spark).count() == n_bad
+    assert t.manifest()["meta"]["app"]["expectations"]["rows_seen"] == n_total
+
+
+def test_streaming_expectations_fail_mode_stops_stream(spark, sf_dir, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_append_sink_tx,
+    )
+
+    base = str(tmp_path / "bronze")
+    with pytest.raises(StreamingQueryException, match="violat"):
+        run_streaming_append_sink_tx(
+            spark, sf_dir, base, checkpoint_path=base + "_ckpt",
+            expectations={"impossible": "event_id < 0"}, on_violation="fail",
+        )
