@@ -218,6 +218,56 @@ def main() -> None:
           spark.table("bronze_tail").count(), "rows across 2 commits")
 
     # ------------------------------------------------------------------
+    # 9b. Commit-time expectations (Delta Live Tables EXPECT shape): a
+    # suspect batch lands gated by named fail-closed predicates —
+    # violators are quarantined with the rules they broke, per-rule
+    # counts ride the manifest as the audit trail, and only clean rows
+    # become the snapshot.
+    gated_root = os.path.join(root, "gated")
+    gated = TransactionalTable(gated_root)
+    suspect = synth_taxi(spark, 200).select(
+        "trip_distance", "total_amount", "payment_type"
+    )
+    gated.commit_with_expectations(
+        suspect,
+        {
+            "paid_something": "total_amount > 0",
+            "known_payment": "payment_type >= 0",
+        },
+        on_violation="quarantine",
+    )
+    audit = gated.manifest()["meta"]["expectations"]
+    print(
+        "expectations:", audit["rows_seen"], "seen,",
+        audit["rows_failed"], "quarantined", audit["violations"],
+    )
+
+    # ------------------------------------------------------------------
+    # 9c. Incremental materialized view over the commit log: a
+    # |keys|-row aggregate state refreshed from read_appended's
+    # manifest file-set diff — the base is never re-scanned.
+    from nyc_taxi_etl_pyspark_spark.operators.mv import refresh_agg_view
+
+    view = TransactionalTable(os.path.join(root, "bronze_by_day"))
+
+    def partial_fn(df):
+        return df.groupBy(
+            F.to_date("tpep_pickup_datetime").alias("day")
+        ).agg(F.count("*").alias("__c"), F.sum("total_amount").alias("__s"))
+
+    def merge_fn(states):
+        return states.groupBy("day").agg(
+            F.sum("__c").alias("__c"), F.sum("__s").alias("__s")
+        )
+
+    print("mv bootstrap:", refresh_agg_view(spark, bronze, view, partial_fn, merge_fn)["mode"])
+    bronze.commit(synth_taxi(spark, 150).select(
+        "tpep_pickup_datetime", "trip_distance", "total_amount"
+    ), mode="append", num_files=1)
+    print("mv refresh:", refresh_agg_view(spark, bronze, view, partial_fn, merge_fn)["mode"],
+          "-", view.read(spark).count(), "state rows")
+
+    # ------------------------------------------------------------------
     # 10. History + vacuum: audit trail from the commit log; reclaim
     # files referenced by no retained version (retention = reader grace).
     for h in table.history():
