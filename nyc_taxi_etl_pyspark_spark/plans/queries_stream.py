@@ -190,34 +190,88 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_streaming_tumbling", oracle=None)  # streaming runtime => rows-only
+@query(
+    "q_streaming_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
+             AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming run: file-source backlog over the events
     parquet → watermark → tumbling window agg → memory sink, driven to
-    completion synchronously. Equivalence with the batch plan
-    (q_window_tumbling) is asserted in tests/test_streaming.py."""
-    return run_streaming_tumbling_agg(spark, sf_dir, query_name="q_streaming_tumbling")
+    completion synchronously. FULL ORACLE (round 4): complete mode over
+    a drained deterministic backlog closes every window, so the
+    materialized sink must hash-equal the batch aggregation — the same
+    strengthening q_streaming_append_tx proved viable; Spark-vs-Spark
+    batch equality stays asserted in tests/test_streaming.py."""
+    out = run_streaming_tumbling_agg(
+        spark, sf_dir, query_name="q_streaming_tumbling"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
 
 
-@query("q_streaming_sliding", oracle=None)  # streaming runtime => rows-only
+@query(
+    "q_streaming_sliding",
+    oracle="""
+    SELECT CAST(floor(epoch(
+             time_bucket(INTERVAL '1 hour', ts - o.off * INTERVAL '15 minutes')
+             + o.off * INTERVAL '15 minutes')) AS BIGINT) AS window_start_s,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(off)
+    GROUP BY 1
+    """,
+)
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming sliding-window run (1h window / 15min
-    slide): each event feeds 4 overlapping windows. Shares the batch agg
-    expressions; equality with batch q_window_sliding asserted in
-    tests/test_streaming.py."""
+    slide): each event feeds 4 overlapping windows. FULL ORACLE (round
+    4): same offset-time_bucket derivation as batch q_window_sliding,
+    extended with the avg the streaming agg also carries; complete mode
+    over the drained backlog makes the sink deterministic. Batch
+    equality stays asserted in tests/test_streaming.py."""
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_sliding_agg
 
-    return run_streaming_sliding_agg(spark, sf_dir, query_name="q_streaming_sliding")
+    out = run_streaming_sliding_agg(
+        spark, sf_dir, query_name="q_streaming_sliding"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
 
 
-@query("q_streaming_dedup", oracle=None)  # streaming runtime => rows-only
+@query(
+    "q_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with bounded state
     (``dropDuplicatesWithinWatermark``): a key's state is dropped once the
     watermark passes its event time, so an unbounded stream holds
     O(keys per watermark window) state instead of every key ever seen —
-    the only dedup shape that survives 100 TB/day. Distinct-key parity
-    with batch q_dedup_exact is asserted in tests/test_streaming.py."""
+    the only dedup shape that survives 100 TB/day. FULL ORACLE (round
+    4): the emitted stream projects to the key columns, and every
+    fixture duplicate lands within one watermark, so the sink must
+    hash-equal DISTINCT keys over the whole backlog — first-arrival
+    nondeterminism cannot leak because non-key columns are never
+    emitted. Batch parity stays asserted in tests/test_streaming.py."""
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir, query_name="q_streaming_dedup")
@@ -239,14 +293,28 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_streaming_interval_join", oracle=None)  # streaming runtime => rows-only
+@query(
+    "q_streaming_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id
+    FROM events c
+    JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND e.user_id = c.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream inner join: clicks ⋈ errors per user within a
     10-minute event-time interval, watermarked on BOTH sides so join
     state is evicted once the watermark passes click_ts + interval — the
     bounded-state shape an unbounded 100 TB/day stream requires (an
     unbounded-condition stream-stream join buffers both sides forever).
-    Pair-set equality with the identical batch join is asserted in
+    FULL ORACLE (round 4): append-mode INNER join pairs emit as matches
+    arrive (only outer joins wait on the watermark), and the fixture
+    backlog drains before the watermark can evict an unmatched buffer,
+    so the emitted pair set must hash-equal the declarative interval
+    join. Batch pair-set equality stays asserted in
     tests/test_streaming.py."""
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
         run_streaming_interval_join,
@@ -257,14 +325,29 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_streaming_static_join", oracle=None)  # streaming => rows-only
+@query(
+    "q_streaming_static_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, round(avg(value) + 1e-9, 4) AS type_avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           e.value > d.type_avg_value AS above_type_mean
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
 def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-static enrichment join: the event stream probes a
     batch-built per-type dimension (broadcast — no join state at all,
     unlike stream-stream joins) and tags events above their type's batch
     mean. The stateless enrichment shape that carries most production
-    streaming joins; row-for-row equality with the identical batch join
-    is asserted in tests/test_streaming.py."""
+    streaming joins. FULL ORACLE (round 4): the compare threshold is
+    the QUANTIZED (4-decimal) type mean in both engines — the same
+    threshold-quantization discipline as the percentile queries, so the
+    boolean flag cannot flip on a 1-ulp avg divergence; row-for-row
+    equality with the identical batch join stays asserted in
+    tests/test_streaming.py."""
     from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
         run_streaming_static_join,
     )
@@ -274,14 +357,38 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_streaming_upsert", oracle=None)  # streaming runtime => rows-only
+@query(
+    "q_streaming_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), latest AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s,
+             round(value + 1e-9, 4) AS last_value
+      FROM ranked WHERE rn = 1
+    ), cnt AS (
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT l.user_id, l.event_type, l.last_ts_s, l.last_value, c.n_events
+    FROM latest l JOIN cnt c USING (user_id, event_type)
+    """,
+)
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply: micro-batches reduced to latest-state rows
     per (user_id, event_type) and MERGEd into a parquet base inside
     foreachBatch (streaming/jobs.py::run_streaming_upsert_sink — the
     "change stream → queryable current-state table" pattern; write-new /
-    atomic-swap per batch). Convergence to the single-batch state table
-    is asserted in tests/test_streaming.py."""
+    atomic-swap per batch). FULL ORACLE (round 4): the converged state
+    is deterministic — latest-wins is max_by over the total order
+    (ts, event_id) and counts accumulate exactly-once under the replay
+    marker — so it must hash-equal the declarative latest-row +
+    count-per-key derivation over all events. Convergence to the
+    single-batch state table stays asserted in tests/test_streaming.py."""
     import shutil
     import tempfile
 
@@ -296,7 +403,14 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(base)
         # materialize before the backing files are removed (the state
         # table is |keys|-bounded — ~hundreds of rows, not data-scale)
-        return spark.createDataFrame(out.collect(), out.schema)
+        state = spark.createDataFrame(out.collect(), out.schema)
+        return state.select(
+            "user_id",
+            "event_type",
+            F.col("last_ts").cast("long").alias("last_ts_s"),
+            stable_round(F.col("last_value"), 4).alias("last_value"),
+            "n_events",
+        )
     finally:
         shutil.rmtree(td, ignore_errors=True)
 

@@ -276,10 +276,17 @@ def static_type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats materialized in batch (the broadcast-lookup side of the
     stream-static join; at scale this is the slowly-changing dim
     refreshed out-of-band while the stream runs)."""
+    from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+
     ev = spark.read.parquet(join_uri(sf_dir, "events.parquet"))
     ev = normalize_event_ts(ev)
+    # The mean is QUANTIZED to 4 decimals before it becomes a compare
+    # threshold: a raw avg differs across engines at ~1e-15 relative
+    # (summation order), and the above/below flag downstream must not
+    # flip on that — same threshold-quantization discipline as the
+    # percentile/MAD queries (SCALE.md round 3).
     return ev.groupBy("event_type").agg(
-        F.avg("value").alias("type_avg_value"),
+        stable_round(F.avg("value"), 4).alias("type_avg_value"),
         F.count("*").alias("type_n_events"),
     )
 

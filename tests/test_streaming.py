@@ -22,12 +22,10 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     q = all_queries()
     stream = q["q_streaming_tumbling"](spark, sf_dir)
     batch = q["q_window_tumbling"](spark, sf_dir)
-    # align column surfaces: batch emits window_start_s/window_end_s longs
+    # both surfaces emit window_start_s longs since the streaming query
+    # gained its full oracle (round 4)
     stream_norm = stream.select(
-        F.col("window_start").cast("long").alias("window_start_s"),
-        "event_type",
-        "n_events",
-        "sum_value",
+        "window_start_s", "event_type", "n_events", "sum_value"
     )
     batch_norm = batch.select(
         "window_start_s", "event_type", "n_events", "sum_value"
@@ -102,13 +100,10 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     q = all_queries()
     stream = q["q_streaming_sliding"](spark, sf_dir)
     batch = q["q_window_sliding"](spark, sf_dir)
-    stream_norm = stream.select(
-        F.col("window_start").cast("long").alias("window_start_s"),
-        "n_events",
-        "sum_value",
-    )
     cols = ["window_start_s", "n_events", "sum_value"]
-    assert _rows_set(stream_norm, cols) == _rows_set(batch.select(*cols), cols)
+    assert _rows_set(stream.select(*cols), cols) == _rows_set(
+        batch.select(*cols), cols
+    )
 
 
 def test_streaming_interval_join_matches_batch(spark, sf_dir):
