@@ -194,15 +194,25 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_streaming_pyds", oracle=None)  # streaming source => rows-only
+@query(
+    "q_streaming_pyds",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           md5(CAST(i AS VARCHAR)) AS doc
+    FROM generate_series(0, 1999) AS t(i)
+    """,
+)
 def q_streaming_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource as a STREAMING source: the same
     (id, md5) generator read through ``spark.readStream`` in 250-row
     micro-batches, offsets checkpointed by the engine, replay via
     ``readBetweenOffsets`` re-deriving any committed slice (pure function
-    of the offset — the replayability contract). Batch/stream parity is
-    asserted in tests/test_scale_techniques.py: the streamed rows equal
-    the batch read of the same source exactly."""
+    of the offset — the replayability contract). FULL ORACLE (round 4):
+    the generator is a pure function of the row id, and exactly-once
+    offset accounting means the drained sink must hash-equal the same
+    2000-row derivation DuckDB states declaratively — the oracle checks
+    the offset bookkeeping, not just the generator. Batch/stream parity
+    is also asserted in tests/test_scale_techniques.py."""
     register_python_sources(spark)
     stream = (
         spark.readStream.format("rangedoc")

@@ -7,8 +7,11 @@ Oracle notes:
 - Cosine values fold floats in element order in both engines (Spark
   ``aggregate`` HOF vs DuckDB ``list_cosine_similarity``); rounded to 4
   before any threshold/rank so the cut is reproducible.
-- MinHash/SimHash/LSH queries depend on Spark's ``xxhash64`` and are
-  rows-only by design (no cross-engine hash oracle exists).
+- The production MinHash/SimHash/LSH tiers depend on Spark's
+  ``xxhash64`` and are rows-only by design (no cross-engine hash oracle
+  exists for that family) — but each algorithm has an ORACLE-CHECKED
+  md5-hash twin (``q_dedup_simhash_md5``, ``q_dedup_minhash_md5``,
+  round 4) proving the computation itself against DuckDB.
 """
 
 from __future__ import annotations
@@ -1048,4 +1051,170 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=10,
         n_probe=4,
+    )
+
+
+def _simhash_md5_oracle() -> str:
+    """Generated SQL for the md5-simhash oracle: 60 per-bit vote sums
+    over md5-derived token-hash bits (bit b lives in hex digit b//4,
+    position b%4), fingerprint = Σ 2^b · [vote_b > 0]."""
+    votes = ",\n             ".join(
+        f"sum(((dg[{b // 4 + 1}] >> {b % 4}) & 1) * 2 - 1) AS v{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({{toks}}) AS t FROM documents
+    ), dg AS (
+      SELECT doc_id,
+             [CAST(position(substr(md5(t), c, 1) IN '0123456789abcdef') AS INT) - 1
+              for c in generate_series(1, 15)] AS dg
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM dg GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS fingerprint
+    FROM votes
+    """
+
+
+_SIMHASH_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+
+
+@query(
+    "q_dedup_simhash_md5",
+    oracle=_simhash_md5_oracle().replace("{toks}", _SIMHASH_TOKS_SQL),
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE SimHash twin (the md5-derived-hash tier, same
+    discipline as the count-min sketch's deterministic hash family):
+    per document, every token votes ±1 on each of 60 bits drawn from
+    the token's md5 (bit b = bit b%4 of hex digit b//4 — 15 hex digits
+    = 60 bits, kept under 2^63 so the assembled fingerprint is a plain
+    BIGINT in both engines), and the fingerprint sets bit b where the
+    vote is positive. DuckDB re-derives the identical fingerprints
+    declaratively, hash-proving the WHOLE simhash computation — vote
+    extraction, per-bit aggregation, sign threshold, bit assembly —
+    against an independent implementation; the production tier
+    (q_dedup_simhash, one xxhash64 per token instead of an md5 + 15
+    char-conversions) keeps the same algorithm with a cheaper hash and
+    adds the prefix-blocked Hamming pair generation, property-tested
+    since its hash family has no cross-engine twin. Plan shape: explode
+    → 60-column projection (codegen'd) → one groupBy(doc) with map-side
+    combine — one shuffle, |docs|·60 integer cells."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    md5c = F.md5(F.col("__tok"))
+    digits = [
+        F.conv(F.substring(md5c, c + 1, 1), 16, 10).cast("int")
+        for c in range(15)
+    ]
+    hashed = (
+        d.select("doc_id", toks.alias("__toks"))
+        .select("doc_id", F.explode_outer("__toks").alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .select(
+            "doc_id",
+            *[
+                (
+                    F.shiftright(digits[b // 4], b % 4).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).alias(f"__b{b}")
+                for b in range(60)
+            ],
+        )
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(f"__b{b}").alias(f"__v{b}") for b in range(60)]
+    )
+    fingerprint = None
+    for b in range(60):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.alias("fingerprint"))
+
+
+def _minhash_md5_oracle(k: int = 8) -> str:
+    """Generated SQL for the md5-minhash oracle: k independent 60-bit
+    hash functions H_i(shingle) = int(md5(shingle || '|i')[:15], 16),
+    signature slot i = min over the doc's distinct 3-token shingles."""
+    val = (
+        "list_reduce(list_transform("
+        "[substr(md5(sh || '|{i}'), c, 1) for c in generate_series(1, 15)],"
+        " c -> CAST(position(c IN '0123456789abcdef') AS BIGINT) - 1),"
+        " (a, b) -> a * 16 + b)"
+    )
+    mins = ",\n           ".join(
+        f"min({val.format(i=i)}) AS s{i}" for i in range(k)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)])) AS sh
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@query(
+    "q_dedup_minhash_md5",
+    oracle=_minhash_md5_oracle().replace("{toks}", _SIMHASH_TOKS_SQL),
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE MinHash twin (md5-derived hash family, like
+    q_dedup_simhash_md5): k=8 independent 60-bit hash functions
+    H_i(shingle) = md5(shingle || '|i') truncated to 15 hex digits,
+    signature slot i = min over the document's distinct 3-token
+    shingles. DuckDB re-derives identical signatures declaratively —
+    hash-proving shingling, the per-function min-reduction, and the
+    hex→integer derivation against an independent implementation. The
+    production tier (q_dedup_minhash) keeps the same estimator with
+    one-permutation hashing (ONE xxhash64 per shingle, k slots by
+    bucketing — k× less hash CPU) plus banding and pair generation;
+    its hash family has no cross-engine twin, so it carries
+    property/recall tests instead. Plan shape: explode distinct
+    shingles → k md5 columns → one groupBy(doc) min-agg with map-side
+    combine — one shuffle."""
+    from nyc_taxi_etl_pyspark_spark.functions.text import token_shingles
+
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(token_shingles(F.col("__toks"), 3))
+            ).alias("__sh"),
+        )
+    )
+    hashes = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("__sh"), F.lit(f"|{i}"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"__h{i}")
+        for i in range(k)
+    ]
+    return (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"__h{i}").alias(f"s{i}") for i in range(k)])
     )
