@@ -78,10 +78,13 @@ HEADLINE = [
     # carries its scale-safe sorted-neighborhood replacement instead.
     # Both stay registered and correctness-checked.
     "q_record_linkage_snb",
-    # round-4 addition: the sampled substring-dedup signal — linear span
+    # round-4 additions: the sampled substring-dedup signal (linear span
     # volume, one 8-byte-key shuffle; the passage-level complement to
-    # q_dedup_minhash in the headline dedup family.
+    # q_dedup_minhash in the headline dedup family), the EWMA window
+    # fold, and BM25 retrieval scoring.
     "q_duplicate_spans",
+    "q_window_ewma",
+    "q_bm25_score",
 ]
 
 
