@@ -743,3 +743,128 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_terms"),
         stable_round(term_sum[0] + term_sum[1] + term_sum[2], 4).alias("bm25"),
     )
+
+
+@query(
+    "q_curriculum_buckets",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+                   + 1e-9, 4) AS quality_score
+      FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    )
+    SELECT doc_id, lang, quality_score,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY quality_score, doc_id) AS INT)
+             AS curriculum_stage
+    FROM scored
+    """,
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: documents are scored by a
+    quality proxy (unique-token ratio — boilerplate repeats tokens,
+    clean prose doesn't) and split into 4 equal-size stages by score
+    QUANTILE (`ntile`) WITHIN EACH LANGUAGE stratum, lowest-quality
+    stage first — the data-ordering step of curriculum training, where
+    the mixture scheduler feeds stages in sequence, stratified so no
+    language's "easy" data is exhausted by another's distribution.
+    Determinism: the score is quantized to 4 decimals BEFORE ranking
+    and doc_id breaks ties, so the ntile boundary cannot flip on a
+    float ulp; ntile itself is a total-order function of the (score,
+    doc_id) sort. The window partitions on lang (one shuffle, parallel
+    across strata); at 100 TB a stratum can still be one reducer's
+    worth, and the same assignment then runs as approx-quantile cut
+    points broadcast against the scan (the q_winsorize/equidepth
+    pattern) — the ntile spelling is the oracle-checkable exact
+    tier."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens_col(F.col("text")).alias("__toks")
+    )
+    score = stable_round(
+        F.size(F.array_distinct("__toks")).cast("double")
+        / F.size("__toks").cast("double"),
+        4,
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        d.select("doc_id", "lang", score.alias("quality_score"))
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            F.ntile(4).over(w).cast("int").alias("curriculum_stage"),
+        )
+    )
+
+
+@query(
+    "q_pii_scan",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.1'
+                     ELSE '' END AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+'))
+             AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+'))
+             AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(txt, '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+', '<email>', 'g'),
+             '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<ip>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the pre-training privacy scrub): count
+    and mask email addresses and dotted-quad addresses per document.
+    The fixture text carries no organic PII, so the query INJECTS a
+    deterministic synthetic tail (every 7th doc an email, every 11th an
+    address — derived from doc_id identically in both engines) and then
+    detects what it injected: the oracle proves the regex classes, the
+    per-class counts, and the two-pass masking (emails first, so a
+    masked address can never damage an email match) agree with an
+    independent regex engine (Java util.regex vs RE2) on identical
+    input — the dialect-parity check that matters before trusting a
+    scrub pass at 100 TB. Patterns deliberately use the
+    dialect-neutral subset (char classes + quantifiers, no lookaround,
+    no word boundaries). Pure per-row Catalyst regexes: pushable,
+    codegen'd, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    email_re = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    ip_re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(txt, F.lit(ip_re)).cast("int").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(txt, email_re, "<email>"), ip_re, "<ip>"
+        ).alias("scrubbed"),
+    )

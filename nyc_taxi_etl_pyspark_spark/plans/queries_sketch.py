@@ -13,7 +13,7 @@ verified against the oracle, not just rows-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.plans.queries_text import _cooccurrence_pairs
@@ -259,4 +259,53 @@ def q_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("rel_error"),
         )
+    )
+
+
+@query(
+    "q_weighted_sample_per_group",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 1.0) / 4294967296.0)
+                   / n_chars, 10) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, sample_key
+    FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY sample_key DESC, doc_id) <= 5
+    """,
+)
+def q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement PER STRATUM (the
+    Efraimidis–Spirakis A-ES key of q_weighted_sample, partitioned by
+    source): top-5 documents per source by ln(u)/weight — the
+    "per-domain, length-weighted, reproducible" cut a training-mix
+    pipeline takes when each data source gets its own quota instead of
+    one global budget. Same deterministic md5 uniform, same 10-dp key
+    quantization and doc_id tie-break, but the global
+    TakeOrderedAndProject becomes a row_number window partitioned on
+    source — one shuffle on the stratum key, per-stratum top-k inside
+    each partition, no global sort and no driver involvement at any
+    stratum count."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967296.0
+    key = F.round(F.log(u) / F.col("n_chars"), 10)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", key.alias("sample_key")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
     )
