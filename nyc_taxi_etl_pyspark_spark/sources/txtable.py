@@ -589,6 +589,37 @@ class TransactionalTable:
                 }
         return m
 
+    def version_as_of(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF resolution: the latest version whose commit
+        wall-time is ≤ ``timestamp`` (epoch seconds) — the Delta
+        ``timestampAsOf`` shape, answered entirely from the commit log.
+        Raises if every retained version is newer (the target version
+        predates retention or the table)."""
+        best = -1
+        for v in self.versions():
+            m = self.manifest(v)
+            if m is not None and m.get("committed_at", float("inf")) <= timestamp:
+                best = max(best, v)
+        if best < 0:
+            raise FileNotFoundError(
+                f"{self.root}: no retained version committed at or before "
+                f"epoch {timestamp} (vacuumed, or the table is newer)"
+            )
+        return best
+
+    def count(self, version: int | None = None) -> int:
+        """Metadata-only row count: served from the manifest's committed
+        per-file row totals, NO data file opened and no Spark job — the
+        Delta/Iceberg SELECT COUNT(*) optimization. Exact because every
+        commit path records staged row counts and append/replace
+        arithmetic maintains them (fsck() audits the invariant)."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed version in transactional table {self.root}"
+            )
+        return int(m["rows"])
+
     def read(
         self,
         spark: SparkSession,
@@ -596,6 +627,7 @@ class TransactionalTable:
         where: list[tuple] | None = None,
         partitions: dict[str, list] | None = None,
         equals: dict[str, object] | None = None,
+        as_of_timestamp: float | None = None,
     ) -> DataFrame:
         """Read a snapshot. ``where=[(col, lo, hi), ...]`` applies
         manifest-stats file pruning (``prune_files``) AND the residual
@@ -612,7 +644,15 @@ class TransactionalTable:
         partition values match are opened, no residual filter needed —
         the metastore-free form of partition pruning. Partitioned
         snapshots are read with ``basePath`` so the hive-encoded
-        partition columns reappear in the frame."""
+        partition columns reappear in the frame.
+        ``as_of_timestamp`` (epoch seconds, mutually exclusive with
+        ``version``) resolves TIMESTAMP AS OF via ``version_as_of``."""
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "read(): pass either version or as_of_timestamp, not both"
+                )
+            version = self.version_as_of(as_of_timestamp)
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(

@@ -1966,3 +1966,33 @@ def test_mv_refresh_race_conflicts_not_double_applies(spark, tmp_path):
         map(tuple, join_fn(left.read(spark), right.read(spark)).collect())
     )
     assert got == want
+
+
+def test_metadata_count_and_timestamp_as_of(spark, tmp_path):
+    """count() answers from the manifest (no scan) and stays exact
+    through append/delete/optimize; read(as_of_timestamp=...) resolves
+    the snapshot committed at or before the instant."""
+    import time as _time
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).select("id"))
+    ts_v0 = _time.time()
+    assert t.count() == 10
+    _time.sleep(0.05)
+    t.commit(spark.range(10, 25).select("id"), mode="append")
+    assert t.count() == 25
+    assert t.count(version=0) == 10
+    # timestamp as-of: an instant between the commits resolves v0
+    assert t.version_as_of(ts_v0) == 0
+    assert t.read(spark, as_of_timestamp=ts_v0).count() == 10
+    assert t.read(spark, as_of_timestamp=_time.time()).count() == 25
+    with pytest.raises(FileNotFoundError, match="no retained version"):
+        t.version_as_of(ts_v0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=0, as_of_timestamp=ts_v0)
+    # count stays exact through mutation + maintenance
+    t.delete(spark, [("id", None, 4)])
+    assert t.count() == 20
+    t.optimize(spark, target_rows_per_file=1000)
+    assert t.count() == 20
+    assert t.count() == t.read(spark).count()
