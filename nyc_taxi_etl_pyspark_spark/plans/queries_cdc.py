@@ -815,3 +815,75 @@ def q_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_count_pushdown",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders",
+)
+def q_tx_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (``TransactionalTable.count``): the row
+    total is served from the manifest's maintained per-file counts —
+    no data file opened, no Spark job, no scan — the Delta/Iceberg
+    SELECT COUNT(*) optimization. The oracle is the actual count over
+    the raw table: matching proves the commit arithmetic (staged rows
+    on replace, accumulation on append) kept the metadata exact. The
+    1-row driver-built frame is the legitimate shape here: the entire
+    point is that the answer never touches the cluster."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txcount", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        # two appends so the count exercises the accumulation path
+        t.commit(o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0))
+        t.commit(
+            o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) != 0), mode="append"
+        )
+    return spark.createDataFrame([(t.count(),)], "n_rows bigint")
+
+
+@query(
+    "q_tx_time_travel_ts",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_tx_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (``read(as_of_timestamp=...)``): the
+    table is committed in two batches (even keys, then odd appended);
+    the query reads AS OF an instant strictly between the two commit
+    wall-times — derived from the commit log itself (the midpoint of
+    the two recorded ``committed_at`` values), so the resolution is
+    reproducible across sessions and scratch reuse — and must see
+    exactly the first snapshot. The oracle states that snapshot
+    declaratively; matching proves wall-time → version resolution and
+    snapshot isolation together."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txasof", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0))
+        t.commit(
+            o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) != 0), mode="append"
+        )
+    ts = (
+        t.manifest(0)["committed_at"] + t.manifest(1)["committed_at"]
+    ) / 2.0
+    return t.read(spark, as_of_timestamp=ts).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
