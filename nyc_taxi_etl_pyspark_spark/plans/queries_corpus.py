@@ -868,3 +868,27 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(txt, email_re, "<email>"), ip_re, "<ip>"
         ).alias("scrubbed"),
     )
+
+
+@query("q_bpe_train", oracle=None)  # iterative argmax loop => rows-only
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (Sennrich et al. 2016, ``operators/bpe.py``)
+    — the full iterative algorithm, not just one pair-frequency round
+    (that single round is q_bpe_pair_freq): learn 10 merges from the
+    corpus. Rows-only by necessity — each iteration's argmax feeds the
+    next iteration's rewrite, which no single SQL statement expresses —
+    but the check is STRONGER than an oracle: the learned merge table
+    is asserted EQUAL, step by step, to a pure-Python reference
+    implementation of the algorithm in
+    tests/test_corpus_pipeline.py::test_bpe_train_matches_reference.
+    Scale shape: the corpus collapses once to |vocab| (word, count)
+    rows; every merge iteration is a small job over that table plus a
+    1-row bounded argmax collect — n_merges cost is independent of
+    corpus size."""
+    from nyc_taxi_etl_pyspark_spark.operators.bpe import (
+        bpe_merges_df,
+        train_bpe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, train_bpe(d, "text", n_merges=10))

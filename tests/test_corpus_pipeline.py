@@ -76,3 +76,40 @@ def test_corpus_pipeline_invariants(spark, sf_dir):
         == out.agg(F.sum("n_tokens")).first()[0]
     )
     out.unpersist()
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """train_bpe (driver-orchestrated Spark iteration) must learn the
+    IDENTICAL merge sequence — pair, merged symbol, frequency, order —
+    as the pure-Python reference on the same corpus, for every step.
+    This pins the pair counting, the (freq DESC, left, right)
+    tie-break, and the non-overlapping left-to-right rewrite."""
+    from nyc_taxi_etl_pyspark_spark.operators.bpe import (
+        reference_bpe,
+        train_bpe,
+        word_counts,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    got = train_bpe(d, "text", n_merges=12)
+    wc = [(r["word"], r["count"]) for r in word_counts(d, "text").collect()]
+    want = reference_bpe(wc, n_merges=12)
+    assert got == want and len(got) == 12
+
+
+def test_bpe_rewrite_handles_adjacent_and_overlapping_pairs(spark):
+    """The regexp rewrite must merge non-overlapping occurrences
+    left-to-right exactly like the reference list scan — including the
+    'a a a' case where the first merge consumes the shared middle."""
+    from nyc_taxi_etl_pyspark_spark.operators.bpe import (
+        reference_bpe,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [("aaa aaa aa",), ("aaa aa aa",)], "text string"
+    )
+    got = train_bpe(df, "text", n_merges=3)
+    want = reference_bpe([("aaa", 3), ("aa", 3)], n_merges=3)
+    assert got == want
