@@ -165,3 +165,60 @@ def reference_bpe(word_count_pairs: list[tuple[str, int]], n_merges: int) -> lis
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     return merges
+
+
+def apply_bpe(
+    df: DataFrame, text_col: str, merges: list[dict]
+) -> DataFrame:
+    """Tokenize with a learned merge table: per word, start from
+    character symbols and apply every merge IN LEARNED ORDER (the BPE
+    inference rule) as a chained lookaround rewrite — |merges| chained
+    regexp columns, all codegen'd, zero shuffle, no Python in the row
+    path. Returns one row per input row: the BPE token sequence plus
+    the fertility signals a tokenizer evaluation reports (BPE tokens
+    per whitespace word — high fertility = the vocab fits the text
+    poorly, the metric multilingual tokenizer audits threshold)."""
+    from nyc_taxi_etl_pyspark_spark.functions.text import tokens_col
+
+    words = tokens_col(F.col(text_col))
+    syms = F.concat_ws(
+        "  ", F.transform(words, lambda w: _initial_symbols(w))
+    )  # double space between words: no cross-word pair can form
+    for m in merges:
+        pat = f"(?<=^|\\s){re.escape(m['left'])} {re.escape(m['right'])}(?=\\s|$)"
+        repl = m["merged"].replace("\\", "\\\\").replace("$", "\\$")
+        syms = F.regexp_replace(syms, pat, repl)
+    toks = F.filter(F.split(syms, " +"), lambda t: t != "")
+    return df.select(
+        "*",
+        toks.alias("bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.size(toks).cast("double")
+            / F.nullif(F.size(words).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("fertility"),
+    )
+
+
+def reference_apply_bpe(word: str, merges: list[dict]) -> list[str]:
+    """Pure-Python BPE inference on one word (same order, same
+    left-to-right non-overlap) — the equality oracle for apply_bpe."""
+    syms = list(word) + [_END]
+    for m in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == m["left"]
+                and syms[i + 1] == m["right"]
+            ):
+                out.append(m["merged"])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

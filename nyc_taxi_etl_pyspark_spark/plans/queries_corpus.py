@@ -892,3 +892,29 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_merges_df(spark, train_bpe(d, "text", n_merges=10))
+
+
+@query("q_bpe_fertility", oracle=None)  # depends on learned merges => rows-only
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer EVALUATION (``operators/bpe.py::apply_bpe``): train
+    10 merges on the corpus, tokenize every document with them (chained
+    codegen'd lookaround rewrites, zero shuffle, no Python in the row
+    path), and report per-language fertility — BPE tokens per
+    whitespace word, the metric multilingual tokenizer audits threshold
+    (high fertility = the learned vocab fits that language poorly).
+    Rows-only because the merge table feeds the tokenization (no single
+    SQL statement); the inference itself is asserted word-by-word equal
+    to a pure-Python reference in tests/test_corpus_pipeline.py."""
+    from nyc_taxi_etl_pyspark_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=10)
+    out = apply_bpe(d.select("doc_id", "lang", "text"), "text", merges)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum("n_words").alias("n_words"),
+        stable_round(
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_words"), 4
+        ).alias("fertility"),
+    )

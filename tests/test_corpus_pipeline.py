@@ -113,3 +113,31 @@ def test_bpe_rewrite_handles_adjacent_and_overlapping_pairs(spark):
     got = train_bpe(df, "text", n_merges=3)
     want = reference_bpe([("aaa", 3), ("aa", 3)], n_merges=3)
     assert got == want
+
+
+def test_bpe_apply_matches_reference_inference(spark, sf_dir):
+    """apply_bpe's chained-regexp tokenization must produce, word by
+    word, the token sequences the reference per-word inference scan
+    yields under the same learned merges — and fertility must equal
+    n_bpe_tokens / n_words."""
+    from nyc_taxi_etl_pyspark_spark.operators.bpe import (
+        apply_bpe,
+        reference_apply_bpe,
+        train_bpe,
+    )
+    from nyc_taxi_etl_pyspark_spark.functions.text import tokens_col
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    merges = train_bpe(d, "text", n_merges=8)
+    out = apply_bpe(d.select("doc_id", "text"), "text", merges)
+    rows = out.select("doc_id", "text", "bpe_tokens", "n_bpe_tokens", "n_words", "fertility").collect()
+    assert len(rows) == 50
+    for r in rows:
+        words = [w for w in r["text"].lower().split() if w]
+        want = [t for w in words for t in reference_apply_bpe(w, merges)]
+        assert list(r["bpe_tokens"]) == want, r["doc_id"]
+        assert r["n_words"] == len(words)
+        assert r["n_bpe_tokens"] == len(want)
+        assert abs(r["fertility"] - round(len(want) / len(words), 4)) < 1e-9
