@@ -862,3 +862,17 @@ def test_join_bucketed_registry_query_plan_and_idempotence(spark, sf_dir):
         assert q(spark, sf_dir).count() == n1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_prefix_filter_join_plan_no_cartesian_and_broadcast_df(spark, sf_dir):
+    """q_jaccard_prefix_filter's plan must contain no cartesian product
+    (candidates come only from the prefix-token equi-join) and the
+    |vocab|-bounded document-frequency table must broadcast rather than
+    shuffling the token stream a second time."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    df = all_queries()["q_jaccard_prefix_filter"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
