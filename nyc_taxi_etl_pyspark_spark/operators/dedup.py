@@ -249,9 +249,25 @@ def minhash_lsh_dedup(
     (id_a, id_b, n_shared_buckets); feed survivors into exact Jaccard to
     drop false positives.
     """
-    rows_per_band = num_hashes // bands
     sig_fn = {"kmin": minhash_signatures, "oph": minhash_signatures_oph}[scheme]
     sigs = sig_fn(df, id_col, text_col, num_hashes, shingle_n)
+    return lsh_band_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+
+
+def lsh_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Band a (id, signature-array) frame and emit candidate pairs —
+    the hash-family-agnostic half of ``minhash_lsh_dedup`` (xxhash64
+    OPH signatures in production; the md5 twin for the oracle-checked
+    tier). The bucket id hashes the band SLICE only to shrink the
+    groupBy key; equality of slices is what pairs docs, so any
+    collision-free-enough hash yields identical pairs."""
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -261,7 +277,7 @@ def minhash_lsh_dedup(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("minhash_sig", b * rows_per_band + r + 1)
+                                F.element_at(sig_col, b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),

@@ -1307,3 +1307,74 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", "block", stable_round(jac, 4).alias("jaccard")
         )
     )
+
+
+def _lsh_md5_oracle() -> str:
+    """Generated SQL for the md5-LSH candidate pairs oracle: the md5
+    signature CTE (8 slots) banded 4×2; a pair is a candidate per band
+    where BOTH band values match; n_shared_buckets counts such bands."""
+    sig_select = _minhash_md5_oracle().replace("{toks}", _SIMHASH_TOKS_SQL)
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, s{2 * k} AS x, s{2 * k + 1} AS y FROM sig"
+        for k in range(4)
+    )
+    return f"""
+    WITH sig AS ({sig_select}),
+    b AS (
+      {bands}
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_buckets
+    FROM b a JOIN b c
+      ON a.band = c.band AND a.x = c.x AND a.y = c.y
+     AND a.doc_id < c.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q_dedup_lsh_md5", oracle=_lsh_md5_oracle())
+def q_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE LSH candidate generation — the banding half of
+    the MinHash-LSH pipeline proven end-to-end (extends the signature
+    twin q_dedup_minhash_md5): 8-slot md5 signatures banded 4×2,
+    bucketed, and paired with the SAME in-array pair generation the
+    production tier uses (``operators/dedup.py::lsh_band_pairs``,
+    hash-family-agnostic since round 4). DuckDB re-derives the pairs
+    declaratively — per band, a candidate pair is two documents whose
+    band slice matches exactly — so the hash match proves banding,
+    bucketing, pair generation, AND the shared-bucket count against an
+    independent implementation; with q_dedup_minhash_md5 (signatures)
+    and q_dedup_clusters (components) this makes every stage of the
+    near-dup pipeline oracle-checked in some hash family, while the
+    xxhash64 OPH production tier keeps the recall/property tests."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import lsh_band_pairs
+    from nyc_taxi_etl_pyspark_spark.functions.text import token_shingles
+
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tokens_col(F.col("text")).alias("__toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_shingles(F.col("__toks"), 3))
+        ).alias("__sh"),
+    )
+    hashes = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("__sh"), F.lit(f"|{i}"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"__h{i}")
+        for i in range(k)
+    ]
+    sigs = (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(
+            F.array(*[F.min(f"__h{i}") for i in range(k)]).alias(
+                "minhash_sig"
+            )
+        )
+    )
+    return lsh_band_pairs(sigs, "doc_id", num_hashes=k, bands=4)
