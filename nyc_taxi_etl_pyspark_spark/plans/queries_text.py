@@ -1378,3 +1378,91 @@ def q_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lsh_band_pairs(sigs, "doc_id", num_hashes=k, bands=4)
+
+
+def _lsh_md5_survivors_oracle() -> str:
+    """Recursive-CTE oracle for survivors over the md5-LSH pair graph:
+    the band-match pair derivation of _lsh_md5_oracle feeding the same
+    components/survivor CTEs as the Jaccard chain."""
+    sig_select = _minhash_md5_oracle().replace("{toks}", _SIMHASH_TOKS_SQL)
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, s{2 * k} AS x, s{2 * k + 1} AS y FROM sig"
+        for k in range(4)
+    )
+    return f"""
+    WITH RECURSIVE sig AS ({sig_select}),
+    b AS (
+      {bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.x = c.x AND a.y = c.y
+       AND a.doc_id < c.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    WHERE c.component IS NULL OR c.component = d.doc_id
+    """
+
+
+@query("q_dedup_lsh_md5_survivors", oracle=_lsh_md5_survivors_oracle())
+def q_dedup_lsh_md5_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup pipeline oracle-checked in one query:
+    md5-MinHash signatures → LSH band pairs (`lsh_band_pairs`) →
+    connected components (iterative min-label propagation) → min-doc_id
+    survivor per cluster plus every never-paired doc. The DuckDB oracle
+    re-derives the identical chain declaratively (band-match pairs +
+    recursive-CTE components), so signatures, banding, pair
+    generation, the component fixpoint, and survivor selection are
+    hash-proven END-TO-END — the strongest correctness statement the
+    engine makes about its dedup surface; the xxhash64 OPH production
+    chain (q_dedup_minhash_survivors) keeps the identical operators
+    with the cheaper hash family."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import lsh_band_pairs
+    from nyc_taxi_etl_pyspark_spark.functions.text import token_shingles
+
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tokens_col(F.col("text")).alias("__toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_shingles(F.col("__toks"), 3))
+        ).alias("__sh"),
+    )
+    hashes = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("__sh"), F.lit(f"|{i}"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"__h{i}")
+        for i in range(k)
+    ]
+    sigs = (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(
+            F.array(*[F.min(f"__h{i}") for i in range(k)]).alias(
+                "minhash_sig"
+            )
+        )
+    )
+    pairs = lsh_band_pairs(sigs, "doc_id", num_hashes=k, bands=4)
+    return dedup_survivors(d, pairs, id_col="doc_id").select(
+        "doc_id", "source", "lang"
+    )
