@@ -1996,3 +1996,21 @@ def test_metadata_count_and_timestamp_as_of(spark, tmp_path):
     t.optimize(spark, target_rows_per_file=1000)
     assert t.count() == 20
     assert t.count() == t.read(spark).count()
+
+
+def test_read_appended_partitioned_layout_rebuilds_partition_columns(spark, tmp_path):
+    """read_appended on a hive-partitioned table must surface the
+    partition columns (basePath read) and return only the appended
+    rows across partitions."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, grp string"
+    )
+    t.commit(df1, partition_by=["grp"])
+    df2 = spark.createDataFrame(
+        [(3, "a"), (4, "c")], "id int, grp string"
+    )
+    t.commit(df2, mode="append", partition_by=["grp"])
+    d = t.read_appended(spark, 0)
+    assert sorted(d.columns) == ["grp", "id"]
+    assert sorted((r["id"], r["grp"]) for r in d.collect()) == [(3, "a"), (4, "c")]
