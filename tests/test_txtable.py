@@ -2014,3 +2014,59 @@ def test_read_appended_partitioned_layout_rebuilds_partition_columns(spark, tmp_
     d = t.read_appended(spark, 0)
     assert sorted(d.columns) == ["grp", "id"]
     assert sorted((r["id"], r["grp"]) for r in d.collect()) == [(3, "a"), (4, "c")]
+
+
+def test_expectations_compose_with_partitioned_commit(spark, tmp_path):
+    """commit_with_expectations must pass layout kwargs through: the
+    gated commit lands hive-partitioned, partition pruning works on the
+    passing rows, and the quarantine still captures violators."""
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(30)],
+        "id int, grp string, v double",
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit_with_expectations(
+        df, {"id_not_5": "id % 5 != 0"}, partition_by=["grp"]
+    )
+    m = t.manifest()
+    assert m["partition_by"] == ["grp"]
+    pruned = t.read(spark, partitions={"grp": ["g1"]})
+    ids = sorted(r["id"] for r in pruned.collect())
+    assert ids == [i for i in range(30) if i % 3 == 1 and i % 5 != 0]
+    q = TransactionalTable(str(tmp_path / "t_quarantine"))
+    assert q.read(spark).count() == 6  # ids 0,5,10,15,20,25
+
+
+def test_mv_agg_refresh_over_partitioned_base(spark, tmp_path):
+    """refresh_agg_view over a hive-partitioned base: read_appended
+    rebuilds partition columns for the delta, so partition-keyed
+    aggregates stay correct across refreshes."""
+    from nyc_taxi_etl_pyspark_spark.operators.mv import refresh_agg_view
+
+    base = TransactionalTable(str(tmp_path / "B"))
+    view = TransactionalTable(str(tmp_path / "V"))
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, "d" + str(i % 2), float(i)) for i in ids],
+            "id int, day string, v double",
+        )
+
+    def partial_fn(df):
+        return df.groupBy("day").agg(
+            F.count("*").alias("__c"), F.sum("v").alias("__s")
+        )
+
+    def merge_fn(states):
+        return states.groupBy("day").agg(
+            F.sum("__c").alias("__c"), F.sum("__s").alias("__s")
+        )
+
+    base.commit(batch(range(10)), partition_by=["day"])
+    refresh_agg_view(spark, base, view, partial_fn, merge_fn)
+    base.commit(batch(range(10, 30)), mode="append", partition_by=["day"])
+    s = refresh_agg_view(spark, base, view, partial_fn, merge_fn)
+    assert s["mode"] == "incremental"
+    got = sorted(map(tuple, view.read(spark).collect()))
+    want = sorted(map(tuple, partial_fn(base.read(spark)).collect()))
+    assert got == want
