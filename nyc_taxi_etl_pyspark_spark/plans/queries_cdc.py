@@ -887,3 +887,43 @@ def q_tx_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_restore",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (``TransactionalTable.restore``): a good
+    snapshot (even keys), a bad write on top (the odd keys standing in
+    for a corrupted batch), then a metadata-only rollback — the restore
+    commits one NEW manifest re-listing the good snapshot's immutable
+    files, copying zero bytes and running zero Spark jobs, while the
+    bad version stays readable for audit until vacuum retires it. The
+    oracle states the good snapshot declaratively: matching proves the
+    restored head is EXACTLY the pre-incident table through the full
+    storage round-trip."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txrestore", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0))
+        t.commit(
+            o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) != 0), mode="append"
+        )
+        t.restore(0)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

@@ -1570,6 +1570,50 @@ class TransactionalTable:
             }
         raise CommitConflict(f"optimize lost {max_retries} commit races on {self.root}")
 
+    def restore(self, version: int, expect_version: int | None = None) -> int:
+        """RESTORE TABLE TO VERSION (Delta's ``RESTORE``): commit a NEW
+        version whose file list is the target snapshot's — a pure
+        METADATA operation (one manifest put, zero data copied, zero
+        Spark jobs) because data files are immutable and shared across
+        manifests. History is preserved: the bad intermediate versions
+        stay readable until vacuum retires them, and the restore itself
+        is an auditable commit (``meta.op = "restore"``). The target
+        must still be retained (not vacuumed). Optimistic concurrency
+        via ``expect_version`` like any commit; a blind restore rebases
+        past concurrent writers (last-writer-wins, as with replace)."""
+        target = self.manifest(version)
+        if target is None:
+            raise FileNotFoundError(
+                f"{self.root}: version {version} is not retained "
+                "(vacuumed or never committed) — cannot restore"
+            )
+        while True:
+            base_v = self.latest_version()
+            if expect_version is not None and base_v != expect_version:
+                raise CommitConflict(
+                    f"{self.root}: restore derived from v{expect_version} "
+                    f"but table is at v{base_v}; re-read and retry"
+                )
+            prev = self.manifest(base_v) if base_v >= 0 else None
+            meta = {"op": "restore", "restored_version": version}
+            if self._put_manifest(
+                base_v,
+                list(target["files"]),
+                target.get("rows", 0),
+                target.get("schema"),
+                dict(target.get("stats", {})),
+                meta,
+                target.get("partition_by"),
+                prev,
+                mixed_schemas=bool(target.get("mixed_schemas")),
+            ):
+                return base_v + 1
+            if expect_version is not None:
+                raise CommitConflict(
+                    f"{self.root}: v{base_v + 1} committed concurrently; "
+                    "re-read and retry"
+                )
+
     def vacuum(
         self, retain_versions: int = 2, unreferenced_grace_s: float = 600.0
     ) -> dict:

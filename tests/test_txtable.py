@@ -2070,3 +2070,40 @@ def test_mv_agg_refresh_over_partitioned_base(spark, tmp_path):
     got = sorted(map(tuple, view.read(spark).collect()))
     want = sorted(map(tuple, partial_fn(base.read(spark)).collect()))
     assert got == want
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """restore(v): a new manifest re-lists the target snapshot's files
+    (no data copied — file keys identical), the read equals the old
+    snapshot, history keeps the intermediate versions, sticky replay
+    meta survives, and vacuum after restore never deletes files the
+    restored head references."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_snapshot_df(spark, 0, 30), num_files=2)
+    good = t.manifest()
+    t.commit(_snapshot_df(spark, 1, 7), num_files=2)  # the "bad" write
+    v = t.restore(0)
+    assert v == 2
+    m = t.manifest()
+    assert m["meta"]["op"] == "restore"
+    assert m["meta"]["restored_version"] == 0
+    assert sorted(m["files"]) == sorted(good["files"])  # shared, not copied
+    got = t.read(spark)
+    assert got.count() == 30 and got.agg(F.max("v")).first()[0] == 0
+    assert t.count() == 30
+    # the bad version stays auditable until vacuumed
+    assert t.read(spark, version=1).agg(F.max("v")).first()[0] == 1
+    # vacuum keeps every file the retained heads reference
+    t.vacuum(retain_versions=2, unreferenced_grace_s=0)
+    assert t.read(spark).count() == 30
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.restore(99)
+
+
+def test_restore_conflicts_under_expect_version(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_snapshot_df(spark, 0, 10))
+    t.commit(_snapshot_df(spark, 1, 10))
+    with pytest.raises(CommitConflict):
+        t.restore(0, expect_version=0)  # table is at v1
+    assert t.restore(0, expect_version=1) == 2
