@@ -268,6 +268,21 @@ def main() -> None:
           "-", view.read(spark).count(), "state rows")
 
     # ------------------------------------------------------------------
+    # 9d. Incident rollback: RESTORE TABLE TO VERSION — one metadata
+    # commit re-listing the good snapshot's immutable files, zero bytes
+    # copied; the bad version stays auditable until vacuum.
+    bad_demo = TransactionalTable(os.path.join(root, "rollback_demo"))
+    bad_demo.commit(synth_taxi(spark, 100).select("trip_distance", "total_amount"))
+    bad_demo.commit(
+        synth_taxi(spark, 5).select("trip_distance", "total_amount")
+    )  # the "corrupted" overwrite
+    v = bad_demo.restore(0)
+    print(
+        "restore:", f"v{v} re-lists v0;",
+        bad_demo.count(), "rows (metadata count, no scan)",
+    )
+
+    # ------------------------------------------------------------------
     # 10. History + vacuum: audit trail from the commit log; reclaim
     # files referenced by no retained version (retention = reader grace).
     for h in table.history():
