@@ -2190,3 +2190,81 @@ def test_protocol_state_machine_fuzz(spark, tmp_path, seed):
         f = t.fsck()
         assert f["ok"], f
         assert t.latest_version() >= before_v
+
+
+@pytest.mark.parametrize("seed", [5, 61])
+def test_protocol_fuzz_with_merge_and_expectations(spark, tmp_path, seed):
+    """Fuzz v2 over a keyed-value table: MERGE (latest-wins upsert) and
+    gated commits join the op mix, the model is a key->value dict, and
+    every op's result is checked against it plus fsck/count."""
+    import random
+
+    rng = random.Random(seed)
+    t = TransactionalTable(str(tmp_path / "t"))
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "id int, v int"
+        )
+
+    def do_merge():
+        from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert  # noqa: F401
+
+        upd = {
+            rng.randint(0, 60): rng.randint(0, 999)
+            for _ in range(rng.randint(1, 15))
+        }
+        t.merge(spark, frame(upd), ["id"])
+        model.update(upd)
+
+    def do_gated_replace():
+        cand = {
+            rng.randint(0, 60): rng.randint(0, 999)
+            for _ in range(rng.randint(5, 20))
+        }
+        t.commit_with_expectations(
+            frame(cand), {"v_small": "v < 900"}, on_violation="drop"
+        )
+        model.clear()
+        model.update({k: v for k, v in cand.items() if v < 900})
+
+    def do_append_new():
+        base = max(model, default=-1) + 100
+        add = {base + i: rng.randint(0, 999) for i in range(rng.randint(1, 8))}
+        t.commit(frame(add), mode="append")
+        model.update(add)
+
+    def do_optimize():
+        if t.exists() and t.count() > 0:
+            t.optimize(spark, target_rows_per_file=40)
+
+    def do_restore():
+        vs = [v for v in t.versions() if v < t.latest_version()]
+        if vs:
+            v = rng.choice(vs)
+            t.restore(v)
+            model.clear()
+            model.update(history[v])
+
+    def do_vacuum():
+        t.vacuum(retain_versions=3, unreferenced_grace_s=0)
+
+    t.commit(frame({i: i for i in range(20)}))
+    model.update({i: i for i in range(20)})
+
+    def fill():
+        while len(history) < t.latest_version() + 1:
+            history.append(dict(model))
+
+    fill()
+    ops = [do_merge, do_gated_replace, do_append_new, do_optimize, do_restore, do_vacuum]
+    for _ in range(12):
+        op = rng.choice(ops)
+        op()
+        fill()
+        got = sorted((r["id"], r["v"]) for r in t.read(spark).collect())
+        assert got == sorted(model.items()), f"{op.__name__} diverged (seed {seed})"
+        assert t.count() == len(model)
+        assert t.fsck()["ok"]
