@@ -1423,6 +1423,15 @@ class TransactionalTable:
                 f"{self.root}: {failed}/{audit['rows_seen']} rows violate "
                 f"expectations {audit['violations']}; nothing committed"
             )
+        meta = dict(commit_kwargs.pop("meta", None) or {})
+        meta["expectations"] = audit
+        # MAIN commit FIRST (same order as the streaming variant): a
+        # CommitConflict raised here — e.g. the caller passed
+        # expect_version — leaves the quarantine untouched, so the
+        # caller's retry cannot double-append violators. A crash
+        # between the two commits loses at most this batch's
+        # quarantine rows, never main-table correctness.
+        version = self.commit(df.filter(all_pass), meta=meta, **commit_kwargs)
         if failed and on_violation == "quarantine":
             qroot = quarantine_root or self.root + "_quarantine"
             qtable = TransactionalTable(qroot, storage=type(self.storage)(qroot))
@@ -1434,9 +1443,7 @@ class TransactionalTable:
                 mode="append" if qtable.exists() else "replace",
                 meta={"expectations": audit},
             )
-        meta = dict(commit_kwargs.pop("meta", None) or {})
-        meta["expectations"] = audit
-        return self.commit(df.filter(all_pass), meta=meta, **commit_kwargs)
+        return version
 
     # -- maintenance -------------------------------------------------------
     def optimize(

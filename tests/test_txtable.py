@@ -2268,3 +2268,22 @@ def test_protocol_fuzz_with_merge_and_expectations(spark, tmp_path, seed):
         assert got == sorted(model.items()), f"{op.__name__} diverged (seed {seed})"
         assert t.count() == len(model)
         assert t.fsck()["ok"]
+
+
+def test_expectations_conflict_does_not_double_quarantine(spark, tmp_path):
+    """A CommitConflict on the gated MAIN commit (stale expect_version)
+    must leave the quarantine untouched, so the caller's retry appends
+    violators exactly once."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import CommitConflict
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(5).select("id"))  # table now at v0
+    df = spark.range(10).select("id")
+    with pytest.raises(CommitConflict):
+        t.commit_with_expectations(
+            df, {"small": "id < 8"}, expect_version=99
+        )
+    q = TransactionalTable(str(tmp_path / "t_quarantine"))
+    assert not q.exists()  # nothing quarantined by the failed attempt
+    t.commit_with_expectations(df, {"small": "id < 8"}, expect_version=0)
+    assert q.read(spark).count() == 2  # exactly once after the retry
