@@ -1587,7 +1587,14 @@ class TransactionalTable:
         is an auditable commit (``meta.op = "restore"``). The target
         must still be retained (not vacuumed). Optimistic concurrency
         via ``expect_version`` like any commit; a blind restore rebases
-        past concurrent writers (last-writer-wins, as with replace)."""
+        past concurrent writers (last-writer-wins, as with replace).
+
+        Sticky meta (``replay``/``app``/``clustering``) deliberately
+        carries from the CURRENT head, not the restored target: a
+        streaming sink's replay watermark must survive the rollback or
+        a resumed stream would re-apply batches the (restored-over)
+        history already consumed — data goes back in time, the
+        exactly-once bookkeeping does not."""
         target = self.manifest(version)
         if target is None:
             raise FileNotFoundError(
