@@ -405,8 +405,16 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CLUSTERED BY ({key}) INTO 8 BUCKETS "
             f"LOCATION '{scratch}/{src}'"
         )
-        if spark.table(name).limit(1).count() == 0:
-            load_table(spark, sf_dir, src).select(*cols).write.insertInto(name)
+        # populate guard by ROW COUNT, not mere non-emptiness: a prior
+        # run that crashed mid-insertInto leaves a partially filled
+        # external table that a nonempty-check would accept forever
+        # (persistently returning a subset). A count mismatch —
+        # partial load OR stale fixture — triggers an overwrite
+        # (truncate + insert in one job), which re-converges on the
+        # next run even if THIS overwrite also crashes midway.
+        src_df = load_table(spark, sf_dir, src).select(*cols)
+        if spark.table(name).count() != src_df.count():
+            src_df.write.insertInto(name, overwrite=True)
     o = spark.table(specs[0][0])
     c = spark.table(specs[1][0])
     return o.join(c, o["o_custkey"] == c["c_custkey"]).select(

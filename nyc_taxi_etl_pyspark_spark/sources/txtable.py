@@ -322,13 +322,19 @@ def collect_file_stats(local_path: str) -> dict | None:
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:  # nested leaf: not a top-level prunable col
+                    continue
+                # .min/.max themselves can raise for logical types
+                # pyarrow can't extract (ArrowNotImplementedError) —
+                # stats are an exclusion proof, absence is always safe
+                mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
+            except Exception:
                 continue
-            name = col.path_in_schema
-            if "." in name:  # nested leaf: not a top-level prunable col
-                continue
-            mn, mx = _json_safe_stat(st.min), _json_safe_stat(st.max)
             if mn is None or mx is None:
                 continue
             if name in cols:
@@ -344,12 +350,57 @@ _BLOOM_MAX_BITS = 1 << 18  # 32 KiB/bloom cap; overfull blooms only raise FPR
 
 def _canon_bloom_value(v) -> str:
     """Deterministic canonical form hashed into blooms at BUILD and
-    PROBE time. Integral-valued numerics collapse to one form (``7``,
-    ``7.0`` and ``np.int64(7)`` all canonicalize to ``"7"``) because
-    Spark's residual equality would match them after cast — a
-    type-sensitive canonicalization here would turn that into a bloom
-    FALSE NEGATIVE, i.e. a wrongly skipped file. Strings use repr (no
-    PYTHONHASHSEED dependence)."""
+    PROBE time (format v2). The rule: canonicalize by LOGICAL VALUE,
+    not representation, for every equality Spark's residual filter
+    would match after implicit cast — a representation-sensitive form
+    here turns a legitimate cross-representation probe into a bloom
+    FALSE NEGATIVE (a wrongly skipped file), violating the one-sided
+    error contract. Concretely:
+
+    - integral-valued numerics collapse (``7``, ``7.0``, ``True``,
+      ``np.int64(7)``, ``Decimal('7.00')`` → ``"7"``);
+    - non-integral reals and Decimals collapse through ``float``
+      (``1.5``, ``Decimal('1.50')`` → ``"1.5"``);
+    - dates/timestamps take their Spark string rendering
+      (``date(2020, 1, 1)`` → ``"2020-01-01"``), the same form a
+      string-literal probe supplies;
+    - strings hash their raw value (md5 downstream — no
+      PYTHONHASHSEED dependence), so a string probe meets the
+      stringified temporal/numeric forms above.
+
+    Collapsing distinct representations can only ADD false positives
+    (a kept file), never false negatives. Legacy blooms (no ``"v"``
+    key) were built with :func:`_canon_bloom_value_v1`;
+    ``bloom_might_contain`` dispatches on the recorded version so
+    persisted v1 indexes keep probing with the form they were built
+    under."""
+    import datetime as _dt
+    import decimal
+    import numbers
+
+    if v is None:
+        return "\x00null"
+    if isinstance(v, numbers.Integral):  # includes bool
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        iv = v.to_integral_value()
+        if v == iv:
+            return str(int(iv))
+        return repr(float(v))
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        return str(int(f)) if f.is_integer() else repr(f)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, _dt.datetime) or isinstance(v, _dt.date):
+        return str(v)  # '2020-01-01' / '2020-01-01 00:00:00[.ffffff]'
+    return str(v)
+
+
+def _canon_bloom_value_v1(v) -> str:
+    """LEGACY (pre-v2) canonical form — kept verbatim so blooms
+    persisted by earlier commits keep probing with the exact form they
+    were built under (see ``_canon_bloom_value``)."""
     import numbers
 
     if isinstance(v, bool) or v is None or isinstance(v, (str, bytes)):
@@ -362,12 +413,15 @@ def _canon_bloom_value(v) -> str:
     return repr(v)
 
 
-def _bloom_positions(value, m: int, k: int) -> list[int]:
+_BLOOM_FORMAT_V = 2
+
+
+def _bloom_positions(value, m: int, k: int, canon=_canon_bloom_value) -> list[int]:
     """k bit positions for ``value`` via double hashing of one md5 of
-    the canonical form (``_canon_bloom_value``)."""
+    the canonical form (``canon``, defaulting to the current v2)."""
     import hashlib
 
-    d = hashlib.md5(_canon_bloom_value(value).encode()).digest()
+    d = hashlib.md5(canon(value).encode()).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:], "little") | 1  # odd => full-period stride
     return [(h1 + i * h2) % m for i in range(k)]
@@ -415,6 +469,7 @@ def build_bloom_stats(local_path: str, cols: list[str]) -> dict:
         out[c] = {
             "m": m,
             "k": _BLOOM_K,
+            "v": _BLOOM_FORMAT_V,
             "b64": base64.b64encode(bytes(bits)).decode(),
         }
     return out
@@ -424,9 +479,19 @@ def bloom_might_contain(bloom: dict, value) -> bool:
     import base64
 
     bits = base64.b64decode(bloom["b64"])
+    # probe with the canonicalization the bloom was BUILT under —
+    # legacy (v1) blooms persist in fixture tables committed before the
+    # value-canonicalization fix and must not see v2 probe forms
+    canon = (
+        _canon_bloom_value
+        if bloom.get("v", 1) >= _BLOOM_FORMAT_V
+        else _canon_bloom_value_v1
+    )
     return all(
         bits[h >> 3] & (1 << (h & 7))
-        for h in _bloom_positions(value, bloom["m"], bloom.get("k", _BLOOM_K))
+        for h in _bloom_positions(
+            value, bloom["m"], bloom.get("k", _BLOOM_K), canon
+        )
     )
 
 
@@ -449,20 +514,41 @@ def prune_files(
     files = manifest["files"]
     if not where and not equals:
         return list(files)
-    # each equality is a value SET (IN-list); a scalar is a 1-list
+    # each equality is a value SET (IN-list); a scalar is a 1-list.
+    # None values are dropped everywhere below: SQL equality/IN never
+    # matches NULL (the residual filter is three-valued too), and a
+    # None inside min()/max()/bloom probes would otherwise crash or
+    # wrongly exclude — dropping it degrades to "no proof", never a
+    # wrong skip.
     eq = [
-        (col, list(v) if isinstance(v, (list, tuple, set)) else [v])
+        (
+            col,
+            [
+                u
+                for u in (
+                    v if isinstance(v, (list, tuple, set)) else [v]
+                )
+                if u is not None
+            ],
+        )
         for col, v in (equals or [])
     ]
+    bands = list(where or [])
+    for col, vs in eq:
+        if not vs:
+            continue
+        try:
+            bands.append((col, min(vs), max(vs)))
+        except TypeError:
+            # mixed-type IN-list: no total order, so no range proof —
+            # keep the band out (files still bloom-probed per value)
+            pass
     stats = manifest.get("stats", {})
     kept = []
     for f in files:
         fstats = stats.get(f)
         keep = True
         if fstats:
-            bands = list(where or []) + [
-                (col, min(vs), max(vs)) for col, vs in eq if vs
-            ]
             for col, lo, hi in bands:
                 rng = fstats.get("cols", {}).get(col)
                 if rng is None:
@@ -700,8 +786,7 @@ class TransactionalTable:
             reader = reader.option("mergeSchema", "true")
         if not files:
             # every file excluded: empty frame with the table's schema
-            # (derived from one file; the manifest always has >= 1)
-            df = reader.parquet(self.storage.url(m["files"][0])).limit(0)
+            df = self._empty_frame(reader, m, m["files"][0])
         else:
             df = reader.parquet(*[self.storage.url(f) for f in files])
         if where or partitions or equals:
@@ -789,8 +874,34 @@ class TransactionalTable:
                     f"{self.root}: no files in either snapshot to derive "
                     "a schema from"
                 )
-            return reader.parquet(self.storage.url(anchor[0])).limit(0)
+            return self._empty_frame(reader, m1, anchor[0])
         return reader.parquet(*[self.storage.url(f) for f in new_files])
+
+    def _empty_frame(self, reader, m: dict, anchor_key: str) -> DataFrame:
+        """Zero-row frame carrying the TABLE schema. The anchor file's
+        footer alone is not enough on a schema-evolved (mixed_schemas)
+        table: a pre-evolution anchor lacks the evolved columns, so a
+        residual filter on one would raise AnalysisException and the
+        empty result's schema would disagree with the table's (breaking
+        caller unionByName). The manifest schema — the union across
+        every evolution — is authoritative, so any column the anchor
+        footer misses is appended as a typed NULL literal (order: the
+        anchor's columns first, exactly what a mergeSchema read of the
+        full file set produces)."""
+        df = reader.parquet(self.storage.url(anchor_key)).limit(0)
+        missing = {
+            c: t
+            for c, t in (m.get("schema") or {}).items()
+            if c not in df.columns
+        }
+        if missing:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(t).alias(c) for c, t in missing.items()],
+            )
+        return df
 
     def exists(self) -> bool:
         return self.latest_version() >= 0

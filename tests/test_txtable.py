@@ -2287,3 +2287,128 @@ def test_expectations_conflict_does_not_double_quarantine(spark, tmp_path):
     assert not q.exists()  # nothing quarantined by the failed attempt
     t.commit_with_expectations(df, {"small": "id < 8"}, expect_version=0)
     assert q.read(spark).count() == 2  # exactly once after the retry
+
+
+def test_bloom_probe_cross_representation_equality(spark, tmp_path):
+    """Blooms canonicalize by LOGICAL VALUE (format v2): a probe that
+    Spark's residual equality would match after implicit cast — string
+    literal vs date column, differently-scaled Decimal, bool vs int —
+    must never be a bloom FALSE NEGATIVE (a wrongly skipped file that
+    silently empties the read)."""
+    import datetime
+    from decimal import Decimal
+
+    df = spark.range(2000).select(
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        (F.col("id") + F.lit(0.5)).cast("decimal(10,2)").alias("amt"),
+        F.col("id").alias("payload"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df.repartition(8), bloom_by=["d", "flag", "amt"], num_files=8)
+    # date column probed as ISO string AND as date object
+    for probe in ("2020-01-05", datetime.date(2020, 1, 5)):
+        got = sorted(
+            r.payload for r in t.read(spark, equals={"d": probe}).collect()
+        )
+        assert got == [4, 369, 734, 1099, 1464, 1829], f"probe {probe!r}"
+    # decimal column (stored scale 2) probed as Decimal of another
+    # scale, as float, and as the exact-scale Decimal
+    for probe in (Decimal("7.5"), 7.5, Decimal("7.50")):
+        got = [r.payload for r in t.read(spark, equals={"amt": probe}).collect()]
+        assert got == [7], f"probe {probe!r}"
+    # bool column probed as bool end-to-end; the int form is checked
+    # at the bloom level only (Spark's ANSI residual rejects bool = int,
+    # so an int probe errors loudly rather than returning empty)
+    assert t.read(spark, equals={"flag": True}).count() == 1000
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import bloom_might_contain
+
+    m = t.manifest()
+    flag_blooms = [
+        s["bloom"]["flag"] for s in m["stats"].values() if "bloom" in s
+    ]
+    assert flag_blooms and all(
+        bloom_might_contain(b, True) == bloom_might_contain(b, 1)
+        for b in flag_blooms
+    )
+
+
+def test_bloom_legacy_v1_blooms_probe_with_v1_canon(spark, tmp_path):
+    """Persisted pre-v2 blooms (no "v" key) keep probing with the
+    legacy canonical form — the dispatch prevents a v2 probe form from
+    turning an OLD fixture table's bloom into a false negative."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _BLOOM_K,
+        _bloom_positions,
+        _canon_bloom_value_v1,
+        bloom_might_contain,
+    )
+    import base64
+
+    m = 1024
+    bits = bytearray(m // 8)
+    for v in (7, "x"):
+        for h in _bloom_positions(v, m, _BLOOM_K, _canon_bloom_value_v1):
+            bits[h >> 3] |= 1 << (h & 7)
+    legacy = {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+    # numeric collapse existed in v1: int and float probes both match
+    assert bloom_might_contain(legacy, 7)
+    assert bloom_might_contain(legacy, 7.0)
+    # v1 strings were repr()-quoted; the dispatch must keep that form
+    assert bloom_might_contain(legacy, "x")
+    assert not bloom_might_contain(legacy, "y")
+
+
+def test_prune_files_in_list_none_and_mixed_types(spark, tmp_path):
+    """An IN-list containing None (asking for NULLs) or mixed types
+    must degrade to a conservative keep — never crash the read, never
+    wrongly exclude."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import prune_files
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("s"),
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, cluster_by=["k"], num_files=4, bloom_by=["s"])
+    m = t.manifest()
+    # None-only IN-list: no range/bloom proof possible -> all files kept
+    assert prune_files(m, None, [("k", [None])]) == m["files"]
+    # mixed-type IN-list: min()/max() would TypeError -> no range band,
+    # files kept (not crashed); the real key still prunes by range
+    kept = prune_files(m, None, [("k", [5, "not-a-number"])])
+    assert kept == m["files"]
+    kept_typed = prune_files(m, None, [("k", [5])])
+    assert len(kept_typed) == 1
+    # None mixed into a bloom-indexed string IN-list: None is dropped
+    # from the probe (SQL IN never matches NULL) and the real key wins
+    kept_s = prune_files(m, None, [("s", ["u7", None])])
+    assert 1 <= len(kept_s) <= len(m["files"])
+    got = t.read(spark, equals={"s": ["u7", None]}).collect()
+    assert [r.k for r in got] == [7]
+    # end-to-end: the read path with a None-bearing IN-list on the
+    # range-clustered key neither crashes nor returns NULL-matched rows
+    assert t.read(spark, equals={"k": [None]}).count() == 0
+
+
+def test_empty_prune_on_evolved_table_keeps_table_schema(spark, tmp_path):
+    """When pruning excludes EVERY file of a schema-evolved table, the
+    empty frame must carry the MANIFEST (union) schema: a residual
+    filter on an evolved column must not raise, and the empty result
+    must union cleanly with a full read."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).selectExpr("id", "cast(id * 2 as double) v"))
+    t.commit(
+        spark.range(10, 20).selectExpr(
+            "id", "cast(id * 2 as double) v", "concat('t', id) tag"
+        ),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    # the v-band excludes every file; the residual ALSO references the
+    # evolved column, which the oldest file's footer does not carry
+    got = t.read(spark, where=[("v", 1e12, None), ("tag", "a", None)])
+    assert got.count() == 0
+    full = t.read(spark)
+    assert set(got.columns) == set(full.columns)
+    assert full.unionByName(got).count() == full.count()
