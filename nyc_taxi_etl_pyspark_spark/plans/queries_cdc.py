@@ -927,3 +927,58 @@ def q_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_sql_read",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(min(o_totalprice) + 1e-9, 4) AS min_price,
+           round(max(o_totalprice) + 1e-9, 4) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tx_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL over a transactional table
+    (``TransactionalTable.create_view``): the snapshot is registered as
+    a temp view with manifest PARTITION PRUNING already applied — the
+    view's scan lists only the ``o_orderstatus = 'O'`` partition's
+    files (the table-format division of labor: the commit log plans
+    files, Catalyst plans rows) — and the query itself is plain
+    ``spark.sql`` text (residual filter, aggregate, GROUP BY) whose
+    predicates push into that pruned parquet scan. The oracle is the
+    same SQL over the raw table, so matching proves the view is
+    semantically invisible: nothing dropped by pruning, the hive
+    partition column reconstructed, Catalyst composing freely on top.
+    min/max aggregates keep the comparison order-insensitive.
+    Idempotent: the partitioned snapshot commits once per fixture dir;
+    the view re-registers per session (temp views are session state).
+    The reference's only SQL surface is a filter string
+    (``src/features/transformations.py``); this gives its storage
+    layer the full SQL front door."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    root = fixture_scratch_dir("spark_graft_txsql", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, partition_by=["o_orderstatus"])
+    view = f"tx_orders_sql_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
+    t.create_view(spark, view, partitions={"o_orderstatus": ["O"]})
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(min(o_totalprice) + 1e-9, 4) AS min_price,
+               round(max(o_totalprice) + 1e-9, 4) AS max_price
+        FROM {view}
+        WHERE o_orderkey % 3 = 0
+        GROUP BY o_orderpriority
+        """
+    )

@@ -43,18 +43,26 @@ Consequences:
   layout before committing to make the ranges disjoint and the skip
   rate high.
 
-Metadata scaling, honestly: each version's manifest is ONE JSON object
-listing every live file with its stats. That is the right shape up to
-~10⁵ files — measured: 10⁴ files = 1.3 MB manifest, 29 ms dump /
-20 ms load / 6 ms prune; 10⁵ files = 13 MB, 350 ms / 605 ms / 96 ms
-(plus ~1.7 KB/file/bloom-column when bloom-indexed) — metadata read
-once per query plan;
-beyond it the next step is the hierarchical split the big table
-formats use — a root manifest listing per-partition segment manifests,
-which ``mode="replace_partitions"`` already writes the commit units
-for (only touched partitions' segments would be rewritten). The
-PROTOCOL (immutable files + one atomic root pointer) is unchanged by
-that split; it is a layout optimization, deliberately deferred.
+Metadata scaling: a commit puts a DELTA record — the file-set change
+(add/remove keys + stats for the added files only) plus the small
+absolute fields (row total, schema, meta) — so commit payload and
+commit-time driver work are O(changed files), not O(table). Every
+``checkpoint_interval``-th commit also writes the full snapshot to
+``_checkpoints/`` (idempotent, derived, never the commit point), so
+resolving ANY snapshot reads at most one checkpoint + K delta records
+— Delta Lake's log-checkpoint shape. The full snapshot a read plans
+from is still O(live files) of metadata (measured: 10⁴ files = 1.3 MB,
+~20 ms load, 6 ms prune; 10⁵ files = 13 MB, ~0.6 s load — read once
+per query plan); beyond ~10⁵ files the next step is the hierarchical
+split the big table formats use — a root manifest listing
+per-partition segment manifests, which ``mode="replace_partitions"``
+already writes the commit units for. The PROTOCOL (immutable files +
+one atomic conditional put) is unchanged by any of this; checkpoints
+and deltas are layout, not semantics. The publish of staged data
+files and the harvest of their footer/bloom stats run as one
+distributed job above a small file-count threshold
+(``_publish_distributed``), so commit-time work scales with
+executors; the driver's only O(files) cost is manifest metadata.
 
 Storage backends implement only put-if-absent / put / read / list /
 delete / upload. ``LocalStorage`` targets POSIX (put-if-absent via
@@ -81,6 +89,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 COMMITS_DIR = "_commits"
+CHECKPOINTS_DIR = "_checkpoints"
 DATA_DIR = "data"
 _V_WIDTH = 20  # zero-padded so lexicographic listing order == numeric order
 
@@ -603,13 +612,112 @@ def _evolve_schema(
     return {**old, **new}, True
 
 
+def _publish_one(
+    storage: "LocalStorage",
+    local: str,
+    key: str,
+    part_vals: dict,
+    bloom_cols: list[str] | None,
+) -> dict:
+    """Publish ONE staged file at its final unique key and harvest its
+    manifest stats entry (footer min/max + row count, partition values,
+    optional blooms). Pure per-file work with no shared state — the
+    unit both the driver-side loop (small commits) and the distributed
+    publish job (large commits) execute."""
+    fstats = collect_file_stats(local) or {}
+    if part_vals:
+        fstats["partition"] = part_vals
+    if bloom_cols:
+        # one column-projected local read per staged file — the same
+        # moment Delta's writer collects its bloom; never touches
+        # committed files
+        blooms = build_bloom_stats(local, list(bloom_cols))
+        if blooms:
+            fstats["bloom"] = blooms
+    storage.upload_file(local, key)
+    return fstats
+
+
+def _publish_distributed(
+    spark: SparkSession,
+    storage: "LocalStorage",
+    tasks: list[tuple],
+    bloom_cols: list[str] | None,
+) -> dict:
+    """Publish staged files and harvest their stats as ONE Spark job:
+    each task uploads its files and reads their parquet footers /
+    bloom projections executor-side, returning only the (key, stats)
+    metadata to the driver — the writer-task-committer shape, where
+    commit-time work scales with executors, not with a driver loop.
+    The driver's only O(files) cost is the manifest metadata itself.
+    The storage handle is shipped by value (root path + class); any
+    failure (unpicklable storage subclass, worker import) is raised to
+    the caller, which falls back to the serial loop — re-publishing
+    the same unique keys is idempotent and unreferenced strays are
+    vacuum's job."""
+    bcols = list(bloom_cols or [])
+
+    def _run(batch):
+        out = []
+        for local, key, part_vals in batch:
+            out.append((key, _publish_one(storage, local, key, part_vals, bcols)))
+        return out
+
+    sc = spark.sparkContext
+    n = max(1, min(len(tasks), sc.defaultParallelism))
+    return dict(sc.parallelize(list(tasks), n).mapPartitions(_run).collect())
+
+
 def _manifest_key(version: int) -> str:
     return f"{COMMITS_DIR}/v{version:0{_V_WIDTH}d}.json"
+
+
+def _checkpoint_key(version: int) -> str:
+    return f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}.json"
 
 
 def _version_of(key: str) -> int:
     name = key.rsplit("/", 1)[-1]
     return int(name[1:].split(".", 1)[0])
+
+
+def _apply_delta(parent: dict, delta: dict) -> dict:
+    """Reconstruct the FULL manifest of ``delta['version']`` from its
+    parent's full manifest plus the delta commit record — the one
+    place the delta→snapshot semantics live. File order is canonical:
+    the parent's retained files in parent order, then the added files
+    in commit order (exactly what every commit mode produced when
+    manifests were written whole, so reads plan the same file list
+    either way). Retained files keep their stats entries verbatim —
+    per-file stats are immutable once committed."""
+    removed = set(delta.get("remove", ()))
+    add = list(delta.get("add", ()))
+    files = [f for f in parent["files"] if f not in removed] + add
+    stats = {
+        f: s
+        for f, s in parent.get("stats", {}).items()
+        if f not in removed
+    }
+    stats.update(delta.get("stats", {}))
+    full = {
+        "version": delta["version"],
+        "parent": delta.get("parent"),
+        "files": files,
+        "rows": delta.get("rows"),
+        "schema": delta.get("schema"),
+        "stats": stats,
+        "meta": delta.get("meta", {}),
+        "committed_at": delta.get("committed_at"),
+    }
+    if delta.get("partition_by"):
+        full["partition_by"] = list(delta["partition_by"])
+    if delta.get("mixed_schemas"):
+        full["mixed_schemas"] = True
+    if any("partition" in s for s in stats.values()):
+        # parent was upgraded on read and delta stats are written
+        # decoded, so the reconstructed snapshot is always decoded
+        full["partition_encoding"] = "decoded"
+    return full
 
 
 @dataclass
@@ -623,9 +731,46 @@ class TransactionalTable:
     root: str
     storage: LocalStorage = field(default=None)  # type: ignore[assignment]
 
+    # Below this staged-file count the publish runs as a driver-side
+    # loop (a per-commit Spark job costs ~0.1-0.3 s of scheduling that
+    # dwarfs a handful of hard links + footer reads); at or above it
+    # the publish + stats/bloom harvest run as ONE distributed job
+    # (``_publish_distributed``) so commit-time work scales with
+    # executors instead of serializing on the driver. Tests pin it to 1
+    # to force the distributed path on small tables.
+    distributed_publish_min_files: int = 33
+
+    # Every Nth commit also writes a CHECKPOINT (the full manifest) to
+    # ``_checkpoints/``; commits themselves put only a DELTA record, so
+    # commit payload is O(changed files) and resolving any snapshot
+    # reads at most one checkpoint + ``checkpoint_interval`` deltas —
+    # the Delta-log compaction shape. The atomic put-if-absent of the
+    # delta record remains THE commit point; checkpoints are derived,
+    # idempotent, and never required for correctness (reconstruction
+    # walks to the table's v0 full manifest if none exists).
+    checkpoint_interval: int = 10
+
     def __post_init__(self) -> None:
         if self.storage is None:
             self.storage = LocalStorage(self.root)
+        # per-version FULL-manifest cache: safe because a committed
+        # version's content is immutable (conditional put; vacuum only
+        # deletes). Treat returned manifests as read-only.
+        self._mcache: dict[int, dict] = {}
+
+    _MCACHE_MAX = 32
+
+    def _cache_put(self, version: int, full: dict) -> dict:
+        self._mcache[version] = full
+        while len(self._mcache) > self._MCACHE_MAX:
+            self._mcache.pop(min(self._mcache))
+        return full
+
+    def _read_json(self, key: str) -> dict | None:
+        try:
+            return json.loads(self.storage.read(key))
+        except (OSError, ValueError):
+            return None
 
     # -- snapshot resolution ----------------------------------------------
     def versions(self) -> list[int]:
@@ -639,19 +784,62 @@ class TransactionalTable:
         return vs[-1] if vs else -1
 
     def manifest(self, version: int | None = None) -> dict | None:
-        """The manifest of ``version`` (default: latest). Walks backward
-        past unreadable entries — with atomic puts none should exist,
-        but a vacuum racing this listing may have deleted an old one."""
+        """The FULL manifest of ``version`` (default: latest),
+        reconstructed from the nearest base — cache, checkpoint, or a
+        full (legacy / v0) commit record — plus the delta records up to
+        the target (``_full_manifest``). Walks backward past
+        irrecoverable versions — with atomic puts none should exist,
+        but a vacuum racing this listing may have deleted an old one.
+        Returned dicts are shared via the per-version cache: treat
+        them as immutable."""
         vs = self.versions()
         if version is not None:
             vs = [v for v in vs if v == version]
         for v in reversed(vs):
-            try:
-                m = json.loads(self.storage.read(_manifest_key(v)))
-            except (OSError, ValueError):
-                continue
-            return self._upgrade_partition_encoding(m)
+            m = self._full_manifest(v)
+            if m is not None:
+                return m
         return None
+
+    def _full_manifest(self, version: int) -> dict | None:
+        """Resolve the full manifest of ``version``: walk parent links
+        down past delta records until a BASE (cached full manifest, a
+        ``_checkpoints/`` object, or a full commit record — v0 and
+        every pre-delta-format commit), then apply the collected deltas
+        forward, caching every intermediate snapshot. Cost: at most one
+        checkpoint read + ``checkpoint_interval`` delta reads; None if
+        any link of the chain is missing or unreadable (the caller
+        decides whether that is fatal)."""
+        chain: list[dict] = []
+        cur = version
+        base: dict | None = None
+        while True:
+            if cur < 0:
+                return None  # delta chain fell off the front of the log
+            cached = self._mcache.get(cur)
+            if cached is not None:
+                base = cached
+                break
+            ck = self._read_json(_checkpoint_key(cur))
+            if ck is not None and "files" in ck:
+                base = self._cache_put(
+                    cur, self._upgrade_partition_encoding(ck)
+                )
+                break
+            raw = self._read_json(_manifest_key(cur))
+            if raw is None:
+                return None
+            if "files" in raw:  # full record: v0 or legacy format
+                base = self._cache_put(
+                    cur, self._upgrade_partition_encoding(raw)
+                )
+                break
+            chain.append(raw)
+            parent = raw.get("parent")
+            cur = parent if parent is not None else -1
+        for d in reversed(chain):
+            base = self._cache_put(d["version"], _apply_delta(base, d))
+        return base
 
     @staticmethod
     def _upgrade_partition_encoding(m: dict) -> dict:
@@ -903,6 +1091,42 @@ class TransactionalTable:
             )
         return df
 
+    def create_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        *,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+        partitions: dict[str, list] | None = None,
+        equals: dict[str, object] | None = None,
+        as_of_timestamp: float | None = None,
+    ) -> DataFrame:
+        """SQL access to a snapshot: resolve the (optionally pruned)
+        ``read`` and register it as a session temp view, so
+        ``spark.sql`` queries a transactional table like any relation.
+        The division of labor is the table-format one: THIS layer plans
+        which files the scan opens (manifest partition/zone-map/bloom
+        pruning via ``where``/``partitions``/``equals``), and Catalyst
+        handles everything inside the SQL text — its predicates still
+        push down into the parquet scan (row-group/page skipping),
+        columns prune, joins reorder. Predicates written in the SQL
+        string do NOT re-run manifest file pruning, so pass the
+        selective bands/keys here. The view is a plan over the pinned
+        snapshot's immutable file list: it stays consistent (and
+        time-travel-stable with ``version=``/``as_of_timestamp=``)
+        under concurrent commits — re-register to follow the head."""
+        df = self.read(
+            spark,
+            version=version,
+            where=where,
+            partitions=partitions,
+            equals=equals,
+            as_of_timestamp=as_of_timestamp,
+        )
+        df.createOrReplaceTempView(name)
+        return df
+
     def exists(self) -> bool:
         return self.latest_version() >= 0
 
@@ -955,7 +1179,11 @@ class TransactionalTable:
         - ``ok``: True iff nothing fatal.
 
         Metadata-only except one footer read per checked file; no data
-        pages are scanned and nothing is mutated."""
+        pages are scanned and nothing is mutated. fsck audits STORAGE,
+        not this handle's memory: it drops the per-version manifest
+        cache first, so post-incident on-disk state (including a
+        corrupted or replaced manifest object) is what gets checked."""
+        self._mcache.clear()
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
@@ -1083,11 +1311,19 @@ class TransactionalTable:
         hive ``col=val/`` layout is preserved in the key space and each
         file's partition values are recorded in its stats entry (the
         data pages do NOT carry the partition columns — readers
-        reconstruct them from the paths via ``basePath``). Staged via a
-        local temp dir then published per-file; a cloud deployment
-        instead writes directly to the final unique names via the
-        store's committer (same invariant: names are fresh, nothing
-        references them yet)."""
+        reconstruct them from the paths via ``basePath``).
+
+        Publish path: the Spark write itself is parallel (executor
+        tasks write the staged files); the PUBLISH (upload to the final
+        unique key + footer min/max + bloom harvest) runs as one
+        distributed job once the staged-file count reaches
+        ``distributed_publish_min_files`` — so no per-file work
+        serializes on the driver and commit time scales with executors
+        (the writer-task-committer shape; the driver handles only the
+        O(files) manifest metadata). Small commits keep the cheaper
+        driver-side loop. A cloud deployment instead writes directly
+        to the final unique names via the store's committer (same
+        invariant: names are fresh, nothing references them yet)."""
         staging = tempfile.mkdtemp(prefix="txtable-stage-")
         try:
             writer = df.write.mode("overwrite")
@@ -1101,8 +1337,9 @@ class TransactionalTable:
                     "maxRecordsPerFile", int(max_records_per_file)
                 )
             writer.parquet(staging)
-            keys: list[str] = []
-            stats: dict[str, dict] = {}
+            # enumerate staged files driver-side (a LISTING, not
+            # per-file content I/O) and assign their final unique keys
+            tasks: list[tuple[str, str, dict]] = []
             for dirpath, dirnames, filenames in os.walk(staging):
                 dirnames[:] = [d for d in dirnames if "=" in d]
                 rel = os.path.relpath(dirpath, staging)
@@ -1124,21 +1361,30 @@ class TransactionalTable:
                     local = os.path.join(dirpath, name)
                     sub = "" if rel == "." else rel.replace(os.sep, "/") + "/"
                     key = f"{DATA_DIR}/{sub}{uuid.uuid4().hex}-{name}"
-                    fstats = collect_file_stats(local) or {}
-                    if part_vals:
-                        fstats["partition"] = part_vals
-                    if bloom_by:
-                        # one column-projected local read per staged
-                        # file — the same moment Delta's writer collects
-                        # its bloom; never touches committed files
-                        blooms = build_bloom_stats(local, bloom_by)
-                        if blooms:
-                            fstats["bloom"] = blooms
-                    self.storage.upload_file(local, key)
-                    keys.append(key)
-                    if fstats:
-                        stats[key] = fstats
-            return keys, stats
+                    tasks.append((local, key, part_vals))
+            stats: dict[str, dict] | None = None
+            if len(tasks) >= self.distributed_publish_min_files:
+                try:
+                    stats = _publish_distributed(
+                        df.sparkSession, self.storage, tasks, bloom_by
+                    )
+                except Exception:
+                    # e.g. a storage subclass the workers cannot
+                    # reconstruct: fall back to the serial loop below.
+                    # Re-publishing the same unique keys is idempotent
+                    # (same bytes, unreferenced until the manifest
+                    # lands); any stray from the failed job is vacuum's
+                    # normal backlog.
+                    stats = None
+            if stats is None:
+                stats = {
+                    key: _publish_one(
+                        self.storage, local, key, part_vals, bloom_by
+                    )
+                    for local, key, part_vals in tasks
+                }
+            keys = [key for _, key, _ in tasks]
+            return keys, {k: s for k, s in stats.items() if s}
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -1199,30 +1445,79 @@ class TransactionalTable:
                 carried = prev.get("meta", {}).get(sticky)
                 if carried is not None:
                     meta[sticky] = carried
-        manifest = {
-            "version": new_v,
-            "parent": base_v if base_v >= 0 else None,
-            "files": files,
-            "rows": rows,
-            "schema": schema,
-            "stats": stats,
-            "meta": meta,
-            "committed_at": time.time(),
-        }
-        if partition_by:
-            manifest["partition_by"] = list(partition_by)
-        if any("partition" in s for s in stats.values()):
-            # stats record LOGICAL (hive-decoded) partition values;
-            # readers use this flag to upgrade legacy manifests exactly
-            # once (see _upgrade_partition_encoding)
-            manifest["partition_encoding"] = "decoded"
-        if mixed_schemas:
-            # files under more than one physical schema (evolution
-            # appends): readers must merge footers; cleared by the next
-            # full replace (optimize/merge), which rewrites every file
-            manifest["mixed_schemas"] = True
-        payload = json.dumps(manifest, sort_keys=True).encode()
-        return self.storage.put_if_absent(_manifest_key(new_v), payload)
+        committed_at = time.time()
+        if prev is None:
+            # first commit: a full record — the delta chain's base
+            record = {
+                "version": new_v,
+                "parent": None,
+                "files": files,
+                "rows": rows,
+                "schema": schema,
+                "stats": stats,
+                "meta": meta,
+                "committed_at": committed_at,
+            }
+            if partition_by:
+                record["partition_by"] = list(partition_by)
+            if any("partition" in s for s in stats.values()):
+                # stats record LOGICAL (hive-decoded) partition values;
+                # readers use this flag to upgrade legacy manifests
+                # exactly once (see _upgrade_partition_encoding)
+                record["partition_encoding"] = "decoded"
+            if mixed_schemas:
+                record["mixed_schemas"] = True
+        else:
+            # DELTA record: the commit payload lists only the file-set
+            # CHANGE (plus the small absolute fields — rows, schema,
+            # meta), so committing one appended file to a million-file
+            # table puts a few-KB object, not an O(table) manifest.
+            # Retained files' stats are NOT re-serialized — per-file
+            # stats are immutable by key and ride the parent snapshot.
+            prev_files = set(prev["files"])
+            fset = set(files)
+            add = [f for f in files if f not in prev_files]
+            record = {
+                "version": new_v,
+                "parent": base_v,
+                "add": add,
+                "remove": [f for f in prev["files"] if f not in fset],
+                "rows": rows,
+                "schema": schema,
+                "stats": {f: stats[f] for f in add if f in stats},
+                "meta": meta,
+                "committed_at": committed_at,
+            }
+            if partition_by:
+                record["partition_by"] = list(partition_by)
+            if mixed_schemas:
+                # files under more than one physical schema (evolution
+                # appends): readers must merge footers; cleared by the
+                # next full replace (optimize/merge)
+                record["mixed_schemas"] = True
+        payload = json.dumps(record, sort_keys=True).encode()
+        if not self.storage.put_if_absent(_manifest_key(new_v), payload):
+            return False
+        # canonical full snapshot: EXACTLY what reconstruction from the
+        # log produces, so every handle (this one via cache, a fresh one
+        # via _full_manifest) plans the identical file list
+        record_rt = json.loads(payload.decode())  # JSON-normalized types,
+        # decoupled from caller-held dicts — identical to a fresh read
+        full = (
+            self._upgrade_partition_encoding(record_rt)
+            if prev is None
+            else _apply_delta(prev, record_rt)
+        )
+        self._cache_put(new_v, full)
+        if new_v > 0 and new_v % self.checkpoint_interval == 0:
+            # derived + idempotent: a crash here only means the next
+            # reader walks a few more deltas; a concurrent writer of
+            # the same checkpoint writes identical content
+            self.storage.put_if_absent(
+                _checkpoint_key(new_v),
+                json.dumps(full, sort_keys=True).encode(),
+            )
+        return True
 
     def commit(
         self,
@@ -1766,11 +2061,31 @@ class TransactionalTable:
             m = self.manifest(v)
             if m:
                 live.update(m["files"])
+        # Retained versions must stay reconstructible AFTER their
+        # ancestor delta records are dropped: checkpoint the OLDEST
+        # retained version first (the keep set is the contiguous tail,
+        # so every younger retained version reconstructs from this
+        # base + retained deltas). Idempotent put; skipped only if the
+        # version is already irrecoverable, in which case deleting its
+        # ancestors changes nothing.
+        if keep:
+            base_keep = min(keep)
+            full = self._full_manifest(base_keep)
+            if full is not None:
+                self.storage.put_if_absent(
+                    _checkpoint_key(base_keep),
+                    json.dumps(full, sort_keys=True).encode(),
+                )
         removed_manifests = 0
         for v in vs:
             if v not in keep:
                 self.storage.delete(_manifest_key(v))
                 removed_manifests += 1
+        for key in self.storage.list(CHECKPOINTS_DIR):
+            # checkpoints of expired versions are dead weight (readers
+            # resolve versions from _commits, never from here)
+            if _version_of(key) not in keep:
+                self.storage.delete(key)
         removed_files = 0
         skipped_in_grace = 0
         for key in self.storage.list(DATA_DIR):

@@ -688,6 +688,10 @@ def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
     left. This is the whole protocol surface exercised in combinations
     no example-based test enumerates."""
     t = TransactionalTable(str(tmp_path_factory.mktemp("prop") / "t"))
+    # tiny checkpoint interval: every op sequence crosses delta-log
+    # checkpoint boundaries several times, so reconstruction (base
+    # checkpoint + delta replay) is fuzzed alongside the DML mix
+    t.checkpoint_interval = 3
     # model: list of (k, v) bags for append semantics; replace/merge
     # first collapse the incoming rows latest-wins by key (merge_upsert
     # contract via latest_by on a sequence column).
@@ -1683,6 +1687,11 @@ def test_legacy_encoded_manifest_upgrades_on_read(spark, tmp_path):
     with open(path, "w") as f:
         json.dump(raw, f)
 
+    # a FRESH handle, as when a legacy table predates this process —
+    # the original handle legitimately serves its immutable-version
+    # cache (committed manifests never change under the protocol; the
+    # forge above simulates a pre-upgrade writer, not a mutation)
+    t = TransactionalTable(str(tmp_path / "t"))
     m = t.manifest()
     vals = {
         s["partition"]["grp"]
@@ -2122,6 +2131,7 @@ def test_protocol_state_machine_fuzz(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     t = TransactionalTable(str(tmp_path / "t"))
+    t.checkpoint_interval = 3  # fuzz across delta-log checkpoint boundaries
 
     def batch(ids):
         return spark.createDataFrame([(i,) for i in ids], "id int")
@@ -2201,6 +2211,7 @@ def test_protocol_fuzz_with_merge_and_expectations(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     t = TransactionalTable(str(tmp_path / "t"))
+    t.checkpoint_interval = 3  # fuzz across delta-log checkpoint boundaries
     model: dict[int, int] = {}
     history: list[dict[int, int]] = []
 
@@ -2412,3 +2423,214 @@ def test_empty_prune_on_evolved_table_keeps_table_schema(spark, tmp_path):
     full = t.read(spark)
     assert set(got.columns) == set(full.columns)
     assert full.unionByName(got).count() == full.count()
+
+
+def _spy_driver_file_io(monkeypatch, calls):
+    """Count DRIVER-side per-file publish work. Executor workers import
+    the real module in their own processes, so these driver-process
+    patches do not reach them — a zero count is therefore proof the
+    per-file work ran distributed, and a serial fallback would bump the
+    counters loudly."""
+    import nyc_taxi_etl_pyspark_spark.sources.txtable as tx
+
+    orig_upload = tx.LocalStorage.upload_file
+    orig_stats = tx.collect_file_stats
+    orig_bloom = tx.build_bloom_stats
+
+    def spy_upload(self, local, key):
+        calls["upload"] += 1
+        return orig_upload(self, local, key)
+
+    def spy_stats(path):
+        calls["stats"] += 1
+        return orig_stats(path)
+
+    def spy_bloom(path, cols):
+        calls["bloom"] += 1
+        return orig_bloom(path, cols)
+
+    monkeypatch.setattr(tx.LocalStorage, "upload_file", spy_upload)
+    monkeypatch.setattr(tx, "collect_file_stats", spy_stats)
+    monkeypatch.setattr(tx, "build_bloom_stats", spy_bloom)
+
+
+def test_commit_publish_is_distributed_no_per_file_driver_io(
+    spark, tmp_path, monkeypatch
+):
+    """Committing a 1,000-file table performs ZERO per-file driver I/O:
+    upload, footer-stat harvest and bloom build all run inside one
+    distributed publish job (the writer-task-committer shape), and the
+    driver handles only the manifest metadata. Stats/blooms/row counts
+    must come back complete — identical to what the serial path
+    collects."""
+    calls = {"upload": 0, "stats": 0, "bloom": 0}
+    _spy_driver_file_io(monkeypatch, calls)
+    df = spark.range(20_000).selectExpr(
+        "id", "id % 97 as k", "cast(id as double) v"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, num_files=1000, bloom_by=["k"])
+    assert calls == {"upload": 0, "stats": 0, "bloom": 0}, calls
+    m = t.manifest()
+    assert len(m["files"]) == 1000
+    # every file's stats entry is complete: rows, min/max cols, bloom
+    assert all(
+        "rows" in m["stats"][f] and "bloom" in m["stats"][f]
+        for f in m["files"]
+    )
+    assert t.count() == 20_000  # metadata-only count from footer sums
+    # bloom point-read over the distributed-built index stays exact
+    got = t.read(spark, equals={"k": 5}).count()
+    assert got == df.where("k = 5").count()
+    assert t.fsck()["ok"]
+
+
+def test_distributed_publish_preserves_partition_values(
+    spark, tmp_path, monkeypatch
+):
+    """The distributed publish ships hive partition values through the
+    job unchanged: partition pruning and path reconstruction behave
+    exactly as under the serial path."""
+    calls = {"upload": 0, "stats": 0, "bloom": 0}
+    _spy_driver_file_io(monkeypatch, calls)
+    df = spark.range(400).selectExpr(
+        "id", "concat('g', id % 4) as grp", "cast(id as double) v"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.distributed_publish_min_files = 1  # force the distributed path
+    t.commit(df, partition_by=["grp"])
+    assert calls["upload"] == 0 and calls["stats"] == 0
+    m = t.manifest()
+    assert all(
+        m["stats"][f]["partition"]["grp"].startswith("g") for f in m["files"]
+    )
+    pruned = t.read(spark, partitions={"grp": ["g2"]})
+    assert pruned.count() == 100
+    assert {r.grp for r in pruned.select("grp").distinct().collect()} == {"g2"}
+
+
+def test_distributed_publish_falls_back_on_unpicklable_storage(
+    spark, tmp_path, monkeypatch
+):
+    """A storage subclass the workers cannot reconstruct must not fail
+    the commit: the publish falls back to the driver-side loop and the
+    committed table is byte-identical in behavior."""
+    class UnpicklableStorage(LocalStorage):
+        def __init__(self, root):
+            super().__init__(root)
+            self._lock = threading.Lock()  # unpicklable attribute
+
+        def __reduce__(self):
+            raise TypeError("deliberately unpicklable")
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root, storage=UnpicklableStorage(root))
+    t.distributed_publish_min_files = 1
+    df = spark.range(100).selectExpr("id", "cast(id as double) v")
+    t.commit(df, num_files=4)
+    assert t.count() == 100
+    assert len(t.manifest()["files"]) == 4
+    assert t.read(spark).count() == 100
+
+
+def test_commit_record_is_o_delta_and_checkpoints_land(spark, tmp_path):
+    """Commits put a DELTA record (the file-set change only, stats for
+    added files only — O(changed files), not O(table)); every Nth
+    commit also writes a derived checkpoint; and a fresh handle
+    reconstructs every retained snapshot IDENTICALLY to the writer's
+    own view (same file order, same stats, same describe)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.checkpoint_interval = 3
+    t.commit(spark.range(100).selectExpr("id", "id % 5 as k"), num_files=8)
+    for i in range(1, 7):
+        t.commit(
+            spark.range(100 * i, 100 * i + 10).selectExpr("id", "id % 5 as k"),
+            mode="append",
+            num_files=1,
+        )
+    raw = json.loads(t.storage.read(f"_commits/v{6:020d}.json"))
+    assert "files" not in raw  # delta record, not a full manifest
+    assert len(raw["add"]) == 1 and raw["remove"] == []
+    assert set(raw["stats"]) == set(raw["add"])  # no retained-stat re-dump
+    assert t.storage.list("_checkpoints") == [
+        f"_checkpoints/v{3:020d}.json",
+        f"_checkpoints/v{6:020d}.json",
+    ]
+    fresh = TransactionalTable(str(tmp_path / "t"))
+    for v in t.versions():
+        assert fresh.manifest(v) == t.manifest(v), f"v{v} diverged"
+    assert fresh.describe() == t.describe()
+    assert fresh.count() == 160 and fresh.read(spark).count() == 160
+    # time travel through the delta chain (v2 predates the checkpoint)
+    assert fresh.read(spark, version=2).count() == 120
+
+
+def test_vacuum_checkpoints_oldest_retained_before_dropping_deltas(
+    spark, tmp_path
+):
+    """Vacuum must leave every RETAINED version reconstructible after
+    its ancestor delta records are deleted: it checkpoints the oldest
+    retained version first. With no automatic checkpoints at all, the
+    vacuum-written one is the only base left — reads, counts and time
+    travel on all retained versions must still work from a fresh
+    handle."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.checkpoint_interval = 10**9  # never checkpoint automatically
+    totals = []
+    t.commit(spark.range(20).select("id"))
+    totals.append(20)
+    for i in range(1, 8):
+        t.commit(spark.range(100 * i, 100 * i + 5).select("id"), mode="append")
+        totals.append(totals[-1] + 5)
+    t.vacuum(retain_versions=3, unreferenced_grace_s=0)
+    fresh = TransactionalTable(root)
+    keep = fresh.versions()
+    assert keep == [5, 6, 7]
+    assert fresh.storage.list("_checkpoints") == [f"_checkpoints/v{5:020d}.json"]
+    for v in keep:
+        assert fresh.count(v) == totals[v]
+        assert fresh.read(spark, version=v).count() == totals[v]
+    assert fresh.fsck()["ok"]
+    # expired checkpoints are GC'd by a later vacuum
+    t2 = TransactionalTable(root)
+    t2.checkpoint_interval = 10**9
+    t2.commit(spark.range(3).select("id"), mode="append")
+    t2.vacuum(retain_versions=2, unreferenced_grace_s=0)
+    assert t2.storage.list("_checkpoints") == [f"_checkpoints/v{7:020d}.json"]
+
+
+def test_create_view_sql_reads_pruned_pinned_snapshot(spark, tmp_path):
+    """create_view registers a temp view whose SCAN lists only the
+    manifest-pruned files (partition pruning intact under spark.sql),
+    and the view is pinned to the resolved snapshot — a later commit
+    does not leak into it until re-registration."""
+    df = spark.range(300).selectExpr(
+        "id", "concat('g', id % 3) as grp", "cast(id as double) v"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"])
+    t.create_view(spark, "tx_view_pruned", partitions={"grp": ["g1"]})
+    m = t.manifest()
+    g1_files = {
+        os.path.basename(f)
+        for f in m["files"]
+        if m["stats"][f]["partition"]["grp"] == "g1"
+    }
+    scanned = {
+        os.path.basename(p) for p in spark.table("tx_view_pruned").inputFiles()
+    }
+    assert scanned and scanned <= g1_files  # only the pruned partition
+    assert (
+        spark.sql("SELECT count(*) AS n FROM tx_view_pruned").first().n == 100
+    )
+    # Catalyst composes on top: residual predicate + aggregate
+    got = spark.sql(
+        "SELECT sum(cast(id AS bigint)) AS s FROM tx_view_pruned WHERE id < 10"
+    ).first().s
+    assert got == sum(i for i in range(10) if i % 3 == 1)
+    # snapshot pinning: a new commit doesn't change the registered view
+    t.commit(df.limit(30), partition_by=["grp"])
+    assert spark.sql("SELECT count(*) AS n FROM tx_view_pruned").first().n == 100
+    t.create_view(spark, "tx_view_pruned", partitions={"grp": ["g1"]})
+    assert spark.sql("SELECT count(*) AS n FROM tx_view_pruned").first().n == 10
