@@ -2634,3 +2634,27 @@ def test_create_view_sql_reads_pruned_pinned_snapshot(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM tx_view_pruned").first().n == 100
     t.create_view(spark, "tx_view_pruned", partitions={"grp": ["g1"]})
     assert spark.sql("SELECT count(*) AS n FROM tx_view_pruned").first().n == 10
+
+
+def test_vacuum_grace_protects_distributed_inflight_publish(spark, tmp_path):
+    """Writer grace under the DISTRIBUTED publish: files uploaded by
+    the executor-side job for a commit whose manifest has not landed
+    yet (in-flight or crashed mid-commit) are unreferenced but YOUNG —
+    vacuum must leave them alone inside the grace window (deleting one
+    would let the racing commit publish a manifest naming a missing
+    file) and reclaim them once the window passes."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.distributed_publish_min_files = 1  # force executor-side publish
+    t.commit(spark.range(50).select("id"), num_files=2)
+    # stage + publish WITHOUT committing: the crashed-mid-commit state
+    keys, _stats = t._stage(spark.range(50, 90).select("id"))
+    assert len(keys) >= 1
+    rep = t.vacuum(retain_versions=2, unreferenced_grace_s=600.0)
+    assert rep["removed_data_files"] == 0
+    assert rep["skipped_in_grace"] == len(keys)
+    assert t.fsck()["orphan_files"] == sorted(keys)
+    # outside the window the strays are reclaimed, committed files kept
+    rep = t.vacuum(retain_versions=2, unreferenced_grace_s=0.0)
+    assert rep["removed_data_files"] == len(keys)
+    assert t.read(spark).count() == 50 and t.fsck()["ok"]
