@@ -982,3 +982,57 @@ def q_tx_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_tx_optimize_incremental",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    """,
+)
+def q_tx_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE (``TransactionalTable.optimize_incremental``
+    — the bin-packing compaction that is actually runnable at 100 TB):
+    half of orders is committed as ONE near-target file, the other half
+    arrives as eight small append fragments (the shape streaming sinks
+    leave behind), and the maintenance pass rewrites ONLY the
+    fragments — the big file is retained byte-for-byte (key equality
+    asserted), so compaction cost is O(small files), never O(table),
+    unlike the full re-cluster ``optimize()``. Thresholds derive from
+    the table's own row count so the big/small split is identical at
+    every SF. The oracle is the plain table: matching proves every
+    fragment row moved exactly once and the retained file contributed
+    unchanged. Idempotent: compaction runs once per fixture dir."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txoptinc", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        total = o.count()
+        half = F.pmod(F.col("o_orderkey"), F.lit(2)) == 0
+        t.commit(o.where(half), num_files=1)
+        for i in range(8):
+            t.commit(
+                o.where(
+                    ~half & (F.pmod(F.col("o_orderkey"), F.lit(16)) == 2 * i + 1)
+                ),
+                mode="append",
+                num_files=1,
+            )
+        big = set(t.manifest(0)["files"])
+        rep = t.optimize_incremental(
+            spark, target_rows_per_file=max(2, int(total * 0.4))
+        )
+        assert rep["files_rewritten"] == 8, rep
+        assert big <= set(t.manifest()["files"]), "big file was rewritten"
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

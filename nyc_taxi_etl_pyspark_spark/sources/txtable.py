@@ -1983,6 +1983,139 @@ class TransactionalTable:
             }
         raise CommitConflict(f"optimize lost {max_retries} commit races on {self.root}")
 
+    def optimize_incremental(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        small_file_threshold: float = 0.5,
+        max_retries: int = 5,
+    ) -> dict:
+        """Incremental small-file compaction — the Delta OPTIMIZE
+        bin-packing shape, and the form of OPTIMIZE that is actually
+        runnable on a 100 TB table: rewrite ONLY the files below
+        ``small_file_threshold × target_rows_per_file`` rows (the
+        fragments streaming appends and tiny batch commits leave
+        behind), grouped per hive partition; every file already near
+        target size is RETAINED byte-for-byte, so cost is O(small
+        files), never O(table). ``optimize()`` remains the full
+        re-cluster (re-establishing globally disjoint zone-map ranges);
+        this routine keeps the table's declared clustering locally —
+        the compacted subset is re-sorted on the cluster/Z-order key so
+        new files are individually tight, though their key ranges may
+        overlap retained files' (skipping stays CORRECT — stats are
+        per-file — just less tight until the next full optimize).
+
+        Groups with fewer than two small files are left alone (a
+        single-file rewrite buys nothing). Commits with optimistic
+        concurrency like delete/merge. Returns {version,
+        files_rewritten, files_retained, rows_compacted}; a no-op
+        commits nothing and returns the current version."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        thr = int(target_rows_per_file * small_file_threshold)
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to optimize in {self.root}")
+            stats = m.get("stats", {})
+
+            def _rows(f: str):
+                return stats.get(f, {}).get("rows")
+
+            groups: dict[tuple, list[str]] = {}
+            for f in m["files"]:
+                r = _rows(f)
+                if r is None or r >= thr:
+                    continue  # unknown-size files are conservatively kept
+                part = tuple(
+                    sorted((stats.get(f, {}).get("partition") or {}).items())
+                )
+                groups.setdefault(part, []).append(f)
+            compact_groups = {g: fs for g, fs in groups.items() if len(fs) >= 2}
+            to_compact = [f for fs in compact_groups.values() for f in fs]
+            if not to_compact:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(m["files"]),
+                    "rows_compacted": 0,
+                }
+            retained = [f for f in m["files"] if f not in set(to_compact)]
+            rows_compacted = sum(stats[f]["rows"] for f in to_compact)
+            pb = m.get("partition_by")
+            reader = spark.read
+            if pb:
+                reader = reader.option("basePath", self.storage.url(DATA_DIR))
+            if m.get("mixed_schemas"):
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*[self.storage.url(f) for f in to_compact])
+            if pb:
+                # one task per compacted partition: whole fragments of a
+                # partition land together; the writer's maxRecordsPerFile
+                # rolls oversized groups
+                compacted = df.repartition(
+                    max(1, len(compact_groups)), *[F.col(c) for c in pb]
+                )
+            else:
+                compacted = df.repartition(
+                    max(1, math.ceil(rows_compacted / target_rows_per_file))
+                )
+            clus = m.get("meta", {}).get("clustering")
+            if clus and clus["kind"] == "zorder":
+                from nyc_taxi_etl_pyspark_spark.sources.io import (
+                    zorder_bucket_exprs,
+                    zorder_key_col,
+                )
+
+                bits = int(clus.get("bits", 8))
+                buckets = zorder_bucket_exprs(df, clus["cols"], bits=bits)
+                compacted = (
+                    compacted.withColumn("__zkey", zorder_key_col(buckets, bits))
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            elif clus:
+                compacted = compacted.sortWithinPartitions(*clus["cols"])
+            keys, staged_stats = self._stage(
+                compacted,
+                partition_by=pb,
+                max_records_per_file=target_rows_per_file,
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+            )
+            if self._put_manifest(
+                base_v,
+                retained + keys,
+                m.get("rows", 0),  # content is moved, never changed
+                m.get("schema"),
+                {
+                    **{f: stats[f] for f in retained if f in stats},
+                    **staged_stats,
+                },
+                {
+                    "op": "optimize_incremental",
+                    "source_version": base_v,
+                    "rows_compacted": rows_compacted,
+                },
+                pb,
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return {
+                    "version": base_v + 1,
+                    "files_rewritten": len(to_compact),
+                    "files_retained": len(retained),
+                    "rows_compacted": rows_compacted,
+                }
+            # lost the race: strays are vacuum backlog; re-derive
+        raise CommitConflict(
+            f"optimize_incremental lost {max_retries} commit races on {self.root}"
+        )
+
     def restore(self, version: int, expect_version: int | None = None) -> int:
         """RESTORE TABLE TO VERSION (Delta's ``RESTORE``): commit a NEW
         version whose file list is the target snapshot's — a pure

@@ -2169,6 +2169,11 @@ def test_protocol_state_machine_fuzz(spark, tmp_path, seed):
             t.optimize(spark, target_rows_per_file=50)
             # content unchanged
 
+    def do_optimize_incremental():
+        if t.exists() and t.count() > 0:
+            t.optimize_incremental(spark, target_rows_per_file=50)
+            # content unchanged; may be a commit-free no-op
+
     def do_restore():
         vs = [v for v in t.versions() if v < t.latest_version()]
         if not vs:
@@ -2182,7 +2187,15 @@ def test_protocol_state_machine_fuzz(spark, tmp_path, seed):
         # rewrites history indices? versions keep their numbers; older
         # manifests vanish — restore() targets must come from versions()
 
-    ops = [do_append, do_replace, do_delete, do_optimize, do_restore, do_vacuum]
+    ops = [
+        do_append,
+        do_replace,
+        do_delete,
+        do_optimize,
+        do_optimize_incremental,
+        do_restore,
+        do_vacuum,
+    ]
     do_replace()  # establish the table
     history_fill = lambda: history.extend(
         [list(model)] * (t.latest_version() + 1 - len(history))
@@ -2658,3 +2671,61 @@ def test_vacuum_grace_protects_distributed_inflight_publish(spark, tmp_path):
     rep = t.vacuum(retain_versions=2, unreferenced_grace_s=0.0)
     assert rep["removed_data_files"] == len(keys)
     assert t.read(spark).count() == 50 and t.fsck()["ok"]
+
+
+def test_optimize_incremental_compacts_only_small_files(spark, tmp_path):
+    """Incremental OPTIMIZE rewrites ONLY the sub-threshold fragments:
+    the big files' keys survive byte-identically (no O(table) rewrite),
+    content is unchanged, and a second pass is a commit-free no-op."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(200_000).select("id"), num_files=2)  # 100k rows each
+    for i in range(6):
+        t.commit(
+            spark.range(1_000_000 + i * 1000, 1_000_000 + (i + 1) * 1000).select("id"),
+            mode="append",
+            num_files=1,
+        )
+    big = set(t.manifest(0)["files"])
+    rep = t.optimize_incremental(spark, target_rows_per_file=100_000)
+    assert rep["files_rewritten"] == 6 and rep["files_retained"] == 2
+    assert rep["rows_compacted"] == 6000
+    m = t.manifest()
+    assert big <= set(m["files"])  # big files untouched, same keys
+    assert t.count() == 206_000 and t.read(spark).count() == 206_000
+    assert t.fsck()["ok"]
+    # second pass: the 6000-row product is the lone small file -> no-op
+    rep2 = t.optimize_incremental(spark, target_rows_per_file=100_000)
+    assert rep2["files_rewritten"] == 0
+    assert rep2["version"] == rep["version"]  # nothing committed
+
+
+def test_optimize_incremental_partitioned_and_clustered(spark, tmp_path):
+    """On a partitioned table the compaction unit is the partition
+    (fragments of different partitions never merge into one file), and
+    the table's declared range clustering is re-applied to the
+    compacted subset so zone-map reads stay selective and exact."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(40_000).selectExpr(
+        "id", "concat('g', id % 2) as grp"
+    )
+    t.commit(base, partition_by=["grp"], cluster_by=["id"])
+    for i in range(4):
+        t.commit(
+            spark.range(100_000 + i * 500, 100_000 + (i + 1) * 500).selectExpr(
+                "id", "concat('g', id % 2) as grp"
+            ),
+            mode="append",
+        )
+    rep = t.optimize_incremental(spark, target_rows_per_file=30_000)
+    assert rep["files_rewritten"] >= 4 and rep["rows_compacted"] >= 2000
+    m = t.manifest()
+    # every new file stayed inside one partition
+    assert all("partition" in m["stats"][f] for f in m["files"])
+    assert t.read(spark).count() == 42_000
+    # clustering property survived the maintenance commit (sticky meta)
+    assert m["meta"]["clustering"] == {"kind": "range", "cols": ["id"]}
+    # zone-map band read exact after compaction
+    got = sorted(
+        r.id for r in t.read(spark, where=[("id", 100_100, 100_200)]).collect()
+    )
+    assert got == list(range(100_100, 100_201))
