@@ -131,10 +131,35 @@ def main() -> None:
           f"{dstats['files_retained']}")
 
     # ------------------------------------------------------------------
-    # 6. OPTIMIZE: compact the per-batch small files within partitions.
-    # Readers of the pre-compaction snapshot are unaffected (immutable
-    # files + retention); the compaction commit loses any race to a
-    # concurrent writer and retries against the new snapshot.
+    # 6. OPTIMIZE, both tiers. Routine maintenance is INCREMENTAL:
+    # rewrite only the sub-threshold fragments the per-batch appends
+    # left behind (per-partition bin-packing, O(small files) — the only
+    # form of OPTIMIZE runnable as a cron job on a huge table); the
+    # FULL optimize remains the occasional re-cluster that restores
+    # globally disjoint zone-map ranges. Readers of the pre-compaction
+    # snapshot are unaffected (immutable files + retention); either
+    # compaction commit loses any race to a concurrent writer and
+    # retries against the new snapshot.
+    # simulate the fragment drip a micro-batching sink leaves behind:
+    # three tiny appends landing in one (new) date partition. The rows
+    # are a time-shifted synthetic slice — the point is the FILE shape.
+    drip_src = (
+        table.read(spark, partitions={"pickup_date": ["2015-01-20"]})
+        .limit(40)
+        .withColumn(
+            "tpep_pickup_datetime",
+            F.col("tpep_pickup_datetime") + F.expr("INTERVAL 60 DAYS"),
+        )
+    )
+    drip_src = drip_src.withColumn(
+        "pickup_date", F.to_date("tpep_pickup_datetime")
+    )
+    for _ in range(3):
+        table.commit(drip_src, mode="append", num_files=1)
+    istats = table.optimize_incremental(spark, target_rows_per_file=500_000)
+    print("incremental optimize:", istats["files_rewritten"], "fragments ->",
+          f"{istats['rows_compacted']} rows repacked,",
+          istats["files_retained"], "files untouched")
     ostats = table.optimize(spark)
     print("optimize:", ostats["files_before"], "->", ostats["files_after"], "files")
 
@@ -155,6 +180,21 @@ def main() -> None:
     print("partition-pruned day:", one_day.count(), "rows")
     print("time travel to pre-merge version:",
           table.read(spark, version=v_before_merge).count(), "rows")
+
+    # SQL front door: register a (pruned, version-pinned) snapshot as a
+    # temp view — the commit log plans the FILES (partition pruning
+    # here), Catalyst plans the ROWS (the GROUP BY below, with its own
+    # predicate pushdown into the pruned parquet scan).
+    table.create_view(
+        spark, "curated_day", partitions={"pickup_date": ["2015-01-20"]}
+    )
+    top_hour = spark.sql(
+        """
+        SELECT hour(tpep_pickup_datetime) AS h, count(*) AS trips
+        FROM curated_day GROUP BY 1 ORDER BY trips DESC LIMIT 1
+        """
+    ).first()
+    print(f"sql over tx view: busiest hour {top_hour.h} ({top_hour.trips} trips)")
 
     # the hourly aggregate state table is transactional too
     agg_t = TransactionalTable(agg)

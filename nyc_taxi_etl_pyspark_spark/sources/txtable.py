@@ -654,7 +654,12 @@ def _publish_distributed(
     failure (unpicklable storage subclass, worker import) is raised to
     the caller, which falls back to the serial loop — re-publishing
     the same unique keys is idempotent and unreferenced strays are
-    vacuum's job."""
+    vacuum's job. Assumes the staging paths are reachable from the
+    executors: trivially true in local mode (one host); on a real
+    cluster staging lives on shared storage, or disappears entirely —
+    the cloud committer writes data files directly at their final
+    unique keys and only the footer/bloom harvest remains as this
+    job, reading from the store."""
     bcols = list(bloom_cols or [])
 
     def _run(batch):
