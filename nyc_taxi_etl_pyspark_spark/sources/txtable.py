@@ -53,7 +53,11 @@ resolving ANY snapshot reads at most one checkpoint + K delta records
 — Delta Lake's log-checkpoint shape. The full snapshot a read plans
 from is still O(live files) of metadata (measured: 10⁴ files = 1.3 MB,
 ~20 ms load, 6 ms prune; 10⁵ files = 13 MB, ~0.6 s load — read once
-per query plan); beyond ~10⁵ files the next step is the hierarchical
+per query plan), and those numbers hold REGARDLESS of bloom indexing:
+bloom payloads (~1.7 KB/file/col) live in per-commit sidecar objects
+under ``_blooms/`` (stats carry only a ref), loaded lazily — only for
+equality probes, only for files surviving range pruning, memoized per
+sidecar; beyond ~10⁵ files the next step is the hierarchical
 split the big table formats use — a root manifest listing
 per-partition segment manifests, which ``mode="replace_partitions"``
 already writes the commit units for. The PROTOCOL (immutable files +
@@ -90,6 +94,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 COMMITS_DIR = "_commits"
 CHECKPOINTS_DIR = "_checkpoints"
+BLOOMS_DIR = "_blooms"
 DATA_DIR = "data"
 _V_WIDTH = 20  # zero-padded so lexicographic listing order == numeric order
 
@@ -508,6 +513,7 @@ def prune_files(
     manifest: dict,
     where: list[tuple] | None,
     equals: list[tuple] | None = None,
+    bloom_loader=None,
 ) -> list[str]:
     """File-level data skipping from manifest statistics: keep only
     files whose [min, max] range can intersect every ``(col, lo, hi)``
@@ -519,7 +525,19 @@ def prune_files(
     exclusion proof, so missing metadata degrades to a full read, never
     a wrong one. This is the Iceberg/Delta min-max + bloom skipping
     idea on the commit log: the planner decides from the manifest alone
-    which of a 100 TB table's files a selective scan must open."""
+    which of a 100 TB table's files a selective scan must open.
+
+    Bloom payloads live OUT of the manifest in per-commit SIDECAR
+    objects (a file's stats carry only a ``bloom_ref`` key): manifests
+    and checkpoints stay ~130 B/file however many columns are
+    bloom-indexed, and non-equality reads never touch a bloom byte.
+    ``bloom_loader`` (``TransactionalTable._bloom_sidecar``) resolves a
+    ref to its {file: {col: bloom}} map, called LAZILY — only for files
+    that survive range pruning, only when ``equals`` is given, and
+    memoized per sidecar so a commit's blooms load once however many
+    files reference them. A missing/unreadable sidecar degrades to
+    "no proof" (file kept). Legacy inline ``bloom`` entries keep
+    working and take precedence."""
     files = manifest["files"]
     if not where and not equals:
         return list(files)
@@ -574,6 +592,12 @@ def prune_files(
             if keep:
                 for col, vs in eq:
                     bloom = fstats.get("bloom", {}).get(col)
+                    if bloom is None and vs and bloom_loader is not None:
+                        ref = fstats.get("bloom_ref")
+                        if ref:
+                            bloom = (bloom_loader(ref) or {}).get(f, {}).get(
+                                col
+                            )
                     if bloom is not None and vs and not any(
                         bloom_might_contain(bloom, v) for v in vs
                     ):
@@ -762,6 +786,8 @@ class TransactionalTable:
         # version's content is immutable (conditional put; vacuum only
         # deletes). Treat returned manifests as read-only.
         self._mcache: dict[int, dict] = {}
+        # bloom sidecar cache (immutable objects, keyed by storage key)
+        self._bcache: dict[str, dict] = {}
 
     _MCACHE_MAX = 32
 
@@ -776,6 +802,35 @@ class TransactionalTable:
             return json.loads(self.storage.read(key))
         except (OSError, ValueError):
             return None
+
+    def _bloom_sidecar(self, key: str) -> dict:
+        """Memoized bloom-sidecar load ({file: {col: bloom}}). Missing
+        or unreadable sidecars resolve to {} — pruning then keeps the
+        file (no exclusion proof), never wrongly skips. Sidecars are
+        immutable once written, so caching by key is safe."""
+        cached = self._bcache.get(key)
+        if cached is None:
+            cached = self._read_json(key) or {}
+            self._bcache[key] = cached
+            while len(self._bcache) > self._MCACHE_MAX:
+                self._bcache.pop(next(iter(self._bcache)))
+        return cached
+
+    def prune(
+        self,
+        where: list[tuple] | None = None,
+        equals: list[tuple] | None = None,
+        version: int | None = None,
+    ) -> list[str]:
+        """``prune_files`` over a snapshot with this table's bloom
+        sidecar loader wired in — the planner-facing entry point (and
+        what ``read`` uses internally)."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed version in transactional table {self.root}"
+            )
+        return prune_files(m, where, equals, bloom_loader=self._bloom_sidecar)
 
     # -- snapshot resolution ----------------------------------------------
     def versions(self) -> list[int]:
@@ -943,7 +998,10 @@ class TransactionalTable:
                 "(empty commit) — no schema to reconstruct a frame from"
             )
         files = prune_files(
-            m, where, list(equals.items()) if equals else None
+            m,
+            where,
+            list(equals.items()) if equals else None,
+            bloom_loader=self._bloom_sidecar,
         )
         if partitions:
             # File-level pruning is only sound for columns the snapshot
@@ -1389,7 +1447,27 @@ class TransactionalTable:
                     for local, key, part_vals in tasks
                 }
             keys = [key for _, key, _ in tasks]
-            return keys, {k: s for k, s in stats.items() if s}
+            stats = {k: s for k, s in stats.items() if s}
+            # Bloom payloads (~1.7 KB/file/col) do NOT ride the
+            # manifest: they go to ONE per-commit sidecar object and
+            # each file's stats keep only the ref — manifests and
+            # checkpoints stay ~130 B/file, non-equality reads never
+            # parse a bloom byte, and equality reads load the sidecar
+            # lazily (see prune_files). The sidecar is uploaded BEFORE
+            # the manifest that references it, same invariant as data
+            # files; vacuum GCs unreferenced sidecars under the same
+            # writer-grace window.
+            blooms = {
+                k: s.pop("bloom") for k, s in stats.items() if "bloom" in s
+            }
+            if blooms:
+                sidecar = f"{BLOOMS_DIR}/{uuid.uuid4().hex}.json"
+                self.storage.put_if_absent(
+                    sidecar, json.dumps(blooms, sort_keys=True).encode()
+                )
+                for k in blooms:
+                    stats[k]["bloom_ref"] = sidecar
+            return keys, stats
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -2234,9 +2312,29 @@ class TransactionalTable:
                 continue
             self.storage.delete(key)
             removed_files += 1
+        # bloom sidecars referenced by NO retained snapshot's stats are
+        # reclaimed like data files, under the same writer grace (a
+        # sidecar is uploaded before the manifest that references it)
+        live_sidecars: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            for fstats in (m or {}).get("stats", {}).values():
+                ref = fstats.get("bloom_ref")
+                if ref:
+                    live_sidecars.add(ref)
+        removed_sidecars = 0
+        for key in self.storage.list(BLOOMS_DIR):
+            if key in live_sidecars:
+                continue
+            if self.storage.age_seconds(key) < unreferenced_grace_s:
+                skipped_in_grace += 1
+                continue
+            self.storage.delete(key)
+            removed_sidecars += 1
         return {
             "removed_manifests": removed_manifests,
             "removed_data_files": removed_files,
+            "removed_bloom_sidecars": removed_sidecars,
             "skipped_in_grace": skipped_in_grace,
             "retained_versions": sorted(keep),
         }

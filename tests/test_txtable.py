@@ -1354,7 +1354,7 @@ def test_bloom_index_prunes_point_lookups(spark, tmp_path):
     # round-robin layout: every file spans the key domain, range stats
     # keep everything; the bloom keeps ~1 (FPR makes >1 possible)
     assert len(prune_files(m, [("k", key, key)])) == 8
-    assert len(prune_files(m, None, [("k", key)])) <= 2
+    assert len(t.prune(equals=[("k", key)])) <= 2
     got = t.read(spark, equals={"k": key}).collect()
     assert len(got) == 1 and got[0].payload == 77
 
@@ -1372,15 +1372,17 @@ def test_bloom_index_prunes_point_lookups(spark, tmp_path):
     t.commit(extra.repartition(2), mode="append", num_files=2)
     m = t.manifest()
     new_key = extra.where("payload = 20500").first().k
-    assert len(prune_files(m, None, [("k", int(new_key))])) <= 3
+    assert len(t.prune(equals=[("k", int(new_key))])) <= 3
     assert t.read(spark, equals={"k": int(new_key)}).first().payload == 20500
 
     # delete rewrite keeps the index on re-staged files
     victim = int(df.where("id = 5").first().k)
     t.delete(spark, [("k", victim, victim)])
     m = t.manifest()
-    rewritten = [f for f in m["files"] if "bloom" not in m["stats"].get(f, {})]
-    assert rewritten == []  # every live file still carries its bloom
+    rewritten = [
+        f for f in m["files"] if "bloom_ref" not in m["stats"].get(f, {})
+    ]
+    assert rewritten == []  # every live file still references its bloom
     assert t.read(spark, equals={"k": victim}).count() == 0
     assert t.read(spark, equals={"k": key}).first().payload == 77
 
@@ -1434,7 +1436,7 @@ def test_bloom_probe_is_numeric_type_insensitive(spark, tmp_path):
     m = t.manifest()
     key = int(df.where("id = 9").first().k)
     for probe in (key, float(key), np.int64(key)):
-        kept = prune_files(m, None, [("k", probe)])
+        kept = t.prune(equals=[("k", probe)])
         assert 1 <= len(kept) <= 2, f"probe {probe!r} kept {len(kept)}"
         got = t.read(spark, equals={"k": probe}).collect()
         assert [r.payload for r in got] == [9], f"probe {probe!r}"
@@ -1489,7 +1491,7 @@ def test_bloom_in_list_lookup(spark, tmp_path):
     t.commit(df.repartition(16), bloom_by=["k"], num_files=16)
     m = t.manifest()
     keys = [int(r.k) for r in df.where("id in (3, 4444, 15999)").collect()]
-    kept = prune_files(m, None, [("k", keys)])
+    kept = t.prune(equals=[("k", keys)])
     assert 1 <= len(kept) <= 5  # ≤ 3 true files + FPR slack
     got = t.read(spark, equals={"k": keys}).collect()
     assert sorted(r.payload for r in got) == [3, 4444, 15999]
@@ -2349,8 +2351,11 @@ def test_bloom_probe_cross_representation_equality(spark, tmp_path):
 
     m = t.manifest()
     flag_blooms = [
-        s["bloom"]["flag"] for s in m["stats"].values() if "bloom" in s
+        t._bloom_sidecar(s["bloom_ref"]).get(f, {}).get("flag")
+        for f, s in m["stats"].items()
+        if "bloom_ref" in s
     ]
+    flag_blooms = [b for b in flag_blooms if b is not None]
     assert flag_blooms and all(
         bloom_might_contain(b, True) == bloom_might_contain(b, 1)
         for b in flag_blooms
@@ -2406,7 +2411,7 @@ def test_prune_files_in_list_none_and_mixed_types(spark, tmp_path):
     assert len(kept_typed) == 1
     # None mixed into a bloom-indexed string IN-list: None is dropped
     # from the probe (SQL IN never matches NULL) and the real key wins
-    kept_s = prune_files(m, None, [("s", ["u7", None])])
+    kept_s = t.prune(equals=[("s", ["u7", None])])
     assert 1 <= len(kept_s) <= len(m["files"])
     got = t.read(spark, equals={"s": ["u7", None]}).collect()
     assert [r.k for r in got] == [7]
@@ -2488,7 +2493,7 @@ def test_commit_publish_is_distributed_no_per_file_driver_io(
     assert len(m["files"]) == 1000
     # every file's stats entry is complete: rows, min/max cols, bloom
     assert all(
-        "rows" in m["stats"][f] and "bloom" in m["stats"][f]
+        "rows" in m["stats"][f] and "bloom_ref" in m["stats"][f]
         for f in m["files"]
     )
     assert t.count() == 20_000  # metadata-only count from footer sums
@@ -2729,3 +2734,65 @@ def test_optimize_incremental_partitioned_and_clustered(spark, tmp_path):
         r.id for r in t.read(spark, where=[("id", 100_100, 100_200)]).collect()
     )
     assert got == list(range(100_100, 100_201))
+
+
+def test_bloom_sidecars_keep_manifests_small_and_load_lazily(spark, tmp_path):
+    """Bloom payloads live in per-commit sidecar objects: the commit
+    record carries only refs (manifest bytes independent of bloom
+    size), non-equality reads never load a sidecar, equality reads
+    load it once per handle (memoized), a MISSING sidecar degrades to
+    a conservative keep (exact results, no crash), and vacuum reclaims
+    sidecars no retained snapshot references."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    df = spark.range(8000).select(
+        (F.col("id") * 2654435761 % 10**9).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    t.commit(df.repartition(8), bloom_by=["k"], num_files=8)
+    raw = json.loads(t.storage.read(f"_commits/v{0:020d}.json"))
+    assert all("bloom" not in s for s in raw["stats"].values())  # refs only
+    refs = {s["bloom_ref"] for s in raw["stats"].values()}
+    assert len(refs) == 1  # one sidecar per commit
+    assert t.storage.list("_blooms") == sorted(refs)
+    assert len(t.storage.read(f"_commits/v{0:020d}.json")) < 4000
+
+    # laziness + memoization, observed through a spying fresh handle
+    fresh = TransactionalTable(root)
+    loads = []
+    orig = fresh._bloom_sidecar
+
+    def spy(key):
+        loads.append(key)
+        return orig(key)
+
+    fresh._bloom_sidecar = spy
+    fresh.read(spark, where=[("k", 0, 10**8)]).count()
+    assert loads == []  # band read: no bloom bytes touched
+    key = int(df.where("id = 9").first().k)
+    assert fresh.read(spark, equals={"k": key}).first().payload == 9
+    n_first = len(loads)
+    assert n_first >= 1
+    fresh.read(spark, equals={"k": key}).count()
+    # memoized: the second probe re-calls the loader but hits the cache
+    assert set(loads) == refs
+
+    # missing sidecar: conservative keep, exact result via residual
+    for ref in refs:
+        t.storage.delete(ref)
+    cold = TransactionalTable(root)
+    assert cold.prune(equals=[("k", key)]) == cold.manifest()["files"]
+    assert cold.read(spark, equals={"k": key}).first().payload == 9
+
+    # vacuum GC: a replace commit orphans the (re-created) old sidecar
+    t2 = TransactionalTable(root)
+    t2.commit(df.limit(100).repartition(2), bloom_by=["k"], num_files=2)
+    rep = t2.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert rep["removed_bloom_sidecars"] >= 0
+    live_refs = {
+        s["bloom_ref"]
+        for s in t2.manifest()["stats"].values()
+        if "bloom_ref" in s
+    }
+    assert set(t2.storage.list("_blooms")) == live_refs
+    assert t2.read(spark, equals={"k": key}).count() in (0, 1)
