@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Long-sequence soak of the transactional-table protocol.
+
+The CI fuzzes (tests/test_txtable.py) run short seeded sequences on
+every suite run; this tool runs LONG ones (default 5 seeds x 40 ops)
+against the same in-memory reference model, for use after protocol
+changes (delta-log format, checkpointing, distributed publish, bloom
+sidecars, incremental optimize). Every op is followed by the full
+postcondition battery: content vs model, metadata count, zone-map band
+read, bloom point read, fsck, and a spark.sql count through
+create_view. Checkpoint interval is pinned low so reconstruction
+(base checkpoint + delta replay) is crossed constantly, and the
+distributed-publish threshold is pinned to 1 so every commit takes the
+executor-side path.
+
+Usage: python tools/soak_txtable.py [n_seeds] [n_ops]
+Exits non-zero on the first divergence.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def soak(spark, seed: int, n_ops: int) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    rng = random.Random(seed)
+    root = tempfile.mkdtemp(prefix=f"soak-{seed}-")
+    t = TransactionalTable(os.path.join(root, "t"))
+    t.checkpoint_interval = 3
+    t.distributed_publish_min_files = 1
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k int, v int"
+        )
+
+    def rand_batch():
+        return {
+            rng.randint(0, 80): rng.randint(-500, 500)
+            for _ in range(rng.randint(1, 12))
+        }
+
+    def do_replace():
+        d = rand_batch()
+        t.commit(
+            frame(d),
+            num_files=rng.randint(1, 4),
+            bloom_by=["k"] if rng.random() < 0.5 else None,
+            cluster_by=["v"] if rng.random() < 0.3 else None,
+        )
+        model.clear()
+        model.update(d)
+
+    def do_append():
+        if not t.exists():
+            return
+        # append semantics are a bag; keep the model keyed by using
+        # fresh keys above the replace range
+        d = {rng.randint(100, 900): rng.randint(-500, 500) for _ in range(3)}
+        d = {k: v for k, v in d.items() if k not in model}
+        if not d:
+            return
+        t.commit(frame(d), mode="append", num_files=1)
+        model.update(d)
+
+    def do_merge():
+        if not t.exists():
+            return
+        d = rand_batch()
+        t.merge(spark, frame(d), ["k"])
+        model.update(d)
+
+    def do_delete():
+        if not t.exists() or not model:
+            return
+        lo = rng.randint(-500, 500)
+        hi = lo + rng.randint(0, 300)
+        t.delete(spark, [("v", lo, hi)])
+        for k in [k for k, v in model.items() if lo <= v <= hi]:
+            del model[k]
+
+    def do_optimize():
+        if t.exists() and t.count() > 0:
+            t.optimize(spark, target_rows_per_file=20)
+
+    def do_optimize_incremental():
+        if t.exists() and t.count() > 0:
+            t.optimize_incremental(spark, target_rows_per_file=20)
+
+    def do_restore():
+        vs = [v for v in t.versions() if v < t.latest_version()]
+        if not vs:
+            return
+        v = rng.choice(vs)
+        t.restore(v)
+        model.clear()
+        model.update(history[v])
+
+    def do_vacuum():
+        t.vacuum(retain_versions=4, unreferenced_grace_s=0)
+
+    ops = [
+        do_replace,
+        do_append,
+        do_merge,
+        do_delete,
+        do_optimize,
+        do_optimize_incremental,
+        do_restore,
+        do_vacuum,
+    ]
+    do_replace()
+    checks = 0
+
+    def fill_history():
+        while len(history) < t.latest_version() + 1:
+            history.append(dict(model))
+
+    fill_history()
+    for i in range(n_ops):
+        op = rng.choice(ops)
+        op()
+        fill_history()
+        if not t.exists():
+            continue
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model, (seed, i, op.__name__, got, model)
+        assert t.count() == len(model), (seed, i, op.__name__)
+        band = {
+            r["k"]: r["v"]
+            for r in t.read(spark, where=[("v", -100, 100)]).collect()
+        }
+        assert band == {k: v for k, v in model.items() if -100 <= v <= 100}, (
+            seed,
+            i,
+            op.__name__,
+            "band",
+        )
+        if model:
+            k0 = rng.choice(sorted(model))
+            pt = [r["v"] for r in t.read(spark, equals={"k": k0}).collect()]
+            assert pt == [model[k0]], (seed, i, op.__name__, "point", k0)
+        f = t.fsck()
+        assert f["ok"], (seed, i, op.__name__, f)
+        t.create_view(spark, "soak_view")
+        n = spark.sql("SELECT count(*) AS n FROM soak_view").first().n
+        assert n == len(model), (seed, i, op.__name__, "sql")
+        checks += 1
+    return checks
+
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+
+    from nyc_taxi_etl_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="txtable-soak", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    total = 0
+    for seed in range(1, n_seeds + 1):
+        checks = soak(spark, seed, n_ops)
+        total += checks
+        print(
+            f"seed {seed}: {n_ops} ops, {checks} full postcondition checks "
+            f"({time.perf_counter() - t0:.0f}s)",
+            flush=True,
+        )
+    print(f"soak clean: {n_seeds} seeds x {n_ops} ops, {total} checks")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
