@@ -41,6 +41,11 @@ Semantics (same contract as Delta's default source):
 (initial snapshot included, as append-at-v0); N starts after N-1. A
 ``startingversion`` beyond the current latest simply waits for that
 version (the reported offset never regresses below it).
+``startingtimestamp`` (mutually exclusive) mirrors Delta's
+``startingTimestamp``: epoch seconds or an ISO datetime string,
+resolved ONCE against the commit log at stream construction to the
+first version committed strictly after the instant — the engine
+checkpoint then pins that version, so restarts are stable.
 """
 
 from __future__ import annotations
@@ -151,7 +156,44 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("txstream requires .option('path', <table root>)")
-        self.starting_version = int(options.get("startingversion", 0))
+        ts_opt = options.get("startingtimestamp")
+        if ts_opt is not None and "startingversion" in options:
+            raise ValueError(
+                "txstream: pass either startingversion or "
+                "startingtimestamp, not both"
+            )
+        if ts_opt is not None:
+            # TIMESTAMP AS OF for the stream start (Delta's
+            # startingTimestamp): resolved ONCE against the commit log —
+            # the stream begins AFTER the last version committed at or
+            # before the instant (epoch seconds or an ISO datetime
+            # string). Resolution happens at stream construction, so
+            # the engine checkpoint pins the resulting version and
+            # restarts are stable even as wall time moves on. An
+            # instant PREDATING the table starts at version 0 (whole
+            # table as the initial snapshot) — only an instant no
+            # retained version precedes can't be resolved exactly when
+            # older versions were vacuumed, and version_as_of raises
+            # loudly there.
+            try:
+                epoch = float(ts_opt)
+            except (TypeError, ValueError):
+                import datetime
+
+                epoch = datetime.datetime.fromisoformat(str(ts_opt)).timestamp()
+            t = self._table()
+            try:
+                self.starting_version = t.version_as_of(epoch) + 1
+            except FileNotFoundError:
+                # nothing committed at or before the instant: if the
+                # table exists, start from its first retained commit
+                # (initial-snapshot semantics); an empty table waits
+                # at version 0 like startingversion=0 would.
+                self.starting_version = (
+                    min(t.versions()) if t.versions() else 0
+                )
+        else:
+            self.starting_version = int(options.get("startingversion", 0))
         if self.starting_version < 0:
             raise ValueError(
                 f"txstream: startingversion must be >= 0, got "

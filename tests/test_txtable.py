@@ -2796,3 +2796,51 @@ def test_bloom_sidecars_keep_manifests_small_and_load_lazily(spark, tmp_path):
     }
     assert set(t2.storage.list("_blooms")) == live_refs
     assert t2.read(spark, equals={"k": key}).count() in (0, 1)
+
+
+def test_txstream_starting_timestamp(spark, tmp_path):
+    """startingtimestamp (Delta's startingTimestamp): the stream begins
+    AFTER the last version committed at or before the given instant —
+    resolved once from the commit log, so only the later commits are
+    emitted; an instant predating the table yields the whole table."""
+    import time as _time
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(spark.range(10).selectExpr("id"))
+    _time.sleep(0.05)
+    t.commit(spark.range(100, 105).selectExpr("id"), mode="append")
+    mid = (t.manifest(0)["committed_at"] + t.manifest(1)["committed_at"]) / 2
+
+    def run(opts, name):
+        r = spark.readStream.format("txstream").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(r_["id"] for r_ in spark.table(name).collect())
+
+    # instant between the commits: only the append (v1) streams
+    got = run({"startingtimestamp": str(mid)}, "txs_ts_mid")
+    assert got == [100, 101, 102, 103, 104]
+    # instant predating the table: everything streams
+    got_all = run({"startingtimestamp": "1970-01-01T00:00:00"}, "txs_ts_epoch")
+    assert got_all == list(range(10)) + [100, 101, 102, 103, 104]
+    # both options together is a loud config error
+    with pytest.raises(Exception):
+        run(
+            {"startingtimestamp": str(mid), "startingversion": "0"},
+            "txs_ts_conflict",
+        )
