@@ -2299,8 +2299,16 @@ class TransactionalTable:
                 removed_manifests += 1
         for key in self.storage.list(CHECKPOINTS_DIR):
             # checkpoints of expired versions are dead weight (readers
-            # resolve versions from _commits, never from here)
-            if _version_of(key) not in keep:
+            # resolve versions from _commits, never from here). The
+            # writer-grace window also applies: a concurrent commit may
+            # have just checkpointed a version NEWER than this vacuum's
+            # keep-set snapshot — deleting it would only cost the next
+            # reader a few extra delta reads (checkpoints are derived,
+            # never required), but the grace check avoids the waste.
+            if (
+                _version_of(key) not in keep
+                and self.storage.age_seconds(key) >= unreferenced_grace_s
+            ):
                 self.storage.delete(key)
         removed_files = 0
         skipped_in_grace = 0
