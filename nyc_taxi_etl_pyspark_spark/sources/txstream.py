@@ -180,7 +180,13 @@ class TxTableStreamReader(DataSourceStreamReader):
             except (TypeError, ValueError):
                 import datetime
 
-                epoch = datetime.datetime.fromisoformat(str(ts_opt)).timestamp()
+                dt = datetime.datetime.fromisoformat(str(ts_opt))
+                if dt.tzinfo is None:
+                    # naive ISO instants are UTC: commit wall-times are
+                    # epoch seconds, and a storage-layer option must not
+                    # change meaning with the submitting process's TZ
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                epoch = dt.timestamp()
             t = self._table()
             try:
                 self.starting_version = t.version_as_of(epoch) + 1

@@ -896,6 +896,11 @@ class TransactionalTable:
                 break
             chain.append(raw)
             parent = raw.get("parent")
+            if parent is not None and parent >= cur:
+                # corrupted record: parent links must strictly decrease
+                # (a cycle here would walk forever) — treat the version
+                # as irrecoverable, like any other broken chain link
+                return None
             cur = parent if parent is not None else -1
         for d in reversed(chain):
             base = self._cache_put(d["version"], _apply_delta(base, d))

@@ -2844,3 +2844,22 @@ def test_txstream_starting_timestamp(spark, tmp_path):
             {"startingtimestamp": str(mid), "startingversion": "0"},
             "txs_ts_conflict",
         )
+
+
+def test_corrupted_parent_link_is_irrecoverable_not_infinite(spark, tmp_path):
+    """A delta record whose parent link does not strictly decrease (a
+    corruption that would cycle the reconstruction walk) makes THAT
+    version irrecoverable — manifest() falls back to the newest
+    readable version instead of hanging."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(5).select("id"))
+    t.commit(spark.range(5, 8).select("id"), mode="append")
+    key = f"_commits/v{1:020d}.json"
+    raw = json.loads(t.storage.read(key))
+    raw["parent"] = 1  # self-cycle
+    with open(os.path.join(str(tmp_path / "t"), key), "w") as f:
+        json.dump(raw, f)
+    fresh = TransactionalTable(str(tmp_path / "t"))
+    assert fresh.manifest(1) is None  # loudly irrecoverable, no hang
+    m = fresh.manifest()  # latest readable: v0
+    assert m["version"] == 0 and fresh.read(spark, version=0).count() == 5
