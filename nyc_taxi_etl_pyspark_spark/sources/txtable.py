@@ -2102,6 +2102,16 @@ class TransactionalTable:
 
         from pyspark.sql import functions as F
 
+        if not 0 < small_file_threshold <= 1:
+            # above 1 the pass would re-compact its own near-target
+            # output forever (each no-progress pass still commits a
+            # version); the stable region is threshold <= 1, where a
+            # compacted file of >= threshold x target rows is retained
+            # by the next pass.
+            raise ValueError(
+                f"small_file_threshold must be in (0, 1], got "
+                f"{small_file_threshold}"
+            )
         thr = int(target_rows_per_file * small_file_threshold)
         for _ in range(max_retries):
             base_v = self.latest_version()

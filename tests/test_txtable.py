@@ -2863,3 +2863,23 @@ def test_corrupted_parent_link_is_irrecoverable_not_infinite(spark, tmp_path):
     assert fresh.manifest(1) is None  # loudly irrecoverable, no hang
     m = fresh.manifest()  # latest readable: v0
     assert m["version"] == 0 and fresh.read(spark, version=0).count() == 5
+
+
+def test_optimize_incremental_rejects_unstable_threshold(spark, tmp_path):
+    """small_file_threshold > 1 would re-compact the pass's own
+    near-target output forever (committing a version per no-progress
+    pass) — rejected loudly; the boundary value 1.0 is stable and
+    accepted."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.range(100).select("id"), num_files=4)
+    with pytest.raises(ValueError, match="small_file_threshold"):
+        t.optimize_incremental(spark, target_rows_per_file=50,
+                               small_file_threshold=1.5)
+    rep = t.optimize_incremental(
+        spark, target_rows_per_file=50, small_file_threshold=1.0
+    )
+    assert rep["files_rewritten"] == 4  # 25-row files < 1.0 x 50
+    rep2 = t.optimize_incremental(
+        spark, target_rows_per_file=50, small_file_threshold=1.0
+    )
+    assert rep2["files_rewritten"] == 0  # stable: output retained
