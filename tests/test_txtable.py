@@ -2883,3 +2883,30 @@ def test_optimize_incremental_rejects_unstable_threshold(spark, tmp_path):
         spark, target_rows_per_file=50, small_file_threshold=1.0
     )
     assert rep2["files_rewritten"] == 0  # stable: output retained
+
+
+def test_read_appended_across_vacuumed_delta_log(spark, tmp_path):
+    """Incremental consumers (MV refresh, streaming) diff manifests;
+    after vacuum drops ancestor delta records, the oldest retained
+    version survives only as the vacuum-written checkpoint — the
+    appended-window read must still resolve both ends and open ONLY the
+    delta files."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.checkpoint_interval = 10**9  # the vacuum checkpoint is the only base
+    t.commit(spark.range(100).select("id"))
+    for i in range(1, 8):
+        t.commit(
+            spark.range(1000 * i, 1000 * i + 10 + i).select("id"),
+            mode="append",
+            num_files=1,
+        )
+    t.vacuum(retain_versions=3, unreferenced_grace_s=0)
+    fresh = TransactionalTable(root)
+    assert fresh.versions() == [5, 6, 7]
+    inc = fresh.read_appended(spark, from_version=5, to_version=7)
+    # exactly the rows appended by v6 (16 rows) and v7 (17 rows)
+    got = sorted(r.id for r in inc.collect())
+    assert got == list(range(6000, 6016)) + list(range(7000, 7017))
+    # and the window is planned from manifests alone: only 2 files open
+    assert len(inc.inputFiles()) == 2
