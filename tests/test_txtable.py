@@ -2910,3 +2910,49 @@ def test_read_appended_across_vacuumed_delta_log(spark, tmp_path):
     assert got == list(range(6000, 6016)) + list(range(7000, 7017))
     # and the window is planned from manifests alone: only 2 files open
     assert len(inc.inputFiles()) == 2
+
+
+def test_concurrent_appends_with_distributed_publish(spark, tmp_path):
+    """Two writers appending concurrently, BOTH forced through the
+    executor-side publish job: the CAS loop rebases the loser, no rows
+    are lost or doubled, stats stay complete, and the loser's published
+    files are all referenced (no stray rebuild needed — append retries
+    reuse the already-published keys)."""
+    root = str(tmp_path / "t")
+    base = TransactionalTable(root)
+    base.distributed_publish_min_files = 1
+    base.commit(spark.range(100).select("id"), num_files=2)
+    errs = []
+
+    def writer(lo: int):
+        try:
+            t = TransactionalTable(root)
+            t.distributed_publish_min_files = 1
+            t.commit(
+                spark.range(lo, lo + 50).select("id"),
+                mode="append",
+                num_files=2,
+            )
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(1000,)),
+        threading.Thread(target=writer, args=(2000,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t = TransactionalTable(root)
+    assert t.latest_version() == 2  # both appends landed, serialized
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == sorted(
+        list(range(100)) + list(range(1000, 1050)) + list(range(2000, 2050))
+    )
+    assert t.count() == 200
+    m = t.manifest()
+    assert all("rows" in m["stats"][f] for f in m["files"])
+    f = t.fsck()
+    assert f["ok"] and f["orphan_files"] == []
