@@ -164,10 +164,11 @@ class TxTableStreamReader(DataSourceStreamReader):
             )
         if ts_opt is not None:
             # TIMESTAMP AS OF for the stream start (Delta's
-            # startingTimestamp): resolved ONCE against the commit log —
-            # the stream begins AFTER the last version committed at or
-            # before the instant (epoch seconds or an ISO datetime
-            # string). Resolution happens at stream construction, so
+            # startingTimestamp, INCLUSIVE): the stream begins at the
+            # FIRST version committed at or after the instant (epoch
+            # seconds or an ISO datetime string) — a commit landing
+            # exactly at the given second is read, matching Delta.
+            # Resolution happens at stream construction, so
             # the engine checkpoint pins the resulting version and
             # restarts are stable even as wall time moves on. An
             # instant PREDATING the table starts at version 0 (whole
@@ -188,16 +189,23 @@ class TxTableStreamReader(DataSourceStreamReader):
                     dt = dt.replace(tzinfo=datetime.timezone.utc)
                 epoch = dt.timestamp()
             t = self._table()
-            try:
-                self.starting_version = t.version_as_of(epoch) + 1
-            except FileNotFoundError:
-                # nothing committed at or before the instant: if the
-                # table exists, start from its first retained commit
-                # (initial-snapshot semantics); an empty table waits
-                # at version 0 like startingversion=0 would.
-                self.starting_version = (
-                    min(t.versions()) if t.versions() else 0
-                )
+            versions = sorted(t.versions())
+            start = None
+            for v in versions:
+                m = t.manifest(v)
+                ca = m.get("committed_at") if m is not None else None
+                if ca is not None and ca >= epoch:
+                    start = v
+                    break
+            if start is not None:
+                self.starting_version = start
+            elif versions:
+                # every retained commit predates the instant: wait for
+                # the next commit (the first one at/after the instant)
+                self.starting_version = max(versions) + 1
+            else:
+                # empty table: wait at version 0 like startingversion=0
+                self.starting_version = 0
         else:
             self.starting_version = int(options.get("startingversion", 0))
         if self.starting_version < 0:

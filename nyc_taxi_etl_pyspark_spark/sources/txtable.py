@@ -84,6 +84,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -304,6 +305,46 @@ def _canon_partition_query_value(v):
     return str(v)
 
 
+_TS_STR_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}"
+    r"(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def _canon_temporal_cmp(v):
+    """Comparison-canonical form for values of a TEMPORAL column (the
+    caller gates on the manifest schema — string columns never pass
+    through here). Collapses the representations that denote the same
+    instant but diverge lexicographically: tz-aware vs naive datetimes,
+    'T' vs ' ' separators, and Spark's trimmed fractional seconds
+    ('...00:00:00.5') vs Python/parquet's padded form ('...00:00:00.500000').
+    Without this, a trimmed string probe compares BELOW a padded stat
+    bound for the same instant and range pruning wrongly skips the
+    file. Trimmed ISO forms preserve value order lexicographically, so
+    normalizing both sides keeps every range proof valid."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        s = str(v)
+        return s.rstrip("0").rstrip(".") if v.microsecond else s
+    if isinstance(v, _dt.date):
+        return str(v)
+    if isinstance(v, str):
+        if _TS_STR_RE.match(v):
+            # parse and re-render through the datetime branch above so
+            # every string form (T/space separator, Z or ±HH:MM offset,
+            # padded fraction) lands on the one canonical rendering
+            try:
+                dv = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            except ValueError:
+                return v
+            return _canon_temporal_cmp(dv)
+        return v
+    return v
+
+
 def _json_safe_stat(v):
     """Make a parquet footer min/max JSON-serializable and ORDER-
     comparable after a JSON round-trip. Non-primitive types (dates,
@@ -406,8 +447,23 @@ def _canon_bloom_value(v) -> str:
         return str(int(f)) if f.is_integer() else repr(f)
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
-    if isinstance(v, _dt.datetime) or isinstance(v, _dt.date):
-        return str(v)  # '2020-01-01' / '2020-01-01 00:00:00[.ffffff]'
+    if isinstance(v, _dt.datetime):
+        # Hash Spark's rendering so a string-literal probe meets the
+        # build-side datetime — any divergence here is a bloom FALSE
+        # NEGATIVE. Two normalizations: (1) build-side values arrive
+        # tz-AWARE UTC from pyarrow (parquet isAdjustedToUTC) while
+        # probes are naive session-TZ strings — collapse to the UTC
+        # wall time (the session TZ is pinned UTC in session.py);
+        # (2) Spark trims trailing zeros in the fractional part
+        # ('... 00:00:00.5') while Python str() pads six digits.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        s = str(v)
+        if v.microsecond:
+            s = s.rstrip("0")
+        return s
+    if isinstance(v, _dt.date):
+        return str(v)  # '2020-01-01'
     return str(v)
 
 
@@ -571,6 +627,26 @@ def prune_files(
             # keep the band out (files still bloom-probed per value)
             pass
     stats = manifest.get("stats", {})
+    # TEMPORAL columns compare through a canonical rendering: stat
+    # bounds round-trip JSON as PADDED strings ('...00:00:00.500000')
+    # while Spark-form probes are TRIMMED ('...00:00:00.5') — raw
+    # lexicographic compare would call equal instants unequal and
+    # wrongly skip files. Gated on the manifest schema so string
+    # columns keep exact raw ordering.
+    temporal = {
+        c
+        for c, t in (manifest.get("schema") or {}).items()
+        if isinstance(t, str)
+        and (t.startswith("timestamp") or t == "date")
+    }
+    bands = [
+        (
+            col,
+            _canon_temporal_cmp(lo) if col in temporal else lo,
+            _canon_temporal_cmp(hi) if col in temporal else hi,
+        )
+        for col, lo, hi in bands
+    ]
     kept = []
     for f in files:
         fstats = stats.get(f)
@@ -581,6 +657,8 @@ def prune_files(
                 if rng is None:
                     continue
                 mn, mx = rng
+                if col in temporal:
+                    mn, mx = _canon_temporal_cmp(mn), _canon_temporal_cmp(mx)
                 try:
                     if (lo is not None and mx < lo) or (
                         hi is not None and mn > hi
@@ -742,10 +820,12 @@ def _apply_delta(parent: dict, delta: dict) -> dict:
         full["partition_by"] = list(delta["partition_by"])
     if delta.get("mixed_schemas"):
         full["mixed_schemas"] = True
-    if any("partition" in s for s in stats.values()):
-        # parent was upgraded on read and delta stats are written
-        # decoded, so the reconstructed snapshot is always decoded
-        full["partition_encoding"] = "decoded"
+    # parent was upgraded on read and delta stats are written decoded,
+    # so the reconstructed snapshot is always decoded — stamp it
+    # unconditionally (not only when partitioned) so persisted
+    # derivatives (checkpoints) never re-decode, and writer-cached and
+    # freshly-reconstructed snapshots compare equal
+    full["partition_encoding"] = "decoded"
     return full
 
 
@@ -780,6 +860,15 @@ class TransactionalTable:
     checkpoint_interval: int = 10
 
     def __post_init__(self) -> None:
+        if self.checkpoint_interval < 1:
+            # validate BEFORE any commit can land: a bad value surfacing
+            # as ZeroDivisionError after the delta record is durable
+            # would make the caller's failure handling disagree with
+            # table state
+            raise ValueError(
+                f"checkpoint_interval must be >= 1, got "
+                f"{self.checkpoint_interval}"
+            )
         if self.storage is None:
             self.storage = LocalStorage(self.root)
         # per-version FULL-manifest cache: safe because a committed
@@ -926,6 +1015,11 @@ class TransactionalTable:
                     else v
                     for k, v in part.items()
                 }
+        # Stamp the flag so any persisted derivative of this dict (a
+        # vacuum base-keep checkpoint, a commit checkpoint) carries it —
+        # without this a fresh handle reading the derivative would decode
+        # a second time, corrupting '%'-escaped partition values.
+        m["partition_encoding"] = "decoded"
         return m
 
     def version_as_of(self, timestamp: float) -> int:

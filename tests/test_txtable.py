@@ -1719,6 +1719,72 @@ def test_legacy_encoded_manifest_upgrades_on_read(spark, tmp_path):
     assert [r.id for r in t2.read(spark, partitions={"grp": ["p%3Aq"]}).collect()] == [9]
 
 
+def test_vacuum_checkpoint_of_legacy_manifest_not_double_decoded(spark, tmp_path):
+    """A vacuum whose oldest retained version is a LEGACY full-format
+    manifest serializes the in-memory-upgraded dict as the base-keep
+    checkpoint. The upgrade must stamp partition_encoding='decoded' on
+    that dict, or a FRESH handle reading the checkpoint decodes AGAIN —
+    decode is not idempotent, so a value containing a literal %XX
+    escape would be silently corrupted, breaking partition pruning."""
+    # 'a%3Ab' decodes to 'a:b' — a second decode of an already-decoded
+    # 'a%3Ab' literal would also yield 'a:b', conflating two distinct
+    # partitions; use a value whose single-decode form still contains %
+    df = spark.createDataFrame(
+        [(1, "x%253Ay"), (2, "plain")], "id int, grp string"
+    )
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"])  # v0
+
+    # forge v0 into a LEGACY manifest: strip the flag, re-encode values
+    key = f"_commits/v{0:020d}.json"
+    raw = json.loads(t.storage.read(key))
+    del raw["partition_encoding"]
+    for s in raw["stats"].values():
+        if "partition" in s:
+            v = s["partition"]["grp"]
+            s["partition"]["grp"] = v.replace("%", "%25")
+    with open(os.path.join(str(tmp_path / "t"), key), "w") as f:
+        json.dump(raw, f)
+
+    # fresh handle (legacy table predating this process): append so the
+    # keep-set spans v0..v1, then vacuum — base-keep checkpoint of v0
+    # serializes the upgraded dict
+    t1 = TransactionalTable(str(tmp_path / "t"))
+    t1.commit(
+        spark.createDataFrame([(3, "later")], "id int, grp string"),
+        mode="append",
+        partition_by=["grp"],
+    )
+    t1.vacuum(retain_versions=2, unreferenced_grace_s=0)
+    ck = json.loads(t1.storage.read(f"_checkpoints/v{0:020d}.json"))
+    assert ck.get("partition_encoding") == "decoded"
+
+    # a THIRD fresh handle resolves v0 from the checkpoint: the logical
+    # value must be the single-decode form, not a double-decode
+    t2 = TransactionalTable(str(tmp_path / "t"))
+    m0 = t2.manifest(0)
+    vals = {
+        s["partition"]["grp"]
+        for s in m0["stats"].values()
+        if "partition" in s
+    }
+    assert vals == {"x%253Ay", "plain"}  # double decode would give x%3Ay
+    got = t2.read(spark, version=0, partitions={"grp": ["x%253Ay"]}).collect()
+    assert [(r.id, r.grp) for r in got] == [(1, "x%253Ay")]
+
+
+def test_checkpoint_interval_validated_before_any_commit(tmp_path):
+    """checkpoint_interval < 1 must fail loudly at CONSTRUCTION — the
+    old failure mode was a ZeroDivisionError raised AFTER the delta
+    record landed, leaving the caller's error handling disagreeing with
+    durable table state."""
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="checkpoint_interval"):
+            TransactionalTable(str(tmp_path / "t"), checkpoint_interval=bad)
+    # 1 is valid: every commit checkpoints
+    TransactionalTable(str(tmp_path / "t"), checkpoint_interval=1)
+
+
 def test_expectations_quarantine_splits_and_audits(spark, tmp_path):
     """commit_with_expectations(on_violation='quarantine'): passing rows
     become the snapshot, violators land in the sibling quarantine table
@@ -2328,10 +2394,16 @@ def test_bloom_probe_cross_representation_equality(spark, tmp_path):
         F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
         (F.col("id") % 2 == 0).alias("flag"),
         (F.col("id") + F.lit(0.5)).cast("decimal(10,2)").alias("amt"),
+        # fractional-second timestamps: Spark renders '.5', Python
+        # str() pads '.500000' — the bloom canon must hash one form
+        (
+            F.timestamp_seconds(F.lit(1578182400) + (F.col("id") % 365) * 86400)
+            + F.expr("INTERVAL 500 MILLISECONDS")
+        ).alias("ts"),
         F.col("id").alias("payload"),
     )
     t = TransactionalTable(str(tmp_path / "t"))
-    t.commit(df.repartition(8), bloom_by=["d", "flag", "amt"], num_files=8)
+    t.commit(df.repartition(8), bloom_by=["d", "flag", "amt", "ts"], num_files=8)
     # date column probed as ISO string AND as date object
     for probe in ("2020-01-05", datetime.date(2020, 1, 5)):
         got = sorted(
@@ -2343,6 +2415,20 @@ def test_bloom_probe_cross_representation_equality(spark, tmp_path):
     for probe in (Decimal("7.5"), 7.5, Decimal("7.50")):
         got = [r.payload for r in t.read(spark, equals={"amt": probe}).collect()]
         assert got == [7], f"probe {probe!r}"
+    # fractional-second timestamp probed in Spark's trimmed string
+    # rendering AND as naive/aware datetime objects — the padded-vs-
+    # trimmed (and tz-aware-vs-naive) divergence must not skip the file
+    for probe in (
+        "2020-01-05 00:00:00.5",
+        datetime.datetime(2020, 1, 5, 0, 0, 0, 500000),
+        datetime.datetime(
+            2020, 1, 5, 0, 0, 0, 500000, tzinfo=datetime.timezone.utc
+        ),
+    ):
+        got = sorted(
+            r.payload for r in t.read(spark, equals={"ts": probe}).collect()
+        )
+        assert got == [0, 365, 730, 1095, 1460, 1825], f"probe {probe!r}"
     # bool column probed as bool end-to-end; the int form is checked
     # at the bloom level only (Spark's ANSI residual rejects bool = int,
     # so an int probe errors loudly rather than returning empty)
@@ -2799,10 +2885,10 @@ def test_bloom_sidecars_keep_manifests_small_and_load_lazily(spark, tmp_path):
 
 
 def test_txstream_starting_timestamp(spark, tmp_path):
-    """startingtimestamp (Delta's startingTimestamp): the stream begins
-    AFTER the last version committed at or before the given instant —
-    resolved once from the commit log, so only the later commits are
-    emitted; an instant predating the table yields the whole table."""
+    """startingtimestamp (Delta's startingTimestamp, INCLUSIVE): the
+    stream begins at the FIRST version committed at or after the given
+    instant — a commit landing exactly AT the instant is read, matching
+    Delta; an instant predating the table yields the whole table."""
     import time as _time
 
     from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
@@ -2835,6 +2921,11 @@ def test_txstream_starting_timestamp(spark, tmp_path):
     # instant between the commits: only the append (v1) streams
     got = run({"startingtimestamp": str(mid)}, "txs_ts_mid")
     assert got == [100, 101, 102, 103, 104]
+    # INCLUSIVE boundary: an instant exactly equal to v1's commit
+    # wall-time must still stream v1 (Delta semantics: at or after)
+    exact = t.manifest(1)["committed_at"]
+    got_exact = run({"startingtimestamp": repr(exact)}, "txs_ts_exact")
+    assert got_exact == [100, 101, 102, 103, 104]
     # instant predating the table: everything streams
     got_all = run({"startingtimestamp": "1970-01-01T00:00:00"}, "txs_ts_epoch")
     assert got_all == list(range(10)) + [100, 101, 102, 103, 104]
