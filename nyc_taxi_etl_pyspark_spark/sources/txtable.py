@@ -775,12 +775,178 @@ def _publish_distributed(
     return dict(sc.parallelize(list(tasks), n).mapPartitions(_run).collect())
 
 
+def _ensure_no_listing_job(spark: SparkSession, n_paths: int) -> None:
+    """Manifest-planned reads hand Spark EXPLICIT file paths — every
+    one known to exist (committed manifests are immutable), so the
+    InMemoryFileIndex parallel-listing JOB is pure overhead: above
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (default
+    32) Spark launches a one-task-per-path job just to stat the files,
+    ~1.5–2 s of plan wall at 1,024 files vs ~0.3 s of serial driver
+    stats (measured, bench.py tx_micro). Ratchet the threshold above
+    the path count so listing stays driver-serial. One-way and
+    idempotent: never lowered, so concurrent planners only ever raise
+    it, and directory-based scans elsewhere in the session are
+    unaffected at the file counts where the job would win (the
+    per-path stat is metadata-cheap; reads bigger than ~10⁴ explicit
+    paths only arise after partition/stats pruning failed to narrow
+    them, which a manifest-planned table is designed to avoid)."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    try:
+        cur = int(spark.conf.get(key))
+    except Exception:
+        cur = 32
+    if n_paths >= cur:
+        spark.conf.set(key, str(max(4096, 2 * n_paths)))
+
+
 def _manifest_key(version: int) -> str:
     return f"{COMMITS_DIR}/v{version:0{_V_WIDTH}d}.json"
 
 
 def _checkpoint_key(version: int) -> str:
     return f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}.json"
+
+
+def _checkpoint_parquet_key(version: int) -> str:
+    return f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}.parquet"
+
+
+_CKPT_STAT_COLS = ("rows", "partition", "cols", "bloom_ref")
+
+
+def _encode_checkpoint_parquet(full: dict) -> bytes | None:
+    """COLUMNAR checkpoint encoding — the Delta 'checkpoint parquet'
+    shape: one row per data file (key, row count, partition values,
+    min/max zone maps, bloom sidecar ref), table-level fields (version,
+    parent, schema, meta, ...) as a small JSON header in the parquet
+    footer's key-value metadata. Why parquet and not the JSON manifest
+    dump: a JSON checkpoint costs O(files) text parse and one giant
+    dict materialization at EVERY cold snapshot resolution — ~1.4 MB
+    and fine at 10³ files, ~1.4 GB and a driver OOM at 10⁶. Columnar
+    encoding makes the load a vectorized Arrow read, lets a reader
+    PROJECT just the columns a question needs (a count touches only
+    the header; planning touches file/partition/cols), and compresses
+    the repetitive key/JSON text ~10×. Returns None when pyarrow is
+    absent (callers fall back to the JSON form — checkpoints are
+    derived, never required)."""
+    try:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    files = full["files"]
+    stats = full.get("stats", {})
+    cols: dict[str, list] = {c: [] for c in _CKPT_STAT_COLS}
+    extra: list = []
+    for f in files:
+        s = stats.get(f)
+        if s is None:
+            for c in _CKPT_STAT_COLS:
+                cols[c].append(None)
+            extra.append(None)
+            continue
+        cols["rows"].append(s.get("rows"))
+        cols["partition"].append(
+            json.dumps(s["partition"], sort_keys=True)
+            if "partition" in s
+            else None
+        )
+        cols["cols"].append(
+            json.dumps(s["cols"], sort_keys=True) if "cols" in s else None
+        )
+        cols["bloom_ref"].append(s.get("bloom_ref"))
+        rest = {k: v for k, v in s.items() if k not in _CKPT_STAT_COLS}
+        extra.append(json.dumps(rest, sort_keys=True) if rest else None)
+    header = {k: v for k, v in full.items() if k not in ("files", "stats")}
+    table = pa.table(
+        {
+            "file": pa.array(files, pa.string()),
+            "rows": pa.array(cols["rows"], pa.int64()),
+            "partition": pa.array(cols["partition"], pa.string()),
+            "cols": pa.array(cols["cols"], pa.string()),
+            "bloom_ref": pa.array(cols["bloom_ref"], pa.string()),
+            "extra": pa.array(extra, pa.string()),
+        }
+    ).replace_schema_metadata(
+        {"txtable_checkpoint_header": json.dumps(header, sort_keys=True)}
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    return buf.getvalue()
+
+
+def _decode_checkpoint_parquet(
+    data: bytes, columns: list[str] | None = None
+) -> dict | None:
+    """Decode a columnar checkpoint back into the standard manifest
+    dict. ``columns`` projects the per-file stat columns actually
+    deserialized (e.g. ``["rows"]`` for a metadata count) — unlisted
+    columns are never decompressed, the lazy-stats half of the
+    columnar-checkpoint design. None/garbage decodes to None (caller
+    falls back to delta-chain reconstruction)."""
+    try:
+        import io
+
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    try:
+        pf = pq.ParquetFile(io.BytesIO(data))
+        meta = pf.schema_arrow.metadata or {}
+        h = meta.get(b"txtable_checkpoint_header")
+        if h is None:
+            return None
+        full = json.loads(h)
+        want = ["file"] + [
+            c
+            for c in ("rows", "partition", "cols", "bloom_ref", "extra")
+            if columns is None or c in columns
+        ]
+        t = pf.read(columns=want)
+    except Exception:
+        return None
+    files = t.column("file").to_pylist()
+    present = set(t.column_names)
+    series = {
+        c: t.column(c).to_pylist()
+        for c in ("rows", "partition", "cols", "bloom_ref", "extra")
+        if c in present
+    }
+    none_col = [None] * len(files)
+
+    def _batch_json(col: list) -> list:
+        # one json.loads over a joined array instead of len(files)
+        # separate parses — ~5× less parser overhead at 10⁵+ files
+        if col is none_col or not any(x is not None for x in col):
+            return none_col
+        joined = "[" + ",".join(x if x is not None else "null" for x in col) + "]"
+        return json.loads(joined)
+
+    rows_c = series.get("rows") or none_col
+    part_c = _batch_json(series.get("partition") or none_col)
+    cols_c = _batch_json(series.get("cols") or none_col)
+    bref_c = series.get("bloom_ref") or none_col
+    extra_c = series.get("extra") or none_col
+    stats: dict[str, dict] = {}
+    for i, f in enumerate(files):
+        s: dict = {}
+        if rows_c[i] is not None:
+            s["rows"] = rows_c[i]
+        if part_c[i] is not None:
+            s["partition"] = part_c[i]
+        if cols_c[i] is not None:
+            s["cols"] = cols_c[i]
+        if bref_c[i] is not None:
+            s["bloom_ref"] = bref_c[i]
+        if extra_c[i] is not None:
+            s.update(json.loads(extra_c[i]))
+        if s:
+            stats[f] = s
+    full["files"] = files
+    full["stats"] = stats
+    return full
 
 
 def _version_of(key: str) -> int:
@@ -892,6 +1058,40 @@ class TransactionalTable:
         except (OSError, ValueError):
             return None
 
+    def _read_checkpoint(self, version: int) -> dict | None:
+        """Resolve a persisted checkpoint of ``version``: the columnar
+        parquet form first (current writers), the JSON full-manifest
+        form as the legacy fallback (pre-columnar checkpoints and
+        pyarrow-less writers). Either decodes to the same manifest
+        dict; None when no checkpoint exists."""
+        try:
+            data = self.storage.read(_checkpoint_parquet_key(version))
+        except OSError:
+            data = None
+        if data is not None:
+            full = _decode_checkpoint_parquet(data)
+            if full is not None:
+                return full
+        return self._read_json(_checkpoint_key(version))
+
+    def _write_checkpoint(self, full: dict) -> None:
+        """Persist a derived checkpoint of the FULL manifest ``full`` —
+        columnar parquet when pyarrow is available, the legacy JSON
+        dump otherwise. Idempotent put-if-absent: a concurrent writer
+        of the same immutable version produces identical content, and
+        a crash costs the next reader only a few extra delta reads
+        (checkpoints are never required for correctness)."""
+        data = _encode_checkpoint_parquet(full)
+        if data is not None:
+            self.storage.put_if_absent(
+                _checkpoint_parquet_key(full["version"]), data
+            )
+        else:
+            self.storage.put_if_absent(
+                _checkpoint_key(full["version"]),
+                json.dumps(full, sort_keys=True).encode(),
+            )
+
     def _bloom_sidecar(self, key: str) -> dict:
         """Memoized bloom-sidecar load ({file: {col: bloom}}). Missing
         or unreadable sidecars resolve to {} — pruning then keeps the
@@ -969,7 +1169,7 @@ class TransactionalTable:
             if cached is not None:
                 base = cached
                 break
-            ck = self._read_json(_checkpoint_key(cur))
+            ck = self._read_checkpoint(cur)
             if ck is not None and "files" in ck:
                 base = self._cache_put(
                     cur, self._upgrade_partition_encoding(ck)
@@ -1022,6 +1222,22 @@ class TransactionalTable:
         m["partition_encoding"] = "decoded"
         return m
 
+    def _committed_at(self, version: int) -> float | None:
+        """Commit wall-time of ``version`` WITHOUT reconstructing its
+        full snapshot: served from the cache when hot, else from the
+        raw commit record — delta records carry ``committed_at``
+        directly, so temporal resolution over V retained versions costs
+        V small-object reads, not V delta-chain walks (O(V), not
+        O(V × files))."""
+        cached = self._mcache.get(version)
+        if cached is not None:
+            return cached.get("committed_at")
+        raw = self._read_json(_manifest_key(version))
+        if raw is not None:
+            return raw.get("committed_at")
+        ck = self._read_checkpoint(version)
+        return ck.get("committed_at") if ck is not None else None
+
     def version_as_of(self, timestamp: float) -> int:
         """TIMESTAMP AS OF resolution: the latest version whose commit
         wall-time is ≤ ``timestamp`` (epoch seconds) — the Delta
@@ -1030,8 +1246,8 @@ class TransactionalTable:
         predates retention or the table)."""
         best = -1
         for v in self.versions():
-            m = self.manifest(v)
-            if m is not None and m.get("committed_at", float("inf")) <= timestamp:
+            ca = self._committed_at(v)
+            if ca is not None and ca <= timestamp:
                 best = max(best, v)
         if best < 0:
             raise FileNotFoundError(
@@ -1138,6 +1354,7 @@ class TransactionalTable:
             # every file excluded: empty frame with the table's schema
             df = self._empty_frame(reader, m, m["files"][0])
         else:
+            _ensure_no_listing_job(spark, len(files))
             df = reader.parquet(*[self.storage.url(f) for f in files])
         if where or partitions or equals:
             from pyspark.sql import functions as F
@@ -1225,6 +1442,7 @@ class TransactionalTable:
                     "a schema from"
                 )
             return self._empty_frame(reader, m1, anchor[0])
+        _ensure_no_listing_job(spark, len(new_files))
         return reader.parquet(*[self.storage.url(f) for f in new_files])
 
     def _empty_frame(self, reader, m: dict, anchor_key: str) -> DataFrame:
@@ -1580,6 +1798,7 @@ class TransactionalTable:
             return 0
         if all("rows" in stats.get(k, {}) for k in keys):
             return sum(stats[k]["rows"] for k in keys)
+        _ensure_no_listing_job(spark, len(keys))
         return (
             spark.read.parquet(*[self.storage.url(k) for k in keys]).count()
         )
@@ -1695,10 +1914,7 @@ class TransactionalTable:
             # derived + idempotent: a crash here only means the next
             # reader walks a few more deltas; a concurrent writer of
             # the same checkpoint writes identical content
-            self.storage.put_if_absent(
-                _checkpoint_key(new_v),
-                json.dumps(full, sort_keys=True).encode(),
-            )
+            self._write_checkpoint(full)
         return True
 
     def commit(
@@ -2243,6 +2459,7 @@ class TransactionalTable:
                 reader = reader.option("basePath", self.storage.url(DATA_DIR))
             if m.get("mixed_schemas"):
                 reader = reader.option("mergeSchema", "true")
+            _ensure_no_listing_job(spark, len(to_compact))
             df = reader.parquet(*[self.storage.url(f) for f in to_compact])
             if pb:
                 # one task per compacted partition: whole fragments of a
@@ -2397,10 +2614,7 @@ class TransactionalTable:
             base_keep = min(keep)
             full = self._full_manifest(base_keep)
             if full is not None:
-                self.storage.put_if_absent(
-                    _checkpoint_key(base_keep),
-                    json.dumps(full, sort_keys=True).encode(),
-                )
+                self._write_checkpoint(full)
         removed_manifests = 0
         for v in vs:
             if v not in keep:
@@ -2508,6 +2722,7 @@ class TransactionalTable:
                 # footers or the first file's schema would silently
                 # drop evolved columns from the re-staged rows
                 reader = reader.option("mergeSchema", "true")
+            _ensure_no_listing_job(spark, len(affected))
             df = reader.parquet(*[self.storage.url(f) for f in affected])
             prev_stats = m.get("stats", {})
             if all("rows" in prev_stats.get(f, {}) for f in affected):

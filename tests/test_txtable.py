@@ -1756,7 +1756,13 @@ def test_vacuum_checkpoint_of_legacy_manifest_not_double_decoded(spark, tmp_path
         partition_by=["grp"],
     )
     t1.vacuum(retain_versions=2, unreferenced_grace_s=0)
-    ck = json.loads(t1.storage.read(f"_checkpoints/v{0:020d}.json"))
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _decode_checkpoint_parquet,
+    )
+
+    ck = _decode_checkpoint_parquet(
+        t1.storage.read(f"_checkpoints/v{0:020d}.parquet")
+    )
     assert ck.get("partition_encoding") == "decoded"
 
     # a THIRD fresh handle resolves v0 from the checkpoint: the logical
@@ -2657,8 +2663,8 @@ def test_commit_record_is_o_delta_and_checkpoints_land(spark, tmp_path):
     assert len(raw["add"]) == 1 and raw["remove"] == []
     assert set(raw["stats"]) == set(raw["add"])  # no retained-stat re-dump
     assert t.storage.list("_checkpoints") == [
-        f"_checkpoints/v{3:020d}.json",
-        f"_checkpoints/v{6:020d}.json",
+        f"_checkpoints/v{3:020d}.parquet",
+        f"_checkpoints/v{6:020d}.parquet",
     ]
     fresh = TransactionalTable(str(tmp_path / "t"))
     for v in t.versions():
@@ -2667,6 +2673,71 @@ def test_commit_record_is_o_delta_and_checkpoints_land(spark, tmp_path):
     assert fresh.count() == 160 and fresh.read(spark).count() == 160
     # time travel through the delta chain (v2 predates the checkpoint)
     assert fresh.read(spark, version=2).count() == 120
+
+
+def test_checkpoint_parquet_roundtrip_and_projection(spark, tmp_path):
+    """Columnar checkpoints: the parquet encoding round-trips the FULL
+    manifest dict byte-equal (partitioned table, NULL partitions,
+    bloom refs, evolved schema), and a projected decode materializes
+    only the requested stat columns — the lazy-stats half of the
+    design."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _decode_checkpoint_parquet,
+        _encode_checkpoint_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", 3.5)],
+        "id int, grp string, v double",
+    )
+    t = TransactionalTable(str(tmp_path / "t"), checkpoint_interval=2)
+    t.commit(df, partition_by=["grp"], bloom_by=["id"])
+    t.commit(
+        spark.createDataFrame([(9, "a", 9.5, "x")], "id int, grp string, v double, tag string"),
+        mode="append",
+        partition_by=["grp"],
+        allow_schema_evolution=True,
+    )  # v1; interval 2 → checkpoint lands at v2
+    t.commit(
+        spark.createDataFrame([(10, "c", 0.5, "y")], "id int, grp string, v double, tag string"),
+        mode="append",
+        partition_by=["grp"],
+        allow_schema_evolution=True,
+    )
+    full = t.manifest(2)
+    enc = _encode_checkpoint_parquet(full)
+    assert enc is not None
+    assert _decode_checkpoint_parquet(enc) == full
+    # projection: only 'rows' requested → no cols/partition decoded
+    proj = _decode_checkpoint_parquet(enc, columns=["rows"])
+    assert proj["files"] == full["files"]
+    assert all(
+        set(s) <= {"rows"} for s in proj["stats"].values()
+    )
+    # the persisted checkpoint object at v2 is the parquet form and a
+    # FRESH handle resolves the identical snapshot through it
+    assert f"_checkpoints/v{2:020d}.parquet" in t.storage.list("_checkpoints")
+    fresh = TransactionalTable(str(tmp_path / "t"))
+    assert fresh.manifest(2) == full
+
+
+def test_checkpoint_legacy_json_still_readable(spark, tmp_path):
+    """A pre-columnar JSON checkpoint (legacy writers) keeps resolving:
+    the reader prefers parquet but falls back to the JSON object when
+    that's what's on disk."""
+    t = TransactionalTable(str(tmp_path / "t"), checkpoint_interval=3)
+    t.commit(spark.range(10).select("id"))
+    for i in range(3):
+        t.commit(spark.range(10 + i, 20 + i).select("id"), mode="append")
+    # forge: replace the parquet checkpoint at v3 with the JSON form
+    pk = f"_checkpoints/v{3:020d}.parquet"
+    jk = f"_checkpoints/v{3:020d}.json"
+    full = t.manifest(3)
+    t.storage.delete(pk)
+    t.storage.put_if_absent(jk, json.dumps(full, sort_keys=True).encode())
+    fresh = TransactionalTable(str(tmp_path / "t"))
+    assert fresh.manifest(3) == full
+    assert fresh.read(spark, version=3).count() == 40
 
 
 def test_vacuum_checkpoints_oldest_retained_before_dropping_deltas(
@@ -2691,7 +2762,9 @@ def test_vacuum_checkpoints_oldest_retained_before_dropping_deltas(
     fresh = TransactionalTable(root)
     keep = fresh.versions()
     assert keep == [5, 6, 7]
-    assert fresh.storage.list("_checkpoints") == [f"_checkpoints/v{5:020d}.json"]
+    assert fresh.storage.list("_checkpoints") == [
+        f"_checkpoints/v{5:020d}.parquet"
+    ]
     for v in keep:
         assert fresh.count(v) == totals[v]
         assert fresh.read(spark, version=v).count() == totals[v]
@@ -2701,7 +2774,9 @@ def test_vacuum_checkpoints_oldest_retained_before_dropping_deltas(
     t2.checkpoint_interval = 10**9
     t2.commit(spark.range(3).select("id"), mode="append")
     t2.vacuum(retain_versions=2, unreferenced_grace_s=0)
-    assert t2.storage.list("_checkpoints") == [f"_checkpoints/v{7:020d}.json"]
+    assert t2.storage.list("_checkpoints") == [
+        f"_checkpoints/v{7:020d}.parquet"
+    ]
 
 
 def test_create_view_sql_reads_pruned_pinned_snapshot(spark, tmp_path):
