@@ -99,6 +99,11 @@ BLOOMS_DIR = "_blooms"
 DATA_DIR = "data"
 _V_WIDTH = 20  # zero-padded so lexicographic listing order == numeric order
 
+# Layout v2 (write-at-final-keys) hive-partitions on SHADOW copies of
+# the partition columns (``__p_<col>=...`` path segments) so the data
+# pages KEEP the real columns — see ``TransactionalTable._stage``.
+_SHADOW_PREFIX = "__p_"
+
 
 class CommitConflict(Exception):
     """Another writer committed the version this commit targeted.
@@ -164,6 +169,15 @@ class LocalStorage:
     the link is atomic, fails with EEXIST when the key exists, and the
     linked content is complete (written and closed before linking) — a
     reader can never observe a partial manifest."""
+
+    # Spark can write DIRECTLY at this store's keys (``url()`` is a
+    # Spark-writable location), so commits may skip the staging
+    # double-write and land data files at their final unique keys
+    # (layout v2, see ``TransactionalTable._stage``). A backend whose
+    # keys Spark cannot address (or that must route every byte through
+    # ``put_if_absent`` — e.g. an encrypting wrapper) sets this False
+    # and keeps the staged path.
+    supports_direct_write = True
 
     def __init__(self, root: str) -> None:
         self.root = root.rstrip("/")
@@ -233,6 +247,22 @@ class LocalStorage:
             os.link(local_path, dest)
         except OSError:
             shutil.copyfile(local_path, dest)
+
+    def prune_write_artifacts(self, prefix: str) -> None:
+        """Remove a Spark write's non-data sidecars (``_SUCCESS``,
+        ``.crc`` checksums) under ``prefix`` after a direct
+        write-at-final-keys commit — driver-side LISTING work only,
+        bounded by the one directory the write just produced. Object
+        stores configured with a cloud committer produce no such
+        artifacts; this default covers Hadoop's checksummed local FS."""
+        base = self.url(prefix)
+        for dirpath, _dirnames, filenames in os.walk(base):
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    try:
+                        os.unlink(os.path.join(dirpath, name))
+                    except OSError:
+                        pass
 
     def age_seconds(self, key: str) -> float:
         """Seconds since ``key`` was written (mtime here; creation time
@@ -716,7 +746,7 @@ def _evolve_schema(
 
 def _publish_one(
     storage: "LocalStorage",
-    local: str,
+    local: str | None,
     key: str,
     part_vals: dict,
     bloom_cols: list[str] | None,
@@ -725,18 +755,23 @@ def _publish_one(
     manifest stats entry (footer min/max + row count, partition values,
     optional blooms). Pure per-file work with no shared state — the
     unit both the driver-side loop (small commits) and the distributed
-    publish job (large commits) execute."""
-    fstats = collect_file_stats(local) or {}
+    publish job (large commits) execute. ``local=None`` means the data
+    bytes ALREADY sit at ``key`` (layout v2's write-at-final-keys
+    commit): only the footer/bloom harvest remains — no upload, the
+    bytes never move twice."""
+    src = local if local is not None else storage.url(key)
+    fstats = collect_file_stats(src) or {}
     if part_vals:
         fstats["partition"] = part_vals
     if bloom_cols:
-        # one column-projected local read per staged file — the same
+        # one column-projected read per staged file — the same
         # moment Delta's writer collects its bloom; never touches
         # committed files
-        blooms = build_bloom_stats(local, list(bloom_cols))
+        blooms = build_bloom_stats(src, list(bloom_cols))
         if blooms:
             fstats["bloom"] = blooms
-    storage.upload_file(local, key)
+    if local is not None:
+        storage.upload_file(local, key)
     return fstats
 
 
@@ -1238,6 +1273,25 @@ class TransactionalTable:
         ck = self._read_checkpoint(version)
         return ck.get("committed_at") if ck is not None else None
 
+    @staticmethod
+    def _layout_of(m: dict | None) -> int:
+        """Physical layout version of snapshot ``m`` (sticky table
+        meta): 1 = staged hive paths, partition columns reconstructed
+        via ``basePath``; 2 = write-at-final-keys commit dirs with
+        partition columns kept in the data pages (shadow path
+        segments). Decided at table creation / full replace, carried
+        by every later manifest."""
+        return int(((m or {}).get("meta") or {}).get("layout") or 1)
+
+    def _path_partitioned(self, m: dict) -> bool:
+        """True when snapshot ``m``'s partition columns exist ONLY in
+        the file paths (layout v1) and a read must reconstruct them
+        with ``basePath``; layout v2 snapshots carry them in the data
+        pages and must NOT set ``basePath`` (explicit files under
+        multiple commit dirs would trip Spark's conflicting-directory
+        check)."""
+        return bool(m.get("partition_by")) and self._layout_of(m) < 2
+
     def version_as_of(self, timestamp: float) -> int:
         """TIMESTAMP AS OF resolution: the latest version whose commit
         wall-time is ≤ ``timestamp`` (epoch seconds) — the Delta
@@ -1343,7 +1397,7 @@ class TransactionalTable:
                     )
                 ]
         reader = spark.read
-        if m.get("partition_by"):
+        if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
         if m.get("mixed_schemas"):
             # evolution appends left files under more than one physical
@@ -1430,7 +1484,7 @@ class TransactionalTable:
             )
         new_files = [f for f in m1["files"] if f not in old_files]
         reader = spark.read
-        if m1.get("partition_by"):
+        if self._path_partitioned(m1):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
         if m1.get("mixed_schemas"):
             reader = reader.option("mergeSchema", "true")
@@ -1684,64 +1738,120 @@ class TransactionalTable:
         partition_by: list[str] | None = None,
         max_records_per_file: int | None = None,
         bloom_by: list[str] | None = None,
+        layout: int = 1,
     ) -> tuple[list[str], dict]:
         """Write ``df`` as uniquely-named immutable files under
         ``data/``, harvesting per-file footer stats for manifest-level
-        data skipping on the way through. With ``partition_by`` the
-        hive ``col=val/`` layout is preserved in the key space and each
-        file's partition values are recorded in its stats entry (the
-        data pages do NOT carry the partition columns — readers
-        reconstruct them from the paths via ``basePath``).
+        data skipping on the way through.
 
-        Publish path: the Spark write itself is parallel (executor
-        tasks write the staged files); the PUBLISH (upload to the final
-        unique key + footer min/max + bloom harvest) runs as one
-        distributed job once the staged-file count reaches
-        ``distributed_publish_min_files`` — so no per-file work
-        serializes on the driver and commit time scales with executors
-        (the writer-task-committer shape; the driver handles only the
-        O(files) manifest metadata). Small commits keep the cheaper
-        driver-side loop. A cloud deployment instead writes directly
-        to the final unique names via the store's committer (same
-        invariant: names are fresh, nothing references them yet)."""
-        staging = tempfile.mkdtemp(prefix="txtable-stage-")
+        **Layout v2 (write-at-final-keys, the default for new
+        tables):** executor tasks write the data files DIRECTLY at
+        their final keys under a fresh commit-scoped directory
+        ``data/c<uuid>/`` — the bytes are written exactly once, on any
+        backend Spark can address (the Iceberg shape). Hive
+        partitioning uses SHADOW copies of the partition columns
+        (``__p_<col>=val/`` path segments) so the data pages KEEP the
+        real columns: reads never need ``basePath`` path
+        reconstruction (explicit multi-commit-dir file lists would
+        trip Spark's conflicting-directory check), schema order/types
+        survive exactly, and footer min/max now cover partition
+        columns too. The commit invariant is unchanged — names are
+        fresh and nothing references them until the manifest lands; a
+        crashed write's directory is vacuum's normal backlog.
+
+        **Layout v1 (legacy / non-direct-writable storage):** the
+        Spark write lands in a local staging dir with plain hive
+        ``col=val/`` paths (pages do NOT carry partition columns;
+        readers reconstruct them via ``basePath``), then each file is
+        published at a final unique key. Existing v1 tables stay v1 —
+        mixing the two partition encodings in one snapshot would break
+        reads — until a full ``replace``/``optimize`` rewrites them.
+
+        Either way the footer-stat + bloom harvest (plus, for v1, the
+        upload) runs as ONE distributed job once the file count
+        reaches ``distributed_publish_min_files`` — no per-file work
+        serializes on the driver; small commits keep the cheaper
+        driver-side loop."""
+        tasks: list[tuple[str | None, str, dict]] = []
+        staging = None
+        direct = layout >= 2 and getattr(
+            self.storage, "supports_direct_write", False
+        )
         try:
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            if max_records_per_file:
-                # the writer itself rolls to a new file at the target
-                # row count — the exact mechanism for bounding file
-                # size, independent of how rows map to tasks.
-                writer = writer.option(
-                    "maxRecordsPerFile", int(max_records_per_file)
-                )
-            writer.parquet(staging)
-            # enumerate staged files driver-side (a LISTING, not
-            # per-file content I/O) and assign their final unique keys
-            tasks: list[tuple[str, str, dict]] = []
-            for dirpath, dirnames, filenames in os.walk(staging):
-                dirnames[:] = [d for d in dirnames if "=" in d]
-                rel = os.path.relpath(dirpath, staging)
-                part_vals = (
-                    {
-                        # the column NAME is escaped in the path too
-                        # (never the NULL sentinel, only percent-escapes)
-                        _unquote(k): _decode_hive_partition_value(v)
-                        for k, v in (
-                            seg.split("=", 1) for seg in rel.split(os.sep)
-                        )
-                    }
-                    if rel != "."
-                    else {}
-                )
-                for name in sorted(filenames):
-                    if not name.endswith(".parquet"):
+            if direct:
+                from pyspark.sql import functions as F
+
+                cdir = f"{DATA_DIR}/c{uuid.uuid4().hex}"
+                out = df
+                shadow = []
+                for c in partition_by or []:
+                    s = _SHADOW_PREFIX + c
+                    out = out.withColumn(s, F.col(c))
+                    shadow.append(s)
+                writer = out.write.mode("overwrite")
+                if shadow:
+                    writer = writer.partitionBy(*shadow)
+                if max_records_per_file:
+                    writer = writer.option(
+                        "maxRecordsPerFile", int(max_records_per_file)
+                    )
+                writer.parquet(self.storage.url(cdir))
+                if hasattr(self.storage, "prune_write_artifacts"):
+                    self.storage.prune_write_artifacts(cdir)
+                # enumerate the written keys (a LISTING of the one
+                # commit-private dir — unambiguous under concurrency)
+                for key in self.storage.list(cdir):
+                    if not key.endswith(".parquet"):
                         continue
-                    local = os.path.join(dirpath, name)
-                    sub = "" if rel == "." else rel.replace(os.sep, "/") + "/"
-                    key = f"{DATA_DIR}/{sub}{uuid.uuid4().hex}-{name}"
-                    tasks.append((local, key, part_vals))
+                    part_vals = {}
+                    for seg in key[len(cdir) + 1 :].split("/")[:-1]:
+                        k, v = seg.split("=", 1)
+                        name = _unquote(k)
+                        if name.startswith(_SHADOW_PREFIX):
+                            name = name[len(_SHADOW_PREFIX) :]
+                        part_vals[name] = _decode_hive_partition_value(v)
+                    tasks.append((None, key, part_vals))
+            else:
+                staging = tempfile.mkdtemp(prefix="txtable-stage-")
+                writer = df.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                if max_records_per_file:
+                    # the writer itself rolls to a new file at the target
+                    # row count — the exact mechanism for bounding file
+                    # size, independent of how rows map to tasks.
+                    writer = writer.option(
+                        "maxRecordsPerFile", int(max_records_per_file)
+                    )
+                writer.parquet(staging)
+                # enumerate staged files driver-side (a LISTING, not
+                # per-file content I/O) and assign their final unique keys
+                for dirpath, dirnames, filenames in os.walk(staging):
+                    dirnames[:] = [d for d in dirnames if "=" in d]
+                    rel = os.path.relpath(dirpath, staging)
+                    part_vals = (
+                        {
+                            # the column NAME is escaped in the path too
+                            # (never the NULL sentinel, only percent-escapes)
+                            _unquote(k): _decode_hive_partition_value(v)
+                            for k, v in (
+                                seg.split("=", 1) for seg in rel.split(os.sep)
+                            )
+                        }
+                        if rel != "."
+                        else {}
+                    )
+                    for name in sorted(filenames):
+                        if not name.endswith(".parquet"):
+                            continue
+                        local = os.path.join(dirpath, name)
+                        sub = (
+                            ""
+                            if rel == "."
+                            else rel.replace(os.sep, "/") + "/"
+                        )
+                        key = f"{DATA_DIR}/{sub}{uuid.uuid4().hex}-{name}"
+                        tasks.append((local, key, part_vals))
             stats: dict[str, dict] | None = None
             if len(tasks) >= self.distributed_publish_min_files:
                 try:
@@ -1786,7 +1896,8 @@ class TransactionalTable:
                     stats[k]["bloom_ref"] = sidecar
             return keys, stats
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def _staged_rows(self, spark: SparkSession, keys: list[str], stats: dict) -> int:
         """Row count of the staged files WITHOUT re-evaluating the input
@@ -1841,7 +1952,7 @@ class TransactionalTable:
           Change it by committing with different clustering args."""
         new_v = base_v + 1
         meta = dict(meta or {})
-        for sticky in ("replay", "app", "clustering", "bloom_index"):
+        for sticky in ("replay", "app", "clustering", "bloom_index", "layout"):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
                 if carried is not None:
@@ -2065,11 +2176,29 @@ class TransactionalTable:
                 self.root,
                 mode,
             )
+        cur0 = self.manifest()
+        if mode == "replace" or cur0 is None:
+            # a full replace (or first commit) owns the whole file set,
+            # so it may (up)grade the physical layout to v2 — this is
+            # how a legacy table migrates: OPTIMIZE rewrites everything
+            # through here. Append-family commits MUST stage in the
+            # table's existing layout (mixed partition encodings in one
+            # snapshot are unreadable).
+            layout = (
+                2
+                if getattr(self.storage, "supports_direct_write", False)
+                else self._layout_of(cur0)
+            )
+            meta = dict(meta or {})
+            meta["layout"] = layout
+        else:
+            layout = self._layout_of(cur0)
         keys, staged_stats = self._stage(
             df,
             partition_by=partition_by,
             max_records_per_file=max_records_per_file,
             bloom_by=bloom_by,
+            layout=layout,
         )
         rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
@@ -2097,6 +2226,22 @@ class TransactionalTable:
                     allow_schema_evolution,
                     self.root,
                     mode,
+                )
+            if (
+                mode in ("append", "replace_partitions")
+                and prev is not None
+                and partition_by
+                and self._layout_of(prev) != layout
+            ):
+                # a concurrent full replace changed the physical layout
+                # while we staged: partitioned files in the OLD encoding
+                # cannot join the new snapshot (v1 needs basePath path
+                # reconstruction, v2 forbids it) — the caller re-reads
+                # and re-commits; the staged strays are vacuum backlog.
+                raise CommitConflict(
+                    f"{self.root}: staged with layout v{layout} but the "
+                    f"table is now layout v{self._layout_of(prev)} "
+                    "(concurrent replace); retry the commit"
                 )
             if mode == "append" and prev is not None:
                 if (prev.get("partition_by") or None) != (
@@ -2455,7 +2600,7 @@ class TransactionalTable:
             rows_compacted = sum(stats[f]["rows"] for f in to_compact)
             pb = m.get("partition_by")
             reader = spark.read
-            if pb:
+            if self._path_partitioned(m):
                 reader = reader.option("basePath", self.storage.url(DATA_DIR))
             if m.get("mixed_schemas"):
                 reader = reader.option("mergeSchema", "true")
@@ -2495,6 +2640,7 @@ class TransactionalTable:
                 bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
                     "cols"
                 ),
+                layout=self._layout_of(m),
             )
             if self._put_manifest(
                 base_v,
@@ -2715,7 +2861,7 @@ class TransactionalTable:
                 }
             pb = m.get("partition_by")
             reader = spark.read
-            if pb:
+            if self._path_partitioned(m):
                 reader = reader.option("basePath", self.storage.url(DATA_DIR))
             if m.get("mixed_schemas"):
                 # rewriting a subset of heterogeneous files: merge
@@ -2764,6 +2910,7 @@ class TransactionalTable:
                 bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
                     "cols"
                 ),
+                layout=self._layout_of(m),
             )
             kept_rows = self._staged_rows(spark, keys, staged_stats)
             deleted = affected_rows - kept_rows

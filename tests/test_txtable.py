@@ -1192,8 +1192,10 @@ def test_persisted_ivf_probe_equals_in_memory_and_prunes(spark, sf_dir, tmp_path
     )
     # pruning contract: the probe's scan must touch ONLY probed cells'
     # files — every input file path carries one of <= 4 centroid dirs
+    # (layout v2 hive-partitions on the shadow segment
+    # __p_centroid_id=; v1 on centroid_id= — match either)
     probed_dirs = {
-        f.split("/centroid_id=")[1].split("/")[0]
+        f.split("centroid_id=")[1].split("/")[0]
         for f in got_df.inputFiles()
     }
     assert 1 <= len(probed_dirs) <= 4
@@ -2641,6 +2643,191 @@ def test_distributed_publish_falls_back_on_unpicklable_storage(
     assert t.count() == 100
     assert len(t.manifest()["files"]) == 4
     assert t.read(spark).count() == 100
+
+
+def _v2_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", 3.5), (4, "a", 4.5)],
+        "id int, grp string, v double",
+    )
+
+
+def test_layout_v2_writes_data_bytes_once_at_final_keys(
+    spark, tmp_path, monkeypatch
+):
+    """New tables commit in layout v2: executor tasks write the data
+    files DIRECTLY at their final keys (one commit-scoped dir, shadow
+    hive segments) — no staging temp dir is ever created and no
+    per-file upload happens, so the data bytes are written exactly
+    once. Pages keep the partition columns: schema order and types
+    survive a read byte-exact, without basePath reconstruction."""
+    import re
+    import tempfile as _tf
+
+    import nyc_taxi_etl_pyspark_spark.sources.txtable as tx
+
+    uploads = []
+    orig_upload = tx.LocalStorage.upload_file
+    monkeypatch.setattr(
+        tx.LocalStorage,
+        "upload_file",
+        lambda self, local, key: (uploads.append(key), orig_upload(self, local, key)),
+    )
+
+    def _no_staging(*a, **k):  # any staging mkdtemp = double write
+        raise AssertionError("layout v2 commit must not stage locally")
+
+    monkeypatch.setattr(_tf, "mkdtemp", _no_staging)
+    df = _v2_df(spark)
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"], bloom_by=["id"])
+    m = t.manifest()
+    assert m["meta"]["layout"] == 2
+    assert uploads == []
+    key_re = re.compile(
+        r"^data/c[0-9a-f]{32}/__p_grp=[^/]+/[^/]+\.parquet$"
+    )
+    assert all(key_re.match(f) for f in m["files"]), m["files"]
+    got = t.read(spark)
+    # exact schema: original column ORDER and TYPES (v1's basePath
+    # reconstruction appended inferred partition cols at the end)
+    assert got.schema == df.schema
+    assert sorted(got.collect(), key=lambda r: r.id) == sorted(
+        df.collect(), key=lambda r: r.id
+    )
+    # partition pruning + NULL partition + bloom point read all work
+    assert t.read(spark, partitions={"grp": ["a"]}).count() == 2
+    assert t.read(spark, partitions={"grp": [None]}).count() == 1
+    assert t.read(spark, equals={"id": 3}).count() == 1
+    # partition columns now have footer stats: band pruning on grp
+    stats = m["stats"][m["files"][0]]
+    assert "rows" in stats and "partition" in stats
+    # no write artifacts (_SUCCESS / .crc) left under the commit dir
+    cdir = os.path.dirname(os.path.dirname(m["files"][0]))
+    leftovers = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(t.storage.url(cdir))
+        for f in fns
+        if not f.endswith(".parquet")
+    ]
+    assert leftovers == []
+
+
+def test_layout_v2_maintenance_stays_v2_and_reads_pin(spark, tmp_path):
+    """Append, delete, incremental optimize and full optimize on a v2
+    table keep the layout flag, mix commit dirs freely in one
+    snapshot, and time travel keeps every version readable."""
+    df = _v2_df(spark)
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(df, partition_by=["grp"])
+    t.commit(
+        spark.createDataFrame([(9, "c", 9.5)], "id int, grp string, v double"),
+        mode="append",
+        partition_by=["grp"],
+    )
+    m = t.manifest()
+    assert m["meta"]["layout"] == 2
+    # snapshot spans TWO commit dirs; read unifies them without basePath
+    cdirs = {f.split("/")[1] for f in m["files"]}
+    assert len(cdirs) == 2
+    assert t.read(spark).count() == 5
+    assert t.read(spark, partitions={"grp": ["c"]}).count() == 1
+    t.delete(spark, [("id", 4, 4)])
+    assert t.read(spark).count() == 4
+    assert t._layout_of(t.manifest()) == 2
+    res = t.optimize_incremental(spark, target_rows_per_file=1000)
+    assert t._layout_of(t.manifest()) == 2
+    t.optimize(spark)
+    assert t._layout_of(t.manifest()) == 2
+    assert t.read(spark).count() == 4
+    assert t.read(spark, version=1).count() == 5  # pre-delete snapshot
+
+
+def test_layout_v1_appends_stay_v1_and_optimize_migrates(spark, tmp_path):
+    """A legacy (v1) table keeps staging appends in v1 — mixing the
+    two partition encodings in one snapshot would be unreadable — and
+    a FULL rewrite (optimize → replace commit) migrates it to v2.
+    Old v1 versions stay readable via their own manifests' layout."""
+    import re
+
+    df = _v2_df(spark)
+    root = str(tmp_path / "t")
+    t1 = TransactionalTable(root)
+    t1.storage.supports_direct_write = False  # legacy writer
+    t1.commit(df, partition_by=["grp"])
+    assert t1._layout_of(t1.manifest()) == 1
+    v1_re = re.compile(r"^data/grp=[^/]+/[0-9a-f]{32}-.+\.parquet$")
+    assert all(v1_re.match(f) for f in t1.manifest()["files"])
+
+    t2 = TransactionalTable(root)  # direct-capable handle
+    t2.commit(
+        spark.createDataFrame([(9, "c", 9.5)], "id int, grp string, v double"),
+        mode="append",
+        partition_by=["grp"],
+    )
+    m = t2.manifest()
+    assert t2._layout_of(m) == 1  # append inherited the table layout
+    assert all(v1_re.match(f) for f in m["files"])
+    got = t2.read(spark)
+    assert got.count() == 5
+    assert {r.grp for r in got.select("grp").distinct().collect()} == {
+        "a",
+        "b",
+        "c",
+        None,
+    }
+    # full optimize rewrites every file → migrates the table to v2
+    t2.optimize(spark)
+    m2 = t2.manifest()
+    assert t2._layout_of(m2) == 2
+    assert all(f.startswith("data/c") for f in m2["files"])
+    assert t2.read(spark).count() == 5
+    assert t2.read(spark, partitions={"grp": ["a"]}).count() == 2
+    # time travel to the v1 snapshot still reconstructs via basePath
+    old = t2.read(spark, version=1)
+    assert old.count() == 5
+    assert {r.grp for r in old.select("grp").distinct().collect()} == {
+        "a",
+        "b",
+        "c",
+        None,
+    }
+
+
+def test_layout_race_append_vs_migrating_replace_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """An append staged in v1 that loses the race to a layout-migrating
+    replace must CONFLICT loudly, never splice v1-encoded partitioned
+    files into a v2 snapshot."""
+    df = _v2_df(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.storage.supports_direct_write = False
+    t.commit(df, partition_by=["grp"])
+
+    appender = TransactionalTable(root)
+    appender.storage.supports_direct_write = False
+    orig = appender._staged_rows
+
+    def _race(spark_, keys, stats):
+        # between stage and manifest-put: a v2-capable writer replaces
+        winner = TransactionalTable(root)
+        winner.commit(df, mode="replace", partition_by=["grp"])
+        assert winner._layout_of(winner.manifest()) == 2
+        return orig(spark_, keys, stats)
+
+    monkeypatch.setattr(appender, "_staged_rows", _race)
+    with pytest.raises(CommitConflict, match="layout"):
+        appender.commit(
+            spark.createDataFrame(
+                [(9, "c", 9.5)], "id int, grp string, v double"
+            ),
+            mode="append",
+            partition_by=["grp"],
+        )
+    # table is intact at the winner's snapshot
+    assert TransactionalTable(root).read(spark).count() == 4
 
 
 def test_commit_record_is_o_delta_and_checkpoints_land(spark, tmp_path):
