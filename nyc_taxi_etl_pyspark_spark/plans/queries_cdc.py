@@ -1036,3 +1036,144 @@ def q_tx_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_sql_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 1.1 + 1e-9, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           round((CASE WHEN u.o_orderkey IS NOT NULL
+                       THEN u.o_totalprice ELSE b.o_totalprice END) + 1e-9, 4)
+             AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_tx_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as STATEMENT TEXT (``sources/txsql.py``): the same
+    deterministic change set as ``q_tx_table_merge``, but entering
+    through the SQL DML front door — ``create_view`` registers the
+    table name, the updates ride a temp view, and
+    ``execute_dml("MERGE INTO ... USING ... ON t.k = s.k WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")`` parses the
+    statement SHAPE and routes to the transactional ``merge`` operator
+    (optimistic concurrency, copy-on-write). The oracle replays the
+    merge declaratively, so a hash match proves statement parsing,
+    key extraction from the ON condition, and the whole protocol
+    round-trip at once. Idempotent: latest-wins with a fixed change
+    set is a fixpoint; vacuum bounds retained versions. Completes
+    ``q_tx_sql_read``'s SQL *read* front door with SQL *writes* —
+    surface the reference (whole-partition overwrite only,
+    ``src/pipeline/etl_writer.py:7-12``) never had."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txsqlmerge", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o)
+    tag = hashlib.sha256(root.encode()).hexdigest()[:8]
+    view, ups = f"tx_sqlmerge_{tag}", f"tx_sqlmerge_ups_{tag}"
+    t.create_view(spark, view)  # registers the DML target name too
+    o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        stable_round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    ).createOrReplaceTempView(ups)
+    execute_dml(
+        spark,
+        f"""
+        MERGE INTO {view} AS t USING {ups} AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    t.vacuum(retain_versions=2)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_tx_sql_update_delete",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round((CASE WHEN o_orderkey % 7 = 0
+                       THEN round(o_totalprice * 1.1 + 1e-9, 4)
+                       ELSE o_totalprice END) + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 13 <> 0
+    """,
+)
+def q_tx_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE and DELETE as STATEMENT TEXT (``sources/txsql.py``)
+    against a transactional table: both route to copy-on-write
+    rewrites (``update_where`` / ``delete_where``) where band/equality
+    conjuncts extracted from the WHERE prune files via the manifest's
+    zone maps and blooms, and the verbatim predicate stays the exact
+    residual — assignment RHS evaluates against the OLD row and is
+    cast back to the column's type, NULL-predicate rows are KEPT
+    (SQL three-valued logic). The oracle replays both mutations
+    declaratively over the raw table (CASE for the update, WHERE NOT
+    for the delete). Deterministic across invocations because the
+    fixture snapshot is RE-COMMITTED each run before mutating —
+    UPDATE is not idempotent, so the run starts from the same base
+    every time; vacuum bounds the version history this leaves."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_dml,
+        register_dml_target,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txsqlud", sf_dir)
+    t = TransactionalTable(root)
+    t.commit(o, cluster_by=["o_orderkey"])  # fresh base EVERY run
+    name = f"tx_sqlud_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
+    register_dml_target(name, t)
+    execute_dml(
+        spark,
+        f"UPDATE {name} SET o_orderstatus = 'U', "
+        f"o_totalprice = round(o_totalprice * 1.1 + 1e-9, 4) "
+        f"WHERE o_orderkey % 7 = 0",
+    )
+    execute_dml(spark, f"DELETE FROM {name} WHERE o_orderkey % 13 = 0")
+    t.vacuum(retain_versions=3)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

@@ -1,0 +1,281 @@
+"""SQL DML front door for transactional tables.
+
+``create_view`` (``sources/txtable.py``) gives commit-log tables SQL
+*reads*; this module completes the UX with SQL *writes*: statement
+text in the four standard DML shapes routes to the existing
+transactional operators —
+
+- ``MERGE INTO t USING s ON t.k = s.k
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+  → :meth:`TransactionalTable.merge` (latest-wins upsert);
+- ``UPDATE t SET col = expr, ... [WHERE pred]``
+  → :meth:`TransactionalTable.update_where` (copy-on-write rewrite of
+  only the files the predicate's prune hints cannot exclude);
+- ``DELETE FROM t WHERE pred``
+  → :meth:`TransactionalTable.delete_where`;
+- ``INSERT INTO t <query>`` → ``commit(mode="append")``.
+
+Deliberately NOT a SQL parser: only the statement SHAPE is recognized
+(keyword scanning outside strings/parens — ``_split_top_level``);
+every predicate, assignment expression, and source query is handed
+verbatim to Spark SQL, so expression semantics are Catalyst's, never
+ours. Matches how Delta's own DML entered the world before DSv2: a
+thin statement router over table-format operators. Unsupported shapes
+raise loudly — nothing is half-parsed.
+
+Table names resolve through an explicit ``tables={name: handle}``
+argument, falling back to the process-wide registry that
+``TransactionalTable.create_view`` populates — so the natural flow
+"create_view then run DML against the same name" needs no extra
+wiring. MERGE sources and INSERT queries resolve through Spark
+itself (temp views, catalog tables, or a parenthesized subquery).
+
+Reference parity: the reference engine has no DML surface at all
+(its only SQL is a filter string, ``src/features/
+transformations.py``); this is part of the storage layer's
+beyond-reference lakehouse tier.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+    TransactionalTable,
+    _scan_top_level,
+    _split_top_level,
+)
+
+# view/table name -> handle; populated by TransactionalTable.create_view
+# and register_dml_target. Process-wide like Spark's own temp-view
+# namespace (names are session-scoped there; collisions overwrite,
+# latest wins — same contract).
+_DML_TARGETS: dict[str, TransactionalTable] = {}
+
+
+def register_dml_target(name: str, table: TransactionalTable) -> None:
+    """Expose ``table`` to :func:`execute_dml` under ``name`` (what
+    ``create_view`` does automatically for every registered view)."""
+    _DML_TARGETS[name] = table
+
+
+def _resolve_target(
+    name: str, tables: dict[str, TransactionalTable] | None
+) -> TransactionalTable:
+    t = (tables or {}).get(name) or _DML_TARGETS.get(name)
+    if t is None:
+        known = sorted(set(tables or {}) | set(_DML_TARGETS))
+        raise ValueError(
+            f"unknown transactional table '{name}' — register it via "
+            f"create_view()/register_dml_target() or pass tables=; "
+            f"known: {known}"
+        )
+    return t
+
+
+def _find_top_level_kw(text: str, kw: str) -> int:
+    """Offset of the first TOP-LEVEL occurrence of keyword ``kw``
+    (outside strings/parens, word-bounded), or -1."""
+    return next(_scan_top_level(text, kw.upper()), -1)
+
+
+def _strip_alias(text: str, alias: str | None) -> str:
+    """Remove ``alias.`` qualifiers outside string literals, so
+    predicates/assignments written against ``UPDATE t AS a`` resolve
+    on the bare frame."""
+    if not alias:
+        return text
+    out = []
+    pat = re.compile(rf"(?<![\w.]){re.escape(alias)}\.", re.I)
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", text)):
+        out.append(seg if i % 2 else pat.sub("", seg))
+    return "".join(out)
+
+
+_NAME = r"[A-Za-z_][\w.]*"
+_ALIAS = rf"(?:\s+(?:AS\s+)?(?!USING\b|ON\b|SET\b|WHERE\b)([A-Za-z_]\w*))?"
+
+
+def _parse_relation(spark: SparkSession, rel: str) -> DataFrame:
+    rel = rel.strip()
+    if rel.startswith("("):
+        return spark.sql(rel[1:-1])
+    return spark.table(rel)
+
+
+def _merge_keys(cond: str, talias: str | None, salias: str | None) -> list[str]:
+    """Key columns from an equality-conjunction ON condition
+    (``t.k = s.k AND ...``). Both sides must name the SAME column —
+    the upsert operator keys on shared names, like Delta's
+    ``ON t.k = s.k`` fast path."""
+    keys = []
+    for conj in _split_top_level(cond, "AND"):
+        sides = conj.split("=")
+        if len(sides) != 2:
+            raise ValueError(
+                f"MERGE ON supports equality conjunctions only, got: {conj!r}"
+            )
+
+        def _col(side: str) -> str:
+            s = side.strip().strip("()")
+            m = re.fullmatch(r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)", s)
+            if m is None:
+                raise ValueError(
+                    f"MERGE ON condition side is not a column: {side!r}"
+                )
+            return m.group(2)
+
+        a, b = _col(sides[0]), _col(sides[1])
+        if a != b:
+            raise ValueError(
+                f"MERGE ON keys must share a column name (got {a!r} vs "
+                f"{b!r}); alias the source column to the target's name"
+            )
+        keys.append(a)
+    if not keys:
+        raise ValueError("MERGE ON produced no key columns")
+    return keys
+
+
+_UPSERT_ALL = re.compile(
+    r"^\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.I | re.S,
+)
+
+
+def execute_dml(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, TransactionalTable] | None = None,
+) -> dict:
+    """Execute one DML ``statement`` against transactional tables and
+    return the routed operator's result dict (plus ``op`` and
+    ``table``). See the module docstring for the four supported
+    shapes; anything else raises ``ValueError`` with the reason."""
+    s = statement.strip().rstrip(";").strip()
+    head = s.split(None, 1)[0].upper() if s else ""
+    if head == "MERGE":
+        m = re.match(
+            rf"^MERGE\s+INTO\s+({_NAME}){_ALIAS}\s+USING\s+", s, re.I | re.S
+        )
+        if m is None:
+            raise ValueError(f"unparseable MERGE INTO head: {s[:80]!r}")
+        target, talias = m.group(1), m.group(2)
+        rest = s[m.end() :]
+        # source relation: a parenthesized subquery or a name
+        if rest.lstrip().startswith("("):
+            rest = rest.lstrip()
+            depth = 0
+            in_str = False
+            for i, ch in enumerate(rest):
+                if in_str:
+                    in_str = ch != "'"
+                elif ch == "'":
+                    in_str = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            src, rest = rest[: i + 1], rest[i + 1 :]
+        else:
+            sm = re.match(rf"\s*({_NAME})", rest)
+            src, rest = sm.group(1), rest[sm.end() :]
+        sm = re.match(rf"^{_ALIAS}\s+ON\s+", rest, re.I | re.S)
+        if sm is None:
+            raise ValueError("MERGE: expected [AS alias] ON <condition>")
+        salias = sm.group(1)
+        rest = rest[sm.end() :]
+        on_end = _find_top_level_kw(rest, "WHEN")
+        if on_end < 0:
+            raise ValueError("MERGE: expected WHEN MATCHED ... clauses")
+        cond, clauses = rest[:on_end], rest[on_end:]
+        if not _UPSERT_ALL.match(clauses):
+            raise ValueError(
+                "MERGE supports the upsert-all form only: WHEN MATCHED "
+                "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+        t = _resolve_target(target, tables)
+        keys = _merge_keys(cond, talias, salias)  # shape-check before I/O
+        updates = _parse_relation(spark, src)
+        version = t.merge(spark, updates, keys)
+        return {"op": "merge", "table": target, "version": version}
+    if head == "DELETE":
+        m = re.match(
+            rf"^DELETE\s+FROM\s+({_NAME}){_ALIAS}\s+WHERE\s+(.+)$",
+            s,
+            re.I | re.S,
+        )
+        if m is None:
+            raise ValueError(
+                "DELETE shape: DELETE FROM <table> [AS a] WHERE <predicate> "
+                "(an unconstrained DELETE must be an explicit truncation "
+                "commit)"
+            )
+        target, alias, pred = m.group(1), m.group(2), m.group(3)
+        t = _resolve_target(target, tables)
+        res = t.delete_where(spark, _strip_alias(pred, alias))
+        return {"op": "delete", "table": target, **res}
+    if head == "UPDATE":
+        m = re.match(rf"^UPDATE\s+({_NAME}){_ALIAS}\s+SET\s+", s, re.I | re.S)
+        if m is None:
+            raise ValueError(
+                "UPDATE shape: UPDATE <table> [AS a] SET c = expr, ... "
+                "[WHERE <predicate>]"
+            )
+        target, alias = m.group(1), m.group(2)
+        rest = s[m.end() :]
+        w = _find_top_level_kw(rest, "WHERE")
+        set_part, pred = (rest, None) if w < 0 else (rest[:w], rest[w + 5 :])
+        assignments = {}
+        for item in _split_top_level(set_part, ","):
+            am = re.match(r"^\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+)$",
+                          item, re.S)
+            if am is None:
+                raise ValueError(f"unparseable SET assignment: {item!r}")
+            assignments[am.group(1)] = _strip_alias(am.group(2).strip(), alias)
+        t = _resolve_target(target, tables)
+        res = t.update_where(
+            spark, assignments, _strip_alias(pred, alias) if pred else None
+        )
+        return {"op": "update", "table": target, **res}
+    if head == "INSERT":
+        m = re.match(rf"^INSERT\s+INTO\s+({_NAME})\s+(.+)$", s, re.I | re.S)
+        if m is None:
+            raise ValueError("INSERT shape: INSERT INTO <table> <query>")
+        target, q = m.group(1), m.group(2).strip()
+        t = _resolve_target(target, tables)
+        df = spark.sql(q[1:-1] if q.startswith("(") and q.endswith(")") else q)
+        cur = t.manifest()
+        schema = (cur or {}).get("schema")
+        if schema:
+            # standard INSERT semantics: the query's columns are
+            # matched BY NAME and cast to the table's types (literal
+            # inference like 1.5 → decimal must not fail an append)
+            missing = [c for c in schema if c not in df.columns]
+            extra = [c for c in df.columns if c not in schema]
+            if missing or extra:
+                raise ValueError(
+                    f"INSERT INTO {target}: query columns {df.columns} do "
+                    f"not cover the table schema {list(schema)} "
+                    f"(missing {missing}, unexpected {extra})"
+                )
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[F.col(c).cast(typ).alias(c) for c, typ in schema.items()]
+            )
+        version = t.commit(
+            df,
+            mode="append",
+            partition_by=(cur or {}).get("partition_by"),
+        )
+        return {"op": "insert", "table": target, "version": version}
+    raise ValueError(
+        f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT): "
+        f"{s[:80]!r}"
+    )

@@ -716,6 +716,170 @@ def prune_files(
     return kept
 
 
+def _scan_top_level(text: str, sep: str):
+    """Yield the offsets of every TOP-LEVEL occurrence of ``sep`` in
+    ``text`` — outside single-quoted strings and parentheses; an
+    alphabetic ``sep`` matches case-insensitively on word boundaries,
+    and the ``AND`` that belongs to a pending ``BETWEEN`` is never a
+    separator. The workhorse of the light SQL-shape parsing the DML
+    front door does; it never needs a full grammar because
+    correctness NEVER depends on it — unparsed pieces just
+    contribute no file pruning."""
+    depth = 0
+    in_str = False
+    pending_between = 0
+    i = 0
+    n = len(text)
+    word_sep = sep[0].isalpha()
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 1  # escaped quote
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and not word_sep and text.startswith(sep, i):
+            yield i
+            i += len(sep)
+            continue
+        elif depth == 0 and word_sep and ch.isalpha():
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            word = text[i:j].upper()
+            boundary_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            if boundary_ok:
+                if word == "BETWEEN":
+                    pending_between += 1
+                elif word == "AND" and pending_between > 0 and sep == "AND":
+                    pending_between -= 1
+                elif word == sep:
+                    yield i
+            i = j
+            continue
+        i += 1
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split ``text`` on top-level ``sep`` (see :func:`_scan_top_level`)."""
+    parts: list[str] = []
+    start = 0
+    for i in _scan_top_level(text, sep):
+        parts.append(text[start:i])
+        start = i + len(sep)
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_SQL_IDENT = r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)"
+_SQL_LIT = (
+    r"(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"  # number
+    r"|'(?:[^']|'')*'"  # string
+    r"|(?:DATE|TIMESTAMP)\s*'(?:[^']|'')*')"  # temporal
+)
+
+
+def _sql_literal_value(tok: str):
+    """Python value of a parsed SQL literal token (number, string,
+    DATE/TIMESTAMP string) for min/max band comparison against
+    manifest stats."""
+    tok = tok.strip()
+    up = tok.upper()
+    if up.startswith("DATE") or up.startswith("TIMESTAMP"):
+        tok = tok[tok.index("'") :]
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    f = float(tok)
+    return int(f) if f.is_integer() and "." not in tok and "e" not in tok.lower() else f
+
+
+def _sql_predicate_prune_hints(
+    predicate: str,
+) -> tuple[list[tuple], list[tuple]]:
+    """Conservative file-pruning hints extracted from a SQL predicate:
+    ``(bands, equalities)`` in :func:`prune_files` form, from the
+    top-level AND conjuncts that are simple ``col <op> literal`` /
+    ``literal <op> col`` / ``col BETWEEN a AND b`` comparisons.
+    Anything else (ORs, functions, subqueries, column-to-column)
+    contributes NO hint — the residual row filter stays exact, so a
+    missed hint only costs pruning, never correctness. Strict ``<`` /
+    ``>`` bounds are widened to inclusive (a superset keep)."""
+    import re
+
+    bands: list[tuple] = []
+    eqs: list[tuple] = []
+    col_op_lit = re.compile(
+        rf"^{_SQL_IDENT}\s*(=|==|>=|<=|>|<)\s*{_SQL_LIT}$", re.I | re.S
+    )
+    lit_op_col = re.compile(
+        rf"^{_SQL_LIT}\s*(=|==|>=|<=|>|<)\s*{_SQL_IDENT}$", re.I | re.S
+    )
+    between = re.compile(
+        rf"^{_SQL_IDENT}\s+BETWEEN\s+{_SQL_LIT}\s+AND\s+{_SQL_LIT}$",
+        re.I | re.S,
+    )
+    for conj in _split_top_level(predicate, "AND"):
+        c = conj.strip()
+        while c.startswith("(") and c.endswith(")"):
+            # strip only a MATCHED outer pair ("(a) = (b)" keeps its
+            # parens: the first '(' closes before the end)
+            depth = 0
+            matched = True
+            for i, ch in enumerate(c):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if depth == 0 and i < len(c) - 1:
+                    matched = False
+                    break
+            if not matched:
+                break
+            c = c[1:-1].strip()
+        m = col_op_lit.match(c)
+        flipped = False
+        if m is None:
+            m2 = lit_op_col.match(c)
+            if m2 is not None:
+                m, flipped = m2, True
+        if m is not None:
+            if flipped:
+                lit_tok, op, col = m.group(1), m.group(2), m.group(3)
+                op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+            else:
+                col, op, lit_tok = m.group(1), m.group(2), m.group(3)
+            try:
+                v = _sql_literal_value(lit_tok)
+            except ValueError:
+                continue
+            if op in ("=", "=="):
+                bands.append((col, v, v))
+                eqs.append((col, [v]))
+            elif op in (">", ">="):
+                bands.append((col, v, None))
+            else:
+                bands.append((col, None, v))
+            continue
+        m = between.match(c)
+        if m is not None:
+            try:
+                lo = _sql_literal_value(m.group(2))
+                hi = _sql_literal_value(m.group(3))
+            except ValueError:
+                continue
+            bands.append((m.group(1), lo, hi))
+    return bands, eqs
+
+
 def _evolve_schema(
     old: dict | None, new: dict, allow: bool, root: str, mode: str
 ) -> tuple[dict, bool]:
@@ -1549,7 +1713,14 @@ class TransactionalTable:
         selective bands/keys here. The view is a plan over the pinned
         snapshot's immutable file list: it stays consistent (and
         time-travel-stable with ``version=``/``as_of_timestamp=``)
-        under concurrent commits — re-register to follow the head."""
+        under concurrent commits — re-register to follow the head.
+
+        The name is also registered as a DML target, so ``MERGE INTO
+        name ...`` / ``UPDATE`` / ``DELETE FROM`` / ``INSERT INTO``
+        statement text routes to this table through
+        ``sources/txsql.py::execute_dml`` (DML always acts on the
+        TABLE HEAD, never the view's pinned snapshot — re-register
+        the view to observe the write, standard MVCC)."""
         df = self.read(
             spark,
             version=version,
@@ -1559,6 +1730,11 @@ class TransactionalTable:
             as_of_timestamp=as_of_timestamp,
         )
         df.createOrReplaceTempView(name)
+        from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+            register_dml_target,
+        )
+
+        register_dml_target(name, self)
         return df
 
     def exists(self) -> bool:
@@ -2860,16 +3036,10 @@ class TransactionalTable:
                     "rows_deleted": 0,
                 }
             pb = m.get("partition_by")
-            reader = spark.read
-            if self._path_partitioned(m):
-                reader = reader.option("basePath", self.storage.url(DATA_DIR))
-            if m.get("mixed_schemas"):
-                # rewriting a subset of heterogeneous files: merge
-                # footers or the first file's schema would silently
-                # drop evolved columns from the re-staged rows
-                reader = reader.option("mergeSchema", "true")
-            _ensure_no_listing_job(spark, len(affected))
-            df = reader.parquet(*[self.storage.url(f) for f in affected])
+            # rewriting a subset of heterogeneous files merges footers
+            # (else the first file's schema would silently drop evolved
+            # columns from the re-staged rows)
+            df = self._affected_frame(spark, m, affected)
             prev_stats = m.get("stats", {})
             if all("rows" in prev_stats.get(f, {}) for f in affected):
                 affected_rows = sum(prev_stats[f]["rows"] for f in affected)
@@ -2938,6 +3108,214 @@ class TransactionalTable:
             # vacuum after the grace window; re-derive from the new
             # snapshot.
         raise CommitConflict(f"delete lost {max_retries} commit races on {self.root}")
+
+    def _affected_frame(self, spark: SparkSession, m: dict, files: list[str]):
+        """Reader over a snapshot's file SUBSET with the snapshot's
+        layout semantics applied (basePath for v1 partitioned tables,
+        mergeSchema for evolved ones)."""
+        reader = spark.read
+        if self._path_partitioned(m):
+            reader = reader.option("basePath", self.storage.url(DATA_DIR))
+        if m.get("mixed_schemas"):
+            reader = reader.option("mergeSchema", "true")
+        _ensure_no_listing_job(spark, len(files))
+        return reader.parquet(*[self.storage.url(f) for f in files])
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_retries: int = 5,
+    ) -> dict:
+        """Row-level DELETE with an arbitrary SQL predicate — the
+        ``DELETE FROM t WHERE <pred>`` form (``sources/txsql.py``
+        routes statement text here). File pruning comes from the
+        conservative band/equality hints
+        :func:`_sql_predicate_prune_hints` can extract from the
+        predicate's simple conjuncts (plus bloom probes for equality
+        hints); correctness always comes from the residual row filter
+        — SQL three-valued logic applies, so NULL-evaluating rows are
+        KEPT, exactly like the band-form :meth:`delete`. Returns
+        {version, files_rewritten, files_retained, rows_deleted}."""
+        from pyspark.sql import functions as F
+
+        if not predicate or not predicate.strip():
+            raise ValueError(
+                "delete_where: empty predicate would remove every row; "
+                "to truncate, commit an empty snapshot explicitly"
+            )
+        bands, eqs = _sql_predicate_prune_hints(predicate)
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to delete from in {self.root}")
+            affected = prune_files(
+                m, bands or None, eqs or None, bloom_loader=self._bloom_sidecar
+            )
+            retained = [f for f in m["files"] if f not in set(affected)]
+            if not affected:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(retained),
+                    "rows_deleted": 0,
+                }
+            df = self._affected_frame(spark, m, affected)
+            prev_stats = m.get("stats", {})
+            if all("rows" in prev_stats.get(f, {}) for f in affected):
+                affected_rows = sum(prev_stats[f]["rows"] for f in affected)
+            else:
+                affected_rows = df.count()
+            pred = F.coalesce(F.expr(predicate), F.lit(False))
+            if df.where(pred).limit(1).count() == 0:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(m["files"]),
+                    "rows_deleted": 0,
+                }
+            keys, staged_stats = self._stage(
+                df.where(~pred),
+                partition_by=m.get("partition_by"),
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
+            kept_rows = self._staged_rows(spark, keys, staged_stats)
+            deleted = affected_rows - kept_rows
+            if self._put_manifest(
+                base_v,
+                retained + keys,
+                max(0, m.get("rows", 0) - deleted),
+                m.get("schema"),
+                {
+                    **{f: prev_stats[f] for f in retained if f in prev_stats},
+                    **staged_stats,
+                },
+                {"op": "delete", "source_version": base_v},
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return {
+                    "version": base_v + 1,
+                    "files_rewritten": len(affected),
+                    "files_retained": len(retained),
+                    "rows_deleted": deleted,
+                }
+        raise CommitConflict(
+            f"delete_where lost {max_retries} commit races on {self.root}"
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        predicate: str | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """Row-level UPDATE — the ``UPDATE t SET col = expr, ... WHERE
+        <pred>`` form (``sources/txsql.py`` routes statement text
+        here): copy-on-write rewrite of ONLY the files the predicate's
+        prune hints cannot exclude. SQL UPDATE semantics: every
+        assignment's right-hand side evaluates against the OLD row, a
+        row updates only when the predicate is TRUE (NULL keeps the
+        old values), and each assigned expression is cast back to the
+        column's existing type so the table schema never drifts. No
+        predicate means update every row. Returns {version,
+        files_rewritten, files_retained, rows_updated}."""
+        from pyspark.sql import functions as F
+
+        if not assignments:
+            raise ValueError("update_where: no assignments")
+        bands, eqs = (
+            _sql_predicate_prune_hints(predicate) if predicate else ([], [])
+        )
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to update in {self.root}")
+            unknown = set(assignments) - set(m.get("schema") or {})
+            if unknown:
+                raise ValueError(
+                    f"update_where: unknown column(s) {sorted(unknown)}; "
+                    "schema evolution goes through commit(), not UPDATE"
+                )
+            affected = prune_files(
+                m, bands or None, eqs or None, bloom_loader=self._bloom_sidecar
+            )
+            retained = [f for f in m["files"] if f not in set(affected)]
+            if not affected:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(retained),
+                    "rows_updated": 0,
+                }
+            df = self._affected_frame(spark, m, affected)
+            pred = (
+                F.coalesce(F.expr(predicate), F.lit(False))
+                if predicate
+                else F.lit(True)
+            )
+            n_matched = df.where(pred).count()
+            if n_matched == 0:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(m["files"]),
+                    "rows_updated": 0,
+                }
+            updated = df.select(
+                *[
+                    (
+                        F.when(
+                            pred,
+                            F.expr(assignments[f.name]).cast(f.dataType),
+                        )
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    )
+                    for f in df.schema.fields
+                ]
+            )
+            keys, staged_stats = self._stage(
+                updated,
+                partition_by=m.get("partition_by"),
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
+            prev_stats = m.get("stats", {})
+            if self._put_manifest(
+                base_v,
+                retained + keys,
+                m.get("rows", 0),  # content changed, cardinality didn't
+                m.get("schema"),
+                {
+                    **{f: prev_stats[f] for f in retained if f in prev_stats},
+                    **staged_stats,
+                },
+                {"op": "update", "source_version": base_v},
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return {
+                    "version": base_v + 1,
+                    "files_rewritten": len(affected),
+                    "files_retained": len(retained),
+                    "rows_updated": n_matched,
+                }
+        raise CommitConflict(
+            f"update_where lost {max_retries} commit races on {self.root}"
+        )
 
     # -- MERGE -------------------------------------------------------------
     def merge(

@@ -2830,6 +2830,123 @@ def test_layout_race_append_vs_migrating_replace_conflicts(
     assert TransactionalTable(root).read(spark).count() == 4
 
 
+def _dml_table(spark, tmp_path, name):
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import register_dml_target
+
+    t = TransactionalTable(str(tmp_path / name))
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id int, grp string, v double",
+    )
+    t.commit(df, partition_by=["grp"], bloom_by=["id"], cluster_by=["id"])
+    register_dml_target(name, t)
+    return t
+
+
+def test_sql_dml_update_delete_roundtrip_and_pruning(spark, tmp_path):
+    """UPDATE/DELETE statement text routes to copy-on-write rewrites
+    that PRUNE: band conjuncts in the WHERE reach the manifest's
+    zone maps, so files provably outside the predicate are retained
+    byte-for-byte. Assignment RHS evaluates against the OLD row,
+    NULL-predicate rows keep SQL three-valued semantics, aliases
+    strip."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = _dml_table(spark, tmp_path, "txdml_ud")
+    n_files = len(t.manifest()["files"])
+    r = execute_dml(
+        spark,
+        "UPDATE txdml_ud AS a SET v = a.v * 2, grp = upper(a.grp) "
+        "WHERE a.id <= 9 AND a.id % 2 = 0",
+    )
+    assert r["op"] == "update" and r["rows_updated"] == 5
+    # band id <= 9 pruned the clustered layout: most files untouched
+    assert r["files_rewritten"] < n_files
+    got = {row.id: (row.grp, row.v) for row in t.read(spark).collect()}
+    assert got[4] == ("G1", 8.0)  # updated: RHS saw the OLD row
+    assert got[5] == ("g2", 5.0)  # odd id: untouched
+    assert got[12] == ("g0", 12.0)  # outside band: untouched
+    r = execute_dml(spark, "DELETE FROM txdml_ud WHERE id BETWEEN 20 AND 24")
+    assert r["rows_deleted"] == 5 and r["files_rewritten"] < n_files
+    assert t.read(spark).count() == 25
+    # schema never drifts across DML
+    assert t.manifest()["schema"] == {
+        "id": "int",
+        "grp": "string",
+        "v": "double",
+    }
+
+
+def test_sql_dml_merge_insert_and_view_integration(spark, tmp_path):
+    """MERGE INTO (upsert-all form, named view or subquery source) and
+    INSERT INTO route through create_view's auto-registered name;
+    INSERT casts the query to the table schema (decimal literal →
+    double) and lands in the right hive partition."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = _dml_table(spark, tmp_path, "txdml_mi_raw")
+    t.create_view(spark, "txdml_mi")  # registers the DML target too
+    spark.createDataFrame(
+        [(1, "zz", 100.0), (999, "g0", 9.0)], "id int, grp string, v double"
+    ).createOrReplaceTempView("txdml_ups")
+    r = execute_dml(
+        spark,
+        "MERGE INTO txdml_mi AS t USING txdml_ups AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert r["op"] == "merge"
+    rows = {row.id: (row.grp, row.v) for row in t.read(spark).collect()}
+    assert rows[1] == ("zz", 100.0) and rows[999] == ("g0", 9.0)
+    assert len(rows) == 31
+    execute_dml(
+        spark, "INSERT INTO txdml_mi SELECT 500 AS id, 'g9' AS grp, 1.5 AS v"
+    )
+    assert t.read(spark, partitions={"grp": ["g9"]}).count() == 1
+    execute_dml(
+        spark,
+        "MERGE INTO txdml_mi USING "
+        "(SELECT 500 AS id, 'gX' AS grp, CAST(7.5 AS double) AS v) s "
+        "ON txdml_mi.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {row.id: (row.grp, row.v) for row in t.read(spark).collect()}
+    assert rows[500] == ("gX", 7.5)
+
+
+def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
+    """NULL-evaluating predicates KEEP rows on UPDATE and DELETE
+    (three-valued logic); malformed or unsupported statements raise
+    ValueError without touching the table."""
+    import pytest as _pt
+
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = TransactionalTable(str(tmp_path / "t3"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0)], "id int, v double"
+        )
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import register_dml_target
+
+    register_dml_target("txdml_nulls", t)
+    execute_dml(spark, "UPDATE txdml_nulls SET id = id + 100 WHERE v > 15")
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 103}
+    execute_dml(spark, "DELETE FROM txdml_nulls WHERE v > 15")
+    assert {r.id for r in t.read(spark).collect()} == {1, 2}  # NULL kept
+    v_before = t.latest_version()
+    for bad in (
+        "DELETE FROM txdml_nulls",  # unconstrained
+        "MERGE INTO txdml_nulls USING x ON a.id = b.id "
+        "WHEN MATCHED THEN DELETE",  # unsupported clause
+        "UPDATE txdml_nulls SET nope = 1 WHERE id = 1",  # unknown column
+        "DROP TABLE txdml_nulls",  # unsupported statement
+    ):
+        with _pt.raises(ValueError):
+            execute_dml(spark, bad)
+    assert t.latest_version() == v_before  # nothing committed
+
+
 def test_commit_record_is_o_delta_and_checkpoints_land(spark, tmp_path):
     """Commits put a DELTA record (the file-set change only, stats for
     added files only — O(changed files), not O(table)); every Nth
