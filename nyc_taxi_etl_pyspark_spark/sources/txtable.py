@@ -1935,13 +1935,17 @@ class TransactionalTable:
         fresh and nothing references them until the manifest lands; a
         crashed write's directory is vacuum's normal backlog.
 
-        **Layout v1 (legacy / non-direct-writable storage):** the
-        Spark write lands in a local staging dir with plain hive
-        ``col=val/`` paths (pages do NOT carry partition columns;
-        readers reconstruct them via ``basePath``), then each file is
-        published at a final unique key. Existing v1 tables stay v1 —
-        mixing the two partition encodings in one snapshot would break
-        reads — until a full ``replace``/``optimize`` rewrites them.
+        **Layout v1 (legacy):** the Spark write lands in a local
+        staging dir with plain hive ``col=val/`` paths (pages do NOT
+        carry partition columns; readers reconstruct them via
+        ``basePath``), then each file is published at a final unique
+        key. Existing v1 tables stay v1 — mixing the two partition
+        encodings in one snapshot would break reads — until a full
+        ``replace``/``optimize`` rewrites them. A storage without
+        ``supports_direct_write`` changes TRANSPORT, not format: v2
+        commits there stage locally and publish the identical
+        v2-format files, so a table's encoding never depends on which
+        store wrote it.
 
         Either way the footer-stat + bloom harvest (plus, for v1, the
         upload) runs as ONE distributed job once the file count
@@ -1950,83 +1954,87 @@ class TransactionalTable:
         driver-side loop."""
         tasks: list[tuple[str | None, str, dict]] = []
         staging = None
+        # layout v2 is a FILE FORMAT (pages keep partition columns;
+        # hive segments are shadow-named): a direct-write-capable
+        # store lands the files at their final keys; one that isn't
+        # still stages v2-FORMAT files locally and publishes them —
+        # transport differs, the committed bytes are identical, so a
+        # v2 table never mixes encodings whatever storage wrote it.
         direct = layout >= 2 and getattr(
             self.storage, "supports_direct_write", False
         )
-        try:
-            if direct:
-                from pyspark.sql import functions as F
+        out = df
+        if layout >= 2 and partition_by:
+            from pyspark.sql import functions as F
 
-                cdir = f"{DATA_DIR}/c{uuid.uuid4().hex}"
-                out = df
-                shadow = []
-                for c in partition_by or []:
-                    s = _SHADOW_PREFIX + c
-                    out = out.withColumn(s, F.col(c))
-                    shadow.append(s)
-                writer = out.write.mode("overwrite")
-                if shadow:
-                    writer = writer.partitionBy(*shadow)
-                if max_records_per_file:
-                    writer = writer.option(
-                        "maxRecordsPerFile", int(max_records_per_file)
-                    )
-                writer.parquet(self.storage.url(cdir))
-                if hasattr(self.storage, "prune_write_artifacts"):
-                    self.storage.prune_write_artifacts(cdir)
-                # enumerate the written keys (a LISTING of the one
-                # commit-private dir — unambiguous under concurrency)
-                for key in self.storage.list(cdir):
-                    if not key.endswith(".parquet"):
-                        continue
-                    part_vals = {}
-                    for seg in key[len(cdir) + 1 :].split("/")[:-1]:
-                        k, v = seg.split("=", 1)
-                        name = _unquote(k)
-                        if name.startswith(_SHADOW_PREFIX):
-                            name = name[len(_SHADOW_PREFIX) :]
-                        part_vals[name] = _decode_hive_partition_value(v)
-                    tasks.append((None, key, part_vals))
+            for c in partition_by:
+                out = out.withColumn(_SHADOW_PREFIX + c, F.col(c))
+            write_pb = [_SHADOW_PREFIX + c for c in partition_by]
+        else:
+            write_pb = list(partition_by or [])
+
+        def _part_vals(segs: list[str]) -> dict:
+            vals = {}
+            for seg in segs:
+                k, v = seg.split("=", 1)
+                # the column NAME is escaped in the path too (never
+                # the NULL sentinel, only percent-escapes)
+                name = _unquote(k)
+                if name.startswith(_SHADOW_PREFIX):
+                    name = name[len(_SHADOW_PREFIX) :]
+                vals[name] = _decode_hive_partition_value(v)
+            return vals
+
+        try:
+            cdir = f"{DATA_DIR}/c{uuid.uuid4().hex}"  # v2 commit dir
+            if direct:
+                dest = cdir
             else:
                 staging = tempfile.mkdtemp(prefix="txtable-stage-")
-                writer = df.write.mode("overwrite")
-                if partition_by:
-                    writer = writer.partitionBy(*partition_by)
-                if max_records_per_file:
-                    # the writer itself rolls to a new file at the target
-                    # row count — the exact mechanism for bounding file
-                    # size, independent of how rows map to tasks.
-                    writer = writer.option(
-                        "maxRecordsPerFile", int(max_records_per_file)
-                    )
-                writer.parquet(staging)
+                dest = staging
+            writer = out.write.mode("overwrite")
+            if write_pb:
+                writer = writer.partitionBy(*write_pb)
+            if max_records_per_file:
+                # the writer itself rolls to a new file at the target
+                # row count — the exact mechanism for bounding file
+                # size, independent of how rows map to tasks.
+                writer = writer.option(
+                    "maxRecordsPerFile", int(max_records_per_file)
+                )
+            writer.parquet(self.storage.url(dest) if direct else dest)
+            if direct:
+                if hasattr(self.storage, "prune_write_artifacts"):
+                    self.storage.prune_write_artifacts(dest)
+                # enumerate the written keys (a LISTING of the one
+                # commit-private dir — unambiguous under concurrency)
+                for key in self.storage.list(dest):
+                    if not key.endswith(".parquet"):
+                        continue
+                    segs = key[len(dest) + 1 :].split("/")[:-1]
+                    tasks.append((None, key, _part_vals(segs)))
+            else:
                 # enumerate staged files driver-side (a LISTING, not
-                # per-file content I/O) and assign their final unique keys
+                # per-file content I/O) and assign their final unique
+                # keys: under a fresh commit dir for v2 (same key shape
+                # as the direct write), flat hive keys for v1
                 for dirpath, dirnames, filenames in os.walk(staging):
                     dirnames[:] = [d for d in dirnames if "=" in d]
                     rel = os.path.relpath(dirpath, staging)
-                    part_vals = (
-                        {
-                            # the column NAME is escaped in the path too
-                            # (never the NULL sentinel, only percent-escapes)
-                            _unquote(k): _decode_hive_partition_value(v)
-                            for k, v in (
-                                seg.split("=", 1) for seg in rel.split(os.sep)
-                            )
-                        }
-                        if rel != "."
-                        else {}
-                    )
+                    segs = [] if rel == "." else rel.split(os.sep)
+                    part_vals = _part_vals(segs)
+                    sub = "" if rel == "." else rel.replace(os.sep, "/") + "/"
                     for name in sorted(filenames):
                         if not name.endswith(".parquet"):
                             continue
                         local = os.path.join(dirpath, name)
-                        sub = (
-                            ""
-                            if rel == "."
-                            else rel.replace(os.sep, "/") + "/"
-                        )
-                        key = f"{DATA_DIR}/{sub}{uuid.uuid4().hex}-{name}"
+                        if layout >= 2:
+                            key = f"{cdir}/{sub}{name}"
+                        else:
+                            key = (
+                                f"{DATA_DIR}/{sub}"
+                                f"{uuid.uuid4().hex}-{name}"
+                            )
                         tasks.append((local, key, part_vals))
             stats: dict[str, dict] | None = None
             if len(tasks) >= self.distributed_publish_min_files:
@@ -2355,17 +2363,17 @@ class TransactionalTable:
         cur0 = self.manifest()
         if mode == "replace" or cur0 is None:
             # a full replace (or first commit) owns the whole file set,
-            # so it may (up)grade the physical layout to v2 — this is
-            # how a legacy table migrates: OPTIMIZE rewrites everything
-            # through here. Append-family commits MUST stage in the
-            # table's existing layout (mixed partition encodings in one
-            # snapshot are unreadable).
-            layout = (
-                2
-                if getattr(self.storage, "supports_direct_write", False)
-                else self._layout_of(cur0)
-            )
+            # so it sets the physical layout — v2 by default (pages
+            # keep partition columns; direct-write transport when the
+            # storage supports it, staged publish of the identical
+            # format otherwise). This is also how a legacy table
+            # migrates: OPTIMIZE rewrites everything through here.
+            # meta={"layout": 1} is the explicit compat knob to keep
+            # writing the legacy path-partitioned format. Append-family
+            # commits MUST stage in the table's existing layout (mixed
+            # partition encodings in one snapshot are unreadable).
             meta = dict(meta or {})
+            layout = int(meta.get("layout") or 2)
             meta["layout"] = layout
         else:
             layout = self._layout_of(cur0)
@@ -2864,7 +2872,12 @@ class TransactionalTable:
         streaming sink's replay watermark must survive the rollback or
         a resumed stream would re-apply batches the (restored-over)
         history already consumed — data goes back in time, the
-        exactly-once bookkeeping does not."""
+        exactly-once bookkeeping does not. The ONE exception is the
+        physical ``layout`` flag, which travels with the FILES: a v2
+        head restored to a v1 target must read the v1 files with
+        basePath path-partition reconstruction (and vice versa), so
+        the restored manifest records the target's layout, not the
+        head's."""
         target = self.manifest(version)
         if target is None:
             raise FileNotFoundError(
@@ -2879,7 +2892,11 @@ class TransactionalTable:
                     f"but table is at v{base_v}; re-read and retry"
                 )
             prev = self.manifest(base_v) if base_v >= 0 else None
-            meta = {"op": "restore", "restored_version": version}
+            meta = {
+                "op": "restore",
+                "restored_version": version,
+                "layout": self._layout_of(target),
+            }
             if self._put_manifest(
                 base_v,
                 list(target["files"]),

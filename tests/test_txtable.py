@@ -2753,8 +2753,8 @@ def test_layout_v1_appends_stay_v1_and_optimize_migrates(spark, tmp_path):
     df = _v2_df(spark)
     root = str(tmp_path / "t")
     t1 = TransactionalTable(root)
-    t1.storage.supports_direct_write = False  # legacy writer
-    t1.commit(df, partition_by=["grp"])
+    # the explicit compat knob writes the legacy format
+    t1.commit(df, partition_by=["grp"], meta={"layout": 1})
     assert t1._layout_of(t1.manifest()) == 1
     v1_re = re.compile(r"^data/grp=[^/]+/[0-9a-f]{32}-.+\.parquet$")
     assert all(v1_re.match(f) for f in t1.manifest()["files"])
@@ -2794,6 +2794,78 @@ def test_layout_v1_appends_stay_v1_and_optimize_migrates(spark, tmp_path):
     }
 
 
+def test_layout_v2_format_survives_non_direct_storage(spark, tmp_path):
+    """A storage without direct-write capability changes TRANSPORT,
+    not format: the commit stages locally and publishes the identical
+    v2-format files (commit-dir keys, shadow segments, partition
+    columns in pages), so appends from a direct-capable handle mix
+    freely in the same snapshot."""
+    import re
+
+    df = _v2_df(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.storage.supports_direct_write = False  # e.g. an encrypting wrapper
+    t.commit(df, partition_by=["grp"])
+    m = t.manifest()
+    assert t._layout_of(m) == 2
+    key_re = re.compile(r"^data/c[0-9a-f]{32}/__p_grp=[^/]+/.+\.parquet$")
+    assert all(key_re.match(f) for f in m["files"]), m["files"]
+    got = t.read(spark)
+    assert got.schema == df.schema and got.count() == 4
+    # a direct-capable handle appends the same format
+    t2 = TransactionalTable(root)
+    t2.commit(
+        spark.createDataFrame([(9, "c", 9.5)], "id int, grp string, v double"),
+        mode="append",
+        partition_by=["grp"],
+    )
+    assert t2.read(spark).count() == 5
+    assert t2.read(spark, partitions={"grp": ["c"]}).count() == 1
+
+
+def test_restore_across_layout_migration_carries_target_layout(
+    spark, tmp_path
+):
+    """RESTORE to a v1 snapshot from a v2 head must stamp the TARGET's
+    layout on the restored manifest — the flag travels with the files
+    (v1 files need basePath partition reconstruction; the head's v2
+    flag would silently null the partition columns)."""
+    df = _v2_df(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(df, partition_by=["grp"], meta={"layout": 1})  # v0: layout v1
+    t.commit(
+        spark.createDataFrame([(9, "c", 9.5)], "id int, grp string, v double"),
+        mode="replace",
+        partition_by=["grp"],
+    )  # v1: layout v2 (migrating replace)
+    assert t._layout_of(t.manifest()) == 2
+    t.restore(0)
+    m = t.manifest()
+    assert t._layout_of(m) == 1  # the restored files are v1-encoded
+    got = t.read(spark)
+    assert got.count() == 4
+    assert {r.grp for r in got.select("grp").distinct().collect()} == {
+        "a",
+        "b",
+        None,
+    }
+    # and restoring forward to the v2 snapshot flips the flag back
+    t.restore(1)
+    assert t._layout_of(t.manifest()) == 2
+    assert t.read(spark).count() == 1
+    # appends after the rollback keep staging in the restored layout
+    t.restore(0)
+    t.commit(
+        spark.createDataFrame([(7, "d", 7.5)], "id int, grp string, v double"),
+        mode="append",
+        partition_by=["grp"],
+    )
+    assert t._layout_of(t.manifest()) == 1
+    assert t.read(spark, partitions={"grp": ["d"]}).count() == 1
+
+
 def test_layout_race_append_vs_migrating_replace_conflicts(
     spark, tmp_path, monkeypatch
 ):
@@ -2803,11 +2875,9 @@ def test_layout_race_append_vs_migrating_replace_conflicts(
     df = _v2_df(spark)
     root = str(tmp_path / "t")
     t = TransactionalTable(root)
-    t.storage.supports_direct_write = False
-    t.commit(df, partition_by=["grp"])
+    t.commit(df, partition_by=["grp"], meta={"layout": 1})
 
     appender = TransactionalTable(root)
-    appender.storage.supports_direct_write = False
     orig = appender._staged_rows
 
     def _race(spark_, keys, stats):

@@ -5,13 +5,18 @@ The CI fuzzes (tests/test_txtable.py) run short seeded sequences on
 every suite run; this tool runs LONG ones (default 5 seeds x 40 ops)
 against the same in-memory reference model, for use after protocol
 changes (delta-log format, checkpointing, distributed publish, bloom
-sidecars, incremental optimize). Every op is followed by the full
-postcondition battery: content vs model, metadata count, zone-map band
-read, bloom point read, fsck, and a spark.sql count through
-create_view. Checkpoint interval is pinned low so reconstruction
-(base checkpoint + delta replay) is crossed constantly, and the
-distributed-publish threshold is pinned to 1 so every commit takes the
-executor-side path.
+sidecars, incremental optimize, write-at-final-keys layout, SQL DML).
+Every op is followed by the full postcondition battery: content vs
+model, metadata count, zone-map band read, bloom point read, fsck,
+and a spark.sql count through create_view. Checkpoint interval is
+pinned low so reconstruction (base checkpoint + delta replay) is
+crossed constantly, and the distributed-publish threshold is pinned
+to 1 so every commit takes the executor-side path. The op mix
+includes SQL-text UPDATE/DELETE/MERGE through the DML front door
+(sources/txsql.py) and randomly flips the storage's
+``supports_direct_write`` capability, so version histories MIX layout
+v1 and v2 snapshots — restore/time-travel/vacuum must then resolve
+each version under its own manifest's layout flag.
 
 Usage: python tools/soak_txtable.py [n_seeds] [n_ops]
 Exits non-zero on the first divergence.
@@ -59,6 +64,10 @@ def soak(spark, seed: int, n_ops: int) -> int:
             num_files=rng.randint(1, 4),
             bloom_by=["k"] if rng.random() < 0.5 else None,
             cluster_by=["v"] if rng.random() < 0.3 else None,
+            # ~1/4 of replaces write the LEGACY layout, so version
+            # histories mix v1 and v2 snapshots and restore/appends
+            # must follow each manifest's own flag
+            meta={"layout": 1} if rng.random() < 0.25 else None,
         )
         model.clear()
         model.update(d)
@@ -111,6 +120,61 @@ def soak(spark, seed: int, n_ops: int) -> int:
     def do_vacuum():
         t.vacuum(retain_versions=4, unreferenced_grace_s=0)
 
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_dml,
+        register_dml_target,
+    )
+
+    dml_name = f"soak_dml_{seed}"
+
+    def do_sql_update():
+        if not t.exists() or not model:
+            return
+        register_dml_target(dml_name, t)
+        lo = rng.randint(-500, 500)
+        hi = lo + rng.randint(0, 300)
+        execute_dml(
+            spark,
+            f"UPDATE {dml_name} SET v = v + 7 "
+            f"WHERE v BETWEEN {lo} AND {hi}",
+        )
+        for k in [k for k, v in model.items() if lo <= v <= hi]:
+            model[k] += 7
+
+    def do_sql_delete():
+        if not t.exists() or not model:
+            return
+        register_dml_target(dml_name, t)
+        lo = rng.randint(-500, 500)
+        hi = lo + rng.randint(0, 300)
+        execute_dml(
+            spark, f"DELETE FROM {dml_name} WHERE v BETWEEN {lo} AND {hi}"
+        )
+        for k in [k for k, v in model.items() if lo <= v <= hi]:
+            del model[k]
+
+    def do_sql_merge():
+        if not t.exists():
+            return
+        register_dml_target(dml_name, t)
+        d = rand_batch()
+        frame(d).createOrReplaceTempView(f"{dml_name}_ups")
+        execute_dml(
+            spark,
+            f"MERGE INTO {dml_name} AS t USING {dml_name}_ups AS s "
+            f"ON t.k = s.k "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *",
+        )
+        model.update(d)
+
+    def do_flip_layout_capability():
+        # a later replace/optimize then migrates the layout; appends
+        # keep the table's current layout regardless of the flag
+        t.storage.supports_direct_write = (
+            not t.storage.supports_direct_write
+        )
+
     ops = [
         do_replace,
         do_append,
@@ -120,6 +184,10 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_optimize_incremental,
         do_restore,
         do_vacuum,
+        do_sql_update,
+        do_sql_delete,
+        do_sql_merge,
+        do_flip_layout_capability,
     ]
     do_replace()
     checks = 0
