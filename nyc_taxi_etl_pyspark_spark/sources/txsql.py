@@ -13,7 +13,10 @@ transactional operators —
   only the files the predicate's prune hints cannot exclude);
 - ``DELETE FROM t WHERE pred``
   → :meth:`TransactionalTable.delete_where`;
-- ``INSERT INTO t <query>`` → ``commit(mode="append")``.
+- ``INSERT INTO t <query>`` → ``commit(mode="append")``;
+
+plus the maintenance statements ``OPTIMIZE t [INCREMENTAL]``,
+``VACUUM t [RETAIN n VERSIONS]`` and ``DESCRIBE HISTORY t``.
 
 Deliberately NOT a SQL parser: only the statement SHAPE is recognized
 (keyword scanning outside strings/parens — ``_split_top_level``);
@@ -254,28 +257,82 @@ def execute_dml(
         schema = (cur or {}).get("schema")
         if schema:
             # standard INSERT semantics: the query's columns are
-            # matched BY NAME and cast to the table's types (literal
-            # inference like 1.5 → decimal must not fail an append)
-            missing = [c for c in schema if c not in df.columns]
-            extra = [c for c in df.columns if c not in schema]
-            if missing or extra:
-                raise ValueError(
-                    f"INSERT INTO {target}: query columns {df.columns} do "
-                    f"not cover the table schema {list(schema)} "
-                    f"(missing {missing}, unexpected {extra})"
-                )
+            # matched BY NAME when every table column appears, else BY
+            # POSITION when the arity matches (unaliased literal
+            # selects), and cast to the table's types (literal
+            # inference like 1.5 → decimal must not fail an append).
+            # Position comes from the READER-visible column order (the
+            # manifest schema dict is JSON-sorted, not positional).
             from pyspark.sql import functions as F
 
-            df = df.select(
-                *[F.col(c).cast(typ).alias(c) for c, typ in schema.items()]
-            )
+            tbl_cols = t.read(spark).columns
+            if set(df.columns) == set(tbl_cols):
+                df = df.select(
+                    *[F.col(c).cast(schema[c]).alias(c) for c in tbl_cols]
+                )
+            elif len(df.columns) == len(tbl_cols):
+                # backtick-quote: unaliased literal selects generate
+                # column names like "CAST(1.5 AS DOUBLE)" that F.col
+                # would otherwise parse as a dotted path
+                df = df.select(
+                    *[
+                        F.col(f"`{df.columns[i]}`")
+                        .cast(schema[c])
+                        .alias(c)
+                        for i, c in enumerate(tbl_cols)
+                    ]
+                )
+            else:
+                raise ValueError(
+                    f"INSERT INTO {target}: query columns {df.columns} do "
+                    f"not cover the table schema {tbl_cols} by name "
+                    "or by position"
+                )
         version = t.commit(
             df,
             mode="append",
             partition_by=(cur or {}).get("partition_by"),
         )
         return {"op": "insert", "table": target, "version": version}
+    if head == "OPTIMIZE":
+        m = re.match(
+            rf"^OPTIMIZE\s+({_NAME})(\s+INCREMENTAL)?$", s, re.I
+        )
+        if m is None:
+            raise ValueError("OPTIMIZE shape: OPTIMIZE <table> [INCREMENTAL]")
+        t = _resolve_target(m.group(1), tables)
+        res = (
+            t.optimize_incremental(spark)
+            if m.group(2)
+            else t.optimize(spark)
+        )
+        return {"op": "optimize", "table": m.group(1), **res}
+    if head == "VACUUM":
+        m = re.match(
+            rf"^VACUUM\s+({_NAME})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$",
+            s,
+            re.I,
+        )
+        if m is None:
+            raise ValueError(
+                "VACUUM shape: VACUUM <table> [RETAIN <n> VERSIONS]"
+            )
+        t = _resolve_target(m.group(1), tables)
+        res = t.vacuum(
+            retain_versions=int(m.group(2)) if m.group(2) else 2
+        )
+        return {"op": "vacuum", "table": m.group(1), **res}
+    if head == "DESCRIBE":
+        m = re.match(rf"^DESCRIBE\s+HISTORY\s+({_NAME})$", s, re.I)
+        if m is None:
+            raise ValueError("DESCRIBE shape: DESCRIBE HISTORY <table>")
+        t = _resolve_target(m.group(1), tables)
+        return {
+            "op": "describe_history",
+            "table": m.group(1),
+            "history": t.history(),
+        }
     raise ValueError(
-        f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT): "
-        f"{s[:80]!r}"
+        f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT/"
+        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY): {s[:80]!r}"
     )

@@ -1887,21 +1887,35 @@ class TransactionalTable:
 
     def history(self) -> list[dict]:
         """Audit trail of retained versions, newest first: version,
-        parent, operation meta, row/file counts, commit wall-time —
+        parent, operation (+ full meta), row/file counts, the file-set
+        DELTA each commit put (from the raw delta record — what the
+        operation actually changed), layout flag, commit wall-time —
         the table-format DESCRIBE HISTORY, answered entirely from the
-        commit log."""
+        commit log. Exposed as SQL via ``execute_dml("DESCRIBE
+        HISTORY <table>")`` (``sources/txsql.py``)."""
         out = []
         for v in reversed(self.versions()):
             m = self.manifest(v)
             if not m:
                 continue
+            raw = self._read_json(_manifest_key(v)) or {}
+            if raw.get("parent") is None:
+                n_added, n_removed = len(raw.get("files", ())), 0
+            else:
+                n_added = len(raw.get("add", ()))
+                n_removed = len(raw.get("remove", ()))
+            meta = m.get("meta", {})
             out.append(
                 {
                     "version": m["version"],
                     "parent": m.get("parent"),
+                    "op": meta.get("op", "commit"),
                     "rows": m.get("rows"),
                     "n_files": len(m.get("files", [])),
-                    "meta": m.get("meta", {}),
+                    "n_added": n_added,
+                    "n_removed": n_removed,
+                    "layout": int(meta.get("layout") or 1),
+                    "meta": meta,
                     "committed_at": m.get("committed_at"),
                 }
             )

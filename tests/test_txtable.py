@@ -3017,6 +3017,45 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_sql_maintenance_statements_and_history(spark, tmp_path):
+    """OPTIMIZE / VACUUM / DESCRIBE HISTORY statement text routes to
+    the maintenance operators; history() serves the audit trail from
+    raw commit records (op, delta sizes, layout), newest first."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_dml,
+        register_dml_target,
+    )
+
+    t = _dml_table(spark, tmp_path, "txdml_maint")
+    register_dml_target("txdml_maint", t)
+    execute_dml(
+        spark, "INSERT INTO txdml_maint SELECT 500, 'g9', CAST(1.5 AS double)"
+    )
+    execute_dml(spark, "DELETE FROM txdml_maint WHERE id = 500")
+    r = execute_dml(spark, "OPTIMIZE txdml_maint INCREMENTAL")
+    assert r["op"] == "optimize"
+    r = execute_dml(spark, "OPTIMIZE txdml_maint")
+    assert r["version"] == t.latest_version()
+    h = execute_dml(spark, "DESCRIBE HISTORY txdml_maint")["history"]
+    assert [e["version"] for e in h] == sorted(
+        (e["version"] for e in h), reverse=True
+    )
+    ops = {e["version"]: e["op"] for e in h}
+    assert ops[t.latest_version()] == "optimize"
+    assert "delete" in ops.values()
+    assert all(e["layout"] == 2 for e in h)
+    append_e = next(e for e in h if e["version"] == 1)  # the INSERT
+    assert append_e["n_added"] >= 1 and append_e["n_removed"] == 0
+    r = execute_dml(spark, "VACUUM txdml_maint RETAIN 2 VERSIONS")
+    assert r["op"] == "vacuum"
+    assert len(t.versions()) == 2
+    assert t.read(spark).count() == 30
+    with pytest.raises(ValueError):
+        execute_dml(spark, "DESCRIBE DETAIL txdml_maint")
+    with pytest.raises(ValueError):
+        execute_dml(spark, "VACUUM txdml_maint RETAIN x VERSIONS")
+
+
 def test_commit_record_is_o_delta_and_checkpoints_land(spark, tmp_path):
     """Commits put a DELTA record (the file-set change only, stats for
     added files only — O(changed files), not O(table)); every Nth
