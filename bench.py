@@ -93,6 +93,7 @@ HEADLINE = [
     # block below (commit/read wall vs file count).
     "q_tx_table_merge",
     "q_tx_partition_pruned_read",
+    "q_tx_sql_update_delete",
 ]
 
 

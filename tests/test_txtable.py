@@ -3017,6 +3017,45 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_concurrent_update_delete_serialize_without_locks(spark, tmp_path):
+    """Two copy-on-write DML writers racing on DISJOINT row sets must
+    both land (optimistic concurrency: the loser rebases on the
+    winner's snapshot and retries), and the final state equals the
+    sequential application — no lost update, no resurrected rows."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "id int, v double"
+        ),
+        cluster_by=["id"],
+    )
+    errs: list = []
+
+    def _upd():
+        try:
+            t.update_where(spark, {"v": "v + 100"}, "id < 10", max_retries=10)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    def _del():
+        try:
+            t.delete_where(spark, "id >= 30", max_retries=10)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    th = [threading.Thread(target=_upd), threading.Thread(target=_del)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert errs == []
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert len(got) == 30
+    assert all(got[i] == i + 100 for i in range(10))
+    assert all(got[i] == float(i) for i in range(10, 30))
+    assert t.fsck()["ok"]
+
+
 def test_sql_maintenance_statements_and_history(spark, tmp_path):
     """OPTIMIZE / VACUUM / DESCRIBE HISTORY statement text routes to
     the maintenance operators; history() serves the audit trail from
