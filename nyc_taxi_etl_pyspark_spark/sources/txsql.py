@@ -15,7 +15,9 @@ transactional operators —
   → :meth:`TransactionalTable.delete_where`;
 - ``INSERT INTO t <query>`` → ``commit(mode="append")``;
 
-plus the maintenance statements ``OPTIMIZE t [INCREMENTAL]``,
+plus ``CREATE TABLE t LOCATION '<path>' [PARTITIONED BY (...)] AS
+<query>`` (CTAS — commits v0, registers the name as view + DML
+target) and the maintenance statements ``OPTIMIZE t [INCREMENTAL]``,
 ``VACUUM t [RETAIN n VERSIONS]`` and ``DESCRIBE HISTORY t``.
 
 Deliberately NOT a SQL parser: only the statement SHAPE is recognized
@@ -294,6 +296,47 @@ def execute_dml(
             partition_by=(cur or {}).get("partition_by"),
         )
         return {"op": "insert", "table": target, "version": version}
+    if head == "CREATE":
+        m = re.match(
+            rf"^CREATE\s+TABLE\s+({_NAME})\s+LOCATION\s+'((?:[^']|'')+)'"
+            rf"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
+            rf"\s+AS\s+(.+)$",
+            s,
+            re.I | re.S,
+        )
+        if m is None:
+            raise ValueError(
+                "CREATE shape: CREATE TABLE <name> LOCATION '<path>' "
+                "[PARTITIONED BY (col, ...)] AS <query>"
+            )
+        name, path, pb, q = (
+            m.group(1),
+            m.group(2).replace("''", "'"),
+            m.group(3),
+            m.group(4).strip(),
+        )
+        t = TransactionalTable(path)
+        if t.exists():
+            raise ValueError(
+                f"CREATE TABLE {name}: a transactional table already "
+                f"exists at {path!r} (INSERT INTO appends; replace via "
+                "the commit API)"
+            )
+        df = spark.sql(q[1:-1] if q.startswith("(") and q.endswith(")") else q)
+        version = t.commit(
+            df,
+            partition_by=(
+                [c.strip().strip("`") for c in pb.split(",")] if pb else None
+            ),
+        )
+        register_dml_target(name, t)
+        t.create_view(spark, name)
+        return {
+            "op": "create_table",
+            "table": name,
+            "path": path,
+            "version": version,
+        }
     if head == "OPTIMIZE":
         m = re.match(
             rf"^OPTIMIZE\s+({_NAME})(\s+INCREMENTAL)?$", s, re.I

@@ -3017,6 +3017,45 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_sql_create_table_as_select_full_lifecycle(spark, tmp_path):
+    """CTAS statement text: commits v0 at the given location,
+    registers the name as BOTH a (pinned) view and a DML target, so
+    the whole lifecycle — create, insert, update, re-view, describe —
+    runs as SQL statements end to end."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    path = str(tmp_path / "ctas")
+    spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(20)],
+        "id int, grp string, v double",
+    ).createOrReplaceTempView("ctas_src")
+    r = execute_dml(
+        spark,
+        f"CREATE TABLE ctas_t LOCATION '{path}' PARTITIONED BY (grp) "
+        "AS SELECT * FROM ctas_src",
+    )
+    assert r["op"] == "create_table" and r["version"] == 0
+    assert spark.sql("SELECT count(*) AS n FROM ctas_t").first().n == 20
+    t = TransactionalTable(path)
+    assert t.manifest()["partition_by"] == ["grp"]
+    assert t._layout_of(t.manifest()) == 2
+    execute_dml(spark, "INSERT INTO ctas_t SELECT 99, 'g9', 9.5")
+    execute_dml(spark, "UPDATE ctas_t SET v = v * 2 WHERE id = 99")
+    assert t.read(spark, equals={"id": 99}).first().v == 19.0
+    # the registered view is PINNED at creation time (MVCC) — re-create
+    # to observe the writes
+    assert spark.sql("SELECT count(*) AS n FROM ctas_t").first().n == 20
+    t.create_view(spark, "ctas_t")
+    assert spark.sql("SELECT count(*) AS n FROM ctas_t").first().n == 21
+    h = execute_dml(spark, "DESCRIBE HISTORY ctas_t")["history"]
+    assert [e["op"] for e in h] == ["update", "commit", "commit"]
+    with pytest.raises(ValueError, match="already"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE ctas_t2 LOCATION '{path}' AS SELECT 1 AS x",
+        )
+
+
 def test_concurrent_update_delete_serialize_without_locks(spark, tmp_path):
     """Two copy-on-write DML writers racing on DISJOINT row sets must
     both land (optimistic concurrency: the loser rebases on the
