@@ -1177,3 +1177,65 @@ def q_tx_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_sql_ctas",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+           round(max(l_extendedprice) + 1e-9, 4) AS max_price
+    FROM lineitem
+    WHERE l_orderkey % 5 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_tx_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT through the SQL front door: CTAS commits
+    the query result as v0 of a transactional table PARTITIONED BY the
+    flag column (layout v2 — partition values live in the data pages
+    AND the shadow hive paths) and registers the name as a pinned view
+    + DML target; the returned aggregate then runs as plain SQL over
+    that view, so the oracle (the same aggregate over the raw source)
+    checks the whole lifecycle — statement parsing, CTAS commit,
+    partition layout, view registration, Catalyst pushdown into the
+    manifest-planned scan. Idempotent: the fixture commits once per
+    sf_dir; later invocations only re-register the view."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_dml,
+        register_dml_target,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ctas_lineitem_src"
+    )
+    root = fixture_scratch_dir("spark_graft_txctas", sf_dir)
+    name = f"tx_ctas_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
+    t = TransactionalTable(root)
+    if not t.exists():
+        escaped = root.replace("'", "''")
+        execute_dml(
+            spark,
+            f"CREATE TABLE {name} LOCATION '{escaped}' "
+            f"PARTITIONED BY (l_returnflag) AS "
+            f"SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice "
+            f"FROM ctas_lineitem_src WHERE l_orderkey % 5 = 0",
+        )
+    else:
+        t.create_view(spark, name)
+        register_dml_target(name, t)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+               round(max(l_extendedprice) + 1e-9, 4) AS max_price
+        FROM {name}
+        GROUP BY l_returnflag
+        """
+    )

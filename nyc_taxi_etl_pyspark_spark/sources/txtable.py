@@ -1479,7 +1479,20 @@ class TransactionalTable:
         per-file row totals, NO data file opened and no Spark job — the
         Delta/Iceberg SELECT COUNT(*) optimization. Exact because every
         commit path records staged row counts and append/replace
-        arithmetic maintains them (fsck() audits the invariant)."""
+        arithmetic maintains them (fsck() audits the invariant). On a
+        COLD handle the total comes from the RAW commit record (delta
+        records carry the absolute ``rows`` field), so a count is ONE
+        small-object read — never a checkpoint parse or delta-chain
+        walk, the lazy-stats contract at its cheapest."""
+        v = self.latest_version() if version is None else version
+        if v >= 0:
+            cached = self._mcache.get(v)
+            if cached is None:
+                raw = self._read_json(_manifest_key(v))
+                if raw is not None and raw.get("rows") is not None:
+                    return int(raw["rows"])
+            elif cached.get("rows") is not None:
+                return int(cached["rows"])
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(
@@ -3292,14 +3305,24 @@ class TransactionalTable:
                 if predicate
                 else F.lit(True)
             )
-            n_matched = df.where(pred).count()
-            if n_matched == 0:
+            if df.where(pred).limit(1).count() == 0:
+                # stats said "maybe", data said "no match": no commit
                 return {
                     "version": base_v,
                     "files_rewritten": 0,
                     "files_retained": len(m["files"]),
                     "rows_updated": 0,
                 }
+            # exact matched-row count rides the STAGE WRITE as an
+            # Observation (computed where the OLD columns are still in
+            # scope) — no second scan of the affected files
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.sum(F.when(pred, 1).otherwise(0)).alias("n_matched"),
+            )
             updated = df.select(
                 *[
                     (
@@ -3342,7 +3365,7 @@ class TransactionalTable:
                     "version": base_v + 1,
                     "files_rewritten": len(affected),
                     "files_retained": len(retained),
-                    "rows_updated": n_matched,
+                    "rows_updated": int(obs.get["n_matched"] or 0),
                 }
         raise CommitConflict(
             f"update_where lost {max_retries} commit races on {self.root}"

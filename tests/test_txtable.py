@@ -3017,6 +3017,35 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_cold_count_is_one_record_read_no_reconstruction(
+    spark, tmp_path, monkeypatch
+):
+    """count() on a COLD handle serves the total from the raw commit
+    record — one small-object read, zero checkpoint parses, zero
+    delta-chain walks (the record carries the absolute rows field)."""
+    import nyc_taxi_etl_pyspark_spark.sources.txtable as tx
+
+    t = TransactionalTable(str(tmp_path / "t"), checkpoint_interval=3)
+    t.commit(spark.range(100).select("id"))
+    for i in range(6):
+        t.commit(spark.range(10).select("id"), mode="append")
+    fresh = TransactionalTable(str(tmp_path / "t"))
+    applies = []
+    monkeypatch.setattr(
+        tx,
+        "_apply_delta",
+        lambda *a, **k: applies.append(1) or tx._apply_delta,
+    )
+    monkeypatch.setattr(
+        tx,
+        "_decode_checkpoint_parquet",
+        lambda *a, **k: applies.append(1),
+    )
+    assert fresh.count() == 160
+    assert fresh.count(3) == 130
+    assert applies == []
+
+
 def test_sql_create_table_as_select_full_lifecycle(spark, tmp_path):
     """CTAS statement text: commits v0 at the given location,
     registers the name as BOTH a (pinned) view and a DML target, so
