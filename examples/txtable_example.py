@@ -323,6 +323,35 @@ def main() -> None:
     )
 
     # ------------------------------------------------------------------
+    # 9e. The SQL front door (sources/txsql.py): the same table
+    # lifecycle as statement TEXT — CTAS, INSERT, UPDATE, DELETE,
+    # MERGE, OPTIMIZE, VACUUM, DESCRIBE HISTORY. Statement SHAPE is
+    # parsed here; every expression is handed verbatim to Catalyst,
+    # and UPDATE/DELETE prune files via band/bloom hints extracted
+    # from the WHERE.
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    sql_root = os.path.join(root, "sql_demo")
+    execute_dml(spark, f"""
+        CREATE TABLE sql_demo LOCATION '{sql_root}' AS
+        SELECT id AS ride_id, CAST(id % 5 AS DOUBLE) AS fare
+        FROM range(100)
+    """)
+    execute_dml(spark, "INSERT INTO sql_demo SELECT 999, 42.0")
+    print("sql update:", execute_dml(
+        spark, "UPDATE sql_demo SET fare = fare * 1.1 WHERE fare >= 4"
+    )["rows_updated"], "rows")
+    print("sql delete:", execute_dml(
+        spark, "DELETE FROM sql_demo WHERE ride_id BETWEEN 90 AND 94"
+    )["rows_deleted"], "rows")
+    print("sql optimize:", execute_dml(
+        spark, "OPTIMIZE sql_demo INCREMENTAL"
+    )["files_rewritten"], "files rewritten")
+    hist = execute_dml(spark, "DESCRIBE HISTORY sql_demo")["history"]
+    print("sql history ops:", [h["op"] for h in hist])
+    execute_dml(spark, "VACUUM sql_demo RETAIN 2 VERSIONS")
+
+    # ------------------------------------------------------------------
     # 10. History + vacuum: audit trail from the commit log; reclaim
     # files referenced by no retained version (retention = reader grace).
     for h in table.history():
