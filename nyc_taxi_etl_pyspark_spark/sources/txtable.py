@@ -1990,6 +1990,14 @@ class TransactionalTable:
         direct = layout >= 2 and getattr(
             self.storage, "supports_direct_write", False
         )
+        if any(c.startswith(_SHADOW_PREFIX) for c in partition_by or []):
+            # the shadow namespace is the layout's own; a real column
+            # named __p_* would decode to the wrong partition name
+            raise ValueError(
+                f"partition_by columns may not start with "
+                f"{_SHADOW_PREFIX!r} (reserved for layout-v2 shadow "
+                f"path segments): {partition_by}"
+            )
         out = df
         if layout >= 2 and partition_by:
             from pyspark.sql import functions as F
