@@ -339,16 +339,26 @@ def execute_dml(
         }
     if head == "OPTIMIZE":
         m = re.match(
-            rf"^OPTIMIZE\s+({_NAME})(\s+INCREMENTAL)?$", s, re.I
+            rf"^OPTIMIZE\s+({_NAME})"
+            rf"(?:(\s+INCREMENTAL)|\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
+            s,
+            re.I,
         )
         if m is None:
-            raise ValueError("OPTIMIZE shape: OPTIMIZE <table> [INCREMENTAL]")
+            raise ValueError(
+                "OPTIMIZE shape: OPTIMIZE <table> "
+                "[INCREMENTAL | ZORDER BY (col, ...)]"
+            )
         t = _resolve_target(m.group(1), tables)
-        res = (
-            t.optimize_incremental(spark)
-            if m.group(2)
-            else t.optimize(spark)
-        )
+        if m.group(2):
+            res = t.optimize_incremental(spark)
+        elif m.group(3):
+            res = t.optimize(
+                spark,
+                zorder_by=[c.strip().strip("`") for c in m.group(3).split(",")],
+            )
+        else:
+            res = t.optimize(spark)
         return {"op": "optimize", "table": m.group(1), **res}
     if head == "VACUUM":
         m = re.match(

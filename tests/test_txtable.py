@@ -3153,6 +3153,9 @@ def test_sql_maintenance_statements_and_history(spark, tmp_path):
     assert all(e["layout"] == 2 for e in h)
     append_e = next(e for e in h if e["version"] == 1)  # the INSERT
     assert append_e["n_added"] >= 1 and append_e["n_removed"] == 0
+    r = execute_dml(spark, "OPTIMIZE txdml_maint ZORDER BY (id, v)")
+    clus = t.manifest()["meta"]["clustering"]
+    assert clus == {"kind": "zorder", "cols": ["id", "v"], "bits": 8}
     r = execute_dml(spark, "VACUUM txdml_maint RETAIN 2 VERSIONS")
     assert r["op"] == "vacuum"
     assert len(t.versions()) == 2
