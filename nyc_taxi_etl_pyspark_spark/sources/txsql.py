@@ -267,12 +267,21 @@ def execute_dml(
             # manifest schema dict is JSON-sorted, not positional).
             from pyspark.sql import functions as F
 
-            tbl_cols = t.read(spark).columns
+            try:
+                tbl_cols = t.read(spark).columns
+                positional_ok = True
+            except FileNotFoundError:
+                # head snapshot lists no files (explicit truncation):
+                # there is no physical column order to honor, so only
+                # BY-NAME matching is sound (the schema dict is
+                # JSON-sorted, not positional)
+                tbl_cols = list(schema)
+                positional_ok = False
             if set(df.columns) == set(tbl_cols):
                 df = df.select(
                     *[F.col(c).cast(schema[c]).alias(c) for c in tbl_cols]
                 )
-            elif len(df.columns) == len(tbl_cols):
+            elif positional_ok and len(df.columns) == len(tbl_cols):
                 # backtick-quote: unaliased literal selects generate
                 # column names like "CAST(1.5 AS DOUBLE)" that F.col
                 # would otherwise parse as a dotted path

@@ -3017,6 +3017,44 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_sql_insert_into_truncated_table_matches_by_name(spark, tmp_path):
+    """INSERT INTO a table whose head is an EMPTY snapshot (explicit
+    truncation) has no physical column order to honor: by-name
+    matching still lands, positional matching is refused loudly."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_dml,
+        register_dml_target,
+    )
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 1.0)], "id int, v double"))
+    t.commit(
+        spark.createDataFrame([], "id int, v double")
+    )  # explicit truncation
+    register_dml_target("txdml_trunc", t)
+    execute_dml(
+        spark, "INSERT INTO txdml_trunc SELECT 2.5 AS v, 7 AS id"
+    )  # by name, any order, cast applies
+    got = t.read(spark).collect()
+    assert [(r.id, r.v) for r in got] == [(7, 2.5)]
+    # files=[] is unreachable through commit() (an empty write still
+    # lands one schema-bearing file) — exercise the defensive path by
+    # forcing the no-readable-files condition: by-name still lands,
+    # positional is refused (the schema dict is not positional)
+    orig_read = TransactionalTable.read
+
+    def _no_files(self, spark_, *a, **k):
+        raise FileNotFoundError("forged: snapshot lists no files")
+
+    TransactionalTable.read = _no_files
+    try:
+        with pytest.raises(ValueError, match="by name"):
+            execute_dml(spark, "INSERT INTO txdml_trunc SELECT 7, 2.5")
+    finally:
+        TransactionalTable.read = orig_read
+    assert t.read(spark).count() == 1  # nothing committed by the reject
+
+
 def test_cold_count_is_one_record_read_no_reconstruction(
     spark, tmp_path, monkeypatch
 ):
