@@ -264,6 +264,31 @@ class LocalStorage:
                     except OSError:
                         pass
 
+    def prune_empty_dirs(self, prefix: str, grace_s: float) -> int:
+        """Remove empty directories under ``prefix`` older than
+        ``grace_s`` (bottom-up, so emptied parents collapse too) —
+        vacuum's filesystem-hygiene sweep. The grace window protects
+        the instant between an in-flight commit creating its directory
+        tree and landing the first file; a raced ``rmdir`` of a dir
+        that just received a file simply fails and is skipped."""
+        base = self.url(prefix)
+        removed = 0
+        for dirpath, _dirnames, _filenames in os.walk(base, topdown=False):
+            if dirpath == base:
+                continue
+            try:
+                # re-list: children removed earlier in this bottom-up
+                # walk no longer count against the parent
+                if os.listdir(dirpath):
+                    continue
+                if time.time() - os.path.getmtime(dirpath) < grace_s:
+                    continue
+                os.rmdir(dirpath)
+                removed += 1
+            except OSError:
+                continue
+        return removed
+
     def age_seconds(self, key: str) -> float:
         """Seconds since ``key`` was written (mtime here; creation time
         on a real object store). Used by vacuum's in-flight grace."""
@@ -3036,6 +3061,14 @@ class TransactionalTable:
                 continue
             self.storage.delete(key)
             removed_sidecars += 1
+        # POSIX hygiene: directories emptied by the deletions above
+        # (vacated commit dirs, drained hive partitions) would pile up
+        # forever on a filesystem backend — object stores have no
+        # directory notion, so this is a local-only sweep. Same writer
+        # grace as file reclaim: a freshly-created dir may belong to an
+        # in-flight commit that hasn't landed its first file yet.
+        if hasattr(self.storage, "prune_empty_dirs"):
+            self.storage.prune_empty_dirs(DATA_DIR, unreferenced_grace_s)
         return {
             "removed_manifests": removed_manifests,
             "removed_data_files": removed_files,

@@ -3017,6 +3017,32 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_vacuum_prunes_vacated_commit_dirs(spark, tmp_path):
+    """After OPTIMIZE + vacuum reclaims a commit's files, the emptied
+    layout-v2 commit directory itself is swept (bottom-up, so emptied
+    hive subdirs collapse too) — a filesystem backend must not
+    accumulate one empty dir per historical commit."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.commit(
+            spark.createDataFrame(
+                [(i, f"g{i % 2}", float(i))], "id int, grp string, v double"
+            ),
+            mode="append" if i else "replace",
+            partition_by=["grp"],
+        )
+    t.optimize(spark)
+    t.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    data_root = t.storage.url("data")
+    empties = [
+        dp
+        for dp, dns, fns in os.walk(data_root)
+        if dp != data_root and not dns and not fns
+    ]
+    assert empties == []
+    assert t.read(spark).count() == 4  # table intact
+
+
 def test_sql_insert_into_truncated_table_matches_by_name(spark, tmp_path):
     """INSERT INTO a table whose head is an EMPTY snapshot (explicit
     truncation) has no physical column order to honor: by-name
