@@ -625,6 +625,7 @@ def prune_files(
     where: list[tuple] | None,
     equals: list[tuple] | None = None,
     bloom_loader=None,
+    files: list[str] | None = None,
 ) -> list[str]:
     """File-level data skipping from manifest statistics: keep only
     files whose [min, max] range can intersect every ``(col, lo, hi)``
@@ -648,8 +649,12 @@ def prune_files(
     memoized per sidecar so a commit's blooms load once however many
     files reference them. A missing/unreadable sidecar degrades to
     "no proof" (file kept). Legacy inline ``bloom`` entries keep
-    working and take precedence."""
-    files = manifest["files"]
+    working and take precedence. ``files`` restricts the candidate
+    set (e.g. the survivors of manifest PARTITION pruning, which runs
+    first because it is pure metadata — so bloom sidecars load only
+    for the candidate partitions' files, O(candidates) not
+    O(snapshot))."""
+    files = manifest["files"] if files is None else files
     if not where and not equals:
         return list(files)
     # each equality is a value SET (IN-list); a scalar is a 1-list.
@@ -1249,6 +1254,12 @@ class TransactionalTable:
     # walks to the table's v0 full manifest if none exists).
     checkpoint_interval: int = 10
 
+    # Bloom sidecars are sharded at ~this many files per object (over
+    # the sorted key list, so partition-clustered candidates share
+    # shards): an equality probe loads only its candidates' shards —
+    # O(candidates), never O(commit). See ``_stage``.
+    bloom_shard_files: int = 256
+
     def __post_init__(self) -> None:
         if self.checkpoint_interval < 1:
             # validate BEFORE any commit can land: a bad value surfacing
@@ -1258,6 +1269,11 @@ class TransactionalTable:
             raise ValueError(
                 f"checkpoint_interval must be >= 1, got "
                 f"{self.checkpoint_interval}"
+            )
+        if self.bloom_shard_files < 1:
+            raise ValueError(
+                f"bloom_shard_files must be >= 1, got "
+                f"{self.bloom_shard_files}"
             )
         if self.storage is None:
             self.storage = LocalStorage(self.root)
@@ -1568,17 +1584,15 @@ class TransactionalTable:
                 f"snapshot v{m['version']} of {self.root} lists no files "
                 "(empty commit) — no schema to reconstruct a frame from"
             )
-        files = prune_files(
-            m,
-            where,
-            list(equals.items()) if equals else None,
-            bloom_loader=self._bloom_sidecar,
-        )
+        files = m["files"]
         if partitions:
-            # File-level pruning is only sound for columns the snapshot
-            # is PHYSICALLY partitioned by (their values ride the
-            # manifest); any other column falls through to the residual
-            # row filter below — never a silent empty result.
+            # PARTITION pruning runs FIRST: it is pure metadata (no
+            # sidecar loads), so the band/bloom pass below touches only
+            # the candidate partitions' files. File-level pruning is
+            # only sound for columns the snapshot is PHYSICALLY
+            # partitioned by (their values ride the manifest); any
+            # other column falls through to the residual row filter
+            # below — never a silent empty result.
             pb = set(m.get("partition_by") or [])
             stats = m.get("stats", {})
             # canonicalize the query values to the path-rendered form
@@ -1598,6 +1612,13 @@ class TransactionalTable:
                         for c, vs in sel.items()
                     )
                 ]
+        files = prune_files(
+            m,
+            where,
+            list(equals.items()) if equals else None,
+            bloom_loader=self._bloom_sidecar,
+            files=files,
+        )
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
@@ -2132,12 +2153,29 @@ class TransactionalTable:
                 k: s.pop("bloom") for k, s in stats.items() if "bloom" in s
             }
             if blooms:
-                sidecar = f"{BLOOMS_DIR}/{uuid.uuid4().hex}.json"
-                self.storage.put_if_absent(
-                    sidecar, json.dumps(blooms, sort_keys=True).encode()
+                # SHARDED sidecars: one object per ~bloom_shard_files
+                # files, sliced over the SORTED key list — sorted v2
+                # keys cluster by partition dir, so a partition/range-
+                # pruned point read's candidates land in one or two
+                # shards and the probe loads O(candidates), not
+                # O(commit) (a 16k-file commit's single sidecar is
+                # ~28 MB; its shard is ~0.5 MB). bloom_ref stays
+                # per-file, so readers and vacuum are unchanged.
+                import math
+
+                items = sorted(blooms.items())
+                n_shards = max(
+                    1, math.ceil(len(items) / max(1, self.bloom_shard_files))
                 )
-                for k in blooms:
-                    stats[k]["bloom_ref"] = sidecar
+                per = math.ceil(len(items) / n_shards)
+                for i in range(0, len(items), per):
+                    shard = dict(items[i : i + per])
+                    sidecar = f"{BLOOMS_DIR}/{uuid.uuid4().hex}.json"
+                    self.storage.put_if_absent(
+                        sidecar, json.dumps(shard, sort_keys=True).encode()
+                    )
+                    for k in shard:
+                        stats[k]["bloom_ref"] = sidecar
             return keys, stats
         finally:
             if staging is not None:

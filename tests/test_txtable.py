@@ -3017,6 +3017,54 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_bloom_sidecars_shard_and_probe_loads_only_candidates(
+    spark, tmp_path
+):
+    """A large commit's bloom index is SHARDED over the sorted key
+    list (partition-clustered), so a partition-pruned equality probe
+    loads only its candidate files' shard(s) — O(candidates), never
+    O(commit) — while exactness and vacuum GC are unchanged."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.bloom_shard_files = 4
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("grp"),
+        (F.col("id") * 2654435761 % 10**9).alias("k"),
+    )
+    t.commit(
+        df.repartition(2, "grp"),
+        partition_by=["grp"],
+        bloom_by=["k"],
+        max_records_per_file=30,
+    )
+    m = t.manifest()
+    refs = {s["bloom_ref"] for s in m["stats"].values()}
+    assert len(refs) > 2  # actually sharded
+    # every shard holds only keys it lists (refs are self-consistent)
+    for ref in refs:
+        shard = json.loads(t.storage.read(ref))
+        assert all(m["stats"][f]["bloom_ref"] == ref for f in shard)
+    fresh = TransactionalTable(root)
+    loads = []
+    orig = fresh._bloom_sidecar
+    fresh._bloom_sidecar = lambda key: (loads.append(key), orig(key))[1]
+    key = int(df.where("id = 77").first().k)
+    got = fresh.read(spark, partitions={"grp": [77 % 8]}, equals={"k": key})
+    assert [r.id for r in got.collect()] == [77]
+    assert 1 <= len(set(loads)) < len(refs)  # only candidate shards
+    # rewrite everything; vacuum reclaims every old shard
+    t.optimize(spark)
+    t.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    live = {
+        s["bloom_ref"]
+        for s in t.manifest()["stats"].values()
+        if "bloom_ref" in s
+    }
+    assert set(t.storage.list("_blooms")) == live
+    assert t.read(spark, equals={"k": key}).count() == 1
+
+
 def test_vacuum_prunes_vacated_commit_dirs(spark, tmp_path):
     """After OPTIMIZE + vacuum reclaims a commit's files, the emptied
     layout-v2 commit directory itself is swept (bottom-up, so emptied
