@@ -707,7 +707,7 @@ def prune_files(
         )
         for col, lo, hi in bands
     ]
-    kept = []
+    band_kept = []
     for f in files:
         fstats = stats.get(f)
         keep = True
@@ -727,20 +727,43 @@ def prune_files(
                         break
                 except TypeError:  # incomparable bound/stat types: no proof
                     continue
-            if keep:
-                for col, vs in eq:
-                    bloom = fstats.get("bloom", {}).get(col)
-                    if bloom is None and vs and bloom_loader is not None:
-                        ref = fstats.get("bloom_ref")
-                        if ref:
-                            bloom = (bloom_loader(ref) or {}).get(f, {}).get(
-                                col
-                            )
-                    if bloom is not None and vs and not any(
-                        bloom_might_contain(bloom, v) for v in vs
-                    ):
-                        keep = False
-                        break
+        if keep:
+            band_kept.append(f)
+    if not (eq and any(vs for _, vs in eq)):
+        return band_kept
+    if bloom_loader is not None:
+        # PREFETCH the band survivors' sidecar shards concurrently:
+        # each is an independent small GET (memoized by the loader),
+        # and an object store serves 8 parallel GETs in ~1 RTT-bound
+        # batch instead of a serial chain. Driver-side, bounded by the
+        # candidate set — partition/band pruning already ran.
+        refs = {
+            stats[f]["bloom_ref"]
+            for f in band_kept
+            if "bloom_ref" in stats.get(f, {})
+            and "bloom" not in stats.get(f, {})
+        }
+        if len(refs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(refs))) as ex:
+                list(ex.map(bloom_loader, refs))
+    kept = []
+    for f in band_kept:
+        fstats = stats.get(f)
+        keep = True
+        if fstats:
+            for col, vs in eq:
+                bloom = fstats.get("bloom", {}).get(col)
+                if bloom is None and vs and bloom_loader is not None:
+                    ref = fstats.get("bloom_ref")
+                    if ref:
+                        bloom = (bloom_loader(ref) or {}).get(f, {}).get(col)
+                if bloom is not None and vs and not any(
+                    bloom_might_contain(bloom, v) for v in vs
+                ):
+                    keep = False
+                    break
         if keep:
             kept.append(f)
     return kept
@@ -1342,7 +1365,10 @@ class TransactionalTable:
             cached = self._read_json(key) or {}
             self._bcache[key] = cached
             while len(self._bcache) > self._MCACHE_MAX:
-                self._bcache.pop(next(iter(self._bcache)))
+                try:  # prefetch runs loaders concurrently (prune_files)
+                    self._bcache.pop(next(iter(self._bcache)))
+                except (KeyError, StopIteration):
+                    break
         return cached
 
     def prune(
