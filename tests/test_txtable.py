@@ -3017,6 +3017,41 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_crashed_direct_write_is_invisible_and_vacuumed(spark, tmp_path):
+    """A layout-v2 commit that crashes AFTER the Spark write but BEFORE
+    the manifest put leaves a complete-looking commit dir under data/ —
+    readers must never see it (nothing references it) and vacuum must
+    reclaim the whole stray dir once past the writer grace."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_v2_df(spark), partition_by=["grp"])
+    live = set(t.manifest()["files"])
+    # the "crash": stage writes at final keys, then no manifest lands
+    stray_keys, _ = t._stage(
+        spark.createDataFrame(
+            [(7, "z", 7.5)], "id int, grp string, v double"
+        ),
+        partition_by=["grp"],
+        layout=2,
+    )
+    assert stray_keys and all(k.startswith("data/c") for k in stray_keys)
+    # invisible to every read form
+    assert t.read(spark).count() == 4
+    assert t.read(spark, partitions={"grp": ["z"]}).count() == 0
+    assert t.count() == 4
+    assert t.fsck()["ok"]  # strays are benign orphans
+    rep = t.vacuum(retain_versions=2, unreferenced_grace_s=0)
+    assert rep["removed_data_files"] >= len(stray_keys)
+    assert set(t.manifest()["files"]) == live
+    assert t.read(spark).count() == 4
+    # the stray commit DIR is swept too, not just its files
+    leftover = [
+        dp
+        for dp, dns, fns in os.walk(t.storage.url("data"))
+        if not dns and not fns
+    ]
+    assert leftover == []
+
+
 def test_bloom_sidecars_shard_and_probe_loads_only_candidates(
     spark, tmp_path
 ):
