@@ -110,12 +110,21 @@ def _parse_relation(spark: SparkSession, rel: str) -> DataFrame:
     return spark.table(rel)
 
 
-def _merge_keys(cond: str, talias: str | None, salias: str | None) -> list[str]:
+def _merge_keys(
+    cond: str,
+    talias: str | None,
+    salias: str | None,
+    names: tuple[str | None, ...] = (),
+) -> list[str]:
     """Key columns from an equality-conjunction ON condition
     (``t.k = s.k AND ...``). Both sides must name the SAME column —
     the upsert operator keys on shared names, like Delta's
-    ``ON t.k = s.k`` fast path."""
+    ``ON t.k = s.k`` fast path. Qualifiers must be a declared alias or
+    one of ``names`` (the bare table/source names — standard SQL
+    allows either), and a conjunct must not compare a relation to
+    itself."""
     keys = []
+    known = {x for x in (talias, salias, *names) if x}
     for conj in _split_top_level(cond, "AND"):
         sides = conj.split("=")
         if len(sides) != 2:
@@ -123,16 +132,27 @@ def _merge_keys(cond: str, talias: str | None, salias: str | None) -> list[str]:
                 f"MERGE ON supports equality conjunctions only, got: {conj!r}"
             )
 
-        def _col(side: str) -> str:
+        def _col(side: str) -> tuple[str | None, str]:
             s = side.strip().strip("()")
             m = re.fullmatch(r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)", s)
             if m is None:
                 raise ValueError(
                     f"MERGE ON condition side is not a column: {side!r}"
                 )
-            return m.group(2)
+            return m.group(1), m.group(2)
 
-        a, b = _col(sides[0]), _col(sides[1])
+        (qa, a), (qb, b) = _col(sides[0]), _col(sides[1])
+        for q in (qa, qb):
+            if q is not None and known and q not in known:
+                raise ValueError(
+                    f"MERGE ON qualifier {q!r} matches neither declared "
+                    f"alias ({sorted(known)})"
+                )
+        if qa is not None and qa == qb:
+            raise ValueError(
+                f"MERGE ON conjunct compares {qa!r} to itself — one side "
+                "must be the target, the other the source"
+            )
         if a != b:
             raise ValueError(
                 f"MERGE ON keys must share a column name (got {a!r} vs "
@@ -189,6 +209,10 @@ def execute_dml(
             src, rest = rest[: i + 1], rest[i + 1 :]
         else:
             sm = re.match(rf"\s*({_NAME})", rest)
+            if sm is None:
+                raise ValueError(
+                    "MERGE: expected a source relation after USING"
+                )
             src, rest = sm.group(1), rest[sm.end() :]
         sm = re.match(rf"^{_ALIAS}\s+ON\s+", rest, re.I | re.S)
         if sm is None:
@@ -205,7 +229,12 @@ def execute_dml(
                 "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
             )
         t = _resolve_target(target, tables)
-        keys = _merge_keys(cond, talias, salias)  # shape-check before I/O
+        keys = _merge_keys(  # shape-check before I/O
+            cond,
+            talias,
+            salias,
+            names=(target, src if not src.startswith("(") else None),
+        )
         updates = _parse_relation(spark, src)
         version = t.merge(spark, updates, keys)
         return {"op": "merge", "table": target, "version": version}
