@@ -139,6 +139,35 @@ def tx_micro_bench(spark) -> dict:
             }
         finally:
             shutil.rmtree(td, ignore_errors=True)
+    # the partition-scoped probe (the shape sharded sidecars + the
+    # partition-prune-before-bloom ordering optimize): a hive-
+    # partitioned bloom-indexed table answers an equality probe by
+    # loading only the candidate partition's shards
+    td = tempfile.mkdtemp(prefix="txbench-")
+    try:
+        t = TransactionalTable(td + "/t")
+        df = spark.range(1024 * 1000).select(
+            F.col("id"),
+            (F.col("id") % 16).alias("part"),
+            (F.col("id") % 997).alias("k"),
+        )
+        t.commit(
+            df.repartition(16, "part"),
+            partition_by=["part"],
+            bloom_by=["k"],
+            max_records_per_file=16000,
+        )
+        fresh = TransactionalTable(td + "/t")
+        t0 = time.perf_counter()
+        got = fresh.read(spark, partitions={"part": [5]}, equals={"k": 5}).count()
+        assert got == len(
+            [i for i in range(1024 * 1000) if i % 16 == 5 and i % 997 == 5]
+        )
+        out["1024_partitioned_point_read_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
     return out
 
 
