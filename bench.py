@@ -163,7 +163,7 @@ def tx_micro_bench(spark) -> dict:
         assert got == len(
             [i for i in range(1024 * 1000) if i % 16 == 5 and i % 997 == 5]
         )
-        out["1024_partitioned_point_read_s"] = round(
+        out["part_read_1024_s"] = round(
             time.perf_counter() - t0, 3
         )
     finally:
