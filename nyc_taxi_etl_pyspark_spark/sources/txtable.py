@@ -1889,20 +1889,60 @@ class TransactionalTable:
         except ImportError:
             pq = None
         stats = m.get("stats", {})
+        partition_mismatches: list[str] = []
+        check_parts = self._layout_of(m) >= 2 and bool(m.get("partition_by"))
+        temporal = {
+            c
+            for c, typ in (m.get("schema") or {}).items()
+            if isinstance(typ, str)
+            and (typ.startswith("timestamp") or typ == "date")
+        }
+
+        def _norm(x):
+            # hive paths render booleans lowercase
+            if isinstance(x, bool):
+                return "true" if x else "false"
+            return str(x)
+
         for key in m["files"]:
             path = self.storage.url(key)
             if not os.path.exists(path):
                 missing.append(key)
                 continue
+            if pq is None:
+                continue
+            actual = collect_file_stats(path)
+            if actual is None:
+                missing.append(key)  # unreadable == unusable
+                continue
             want = stats.get(key, {}).get("rows")
-            if pq is not None and want is not None:
-                try:
-                    have = pq.ParquetFile(path).metadata.num_rows
-                except Exception:
-                    missing.append(key)  # unreadable == unusable
-                    continue
-                if have != want:
-                    row_mismatches.append(key)
+            if want is not None and actual["rows"] != want:
+                row_mismatches.append(key)
+            if check_parts:
+                # layout-v2 invariant: a file's PAGES carry its
+                # partition columns, and every row shares the one
+                # value its path/stats record — so the ON-DISK footer
+                # min and max of each partition column must BOTH equal
+                # the recorded value. A mismatch means pages and
+                # manifest disagree (mis-stitched restore, hand-moved
+                # or overwritten file) and partition pruning would
+                # silently return wrong rows.
+                for c, recorded in (
+                    stats.get(key, {}).get("partition") or {}
+                ).items():
+                    rng = actual.get("cols", {}).get(c)
+                    if rng is None or recorded is None:
+                        continue  # NULL partition / statless col: no proof
+                    mn, mx = rng
+                    if c in temporal:
+                        mn = _canon_temporal_cmp(_norm(mn))
+                        mx = _canon_temporal_cmp(_norm(mx))
+                        rec = _canon_temporal_cmp(str(recorded))
+                    else:
+                        mn, mx, rec = _norm(mn), _norm(mx), _norm(recorded)
+                    if mn != mx or mn != rec:
+                        partition_mismatches.append(key)
+                        break
         referenced: set[str] = set()
         for v in self.versions():
             mv = self.manifest(v)
@@ -1914,8 +1954,11 @@ class TransactionalTable:
             "checked_files": len(m["files"]),
             "missing_files": missing,
             "row_mismatches": row_mismatches,
+            "partition_mismatches": partition_mismatches,
             "orphan_files": orphans,
-            "ok": not missing and not row_mismatches,
+            "ok": not missing
+            and not row_mismatches
+            and not partition_mismatches,
         }
 
     def changes(

@@ -3017,6 +3017,42 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+def test_fsck_detects_page_vs_manifest_partition_mismatch(spark, tmp_path):
+    """Layout v2 gives fsck a new exclusion proof: every row of a file
+    shares the ONE partition value its stats record, so a footer whose
+    min/max disagree with the manifest (a mis-stitched restore, a
+    hand-moved file) is flagged — silent wrong-partition reads become
+    an audit finding instead."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 3.5), (4, "b", 4.5),
+             (5, None, 5.5), (6, None, 6.5)],
+            "id int, grp string, v double",
+        ).repartition(1),
+        partition_by=["grp"],
+    )
+    assert t.fsck()["ok"]  # clean table: no false alarms (incl. NULLs)
+    m = t.manifest()
+    victim = next(
+        f for f in m["files"] if m["stats"][f]["partition"]["grp"] == "a"
+    )
+    donor = next(
+        f for f in m["files"] if m["stats"][f]["partition"]["grp"] == "b"
+    )
+    # same row count: the partition check must fire on its own,
+    # not ride the row-count mismatch
+    assert m["stats"][victim]["rows"] == m["stats"][donor]["rows"]
+    # corruption: the 'a' partition's key now holds 'b'-valued pages
+    t.storage.delete(victim)
+    t.storage.put_if_absent(victim, t.storage.read(donor))
+    fresh = TransactionalTable(str(tmp_path / "t"))
+    rep = fresh.fsck()
+    assert not rep["ok"]
+    assert victim in rep["partition_mismatches"]
+    assert victim not in rep["row_mismatches"]
+
+
 def test_crashed_direct_write_is_invisible_and_vacuumed(spark, tmp_path):
     """A layout-v2 commit that crashes AFTER the Spark write but BEFORE
     the manifest put leaves a complete-looking commit dir under data/ —
