@@ -3017,6 +3017,106 @@ def test_sql_dml_null_semantics_and_rejects(spark, tmp_path):
     assert t.latest_version() == v_before  # nothing committed
 
 
+_HINT_COLS = ("a", "b", "c")
+
+
+@st.composite
+def _pred_conjuncts(draw):
+    """A random SQL conjunction over int col a, float col b, str col c:
+    simple comparisons in either orientation, BETWEENs, optional
+    wrapping parens, and deliberately-unparseable conjuncts (ORs,
+    arithmetic) that must yield NO hint."""
+    parts = []
+    for _ in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["cmp", "flip", "between", "opaque"]))
+        col = draw(st.sampled_from(_HINT_COLS))
+        if col == "a":
+            lit = str(draw(st.integers(-20, 20)))
+        elif col == "b":
+            lit = repr(round(draw(st.floats(-20, 20, allow_nan=False)), 2))
+        else:
+            raw = draw(st.sampled_from(["x", "qq", "z'z", "m"]))
+            lit = "'" + raw.replace("'", "''") + "'"
+        op = draw(st.sampled_from(["=", ">=", "<=", ">", "<"]))
+        if kind == "cmp":
+            p = f"{col} {op} {lit}"
+        elif kind == "flip":
+            p = f"{lit} {op} {col}"
+        elif kind == "between":
+            if col == "a":
+                lo, hi = sorted(
+                    (draw(st.integers(-20, 20)), draw(st.integers(-20, 20)))
+                )
+                p = f"{col} BETWEEN {lo} AND {hi}"
+            else:
+                p = f"{col} >= {lit}"
+        else:
+            p = draw(
+                st.sampled_from(
+                    [
+                        f"({col} = {lit} OR a = 0)",
+                        "a + 0 >= -100",
+                        "length(c) >= 0",
+                    ]
+                )
+            )
+        if draw(st.booleans()):
+            p = f"({p})"
+        parts.append(p)
+    return " AND ".join(parts)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_prune_hints_never_false_exclude_property(data):
+    """Adversarial property for ``_sql_predicate_prune_hints`` (the
+    DML front door's file pruning): for random predicates — flipped
+    orientations, BETWEENs, parens, opaque conjuncts — a file whose
+    min/max stats the extracted bands EXCLUDE must truly contain no
+    matching row (DuckDB evaluates the predicate text as ground
+    truth). Hints may keep too much, never too little."""
+    import duckdb
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _sql_predicate_prune_hints,
+        prune_files,
+    )
+
+    pred = data.draw(_pred_conjuncts())
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(-20, 20),
+                st.floats(-20, 20, allow_nan=False),
+                st.sampled_from(["x", "qq", "z'z", "m"]),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    bands, _eqs = _sql_predicate_prune_hints(pred)
+    stats_cols = {
+        "a": [min(r[0] for r in rows), max(r[0] for r in rows)],
+        "b": [min(r[1] for r in rows), max(r[1] for r in rows)],
+        "c": [min(r[2] for r in rows), max(r[2] for r in rows)],
+    }
+    manifest = {
+        "files": ["f"],
+        "stats": {"f": {"cols": stats_cols}},
+        "schema": {"a": "int", "b": "double", "c": "string"},
+    }
+    kept = prune_files(manifest, bands or None)
+    if kept:
+        return  # kept: always sound
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(a INTEGER, b DOUBLE, c VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    n = con.execute(f"SELECT count(*) FROM t WHERE {pred}").fetchone()[0]
+    assert n == 0, (pred, rows, bands)
+
+
 def test_fsck_detects_page_vs_manifest_partition_mismatch(spark, tmp_path):
     """Layout v2 gives fsck a new exclusion proof: every row of a file
     shares the ONE partition value its stats record, so a footer whose
