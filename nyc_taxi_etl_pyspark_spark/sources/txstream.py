@@ -46,6 +46,19 @@ version (the reported offset never regresses below it).
 resolved ONCE against the commit log at stream construction to the
 first version committed strictly after the instant — the engine
 checkpoint then pins that version, so restarts are stable.
+
+``maxfilespertrigger`` mirrors Delta's ``maxFilesPerTrigger``
+(admission control): each micro-batch admits whole versions until the
+cumulative count of NEWLY-appended files reaches the cap, so a stream
+started against a deep backlog (or a bursty producer) processes it in
+bounded batches instead of one giant catch-up batch — the knob that
+keeps per-batch shuffle/state memory flat at 100 TB. Versions are
+atomic (a commit is all-or-nothing in the offset ledger), so a single
+version larger than the cap is still admitted alone — progress is
+guaranteed, the cap bounds batches made of MULTIPLE commits. Restart
+safety needs no source-side state: the cap only shapes how fast
+``latestOffset`` advances; the engine checkpoint still owns the
+committed frontier, and replays re-derive identical file lists.
 """
 
 from __future__ import annotations
@@ -213,6 +226,20 @@ class TxTableStreamReader(DataSourceStreamReader):
                 f"txstream: startingversion must be >= 0, got "
                 f"{self.starting_version}"
             )
+        mft = options.get("maxfilespertrigger")
+        self.max_files = None if mft is None else int(mft)
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                f"txstream: maxfilespertrigger must be >= 1, got "
+                f"{self.max_files}"
+            )
+        # Admission high-water mark: the largest offset this reader has
+        # handed to the engine (or seen back from it via partitions()/
+        # commit() after a checkpoint restart). Driver-side only — the
+        # engine checkpoint owns the real frontier; this just paces how
+        # fast latestOffset advances when maxfilespertrigger is set.
+        self._admitted = self.starting_version - 1
+        self._handle = None
         # The stream's DECLARED schema (fixed at start) is the one
         # emission contract for EVERY batch: per-version manifest
         # schemas may differ on an evolved table — a pre-evolution
@@ -239,7 +266,13 @@ class TxTableStreamReader(DataSourceStreamReader):
             TransactionalTable,
         )
 
-        return TransactionalTable(self.path)
+        # one driver-side handle for the reader's lifetime: manifests
+        # are immutable and cached per version inside the handle, so
+        # repeated latestOffset/partitions calls across triggers don't
+        # re-fetch the same manifest JSON from storage
+        if self._handle is None:
+            self._handle = TransactionalTable(self.path)
+        return self._handle
 
     def initialOffset(self) -> dict:
         # offset = last processed version; start streaming AT starting_version
@@ -249,11 +282,44 @@ class TxTableStreamReader(DataSourceStreamReader):
         # never below starting_version - 1: a starting point beyond the
         # table's current head must WAIT for it, not let the offset
         # regress and later re-emit the skipped range
-        return {
-            "version": max(
-                self._table().latest_version(), self.starting_version - 1
-            )
-        }
+        t = self._table()
+        head = max(t.latest_version(), self.starting_version - 1)
+        if self.max_files is None or head <= self._admitted:
+            self._admitted = max(self._admitted, head)
+            return {"version": self._admitted}
+        # admission control: walk forward from the high-water mark,
+        # admitting whole versions while the NEW-file budget lasts.
+        # One manifest read per candidate version (cached, immutable).
+        base = self._admitted
+        prev = t.manifest(base) if base >= 0 else None
+        if base >= 0 and prev is None:
+            # the diff base was vacuumed: capping here would only mask
+            # the loud unreplayable-range error partitions() raises —
+            # surface it on the next batch instead of stalling forever
+            self._admitted = head
+            return {"version": head}
+        prev_files = set(prev["files"]) if prev else set()
+        budget = self.max_files
+        v = base
+        while v < head:
+            m = t.manifest(v + 1)
+            if m is None:
+                # missing in-range manifest: advance onto it so
+                # partitions() raises its loud vacuumed-range error
+                v += 1
+                break
+            new_files = len(set(m["files"]) - prev_files)
+            if v > base and new_files > budget:
+                break  # next version would bust the cap; stop here
+            v += 1
+            budget -= new_files
+            prev_files = set(m["files"])
+            if budget <= 0:
+                break
+        if v == base:
+            v = base + 1  # single oversized version: progress anyway
+        self._admitted = v
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         """One InputPartition per file appended in (start, end] —
@@ -265,6 +331,10 @@ class TxTableStreamReader(DataSourceStreamReader):
         t = self._table()
         parts: list[InputPartition] = []
         lo, hi = start["version"] + 1, end["version"] + 1
+        # a checkpoint-restart replay tells us the engine's real
+        # frontier — sync the admission mark so a capped stream resumes
+        # FROM the checkpoint instead of re-pacing from starting_version
+        self._admitted = max(self._admitted, end["version"])
         prev = None
         if lo > 0:
             prev = t.manifest(lo - 1)
@@ -371,5 +441,6 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # offsets live in the engine checkpoint; manifests are immutable
-        # and replayable, so there is nothing source-side to finalize
-        pass
+        # and replayable, so there is nothing source-side to finalize —
+        # just keep the admission mark monotone with the engine's view
+        self._admitted = max(self._admitted, end["version"])

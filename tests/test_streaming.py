@@ -637,3 +637,127 @@ def test_streaming_expectations_fail_mode_stops_stream(spark, sf_dir, tmp_path):
             spark, sf_dir, base, checkpoint_path=base + "_ckpt",
             expectations={"impossible": "event_id < 0"}, on_violation="fail",
         )
+
+
+def test_txstream_maxfilespertrigger_paces_offsets(spark, tmp_path):
+    """Admission control at the offset ledger (no engine needed): with
+    maxfilespertrigger=4 over four 2-file commits, latestOffset admits
+    versions in whole-commit bites of <= 4 new files; a single commit
+    larger than the cap is still admitted alone (progress guarantee);
+    a replayed range syncs the admission mark to the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    root = str(tmp_path / "paced")
+    t = TransactionalTable(root)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 3).alias("grp")
+        )
+
+    t.commit(batch(0, 100), num_files=2)
+    for lo in (100, 200, 300):
+        t.commit(batch(lo, lo + 100), mode="append", num_files=2)
+
+    r = TxTableStreamReader({"path": root, "maxfilespertrigger": "4"})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}  # v0+v1 = 4 files
+    assert r.latestOffset() == {"version": 3}  # v2+v3 = 4 files
+    assert r.latestOffset() == {"version": 3}  # caught up: no advance
+
+    # uncapped reader on the same table jumps straight to the head
+    assert TxTableStreamReader({"path": root}).latestOffset() == {
+        "version": 3
+    }
+
+    # cap smaller than one commit: versions are atomic, admit it alone
+    r2 = TxTableStreamReader({"path": root, "maxfilespertrigger": "1"})
+    assert [r2.latestOffset()["version"] for _ in range(4)] == [0, 1, 2, 3]
+
+    # checkpoint-restart: a fresh reader re-paces from startingversion,
+    # but the engine's replay (partitions) or commit callback syncs the
+    # admission mark so pacing resumes at the real frontier
+    r3 = TxTableStreamReader({"path": root, "maxfilespertrigger": "2"})
+    parts = r3.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 2  # v2's two files, re-derived identically
+    assert r3.latestOffset() == {"version": 3}
+    r4 = TxTableStreamReader({"path": root, "maxfilespertrigger": "2"})
+    r4.commit({"version": 2})
+    assert r4.latestOffset() == {"version": 3}
+
+    with pytest.raises(ValueError, match="maxfilespertrigger"):
+        TxTableStreamReader({"path": root, "maxfilespertrigger": "0"})
+
+
+def test_txstream_maxfilespertrigger_end_to_end_batches(spark, tmp_path):
+    """The capped source through a real Structured Streaming query:
+    a 4-commit backlog (2 files each) with maxfilespertrigger=4 drains
+    in two 200-row micro-batches instead of one 400-row catch-up batch,
+    emits every row exactly once, and a restart from the checkpoint
+    picks up later commits without replaying anything."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 3).alias("grp")
+        )
+
+    t.commit(batch(0, 100), num_files=2)
+    for lo in (100, 200, 300):
+        t.commit(batch(lo, lo + 100), mode="append", num_files=2)
+
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple[int, int]] = []
+    rows: list[tuple] = []
+
+    def sink(df, batch_id):
+        got = df.collect()
+        seen.append((batch_id, len(got)))
+        rows.extend((r.id, r.grp) for r in got)
+
+    def start():
+        s = (
+            spark.readStream.format("txstream")
+            .option("path", root)
+            .option("maxfilespertrigger", "4")
+            .load()
+        )
+        return (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [c for _, c in seen if c]
+    assert nonempty == [200, 200]  # paced: two 4-file batches
+    assert sorted(r[0] for r in rows) == list(range(400))  # exactly once
+
+    # two more commits while the stream is down; restart drains them
+    # in ONE 4-file batch from the checkpointed frontier (no replay)
+    t.commit(batch(400, 500), mode="append", num_files=2)
+    t.commit(batch(500, 600), mode="append", num_files=2)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    nonempty = [c for _, c in seen if c]
+    assert nonempty == [200, 200, 200]
+    assert sorted(r[0] for r in rows) == list(range(600))
