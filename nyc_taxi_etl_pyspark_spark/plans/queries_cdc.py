@@ -1239,3 +1239,73 @@ def q_tx_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_tx_sql_time_travel",
+    oracle="""
+    SELECT 'v0' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice) + 1e-9, 4) AS sum_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'head' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice) + 1e-9, 4) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_tx_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-level time travel through the SQL front door
+    (``sources/txsql.py::execute_sql``): ``<name> VERSION AS OF 0``
+    inside plain statement text rewrites to a snapshot-pinned view
+    (Delta's SELECT time-travel spelling), so one query aggregates the
+    table's FIRST commit (orders with o_orderkey % 3 = 0) and its head
+    (that base plus an INSERT INTO append of the rest) side by side.
+    The oracle replays both snapshots declaratively from the raw
+    orders table: matching proves the travel clause resolved to
+    exactly the v0 file list while the head view saw the append —
+    MVCC isolation expressed in SQL. Fixture commits once per sf_dir
+    (both mutations are idempotent-guarded), so any run sees the same
+    two snapshots. TIMESTAMP AS OF and travel inside DML source
+    queries are pinned in tests/test_txtable.py."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txtt", sf_dir)
+    name = f"tx_tt_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o.filter(F.col("o_orderkey") % 3 == 0))
+        o.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+            f"{name}_rest"
+        )
+        t.create_view(spark, name)  # registers the DML target name
+        execute_sql(
+            spark, f"INSERT INTO {name} SELECT * FROM {name}_rest"
+        )
+    t.create_view(spark, name)  # re-pin at the head for this session
+    return execute_sql(
+        spark,
+        f"""
+        SELECT 'v0' AS snap, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice) + 1e-9, 4) AS sum_price
+        FROM {name} VERSION AS OF 0
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'head' AS snap, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice) + 1e-9, 4) AS sum_price
+        FROM {name}
+        GROUP BY o_orderstatus
+        """,
+    )

@@ -35,6 +35,18 @@ argument, falling back to the process-wide registry that
 wiring. MERGE sources and INSERT queries resolve through Spark
 itself (temp views, catalog tables, or a parenthesized subquery).
 
+:func:`execute_sql` is the unified entry point: it first rewrites
+time-travel clauses — ``<name> VERSION AS OF <n>`` and ``<name>
+TIMESTAMP AS OF '<instant>'`` (Delta's SELECT-level time travel) —
+on any registered transactional name ANYWHERE in the statement into
+pinned snapshot views, then routes SELECT/WITH text to ``spark.sql``
+and everything else to :func:`execute_dml`. Travel therefore also
+works inside DML source queries (``INSERT INTO t SELECT * FROM t
+VERSION AS OF 0`` is the SQL spelling of a snapshot restore-append).
+Timestamps resolve through the commit log's wall-times
+(``version_as_of``); naive ISO instants are UTC, the same convention
+as the streaming source's ``startingtimestamp``.
+
 Reference parity: the reference engine has no DML surface at all
 (its only SQL is a filter string, ``src/features/
 transformations.py``); this is part of the storage layer's
@@ -427,3 +439,80 @@ def execute_dml(
         f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT/"
         f"OPTIMIZE/VACUUM/DESCRIBE HISTORY): {s[:80]!r}"
     )
+
+
+def _outside_string(text: str, pos: int) -> bool:
+    """True when ``pos`` is outside single-quoted SQL string literals
+    ('' escaping counts as two delimiters, so plain parity works)."""
+    return text.count("'", 0, pos) % 2 == 0
+
+
+_TRAVEL = re.compile(
+    rf"(?<![\w.])({_NAME})\s+(?:(VERSION)\s+AS\s+OF\s+(\d+)|"
+    rf"(TIMESTAMP)\s+AS\s+OF\s+('(?:[^']|'')*'|\d+(?:\.\d+)?))",
+    re.I,
+)
+
+
+def _resolve_asof_epoch(lit: str) -> float:
+    """Epoch seconds for a TIMESTAMP AS OF literal: a number, or an
+    ISO datetime string (naive = UTC — a storage-layer clause must not
+    change meaning with the submitting process's timezone; same
+    convention as txstream's startingtimestamp)."""
+    if not lit.startswith("'"):
+        return float(lit)
+    import datetime
+
+    dt = datetime.datetime.fromisoformat(lit[1:-1].replace("''", "'"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return dt.timestamp()
+
+
+def rewrite_time_travel(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, TransactionalTable] | None = None,
+) -> str:
+    """Replace every ``<name> VERSION AS OF <n>`` / ``<name> TIMESTAMP
+    AS OF <instant>`` clause on a REGISTERED transactional name with a
+    temp view pinned to that snapshot, returning the rewritten text.
+    Names that don't resolve to a transactional table are left alone
+    (they may be Spark catalog tables with their own travel support);
+    matches inside string literals are never rewritten. The pinned
+    view is per (name, version) and idempotent to re-register, so a
+    statement joining several snapshots of one table works."""
+
+    def _sub(m: re.Match) -> str:
+        if not _outside_string(statement, m.start()):
+            return m.group(0)
+        name = m.group(1)
+        t = (tables or {}).get(name) or _DML_TARGETS.get(name)
+        if t is None:
+            return m.group(0)
+        if m.group(2):  # VERSION AS OF
+            version = int(m.group(3))
+        else:  # TIMESTAMP AS OF
+            version = t.version_as_of(_resolve_asof_epoch(m.group(5)))
+        view = f"__asof_{name}_{version}"
+        t.read(spark, version=version).createOrReplaceTempView(view)
+        return view
+
+    return _TRAVEL.sub(_sub, statement)
+
+
+def execute_sql(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, TransactionalTable] | None = None,
+):
+    """The SQL front door's single entry point: rewrite time-travel
+    clauses on registered transactional names, then run the statement
+    — SELECT/WITH through ``spark.sql`` (returns the DataFrame),
+    everything else through :func:`execute_dml` (returns its result
+    dict). Travel clauses inside DML source queries resolve too."""
+    s = rewrite_time_travel(spark, statement, tables)
+    head = s.strip().split(None, 1)[0].upper() if s.strip() else ""
+    if head in ("SELECT", "WITH"):
+        return spark.sql(s.strip().rstrip(";"))
+    return execute_dml(spark, s, tables)

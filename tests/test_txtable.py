@@ -3928,3 +3928,84 @@ def test_concurrent_appends_with_distributed_publish(spark, tmp_path):
     assert all("rows" in m["stats"][f] for f in m["files"])
     f = t.fsck()
     assert f["ok"] and f["orphan_files"] == []
+
+
+def test_sql_time_travel_select_version_and_timestamp(spark, tmp_path):
+    """execute_sql rewrites `name VERSION AS OF n` / `name TIMESTAMP
+    AS OF '<iso>'` clauses on registered transactional names into
+    snapshot-pinned views: one SELECT can join/union several versions
+    of the same table; timestamps resolve through commit wall-times
+    (naive ISO = UTC); literals inside strings and names that are not
+    registered stay untouched."""
+    import datetime
+
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_sql,
+        rewrite_time_travel,
+    )
+
+    t = _dml_table(spark, tmp_path, "txtt_sel")
+    df2 = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30, 40)],
+        "id int, grp string, v double",
+    )
+    t.commit(df2, mode="append", partition_by=["grp"])
+
+    got = execute_sql(
+        spark,
+        """
+        SELECT 'v0' AS snap, count(*) AS n FROM txtt_sel VERSION AS OF 0
+        UNION ALL
+        SELECT 'head' AS snap, count(*) AS n
+        FROM (SELECT * FROM txtt_sel VERSION AS OF 1)
+        """,
+    ).collect()
+    assert {(r.snap, r.n) for r in got} == {("v0", 30), ("head", 40)}
+
+    # TIMESTAMP AS OF just after v0's commit (UTC ISO; +1ms because
+    # the ISO form truncates to microseconds, which can land a hair
+    # BEFORE the float wall-time and v1 is far more than 1ms later)
+    ca = t.manifest(0)["committed_at"]
+    iso = datetime.datetime.fromtimestamp(
+        ca + 0.001, tz=datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    n = execute_sql(
+        spark,
+        f"SELECT count(*) AS n FROM txtt_sel TIMESTAMP AS OF '{iso}'",
+    ).first().n
+    assert n == 30
+
+    # epoch-number literal form
+    n = execute_sql(
+        spark, f"SELECT count(*) AS n FROM txtt_sel TIMESTAMP AS OF {ca}"
+    ).first().n
+    assert n == 30
+
+    # a travel clause inside a string literal is data, not syntax;
+    # an unregistered name is left for Spark to resolve (and fails
+    # there, not in the rewriter)
+    s = "SELECT 'txtt_sel VERSION AS OF 0' AS lit FROM txtt_sel"
+    assert rewrite_time_travel(spark, s) == s
+    s2 = "SELECT * FROM not_registered VERSION AS OF 0"
+    assert rewrite_time_travel(spark, s2) == s2
+
+
+def test_sql_time_travel_inside_dml_restores_snapshot(spark, tmp_path):
+    """Travel clauses resolve before DML routing, so `INSERT INTO t
+    SELECT * FROM t VERSION AS OF 0` — the SQL spelling of a snapshot
+    restore-append — reads the OLD snapshot while appending to the
+    head (MVCC: the pinned view is immune to the write it feeds)."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    t = _dml_table(spark, tmp_path, "txtt_dml")
+    execute_sql(spark, "DELETE FROM txtt_dml WHERE id >= 10")
+    assert t.read(spark).count() == 10
+    r = execute_sql(
+        spark,
+        "INSERT INTO txtt_dml "
+        "SELECT * FROM txtt_dml VERSION AS OF 0 WHERE id >= 10",
+    )
+    assert r["op"] == "insert"
+    got = t.read(spark)
+    assert got.count() == 30
+    assert got.selectExpr("count(distinct id) d").first().d == 30
