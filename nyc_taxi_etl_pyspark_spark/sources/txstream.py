@@ -169,6 +169,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("txstream requires .option('path', <table root>)")
+        self._handle = None  # before anything that calls _table()
         ts_opt = options.get("startingtimestamp")
         if ts_opt is not None and "startingversion" in options:
             raise ValueError(
@@ -239,7 +240,6 @@ class TxTableStreamReader(DataSourceStreamReader):
         # engine checkpoint owns the real frontier; this just paces how
         # fast latestOffset advances when maxfilespertrigger is set.
         self._admitted = self.starting_version - 1
-        self._handle = None
         # The stream's DECLARED schema (fixed at start) is the one
         # emission contract for EVERY batch: per-version manifest
         # schemas may differ on an evolved table — a pre-evolution
