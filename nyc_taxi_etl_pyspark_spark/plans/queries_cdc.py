@@ -1161,7 +1161,12 @@ def q_tx_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = fixture_scratch_dir("spark_graft_txsqlud", sf_dir)
     t = TransactionalTable(root)
-    t.commit(o, cluster_by=["o_orderkey"])  # fresh base EVERY run
+    # fresh base EVERY run; num_files sizes files to the DATA (a few
+    # MB of orders ⇒ 8 real files), not to local[32]'s shuffle width —
+    # 32 sub-200KB slivers just multiply per-file commit/footer/bloom
+    # overhead, here and in both copy-on-write rewrites that inherit
+    # the layout (measured 1.9s → 1.3s at sf0.1)
+    t.commit(o, cluster_by=["o_orderkey"], num_files=8)
     name = f"tx_sqlud_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
     register_dml_target(name, t)
     execute_dml(
