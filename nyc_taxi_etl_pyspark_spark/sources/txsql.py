@@ -18,7 +18,13 @@ transactional operators —
 plus ``CREATE TABLE t LOCATION '<path>' [PARTITIONED BY (...)] AS
 <query>`` (CTAS — commits v0, registers the name as view + DML
 target) and the maintenance statements ``OPTIMIZE t [INCREMENTAL]``,
-``VACUUM t [RETAIN n VERSIONS]`` and ``DESCRIBE HISTORY t``.
+``VACUUM t [RETAIN n VERSIONS]``, ``DESCRIBE HISTORY t`` and
+``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF <instant>``
+(a new commit pinning the old snapshot, Delta's RESTORE). SELECTs
+additionally get the CDF table-valued function:
+``table_changes('t', from [, to] [, 'k1,k2'])`` rewrites to the keyed
+snapshot-diff change feed (keys from the trailing argument or the
+table's sticky clustering columns).
 
 Deliberately NOT a SQL parser: only the statement SHAPE is recognized
 (keyword scanning outside strings/parens — ``_split_top_level``);
@@ -435,9 +441,35 @@ def execute_dml(
             "table": m.group(1),
             "history": t.history(),
         }
+    if head == "RESTORE":
+        m = re.match(
+            rf"^RESTORE\s+TABLE\s+({_NAME})\s+TO\s+"
+            rf"(?:VERSION\s+AS\s+OF\s+(\d+)|"
+            rf"TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+(?:\.\d+)?))$",
+            s,
+            re.I,
+        )
+        if m is None:
+            raise ValueError(
+                "RESTORE shape: RESTORE TABLE <table> TO VERSION AS OF <n> "
+                "| TO TIMESTAMP AS OF <instant>"
+            )
+        t = _resolve_target(m.group(1), tables)
+        version = (
+            int(m.group(2))
+            if m.group(2) is not None
+            else t.version_as_of(_resolve_asof_epoch(m.group(3)))
+        )
+        new_version = t.restore(version)
+        return {
+            "op": "restore",
+            "table": m.group(1),
+            "restored_to": version,
+            "version": new_version,
+        }
     raise ValueError(
         f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT/"
-        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY): {s[:80]!r}"
+        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE TABLE): {s[:80]!r}"
     )
 
 
@@ -494,11 +526,62 @@ def rewrite_time_travel(
             version = int(m.group(3))
         else:  # TIMESTAMP AS OF
             version = t.version_as_of(_resolve_asof_epoch(m.group(5)))
-        view = f"__asof_{name}_{version}"
+        view = f"__asof_{name}_{version}".replace(".", "_")
         t.read(spark, version=version).createOrReplaceTempView(view)
         return view
 
     return _TRAVEL.sub(_sub, statement)
+
+
+_TVF = re.compile(
+    r"(?<!\w)table_changes\(\s*'((?:[^']|'')+)'\s*,\s*(\d+)"
+    r"(?:\s*,\s*(\d+))?(?:\s*,\s*'((?:[^']|'')*)')?\s*\)",
+    re.I,
+)
+
+
+def rewrite_table_changes(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, TransactionalTable] | None = None,
+) -> str:
+    """Replace ``table_changes('name', from [, to] [, 'k1,k2'])``
+    calls (Delta's CDF table-valued function, extended with an
+    optional key list) with a temp view over
+    :meth:`TransactionalTable.changes`. Our change feed is a
+    snapshot diff, so it is keyed: the key columns come from the
+    trailing string argument, else the table's sticky clustering
+    columns (the declared row identity); neither present is a loud
+    error, never a guessed join key."""
+
+    def _sub(m: re.Match) -> str:
+        if not _outside_string(statement, m.start()):
+            return m.group(0)
+        name = m.group(1).replace("''", "'")
+        t = _resolve_target(name, tables)
+        lo = int(m.group(2))
+        hi = int(m.group(3)) if m.group(3) is not None else None
+        if m.group(4):
+            keys = [k.strip() for k in m.group(4).split(",") if k.strip()]
+        else:
+            clustering = ((t.manifest() or {}).get("meta", {}) or {}).get(
+                "clustering"
+            )
+            keys = (clustering or {}).get("cols")
+            if not keys:
+                raise ValueError(
+                    f"table_changes('{name}', ...): the change feed is a "
+                    "keyed snapshot diff — pass the key columns as a "
+                    "trailing 'k1,k2' argument, or cluster the table so "
+                    "its row identity is declared"
+                )
+        view = f"__cdf_{name}_{lo}_{'head' if hi is None else hi}".replace(
+            ".", "_"
+        )
+        t.changes(spark, list(keys), lo, hi).createOrReplaceTempView(view)
+        return view
+
+    return _TVF.sub(_sub, statement)
 
 
 def execute_sql(
@@ -507,11 +590,13 @@ def execute_sql(
     tables: dict[str, TransactionalTable] | None = None,
 ):
     """The SQL front door's single entry point: rewrite time-travel
-    clauses on registered transactional names, then run the statement
-    — SELECT/WITH through ``spark.sql`` (returns the DataFrame),
-    everything else through :func:`execute_dml` (returns its result
-    dict). Travel clauses inside DML source queries resolve too."""
+    clauses and ``table_changes`` TVF calls on registered
+    transactional names, then run the statement — SELECT/WITH through
+    ``spark.sql`` (returns the DataFrame), everything else through
+    :func:`execute_dml` (returns its result dict). Both rewrites also
+    apply inside DML source queries."""
     s = rewrite_time_travel(spark, statement, tables)
+    s = rewrite_table_changes(spark, s, tables)
     head = s.strip().split(None, 1)[0].upper() if s.strip() else ""
     if head in ("SELECT", "WITH"):
         return spark.sql(s.strip().rstrip(";"))

@@ -4009,3 +4009,66 @@ def test_sql_time_travel_inside_dml_restores_snapshot(spark, tmp_path):
     got = t.read(spark)
     assert got.count() == 30
     assert got.selectExpr("count(distinct id) d").first().d == 30
+
+
+def test_sql_restore_and_table_changes(spark, tmp_path):
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF routes to
+    restore() (a NEW commit pinning the old snapshot — history intact),
+    and SELECTs over table_changes('t', from[, to][, 'keys']) rewrite
+    to the keyed snapshot-diff change feed; keys default to the
+    table's sticky clustering columns, and a table with neither keys
+    nor clustering fails loudly instead of guessing row identity."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_sql,
+        register_dml_target,
+    )
+
+    t = _dml_table(spark, tmp_path, "txtt_cdf")  # clustered by id
+    execute_sql(spark, "UPDATE txtt_cdf SET v = v + 100 WHERE id < 3")
+    execute_sql(spark, "DELETE FROM txtt_cdf WHERE id = 29")
+
+    # CDF via the TVF, explicit keys: v0 -> head
+    feed = execute_sql(
+        spark,
+        "SELECT _change_type, count(*) AS n "
+        "FROM table_changes('txtt_cdf', 0, 2, 'id') "
+        "GROUP BY _change_type",
+    ).collect()
+    assert {(r._change_type, r.n) for r in feed} == {
+        ("update", 3),
+        ("delete", 1),
+    }
+    # keys default to the sticky clustering columns (cluster_by=["id"])
+    n = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM table_changes('txtt_cdf', 0)",
+    ).first().n
+    assert n == 4
+
+    # RESTORE to v0: head content equals v0, history is append-only
+    r = execute_sql(
+        spark, "RESTORE TABLE txtt_cdf TO VERSION AS OF 0"
+    )
+    assert r["op"] == "restore" and r["restored_to"] == 0
+    assert t.read(spark).count() == 30
+    assert (
+        t.read(spark).selectExpr("sum(v) s").first().s
+        == sum(float(i) for i in range(30))
+    )
+    # timestamp form restores too (instant just after v2's commit)
+    execute_sql(spark, "DELETE FROM txtt_cdf WHERE id >= 20")
+    ca = t.manifest(2)["committed_at"]
+    r = execute_sql(
+        spark, f"RESTORE TABLE txtt_cdf TO TIMESTAMP AS OF {ca}"
+    )
+    assert r["restored_to"] == 2
+    assert t.read(spark).count() == 29  # v2: one row deleted
+
+    # unclustered table + no explicit keys = loud error
+    t2 = TransactionalTable(str(tmp_path / "nockey"))
+    t2.commit(spark.createDataFrame([(1, "a")], "id int, s string"))
+    register_dml_target("txtt_nokeys", t2)
+    with pytest.raises(Exception, match="key columns"):
+        execute_sql(
+            spark, "SELECT * FROM table_changes('txtt_nokeys', 0)"
+        )
