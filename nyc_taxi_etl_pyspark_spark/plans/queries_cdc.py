@@ -1285,8 +1285,8 @@ def q_tx_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = fixture_scratch_dir("spark_graft_txtt", sf_dir)
-    name = f"tx_tt_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
+    root = fixture_scratch_dir("spark_graft_txsqltt", sf_dir)
+    name = f"tx_sqltt_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
     t = TransactionalTable(root)
     if not t.exists():
         t.commit(o.filter(F.col("o_orderkey") % 3 == 0))

@@ -441,6 +441,31 @@ def execute_dml(
             "table": m.group(1),
             "history": t.history(),
         }
+    if head == "ALTER":
+        m = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+ADD\s+COLUMNS?\s*\(([^)]+)\)$",
+            s,
+            re.I | re.S,
+        )
+        if m is None:
+            raise ValueError(
+                "ALTER shape: ALTER TABLE <table> ADD COLUMNS "
+                "(col type, ...)"
+            )
+        t = _resolve_target(m.group(1), tables)
+        columns: dict[str, str] = {}
+        for item in _split_top_level(m.group(2), ","):
+            cm = re.match(r"^\s*`?([A-Za-z_]\w*)`?\s+(.+?)\s*$", item, re.S)
+            if cm is None:
+                raise ValueError(f"unparseable column definition: {item!r}")
+            columns[cm.group(1)] = cm.group(2)
+        version = t.add_columns(spark, columns)
+        return {
+            "op": "add_columns",
+            "table": m.group(1),
+            "added": sorted(columns),
+            "version": version,
+        }
     if head == "RESTORE":
         m = re.match(
             rf"^RESTORE\s+TABLE\s+({_NAME})\s+TO\s+"
@@ -469,7 +494,8 @@ def execute_dml(
         }
     raise ValueError(
         f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT/"
-        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE TABLE): {s[:80]!r}"
+        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE TABLE/ALTER TABLE): "
+        f"{s[:80]!r}"
     )
 
 

@@ -961,6 +961,27 @@ def _evolve_schema(
     return {**old, **new}, True
 
 
+def _reconcile_schema(df: DataFrame, m: dict) -> DataFrame:
+    """Project ``df`` up to the manifest's union schema: any column the
+    physical files don't carry yet (ALTER TABLE ADD COLUMNS is a
+    schema-only commit — no file is rewritten) is appended as a typed
+    NULL literal, in the manifest's (JSON-sorted) order after the
+    physical columns — the same shape a mergeSchema read produces once
+    a post-evolution file exists. No-op (returns ``df`` untouched) on
+    the overwhelmingly common path where files already cover the
+    schema."""
+    missing = {
+        c: t for c, t in (m.get("schema") or {}).items() if c not in df.columns
+    }
+    if not missing:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*", *[F.lit(None).cast(t).alias(c) for c, t in missing.items()]
+    )
+
+
 def _publish_one(
     storage: "LocalStorage",
     local: str | None,
@@ -1658,7 +1679,9 @@ class TransactionalTable:
             df = self._empty_frame(reader, m, m["files"][0])
         else:
             _ensure_no_listing_job(spark, len(files))
-            df = reader.parquet(*[self.storage.url(f) for f in files])
+            df = _reconcile_schema(
+                reader.parquet(*[self.storage.url(f) for f in files]), m
+            )
         if where or partitions or equals:
             from pyspark.sql import functions as F
 
@@ -1759,20 +1782,9 @@ class TransactionalTable:
         footer misses is appended as a typed NULL literal (order: the
         anchor's columns first, exactly what a mergeSchema read of the
         full file set produces)."""
-        df = reader.parquet(self.storage.url(anchor_key)).limit(0)
-        missing = {
-            c: t
-            for c, t in (m.get("schema") or {}).items()
-            if c not in df.columns
-        }
-        if missing:
-            from pyspark.sql import functions as F
-
-            df = df.select(
-                "*",
-                *[F.lit(None).cast(t).alias(c) for c, t in missing.items()],
-            )
-        return df
+        return _reconcile_schema(
+            reader.parquet(self.storage.url(anchor_key)).limit(0), m
+        )
 
     def create_view(
         self,
@@ -3082,6 +3094,65 @@ class TransactionalTable:
                     "re-read and retry"
                 )
 
+    def add_columns(
+        self,
+        spark: SparkSession,
+        columns: dict[str, str],
+        max_retries: int = 5,
+    ) -> int:
+        """ALTER TABLE ADD COLUMNS — a SCHEMA-ONLY commit (Delta's
+        metadata-update action): the new version keeps the exact file
+        list and per-file stats of its parent and widens only the
+        manifest schema, so the cost is one small delta record no
+        matter the table size — zero files rewritten, zero Spark jobs.
+        Readers reconcile: files that predate the column surface it as
+        a typed NULL (``_reconcile_schema``), identically on the batch
+        reader, the pruned/empty path, the copy-on-write rewrites
+        (``UPDATE t SET new_col = ...`` works immediately), and the
+        streaming source (whose per-file Arrow reader already
+        NULL-fills declared-but-absent columns). Types are Spark DDL
+        strings, validated eagerly against the session's parser so a
+        typo can't poison the manifest. The commit sets
+        ``mixed_schemas`` — physical files now genuinely lag the
+        declared schema — which the next full replace clears."""
+        if not columns:
+            raise ValueError("add_columns: no columns given")
+        # eager type validation: build a zero-row frame with exactly
+        # the new columns; a bad DDL type raises here, driver-only
+        spark.createDataFrame(
+            [], ", ".join(f"`{c}` {t}" for c, t in columns.items())
+        )
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            schema = dict(m.get("schema") or {})
+            clash = sorted(set(columns) & set(schema))
+            if clash:
+                raise ValueError(
+                    f"add_columns: column(s) {clash} already exist in "
+                    f"{self.root}"
+                )
+            schema.update(columns)
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                schema,
+                dict(m.get("stats", {})),
+                {"op": "add_columns", "added": sorted(columns)},
+                m.get("partition_by"),
+                m,
+                mixed_schemas=True,
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"add_columns lost {max_retries} commit races on {self.root}"
+        )
+
     def vacuum(
         self, retain_versions: int = 2, unreferenced_grace_s: float = 600.0
     ) -> dict:
@@ -3304,14 +3375,17 @@ class TransactionalTable:
     def _affected_frame(self, spark: SparkSession, m: dict, files: list[str]):
         """Reader over a snapshot's file SUBSET with the snapshot's
         layout semantics applied (basePath for v1 partitioned tables,
-        mergeSchema for evolved ones)."""
+        mergeSchema for evolved ones, manifest-schema reconciliation
+        for ALTERed columns no file carries yet)."""
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
         if m.get("mixed_schemas"):
             reader = reader.option("mergeSchema", "true")
         _ensure_no_listing_job(spark, len(files))
-        return reader.parquet(*[self.storage.url(f) for f in files])
+        return _reconcile_schema(
+            reader.parquet(*[self.storage.url(f) for f in files]), m
+        )
 
     def delete_where(
         self,

@@ -4072,3 +4072,99 @@ def test_sql_restore_and_table_changes(spark, tmp_path):
         execute_sql(
             spark, "SELECT * FROM table_changes('txtt_nokeys', 0)"
         )
+
+
+def test_alter_table_add_columns_schema_only_commit(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS is a schema-only delta commit: no file
+    moves, readers surface the new column as typed NULLs on files
+    that predate it, copy-on-write DML can SET it immediately, INSERT
+    accepts the widened schema, time travel still shows the old
+    shape, and a duplicate/bad definition fails eagerly."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    t = _dml_table(spark, tmp_path, "txalter")
+    files_before = list(t.manifest()["files"])
+    r = execute_sql(
+        spark, "ALTER TABLE txalter ADD COLUMNS (score double, tag string)"
+    )
+    assert r["op"] == "add_columns" and r["added"] == ["score", "tag"]
+    m = t.manifest()
+    assert m["files"] == files_before  # zero files rewritten
+    assert m["schema"]["score"] == "double" and m["schema"]["tag"] == "string"
+
+    got = t.read(spark)
+    assert got.count() == 30
+    assert dict(got.dtypes)["score"] == "double"
+    assert got.where("score IS NOT NULL").count() == 0
+
+    # DML on the new column works immediately (rewrite reconciles)
+    execute_sql(
+        spark, "UPDATE txalter SET score = v * 2.0 WHERE id < 5"
+    )
+    assert t.read(spark).where("score IS NOT NULL").count() == 5
+
+    # INSERT with the widened schema (by name)
+    spark.createDataFrame(
+        [(100, "g0", 1.0, 9.9, "new")],
+        "id int, grp string, v double, score double, tag string",
+    ).createOrReplaceTempView("txalter_new")
+    execute_sql(spark, "INSERT INTO txalter SELECT * FROM txalter_new")
+    head = t.read(spark)
+    assert head.count() == 31
+    assert head.where("tag = 'new'").count() == 1
+
+    # time travel: pre-alter snapshot keeps the narrow schema
+    old = execute_sql(spark, "SELECT * FROM txalter VERSION AS OF 0")
+    assert set(old.columns) == {"id", "grp", "v"}
+
+    # guards: existing column and bad type both fail loudly, eagerly
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns(spark, {"v": "double"})
+    with pytest.raises(Exception):
+        t.add_columns(spark, {"broken": "not_a_type"})
+    # neither failed attempt committed anything
+    assert "broken" not in t.manifest()["schema"]
+
+
+def test_alter_table_add_columns_streaming_and_empty_prune(spark, tmp_path):
+    """The streaming source NULL-fills an ALTERed column on pre-alter
+    files (declared schema = manifest union), and a fully-pruned read
+    of an altered table still resolves residual filters on the new
+    column (empty-frame schema comes from the manifest)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "alt_stream")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(0, 20).select(
+            F.col("id"), (F.col("id") % 2).alias("side")
+        ),
+        bloom_by=["id"],
+    )
+    t.add_columns(spark, {"w": "double"})
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert dict(got.dtypes)["w"] == "double"
+    assert got.where("w IS NOT NULL").count() == 0
+
+    # bloom-pruned empty read + residual filter on the NEW column
+    empty = t.read(spark, equals={"id": 10_000}).where("w > 0")
+    assert empty.count() == 0 and "w" in empty.columns
