@@ -45,10 +45,22 @@ def soak(spark, seed: int, n_ops: int) -> int:
     t.distributed_publish_min_files = 1
     model: dict[int, int] = {}
     history: list[dict[int, int]] = []
+    # ALTERed (schema-only) columns currently declared on the table;
+    # merges/appends must carry the full evolved schema (documented
+    # contract), so write frames widen with NULL literals
+    extra: list[str] = []
+    extra_history: list[list[str]] = []
 
     def frame(d):
         return spark.createDataFrame(
             [(k, v) for k, v in sorted(d.items())], "k int, v int"
+        )
+
+    def widen(df):
+        if not extra:
+            return df
+        return df.select(
+            "*", *[F.lit(None).cast("int").alias(c) for c in extra]
         )
 
     def rand_batch():
@@ -71,6 +83,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         )
         model.clear()
         model.update(d)
+        extra.clear()  # a replace REDEFINES the schema
 
     def do_append():
         if not t.exists():
@@ -81,14 +94,14 @@ def soak(spark, seed: int, n_ops: int) -> int:
         d = {k: v for k, v in d.items() if k not in model}
         if not d:
             return
-        t.commit(frame(d), mode="append", num_files=1)
+        t.commit(widen(frame(d)), mode="append", num_files=1)
         model.update(d)
 
     def do_merge():
         if not t.exists():
             return
         d = rand_batch()
-        t.merge(spark, frame(d), ["k"])
+        t.merge(spark, widen(frame(d)), ["k"])
         model.update(d)
 
     def do_delete():
@@ -116,6 +129,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         t.restore(v)
         model.clear()
         model.update(history[v])
+        extra[:] = list(extra_history[v])  # schema went back in time too
 
     def do_vacuum():
         t.vacuum(retain_versions=4, unreferenced_grace_s=0)
@@ -158,7 +172,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
             return
         register_dml_target(dml_name, t)
         d = rand_batch()
-        frame(d).createOrReplaceTempView(f"{dml_name}_ups")
+        widen(frame(d)).createOrReplaceTempView(f"{dml_name}_ups")
         execute_dml(
             spark,
             f"MERGE INTO {dml_name} AS t USING {dml_name}_ups AS s "
@@ -167,6 +181,16 @@ def soak(spark, seed: int, n_ops: int) -> int:
             f"WHEN NOT MATCHED THEN INSERT *",
         )
         model.update(d)
+
+    def do_add_columns():
+        # ALTER TABLE ADD COLUMNS: a schema-only commit crossing the
+        # same checkpoint/vacuum/restore machinery as data commits;
+        # capped so 80-op runs don't grow an absurd schema
+        if not t.exists() or len(extra) >= 3:
+            return
+        c = f"x{len(extra)}_{rng.randint(0, 999)}"
+        t.add_columns(spark, {c: "int"})
+        extra.append(c)
 
     def do_flip_layout_capability():
         # a later replace/optimize then migrates the layout; appends
@@ -184,6 +208,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_optimize_incremental,
         do_restore,
         do_vacuum,
+        do_add_columns,
         do_sql_update,
         do_sql_delete,
         do_sql_merge,
@@ -195,6 +220,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
     def fill_history():
         while len(history) < t.latest_version() + 1:
             history.append(dict(model))
+            extra_history.append(list(extra))
 
     fill_history()
     for i in range(n_ops):
