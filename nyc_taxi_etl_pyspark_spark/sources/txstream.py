@@ -59,6 +59,14 @@ guaranteed, the cap bounds batches made of MULTIPLE commits. Restart
 safety needs no source-side state: the cap only shapes how fast
 ``latestOffset`` advances; the engine checkpoint still owns the
 committed frontier, and replays re-derive identical file lists.
+
+``maxbytespertrigger`` (Delta's ``maxBytesPerTrigger``) budgets the
+same walk on the per-file ``bytes`` the commit's footer harvest
+records in manifest stats — a soft cap, like Delta's: whole versions
+admit until the byte budget is spent. A version containing a file
+with no recorded size is treated as oversized (admitted, alone —
+the conservative reading of an unknown). Both caps compose: the walk
+stops at whichever budget runs out first.
 """
 
 from __future__ import annotations
@@ -234,6 +242,13 @@ class TxTableStreamReader(DataSourceStreamReader):
                 f"txstream: maxfilespertrigger must be >= 1, got "
                 f"{self.max_files}"
             )
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = None if mbt is None else int(mbt)
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError(
+                f"txstream: maxbytespertrigger must be >= 1, got "
+                f"{self.max_bytes}"
+            )
         # Admission high-water mark: the largest offset this reader has
         # handed to the engine (or seen back from it via partitions()/
         # commit() after a checkpoint restart). Driver-side only — the
@@ -284,12 +299,14 @@ class TxTableStreamReader(DataSourceStreamReader):
         # regress and later re-emit the skipped range
         t = self._table()
         head = max(t.latest_version(), self.starting_version - 1)
-        if self.max_files is None or head <= self._admitted:
+        capped = self.max_files is not None or self.max_bytes is not None
+        if not capped or head <= self._admitted:
             self._admitted = max(self._admitted, head)
             return {"version": self._admitted}
         # admission control: walk forward from the high-water mark,
-        # admitting whole versions while the NEW-file budget lasts.
-        # One manifest read per candidate version (cached, immutable).
+        # admitting whole versions while the NEW-file/byte budgets
+        # last (both caps respected when both are set). One manifest
+        # read per candidate version (cached, immutable).
         base = self._admitted
         prev = t.manifest(base) if base >= 0 else None
         if base >= 0 and prev is None:
@@ -299,7 +316,8 @@ class TxTableStreamReader(DataSourceStreamReader):
             self._admitted = head
             return {"version": head}
         prev_files = set(prev["files"]) if prev else set()
-        budget = self.max_files
+        file_budget = self.max_files
+        byte_budget = self.max_bytes
         v = base
         while v < head:
             m = t.manifest(v + 1)
@@ -308,13 +326,35 @@ class TxTableStreamReader(DataSourceStreamReader):
                 # partitions() raises its loud vacuumed-range error
                 v += 1
                 break
-            new_files = len(set(m["files"]) - prev_files)
-            if v > base and new_files > budget:
-                break  # next version would bust the cap; stop here
+            new = set(m["files"]) - prev_files
+            stats = m.get("stats", {})
+            sizes = [stats.get(f, {}).get("bytes") for f in new]
+            # a file with no recorded size can't be budgeted — treat
+            # its version as oversized (admitted, but alone), the
+            # conservative reading of an unknown
+            new_bytes = (
+                sum(sizes) if all(s is not None for s in sizes) else None
+            )
+            busts = (
+                file_budget is not None and len(new) > file_budget
+            ) or (
+                byte_budget is not None
+                and (new_bytes is None or new_bytes > byte_budget)
+            )
+            if v > base and busts:
+                break  # next version would bust a cap; stop here
             v += 1
-            budget -= new_files
+            if file_budget is not None:
+                file_budget -= len(new)
+            if byte_budget is not None:
+                if new_bytes is None:
+                    byte_budget = 0  # unknown size consumed the batch
+                else:
+                    byte_budget -= new_bytes
             prev_files = set(m["files"])
-            if budget <= 0:
+            if (file_budget is not None and file_budget <= 0) or (
+                byte_budget is not None and byte_budget <= 0
+            ):
                 break
         if v == base:
             v = base + 1  # single oversized version: progress anyway

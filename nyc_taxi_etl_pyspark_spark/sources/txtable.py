@@ -415,10 +415,11 @@ def _json_safe_stat(v):
 def collect_file_stats(local_path: str) -> dict | None:
     """Per-column min/max + row count from a parquet file's FOOTER
     (pyarrow metadata read — no data pages touched). Returns
-    ``{"rows": n, "cols": {col: [min, max]}}`` or None when pyarrow is
-    unavailable or the footer carries no statistics. Nested columns and
-    stat-less columns are simply absent (pruning treats absence as
-    "cannot exclude")."""
+    ``{"rows": n, "cols": {col: [min, max]}, "bytes": size}`` or None
+    when pyarrow is unavailable or the footer carries no statistics.
+    Nested columns and stat-less columns are simply absent (pruning
+    treats absence as "cannot exclude"); ``bytes`` is absent when the
+    source isn't stat-able."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # stats are an optimization, never a requirement
@@ -427,6 +428,12 @@ def collect_file_stats(local_path: str) -> dict | None:
         md = pq.ParquetFile(local_path).metadata
     except Exception:
         return None
+    try:
+        import os as _os
+
+        nbytes = _os.path.getsize(local_path)
+    except OSError:
+        nbytes = None  # non-filesystem source: size is optional metadata
     cols: dict[str, list] = {}
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
@@ -451,7 +458,13 @@ def collect_file_stats(local_path: str) -> dict | None:
                 cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
             else:
                 cols[name] = [mn, mx]
-    return {"rows": md.num_rows, "cols": cols}
+    out = {"rows": md.num_rows, "cols": cols}
+    if nbytes is not None:
+        # physical size rides the stats so maintenance (bin-packing)
+        # and streaming admission (maxbytespertrigger) stay
+        # metadata-only — no per-file stat round-trips at plan time
+        out["bytes"] = nbytes
+    return out
 
 
 _BLOOM_K = 7  # ~optimal for 10 bits/key => ~1% false-positive rate
@@ -1855,10 +1868,18 @@ class TransactionalTable:
             for f in m["files"]
             if "partition" in stats.get(f, {})
         }
+        sized = [
+            stats[f]["bytes"]
+            for f in m["files"]
+            if "bytes" in stats.get(f, {})
+        ]
         return {
             "version": m["version"],
             "rows": m.get("rows"),
             "n_files": len(m["files"]),
+            # None when any file predates byte-stat harvesting — a
+            # partial sum would silently understate the table
+            "size_bytes": sum(sized) if len(sized) == len(m["files"]) else None,
             "rows_per_file_min": rows_per_file[0] if rows_per_file else None,
             "rows_per_file_max": rows_per_file[-1] if rows_per_file else None,
             "partition_by": m.get("partition_by"),

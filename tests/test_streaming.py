@@ -761,3 +761,87 @@ def test_txstream_maxfilespertrigger_end_to_end_batches(spark, tmp_path):
     nonempty = [c for _, c in seen if c]
     assert nonempty == [200, 200, 200]
     assert sorted(r[0] for r in rows) == list(range(600))
+
+
+def test_txstream_maxbytespertrigger_budgets_on_manifest_sizes(spark, tmp_path):
+    """maxbytespertrigger paces the same version walk on the per-file
+    byte sizes the commit's footer harvest records in manifest stats —
+    no filesystem stat calls at admission time. Both caps compose
+    (whichever budget runs out first stops the walk), and a version
+    whose sizes are unknown is admitted alone."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    root = str(tmp_path / "bytes")
+    t = TransactionalTable(root)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 3).alias("grp")
+        )
+
+    t.commit(batch(0, 100), num_files=1)
+    for lo in (100, 200, 300):
+        t.commit(batch(lo, lo + 100), mode="append", num_files=1)
+    m = t.manifest()
+    sizes = [m["stats"][f]["bytes"] for f in m["files"]]
+    assert all(s and s > 0 for s in sizes)
+    per_commit = sizes[0]
+
+    # budget of ~2.5 commits' bytes -> versions admit in pairs
+    # (sizes vary a little commit to commit; the half-file slack keeps
+    # the pairing stable without ever fitting a third)
+    r = TxTableStreamReader(
+        {"path": root, "maxbytespertrigger": str(int(2.5 * per_commit))}
+    )
+    assert r.latestOffset()["version"] == 1
+    assert r.latestOffset()["version"] == 3
+
+    # byte cap smaller than one commit: atomic versions admit alone
+    r2 = TxTableStreamReader({"path": root, "maxbytespertrigger": "1"})
+    assert [r2.latestOffset()["version"] for _ in range(4)] == [0, 1, 2, 3]
+
+    # composed caps: the tighter one (files=1) wins over a loose
+    # byte budget
+    r3 = TxTableStreamReader(
+        {
+            "path": root,
+            "maxfilespertrigger": "1",
+            "maxbytespertrigger": str(100 * per_commit),
+        }
+    )
+    assert r3.latestOffset()["version"] == 0
+
+    # a version with no recorded sizes is admitted ALONE under a byte
+    # cap (conservative unknown), and doesn't block later versions
+    m1 = dict(t.manifest(1))
+    fresh = TransactionalTable(root)
+    stats = {
+        k: {kk: vv for kk, vv in v.items() if kk != "bytes"}
+        for k, v in t.manifest(1)["stats"].items()
+    }
+    import json as _json
+
+    # strip v1's byte stats on disk (forge an old-format manifest)
+    key = "_commits/v00000000000000000001.json"
+    rec = _json.loads(fresh.storage.read(key).decode())
+    for s in rec.get("stats", {}).values():
+        s.pop("bytes", None)
+    fresh.storage.delete(key)
+    assert fresh.storage.put_if_absent(
+        key, _json.dumps(rec, sort_keys=True).encode()
+    )
+    r4 = TxTableStreamReader(
+        {"path": root, "maxbytespertrigger": str(10 * per_commit)}
+    )
+    assert r4.latestOffset()["version"] == 0  # v1's sizes unknown: stop
+    assert r4.latestOffset()["version"] == 1  # v1 admitted alone
+    assert r4.latestOffset()["version"] == 3  # budget resumes
+
+    with pytest.raises(ValueError, match="maxbytespertrigger"):
+        TxTableStreamReader({"path": root, "maxbytespertrigger": "0"})
+    assert m1  # silence unused warning
