@@ -349,6 +349,38 @@ def main() -> None:
     )["files_rewritten"], "files rewritten")
     hist = execute_dml(spark, "DESCRIBE HISTORY sql_demo")["history"]
     print("sql history ops:", [h["op"] for h in hist])
+
+    # SELECT-level time travel, the CDF table-valued function, DDL,
+    # and RESTORE — all as statement text through execute_sql (the
+    # unified entry point: SELECT/WITH -> spark.sql after rewriting,
+    # everything else -> execute_dml):
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    both = execute_sql(spark, """
+        SELECT 'v0' AS snap, count(*) AS n FROM sql_demo VERSION AS OF 0
+        UNION ALL
+        SELECT 'head', count(*) FROM sql_demo
+    """).collect()
+    print("sql time travel:", {r.snap: r.n for r in both})
+    feed = execute_sql(spark, """
+        SELECT _change_type, count(*) AS n
+        FROM table_changes('sql_demo', 0, 2, 'ride_id')
+        GROUP BY _change_type ORDER BY _change_type
+    """).collect()
+    print("sql change feed:", [(r._change_type, r.n) for r in feed])
+    execute_sql(
+        spark, "ALTER TABLE sql_demo ADD COLUMNS (surcharge double)"
+    )  # schema-only commit: zero files rewritten
+    execute_sql(
+        spark,
+        "UPDATE sql_demo SET surcharge = fare * 0.1 WHERE ride_id < 10",
+    )
+    print("sql alter+update:", execute_sql(
+        spark, "SELECT count(*) AS n FROM sql_demo WHERE surcharge IS NOT NULL"
+    ).first().n, "rows carry the ALTERed column")
+    print("sql restore:", execute_sql(
+        spark, "RESTORE TABLE sql_demo TO VERSION AS OF 2"
+    )["restored_to"])
     execute_dml(spark, "VACUUM sql_demo RETAIN 2 VERSIONS")
 
     # ------------------------------------------------------------------

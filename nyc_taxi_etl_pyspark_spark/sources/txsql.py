@@ -610,6 +610,34 @@ def rewrite_table_changes(
     return _TVF.sub(_sub, statement)
 
 
+def _refresh_head_views(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, TransactionalTable] | None,
+) -> None:
+    """Re-pin the temp view of every REGISTERED transactional name the
+    statement references bare (no travel clause — those were already
+    rewritten away) at the table's current head. This is what makes
+    ``execute_sql`` reads see prior DML through the same name —
+    Delta's read-the-latest-snapshot semantics — instead of the stale
+    snapshot the view happened to pin when it was first registered
+    (``create_view`` docs: a view is an immutable snapshot plan;
+    re-register to follow the head). One manifest read per referenced
+    name; names whose tables have no committed version are skipped
+    (Spark will raise its own resolution error if the name is
+    genuinely unknown)."""
+    for name, t in {**_DML_TARGETS, **(tables or {})}.items():
+        for m in re.finditer(
+            rf"(?<![\w.]){re.escape(name)}(?![\w.])", statement
+        ):
+            if _outside_string(statement, m.start()):
+                try:
+                    t.create_view(spark, name)
+                except FileNotFoundError:
+                    pass
+                break
+
+
 def execute_sql(
     spark: SparkSession,
     statement: str,
@@ -620,10 +648,14 @@ def execute_sql(
     transactional names, then run the statement — SELECT/WITH through
     ``spark.sql`` (returns the DataFrame), everything else through
     :func:`execute_dml` (returns its result dict). Both rewrites also
-    apply inside DML source queries."""
+    apply inside DML source queries. Bare references to registered
+    names in SELECTs re-pin their views at the table head first, so a
+    statement sequence reads its own writes (each SELECT is still one
+    consistent snapshot per table — MVCC, never a torn read)."""
     s = rewrite_time_travel(spark, statement, tables)
     s = rewrite_table_changes(spark, s, tables)
     head = s.strip().split(None, 1)[0].upper() if s.strip() else ""
     if head in ("SELECT", "WITH"):
+        _refresh_head_views(spark, s, tables)
         return spark.sql(s.strip().rstrip(";"))
     return execute_dml(spark, s, tables)
