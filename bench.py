@@ -94,6 +94,10 @@ HEADLINE = [
     "q_tx_table_merge",
     "q_tx_partition_pruned_read",
     "q_tx_sql_update_delete",
+    # round-6 addition: SELECT-level time travel through the SQL front
+    # door (two snapshot-pinned aggregates in one statement) — tracks
+    # view re-pin + manifest resolution cost on the read path.
+    "q_tx_sql_time_travel",
 ]
 
 
