@@ -569,3 +569,36 @@ def q_streaming_silver_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_silver_agg(
         spark, sf_dir, query_name="q_streaming_silver_agg"
     )
+
+
+@query(
+    "q_streaming_rate_limited",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    """,
+)
+def q_streaming_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited streaming read of the commit log
+    (``sources/txstream.py`` with ``maxfilespertrigger=2`` — Delta's
+    maxFilesPerTrigger admission control): the same three-commit
+    events backlog as ``q_streaming_tx_source`` (two files per
+    commit), but latestOffset may only admit whole versions while the
+    two-new-file budget lasts, so the drain takes one micro-batch PER
+    COMMIT instead of one catch-up batch. The oracle is the whole
+    events table: matching proves the pacing dropped, duplicated, and
+    tore nothing across the batch boundaries it introduced — the
+    bounded-batch property a 100 TB backlog needs so per-batch
+    shuffle/state memory stays flat. Batch-shape assertions live in
+    tests/test_streaming.py (`test_txstream_maxfilespertrigger_*`).
+    Exempt from the collect guard like every q_streaming_* query."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import run_streaming_tx_source
+
+    return run_streaming_tx_source(
+        spark,
+        sf_dir,
+        query_name="q_streaming_rate_limited",
+        source_options={"maxfilespertrigger": "2"},
+    )

@@ -847,6 +847,7 @@ def run_streaming_tx_source(
     spark: SparkSession,
     sf_dir: str,
     query_name: str = "stream_tx_source",
+    source_options: dict | None = None,
 ) -> DataFrame:
     """Stream OUT of a transactional table (``sources/txstream.py``):
     the events fixture is committed to a commit-log table in three
@@ -885,7 +886,10 @@ def run_streaming_tx_source(
             num_files=2,
             meta={"op": f"ingest_batch_{i}"},
         )
-    stream = spark.readStream.format("txstream").option("path", root).load()
+    reader = spark.readStream.format("txstream").option("path", root)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load()
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")
