@@ -18,7 +18,8 @@ transactional operators —
 plus ``CREATE TABLE t LOCATION '<path>' [PARTITIONED BY (...)] AS
 <query>`` (CTAS — commits v0, registers the name as view + DML
 target) and the maintenance statements ``OPTIMIZE t [INCREMENTAL]``,
-``VACUUM t [RETAIN n VERSIONS]``, ``DESCRIBE HISTORY t`` and
+``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``, ``SHOW PARTITIONS
+t`` (manifest-only partition index), ``DESCRIBE HISTORY t`` and
 ``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF <instant>``
 (a new commit pinning the old snapshot, Delta's RESTORE). SELECTs
 additionally get the CDF table-valued function:
@@ -418,19 +419,48 @@ def execute_dml(
         return {"op": "optimize", "table": m.group(1), **res}
     if head == "VACUUM":
         m = re.match(
-            rf"^VACUUM\s+({_NAME})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$",
+            rf"^VACUUM\s+({_NAME})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            rf"(\s+DRY\s+RUN)?$",
             s,
             re.I,
         )
         if m is None:
             raise ValueError(
-                "VACUUM shape: VACUUM <table> [RETAIN <n> VERSIONS]"
+                "VACUUM shape: VACUUM <table> [RETAIN <n> VERSIONS] "
+                "[DRY RUN]"
             )
         t = _resolve_target(m.group(1), tables)
         res = t.vacuum(
-            retain_versions=int(m.group(2)) if m.group(2) else 2
+            retain_versions=int(m.group(2)) if m.group(2) else 2,
+            dry_run=bool(m.group(3)),
         )
         return {"op": "vacuum", "table": m.group(1), **res}
+    if head == "SHOW":
+        m = re.match(rf"^SHOW\s+PARTITIONS\s+({_NAME})$", s, re.I)
+        if m is None:
+            raise ValueError("SHOW shape: SHOW PARTITIONS <table>")
+        t = _resolve_target(m.group(1), tables)
+        mf = t.manifest()
+        if mf is None:
+            raise FileNotFoundError(
+                f"{m.group(1)}: no committed version to list partitions of"
+            )
+        stats = mf.get("stats", {})
+        parts = sorted(
+            {
+                tuple(sorted(stats[f]["partition"].items()))
+                for f in mf["files"]
+                if "partition" in stats.get(f, {})
+            }
+        )
+        return {
+            "op": "show_partitions",
+            "table": m.group(1),
+            "partition_by": mf.get("partition_by"),
+            # manifest-only: the partition index IS the metadata — no
+            # directory listing, no files opened
+            "partitions": [dict(p) for p in parts],
+        }
     if head == "DESCRIBE":
         m = re.match(rf"^DESCRIBE\s+HISTORY\s+({_NAME})$", s, re.I)
         if m is None:
@@ -494,7 +524,8 @@ def execute_dml(
         }
     raise ValueError(
         f"unsupported DML statement (expected MERGE/UPDATE/DELETE/INSERT/"
-        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE TABLE/ALTER TABLE): "
+        f"OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE TABLE/ALTER TABLE/"
+        f"SHOW PARTITIONS): "
         f"{s[:80]!r}"
     )
 

@@ -3175,7 +3175,10 @@ class TransactionalTable:
         )
 
     def vacuum(
-        self, retain_versions: int = 2, unreferenced_grace_s: float = 600.0
+        self,
+        retain_versions: int = 2,
+        unreferenced_grace_s: float = 600.0,
+        dry_run: bool = False,
     ) -> dict:
         """Reclaim storage: drop manifests older than the newest
         ``retain_versions`` and delete data files referenced by none of
@@ -3208,7 +3211,7 @@ class TransactionalTable:
         # base + retained deltas). Idempotent put; skipped only if the
         # version is already irrecoverable, in which case deleting its
         # ancestors changes nothing.
-        if keep:
+        if keep and not dry_run:
             base_keep = min(keep)
             full = self._full_manifest(base_keep)
             if full is not None:
@@ -3216,7 +3219,8 @@ class TransactionalTable:
         removed_manifests = 0
         for v in vs:
             if v not in keep:
-                self.storage.delete(_manifest_key(v))
+                if not dry_run:
+                    self.storage.delete(_manifest_key(v))
                 removed_manifests += 1
         for key in self.storage.list(CHECKPOINTS_DIR):
             # checkpoints of expired versions are dead weight (readers
@@ -3230,7 +3234,8 @@ class TransactionalTable:
                 _version_of(key) not in keep
                 and self.storage.age_seconds(key) >= unreferenced_grace_s
             ):
-                self.storage.delete(key)
+                if not dry_run:
+                    self.storage.delete(key)
         removed_files = 0
         skipped_in_grace = 0
         for key in self.storage.list(DATA_DIR):
@@ -3239,7 +3244,8 @@ class TransactionalTable:
             if self.storage.age_seconds(key) < unreferenced_grace_s:
                 skipped_in_grace += 1
                 continue
-            self.storage.delete(key)
+            if not dry_run:
+                self.storage.delete(key)
             removed_files += 1
         # bloom sidecars referenced by NO retained snapshot's stats are
         # reclaimed like data files, under the same writer grace (a
@@ -3258,7 +3264,8 @@ class TransactionalTable:
             if self.storage.age_seconds(key) < unreferenced_grace_s:
                 skipped_in_grace += 1
                 continue
-            self.storage.delete(key)
+            if not dry_run:
+                self.storage.delete(key)
             removed_sidecars += 1
         # POSIX hygiene: directories emptied by the deletions above
         # (vacated commit dirs, drained hive partitions) would pile up
@@ -3266,9 +3273,10 @@ class TransactionalTable:
         # directory notion, so this is a local-only sweep. Same writer
         # grace as file reclaim: a freshly-created dir may belong to an
         # in-flight commit that hasn't landed its first file yet.
-        if hasattr(self.storage, "prune_empty_dirs"):
+        if hasattr(self.storage, "prune_empty_dirs") and not dry_run:
             self.storage.prune_empty_dirs(DATA_DIR, unreferenced_grace_s)
         return {
+            "dry_run": dry_run,
             "removed_manifests": removed_manifests,
             "removed_data_files": removed_files,
             "removed_bloom_sidecars": removed_sidecars,

@@ -4168,3 +4168,54 @@ def test_alter_table_add_columns_streaming_and_empty_prune(spark, tmp_path):
     # bloom-pruned empty read + residual filter on the NEW column
     empty = t.read(spark, equals={"id": 10_000}).where("w > 0")
     assert empty.count() == 0 and "w" in empty.columns
+
+
+def test_sql_vacuum_dry_run_and_show_partitions(spark, tmp_path):
+    """VACUUM ... DRY RUN reports exactly what a real run would
+    reclaim without deleting (or even checkpointing) anything, and
+    SHOW PARTITIONS serves the partition index from the manifest
+    alone."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_sql,
+        register_dml_target,
+    )
+
+    t = TransactionalTable(str(tmp_path / "vac"))
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    t.commit(df, partition_by=["grp"])
+    t.commit(df.where("id < 10"), partition_by=["grp"])  # v1 rewrite
+    t.commit(df, partition_by=["grp"])  # v2
+    register_dml_target("vac_demo", t)
+
+    before = set(t.storage.list("data"))
+    dry = execute_sql(
+        spark, "VACUUM vac_demo RETAIN 1 VERSIONS DRY RUN"
+    )
+    assert dry["dry_run"] is True
+    assert dry["removed_manifests"] == 2
+    # default writer grace: every data file is younger than the
+    # window, so a dry run REPORTS them as in-grace, not reclaimable
+    assert dry["removed_data_files"] == 0 and dry["skipped_in_grace"] > 0
+    # nothing actually moved
+    assert set(t.storage.list("data")) == before
+    assert sorted(t.versions()) == [0, 1, 2]
+
+    # grace-0 dry run: the real reclaim set, still zero deletions
+    dry0 = t.vacuum(retain_versions=1, unreferenced_grace_s=0, dry_run=True)
+    assert dry0["removed_data_files"] > 0
+    assert set(t.storage.list("data")) == before
+    assert sorted(t.versions()) == [0, 1, 2]
+
+    wet = t.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert wet["dry_run"] is False
+    assert wet["removed_manifests"] == dry0["removed_manifests"]
+    assert wet["removed_data_files"] == dry0["removed_data_files"]
+    assert sorted(t.versions()) == [2]
+
+    parts = execute_sql(spark, "SHOW PARTITIONS vac_demo")
+    assert parts["partition_by"] == ["grp"]
+    assert parts["partitions"] == [{"grp": "0"}, {"grp": "1"}, {"grp": "2"}]
