@@ -2016,6 +2016,15 @@ class TransactionalTable:
 
         old = self.read(spark, from_version)
         new = self.read(spark, to_version)  # None → latest
+        # schema may have widened between the snapshots (ALTER TABLE
+        # ADD COLUMNS): diff in the NEW shape, NULL-filling the old
+        # side — an unchanged row stays unchanged (NULL-filled old
+        # field vs NULL new field), exactly Delta CDF's view of a
+        # metadata-only evolution
+        new_types = dict(new.dtypes)
+        for c in new.columns:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new_types[c]))
         val_cols = [c for c in new.columns if c not in key_cols]
         o = old.select(
             *key_cols,

@@ -4219,3 +4219,24 @@ def test_sql_vacuum_dry_run_and_show_partitions(spark, tmp_path):
     parts = execute_sql(spark, "SHOW PARTITIONS vac_demo")
     assert parts["partition_by"] == ["grp"]
     assert parts["partitions"] == [{"grp": "0"}, {"grp": "1"}, {"grp": "2"}]
+
+
+def test_change_feed_across_alter_boundary(spark, tmp_path):
+    """A change feed spanning an ALTER TABLE ADD COLUMNS diff runs in
+    the NEW shape: the old snapshot NULL-fills the added column, rows
+    whose real values didn't change stay out of the feed, and a row
+    whose only change is the new column's value reports as update."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    t = _dml_table(spark, tmp_path, "txcdf_alter")
+    t.add_columns(spark, {"score": "double"})
+    execute_sql(
+        spark, "UPDATE txcdf_alter SET score = 1.5 WHERE id = 3"
+    )
+    feed = t.changes(spark, ["id"], 0).collect()
+    got = {(r.id, r._change_type) for r in feed}
+    assert got == {(3, "update")}
+    row = [r for r in feed if r.id == 3][0]
+    assert row.score == 1.5 and "score" in feed[0].asDict()
