@@ -19,7 +19,8 @@ plus ``CREATE TABLE t LOCATION '<path>' [PARTITIONED BY (...)] AS
 <query>`` (CTAS — commits v0, registers the name as view + DML
 target) and the maintenance statements ``OPTIMIZE t [INCREMENTAL]``,
 ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``, ``SHOW PARTITIONS
-t`` (manifest-only partition index), ``DESCRIBE HISTORY t`` and
+t`` (manifest-only partition index), ``DESCRIBE HISTORY t``, ``DESCRIBE DETAIL t`` (one-manifest
+layout/health summary) and
 ``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF <instant>``
 (a new commit pinning the old snapshot, Delta's RESTORE). SELECTs
 additionally get the CDF table-valued function:
@@ -462,13 +463,22 @@ def execute_dml(
             "partitions": [dict(p) for p in parts],
         }
     if head == "DESCRIBE":
-        m = re.match(rf"^DESCRIBE\s+HISTORY\s+({_NAME})$", s, re.I)
+        m = re.match(rf"^DESCRIBE\s+(HISTORY|DETAIL)\s+({_NAME})$", s, re.I)
         if m is None:
-            raise ValueError("DESCRIBE shape: DESCRIBE HISTORY <table>")
-        t = _resolve_target(m.group(1), tables)
+            raise ValueError(
+                "DESCRIBE shape: DESCRIBE HISTORY <table> | "
+                "DESCRIBE DETAIL <table>"
+            )
+        t = _resolve_target(m.group(2), tables)
+        if m.group(1).upper() == "DETAIL":
+            return {
+                "op": "describe_detail",
+                "table": m.group(2),
+                "detail": t.describe(),
+            }
         return {
             "op": "describe_history",
-            "table": m.group(1),
+            "table": m.group(2),
             "history": t.history(),
         }
     if head == "ALTER":

@@ -4240,3 +4240,18 @@ def test_change_feed_across_alter_boundary(spark, tmp_path):
     assert got == {(3, "update")}
     row = [r for r in feed if r.id == 3][0]
     assert row.score == 1.5 and "score" in feed[0].asDict()
+
+
+def test_sql_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL serves the one-manifest layout/health summary
+    (describe()) as statement text, size_bytes included now that the
+    footer harvest records physical sizes."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    t = _dml_table(spark, tmp_path, "txdesc")
+    d = execute_sql(spark, "DESCRIBE DETAIL txdesc")
+    assert d["op"] == "describe_detail"
+    det = d["detail"]
+    assert det["rows"] == 30 and det["n_files"] >= 1
+    assert det["size_bytes"] and det["size_bytes"] > 0
+    assert det["clustering"] == {"kind": "range", "cols": ["id"]}
