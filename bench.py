@@ -439,7 +439,19 @@ def main() -> None:
             "scaling_slope",
         )
     }
-    compact["queries"] = {n: round(s, 3) for n, s in per_query.items()}
+    # 2dp in the compact stdout line (48+ queries at 3dp crowds the
+    # <2KB driver-capture budget); BENCH_FULL.json keeps full precision
+    compact["queries"] = {n: round(s, 2) for n, s in per_query.items()}
+    if "tx_micro" in compact:
+        compact["tx_micro"] = {
+            size: (
+                {k: round(v, 2) for k, v in vals.items()}
+                if isinstance(vals, dict)
+                else round(vals, 2)
+            )
+            for size, vals in compact["tx_micro"].items()
+            if size != "16"  # smallest size: full detail in the blob
+        }
     compact["full"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()

@@ -3443,8 +3443,12 @@ def test_sql_maintenance_statements_and_history(spark, tmp_path):
     assert r["op"] == "vacuum"
     assert len(t.versions()) == 2
     assert t.read(spark).count() == 30
+    # DESCRIBE DETAIL became a supported statement late in round 6
+    assert execute_dml(spark, "DESCRIBE DETAIL txdml_maint")["detail"][
+        "rows"
+    ] == 30
     with pytest.raises(ValueError):
-        execute_dml(spark, "DESCRIBE DETAIL txdml_maint")
+        execute_dml(spark, "DESCRIBE EXTENDED txdml_maint")
     with pytest.raises(ValueError):
         execute_dml(spark, "VACUUM txdml_maint RETAIN x VERSIONS")
 
