@@ -482,8 +482,11 @@ def execute_dml(
             "history": t.history(),
         }
     if head == "ALTER":
+        # greedy to the FINAL ')': column types may themselves be
+        # parenthesized (decimal(10,2), varchar(64)); the comma split
+        # below is paren-aware so nested commas stay inside their type
         m = re.match(
-            rf"^ALTER\s+TABLE\s+({_NAME})\s+ADD\s+COLUMNS?\s*\(([^)]+)\)$",
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+ADD\s+COLUMNS?\s*\((.+)\)$",
             s,
             re.I | re.S,
         )
@@ -695,8 +698,11 @@ def execute_sql(
     consistent snapshot per table — MVCC, never a torn read)."""
     s = rewrite_time_travel(spark, statement, tables)
     s = rewrite_table_changes(spark, s, tables)
+    # refresh for DML too: the operators act on the table HEAD either
+    # way, but an embedded source query (MERGE ... USING (SELECT ...
+    # FROM t)) resolves through the view and must see the same head
+    _refresh_head_views(spark, s, tables)
     head = s.strip().split(None, 1)[0].upper() if s.strip() else ""
     if head in ("SELECT", "WITH"):
-        _refresh_head_views(spark, s, tables)
         return spark.sql(s.strip().rstrip(";"))
     return execute_dml(spark, s, tables)

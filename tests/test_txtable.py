@@ -4259,3 +4259,46 @@ def test_sql_describe_detail(spark, tmp_path):
     assert det["rows"] == 30 and det["n_files"] >= 1
     assert det["size_bytes"] and det["size_bytes"] > 0
     assert det["clustering"] == {"kind": "range", "cols": ["id"]}
+
+
+def test_alter_table_parenthesized_types(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS accepts parenthesized types —
+    decimal(10,2) carries a comma and a ')' inside the column list,
+    so the statement shape must scan to the FINAL paren and split
+    paren-aware."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    t = _dml_table(spark, tmp_path, "txalter_dec")
+    r = execute_sql(
+        spark,
+        "ALTER TABLE txalter_dec ADD COLUMNS "
+        "(price decimal(10,2), tag string)",
+    )
+    assert r["added"] == ["price", "tag"]
+    sch = t.manifest()["schema"]
+    assert sch["price"] == "decimal(10,2)" and sch["tag"] == "string"
+    got = t.read(spark)
+    assert dict(got.dtypes)["price"] == "decimal(10,2)"
+    assert got.where("price IS NOT NULL").count() == 0
+
+
+def test_execute_sql_dml_source_reads_head(spark, tmp_path):
+    """A DML statement whose SOURCE query references the target table
+    reads the target's HEAD, not the snapshot its view pinned at
+    registration: MERGE INTO t USING (SELECT from t) sees prior DML."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_sql
+
+    t = _dml_table(spark, tmp_path, "txryw")  # pins view at v0
+    execute_sql(spark, "DELETE FROM txryw WHERE id >= 10")  # head = v1
+    # source: the surviving rows, shifted to fresh ids — if the
+    # subquery read the STALE v0 view this would insert 30 rows
+    r = execute_sql(
+        spark,
+        "MERGE INTO txryw AS t USING "
+        "(SELECT id + 100 AS id, grp, v FROM txryw) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert r["op"] == "merge"
+    assert t.read(spark).count() == 20  # 10 survivors + 10 shifted
