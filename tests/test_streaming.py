@@ -845,3 +845,72 @@ def test_txstream_maxbytespertrigger_budgets_on_manifest_sizes(spark, tmp_path):
     with pytest.raises(ValueError, match="maxbytespertrigger"):
         TxTableStreamReader({"path": root, "maxbytespertrigger": "0"})
     assert m1  # silence unused warning
+
+
+def test_txstream_admission_fuzz_exactly_once_under_random_caps(
+    spark, tmp_path
+):
+    """Randomized admission-control fuzz: random commit shapes (file
+    counts and row volumes) drained under random file/byte caps via
+    the OFFSET LEDGER (latestOffset/partitions walked exactly as the
+    engine would) — every walk must admit whole versions, respect the
+    cap except for the atomic-oversized case, make progress every
+    trigger, and cover every version exactly once."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        root = str(tmp_path / f"fuzz{seed}")
+        t = TransactionalTable(root)
+        sizes = []  # files per version
+        lo = 0
+        for v in range(rng.randint(3, 7)):
+            nf = rng.randint(1, 5)
+            n = rng.randint(5, 60)
+            t.commit(
+                spark.range(lo, lo + n).select(
+                    F.col("id"), (F.col("id") % 3).alias("grp")
+                ),
+                mode="append" if v else "replace",
+                num_files=nf,
+            )
+            sizes.append(len(t.manifest()["files"]) - sum(sizes))
+            lo += n
+        head = t.latest_version()
+
+        opts = {"path": root}
+        cap_files = rng.choice([None, 1, 2, 3, 4])
+        if cap_files is not None:
+            opts["maxfilespertrigger"] = str(cap_files)
+        if rng.random() < 0.5:
+            opts["maxbytespertrigger"] = str(rng.randint(1, 10) * 4096)
+        r = TxTableStreamReader(opts)
+        offset = r.initialOffset()["version"]
+        seen_files: list[str] = []
+        triggers = 0
+        while offset < head:
+            end = r.latestOffset()["version"]
+            assert end > offset, "every trigger must make progress"
+            parts = r.partitions({"version": offset}, {"version": end})
+            if cap_files is not None:
+                n_new = len(parts)
+                versions_admitted = end - offset
+                # cap respected unless a single atomic version busts it
+                assert n_new <= cap_files or versions_admitted == 1
+            seen_files.extend(p.value[0] for p in parts)
+            r.commit({"version": end})
+            offset = end
+            triggers += 1
+            assert triggers <= head + 2, "admission walk must terminate"
+        manifest_files = {
+            t.storage.url(k) for k in t.manifest()["files"]
+        }
+        assert len(seen_files) == len(set(seen_files))  # no re-emission
+        assert set(seen_files) == manifest_files  # nothing dropped
