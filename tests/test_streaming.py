@@ -914,3 +914,44 @@ def test_txstream_admission_fuzz_exactly_once_under_random_caps(
         }
         assert len(seen_files) == len(set(seen_files))  # no re-emission
         assert set(seen_files) == manifest_files  # nothing dropped
+
+
+def test_txstream_capped_walk_fails_loudly_on_vacuumed_range(
+    spark, tmp_path
+):
+    """A capped admission walk over a range whose manifests were
+    vacuumed must surface the same loud unreplayable-range error as
+    the uncapped source — never stall at the cap, never skip the gap
+    silently."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txstream import (
+        TxTableStreamReader,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    root = str(tmp_path / "vacgap")
+    t = TransactionalTable(root)
+    for lo in range(0, 500, 100):
+        t.commit(
+            spark.range(lo, lo + 100).select(F.col("id")),
+            mode="append" if lo else "replace",
+            num_files=1,
+        )
+    t.vacuum(retain_versions=2, unreferenced_grace_s=0)  # keep v3,v4
+
+    r = TxTableStreamReader({"path": root, "maxfilespertrigger": "1"})
+    # the walk lands on the vacuumed range instead of stalling...
+    end = r.latestOffset()["version"]
+    assert end >= 0
+    # ...and planning that batch raises the loud replay error
+    with pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"version": -1}, {"version": end})
+
+    # starting INSIDE the retained window is fine under the cap
+    r2 = TxTableStreamReader(
+        {"path": root, "startingversion": "4", "maxfilespertrigger": "1"}
+    )
+    end2 = r2.latestOffset()["version"]
+    parts = r2.partitions({"version": 3}, {"version": end2})
+    assert len(parts) == 1  # v4's single file, planned cleanly
