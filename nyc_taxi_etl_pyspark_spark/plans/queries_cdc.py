@@ -1314,3 +1314,66 @@ def q_tx_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """,
     )
+
+
+@query(
+    "q_tx_sql_alter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice,
+           CASE WHEN o_orderkey % 4 = 0
+                THEN round(o_totalprice * 0.05 + 1e-9, 4) END AS surcharge
+    FROM orders
+    """,
+)
+def q_tx_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS through the SQL front door, then DML on
+    the new column: the fixture commits orders, widens it with a
+    SCHEMA-ONLY commit (``add_columns`` — zero files rewritten, O(1)
+    delta record), and a copy-on-write UPDATE fills the column for a
+    quarter of the rows; rows the rewrite never touched surface it as
+    a typed NULL via ``_reconcile_schema``. The oracle replays the
+    whole lifecycle declaratively (CASE for the filled quarter, NULL
+    elsewhere): matching proves the widened schema, the NULL fill on
+    pre-ALTER files, and the UPDATE's targeting all at once.
+    Idempotent: the mutations are version-guarded AND the UPDATE's
+    RHS is a pure function of an unchanged column, so any run
+    converges to the same head."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import (
+        execute_sql,
+        register_dml_target,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txsqlalter", sf_dir)
+    name = f"tx_alter_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
+    t = TransactionalTable(root)
+    register_dml_target(name, t)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_orderkey"], num_files=8)
+    if t.latest_version() < 1:
+        execute_sql(
+            spark, f"ALTER TABLE {name} ADD COLUMNS (surcharge double)"
+        )
+    if t.latest_version() < 2:
+        execute_sql(
+            spark,
+            f"UPDATE {name} SET surcharge = "
+            f"round(o_totalprice * 0.05 + 1e-9, 4) "
+            f"WHERE o_orderkey % 4 = 0",
+        )
+    return execute_sql(
+        spark,
+        f"""
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-9, 4) AS o_totalprice,
+               round(surcharge + 1e-9, 4) AS surcharge
+        FROM {name}
+        """,
+    )
