@@ -87,8 +87,10 @@ import os
 import re
 import shutil
 import tempfile
+import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -772,11 +774,28 @@ def prune_files(
                     ref = fstats.get("bloom_ref")
                     if ref:
                         bloom = (bloom_loader(ref) or {}).get(f, {}).get(col)
-                if bloom is not None and vs and not any(
-                    bloom_might_contain(bloom, v) for v in vs
-                ):
-                    keep = False
-                    break
+                # TEMPORAL probes canonicalize by LOGICAL VALUE before
+                # hashing, mirroring the band path above: build-side
+                # blooms hash Spark's trimmed space-separated UTC
+                # rendering (_canon_bloom_value's datetime branch ==
+                # _canon_temporal_cmp's), so a raw 'T'-separated or
+                # fraction-padded string probe of the same instant would
+                # be a bloom FALSE NEGATIVE — a silently skipped file,
+                # violating the one-sided-error contract. Gated on the
+                # bloom's recorded format version: legacy v1 blooms were
+                # built under repr()-canon and must keep raw probes.
+                if bloom is not None and vs:
+                    pvs = (
+                        [_canon_temporal_cmp(v) for v in vs]
+                        if col in temporal
+                        and bloom.get("v", 1) >= _BLOOM_FORMAT_V
+                        else vs
+                    )
+                    if not any(
+                        bloom_might_contain(bloom, v) for v in pvs
+                    ):
+                        keep = False
+                        break
         if keep:
             kept.append(f)
     return kept
@@ -1061,28 +1080,51 @@ def _publish_distributed(
     return dict(sc.parallelize(list(tasks), n).mapPartitions(_run).collect())
 
 
-def _ensure_no_listing_job(spark: SparkSession, n_paths: int) -> None:
+_listing_lock = threading.Lock()
+_listing_depth = 0
+_listing_prior: str | None = None
+
+
+@contextmanager
+def _no_listing_job(spark: SparkSession, n_paths: int):
     """Manifest-planned reads hand Spark EXPLICIT file paths — every
     one known to exist (committed manifests are immutable), so the
     InMemoryFileIndex parallel-listing JOB is pure overhead: above
     ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (default
     32) Spark launches a one-task-per-path job just to stat the files,
     ~1.5–2 s of plan wall at 1,024 files vs ~0.3 s of serial driver
-    stats (measured, bench.py tx_micro). Ratchet the threshold above
-    the path count so listing stays driver-serial. One-way and
-    idempotent: never lowered, so concurrent planners only ever raise
-    it, and directory-based scans elsewhere in the session are
-    unaffected at the file counts where the job would win (the
-    per-path stat is metadata-cheap; reads bigger than ~10⁴ explicit
-    paths only arise after partition/stats pruning failed to narrow
-    them, which a manifest-planned table is designed to avoid)."""
+    stats (measured, bench.py tx_micro; still ~7× at 16,384 paths).
+    Raise the threshold above the path count FOR THE DURATION OF THE
+    PLANNING CALL ONLY — the file index is built eagerly inside
+    ``reader.parquet(...)``, so scoping the override to the ``with``
+    body suffices — then restore the session's prior value, so
+    unrelated directory-based scans in the same session keep Spark's
+    parallel listing at file counts where it wins. Reentrant across
+    nested/concurrent planners via a depth counter: the PRE-OUTERMOST
+    value is what gets restored."""
+    global _listing_depth, _listing_prior
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    with _listing_lock:
+        try:
+            cur = int(spark.conf.get(key))
+        except Exception:
+            cur = 32
+        if _listing_depth == 0 and n_paths >= cur:
+            _listing_prior = str(cur)
+        if n_paths >= cur:
+            spark.conf.set(key, str(max(4096, 2 * n_paths)))
+        _listing_depth += 1
     try:
-        cur = int(spark.conf.get(key))
-    except Exception:
-        cur = 32
-    if n_paths >= cur:
-        spark.conf.set(key, str(max(4096, 2 * n_paths)))
+        yield
+    finally:
+        with _listing_lock:
+            _listing_depth -= 1
+            if _listing_depth == 0 and _listing_prior is not None:
+                try:
+                    spark.conf.set(key, _listing_prior)
+                except Exception:
+                    pass
+                _listing_prior = None
 
 
 def _manifest_key(version: int) -> str:
@@ -1691,10 +1733,10 @@ class TransactionalTable:
             # every file excluded: empty frame with the table's schema
             df = self._empty_frame(reader, m, m["files"][0])
         else:
-            _ensure_no_listing_job(spark, len(files))
-            df = _reconcile_schema(
-                reader.parquet(*[self.storage.url(f) for f in files]), m
-            )
+            with _no_listing_job(spark, len(files)):
+                df = _reconcile_schema(
+                    reader.parquet(*[self.storage.url(f) for f in files]), m
+                )
         if where or partitions or equals:
             from pyspark.sql import functions as F
 
@@ -1781,8 +1823,8 @@ class TransactionalTable:
                     "a schema from"
                 )
             return self._empty_frame(reader, m1, anchor[0])
-        _ensure_no_listing_job(spark, len(new_files))
-        return reader.parquet(*[self.storage.url(f) for f in new_files])
+        with _no_listing_job(spark, len(new_files)):
+            return reader.parquet(*[self.storage.url(f) for f in new_files])
 
     def _empty_frame(self, reader, m: dict, anchor_key: str) -> DataFrame:
         """Zero-row frame carrying the TABLE schema. The anchor file's
@@ -2068,8 +2110,15 @@ class TransactionalTable:
             m = self.manifest(v)
             if not m:
                 continue
-            raw = self._read_json(_manifest_key(v)) or {}
-            if raw.get("parent") is None:
+            raw = self._read_json(_manifest_key(v))
+            if raw is None:
+                # commit record vacuumed — this version resolves only
+                # via checkpoint, so the file-set DELTA is unknowable
+                # from the log. Report unknown (None), never 0: a
+                # parent-None misread would misclassify it as an empty
+                # full commit.
+                n_added = n_removed = None
+            elif raw.get("parent") is None:
                 n_added, n_removed = len(raw.get("files", ())), 0
             else:
                 n_added = len(raw.get("add", ()))
@@ -2302,10 +2351,12 @@ class TransactionalTable:
             return 0
         if all("rows" in stats.get(k, {}) for k in keys):
             return sum(stats[k]["rows"] for k in keys)
-        _ensure_no_listing_job(spark, len(keys))
-        return (
-            spark.read.parquet(*[self.storage.url(k) for k in keys]).count()
-        )
+        with _no_listing_job(spark, len(keys)):
+            return (
+                spark.read.parquet(
+                    *[self.storage.url(k) for k in keys]
+                ).count()
+            )
 
     def _put_manifest(
         self,
@@ -2997,8 +3048,10 @@ class TransactionalTable:
                 reader = reader.option("basePath", self.storage.url(DATA_DIR))
             if m.get("mixed_schemas"):
                 reader = reader.option("mergeSchema", "true")
-            _ensure_no_listing_job(spark, len(to_compact))
-            df = reader.parquet(*[self.storage.url(f) for f in to_compact])
+            with _no_listing_job(spark, len(to_compact)):
+                df = reader.parquet(
+                    *[self.storage.url(f) for f in to_compact]
+                )
             if pb:
                 # one task per compacted partition: whole fragments of a
                 # partition land together; the writer's maxRecordsPerFile
@@ -3420,10 +3473,10 @@ class TransactionalTable:
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
         if m.get("mixed_schemas"):
             reader = reader.option("mergeSchema", "true")
-        _ensure_no_listing_job(spark, len(files))
-        return _reconcile_schema(
-            reader.parquet(*[self.storage.url(f) for f in files]), m
-        )
+        with _no_listing_job(spark, len(files)):
+            return _reconcile_schema(
+                reader.parquet(*[self.storage.url(f) for f in files]), m
+            )
 
     def delete_where(
         self,

@@ -2389,6 +2389,20 @@ def test_expectations_conflict_does_not_double_quarantine(spark, tmp_path):
     assert q.read(spark).count() == 2  # exactly once after the retry
 
 
+def test_listing_threshold_restored_after_manifest_read(spark, tmp_path):
+    """ADVICE r6: the parallel-listing-threshold override must be
+    scoped to the manifest-planned read, not ratcheted session-wide —
+    unrelated directory scans in the same session keep Spark's
+    parallel listing."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prior = spark.conf.get(key)
+    t = TransactionalTable(str(tmp_path / "t_thresh"))
+    # > default threshold (32) files so the override actually fires
+    t.commit(spark.range(200).repartition(40), num_files=40)
+    assert t.read(spark).count() == 200
+    assert spark.conf.get(key) == prior
+
+
 def test_bloom_probe_cross_representation_equality(spark, tmp_path):
     """Blooms canonicalize by LOGICAL VALUE (format v2): a probe that
     Spark's residual equality would match after implicit cast — string
@@ -2428,6 +2442,16 @@ def test_bloom_probe_cross_representation_equality(spark, tmp_path):
     # trimmed (and tz-aware-vs-naive) divergence must not skip the file
     for probe in (
         "2020-01-05 00:00:00.5",
+        # ADVICE r6 regression: 'T'-separated / fraction-padded / Z-
+        # suffixed string forms of the SAME instant previously hashed
+        # raw at probe time (build side hashed Spark's trimmed space-
+        # separated rendering) => bloom FALSE NEGATIVE, silently empty
+        # read. prune_files now canonicalizes temporal eq probes
+        # through _canon_temporal_cmp before bloom_might_contain.
+        "2020-01-05T00:00:00.5",
+        "2020-01-05T00:00:00.500000",
+        "2020-01-05 00:00:00.500000",
+        "2020-01-05T00:00:00.5Z",
         datetime.datetime(2020, 1, 5, 0, 0, 0, 500000),
         datetime.datetime(
             2020, 1, 5, 0, 0, 0, 500000, tzinfo=datetime.timezone.utc
@@ -2454,6 +2478,39 @@ def test_bloom_probe_cross_representation_equality(spark, tmp_path):
         bloom_might_contain(b, True) == bloom_might_contain(b, 1)
         for b in flag_blooms
     )
+
+
+def test_sql_delete_temporal_literal_hits_bloomed_files(spark, tmp_path):
+    """ADVICE r6 end-to-end regression: the SQL DML path feeds raw
+    literal strings into bloom eq probes, so ``DELETE ... WHERE ts =
+    TIMESTAMP '2020-01-05T00:00:00.500000'`` (T separator, padded
+    fraction) previously bloom-skipped every file containing the rows
+    — the DELETE silently deleted nothing. With temporal probe
+    canonicalization the files prune IN and the rows go."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    df = spark.range(400).select(
+        (
+            F.timestamp_seconds(
+                F.lit(1578182400) + (F.col("id") % 50) * 86400
+            )
+            + F.expr("INTERVAL 500 MILLISECONDS")
+        ).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    t = TransactionalTable(str(tmp_path / "t_sqldel_ts"))
+    t.commit(df.repartition(4), bloom_by=["ts"], num_files=4)
+    res = execute_dml(
+        spark,
+        "DELETE FROM tbl WHERE ts = TIMESTAMP '2020-01-05T00:00:00.500000'",
+        tables={"tbl": t},
+    )
+    assert res["rows_deleted"] == 8  # ids with id % 50 == 0
+    remaining = t.read(spark)
+    assert remaining.count() == 392
+    assert (
+        remaining.where("payload % 50 = 0").count() == 0
+    ), "rows survived the DELETE (bloom false negative)"
 
 
 def test_bloom_legacy_v1_blooms_probe_with_v1_canon(spark, tmp_path):
