@@ -12,6 +12,7 @@ broadcasts it and the base never shuffles at all.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -64,3 +65,202 @@ def merge_upsert(
         for c in value_cols
     ]
     return joined.select(*key_cols, *picked)
+
+
+# -- full-form MERGE (conditional clauses) --------------------------------
+
+_SQL_KEYWORDS = frozenset(
+    """and or not in is null true false case when then else end between
+    like rlike ilike exists all any some distinct as cast interval
+    current_date current_timestamp""".split()
+)
+
+
+def _rewrite_refs(
+    expr: str, tcols: list[str], scols: list[str], bare_side: str
+) -> str:
+    """Rewrite column references in a clause expression onto the
+    prefixed joined frame: ``t.<col>`` → ``__t_<col>``, ``s.<col>`` →
+    ``__s_<col>``, and a BARE identifier that names a column resolves
+    to ``bare_side`` first (``"t"``, ``"s"``, or ``"ts"`` =
+    target-then-source — the matched-clause convention; Delta would
+    demand qualification, we pick the deterministic side and document
+    it). Qualifiers other than the canonical ``t``/``s`` (the txsql
+    layer normalizes user aliases to these) pass through untouched so
+    genuine struct access keeps working. String literals are never
+    rewritten; identifiers followed by ``(`` are function calls, not
+    columns."""
+    tset = {c.lower(): c for c in tcols}
+    sset = {c.lower(): c for c in scols}
+    sides = {"t": (tset, None), "s": (sset, None), "ts": (tset, sset)}
+    first, second = sides.get(bare_side, (tset, sset))
+    ident = re.compile(
+        r"(?<![\w.'])(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)(?!\s*\()(?![\w.])"
+    )
+
+    def repl(m: re.Match) -> str:
+        q, name = m.group(1), m.group(2)
+        ln = name.lower()
+        if q is not None:
+            if q.lower() == "t" and ln in tset:
+                return f"__t_{tset[ln]}"
+            if q.lower() == "s" and ln in sset:
+                return f"__s_{sset[ln]}"
+            return m.group(0)
+        if ln in _SQL_KEYWORDS:
+            return m.group(0)
+        if first is not None and ln in first:
+            return f"__{'t' if first is tset else 's'}_{first[ln]}"
+        if second is not None and ln in second:
+            return f"__{'t' if second is tset else 's'}_{second[ln]}"
+        return m.group(0)
+
+    out = []
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", expr)):
+        out.append(seg if i % 2 else ident.sub(repl, seg))
+    return "".join(out)
+
+
+def merge_clauses(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    clauses: Sequence[dict],
+) -> DataFrame:
+    """Full-form MERGE: the Delta/Iceberg clause semantics expressed as
+    ONE full-outer join whose clause conditions become CASE arms —
+    still a single shuffle (or a broadcast when the change set is
+    small), no per-clause joins, no UDFs, everything inside
+    whole-stage codegen.
+
+    ``clauses`` is an ordered list of dicts:
+
+    - ``{"when": "matched", "cond": sql|None, "action": "update",
+      "set": {col: expr} | "*"}``
+    - ``{"when": "matched", "cond": sql|None, "action": "delete"}``
+    - ``{"when": "not_matched", "cond": sql|None, "action": "insert",
+      "values": {col: expr} | "*"}``
+    - ``{"when": "not_matched_by_source", "cond": sql|None,
+      "action": "update"|"delete", ...}``
+
+    Per standard MERGE semantics, within each group the FIRST clause
+    whose condition holds applies; a row matching no clause keeps its
+    target version (matched / by-source groups) or is not inserted
+    (not-matched group). Expressions may qualify columns with the
+    canonical ``t.`` / ``s.`` aliases; bare names resolve target-first
+    in matched clauses, source-only in not-matched (INSERT sees no
+    target row), target-only in by-source clauses (no source row).
+    ``INSERT`` columns omitted from ``values`` become typed NULLs;
+    every produced value is cast to the target column's type so the
+    merged schema is byte-identical to the table's.
+
+    The caller is responsible for source key uniqueness when any
+    matched/by-source clause exists (``TransactionalTable.merge``
+    pre-checks and raises — the SQL-standard cardinality violation);
+    duplicate source keys here would fan matched target rows out."""
+    tcols, scols = list(base.columns), list(updates.columns)
+    for k in key_cols:
+        if k not in tcols or k not in scols:
+            raise ValueError(f"merge key {k!r} must exist on both sides")
+    t = base.select(
+        *[F.col(c).alias(f"__t_{c}") for c in tcols],
+        F.lit(True).alias("__in_t"),
+    )
+    s = updates.select(
+        *[F.col(c).alias(f"__s_{c}") for c in scols],
+        F.lit(True).alias("__in_s"),
+    )
+    on = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in key_cols]
+    j = t.join(s, on=on if len(on) > 1 else on[0], how="full")
+
+    matched = F.col("__in_t").isNotNull() & F.col("__in_s").isNotNull()
+    only_s = F.col("__in_t").isNull()
+    bare = {"matched": "ts", "not_matched": "s", "not_matched_by_source": "t"}
+    groups: dict[str, list[tuple[str, dict]]] = {
+        "matched": [],
+        "not_matched": [],
+        "not_matched_by_source": [],
+    }
+    for i, c in enumerate(clauses):
+        when = c.get("when")
+        if when not in groups:
+            raise ValueError(f"unknown MERGE clause group: {when!r}")
+        if when == "not_matched" and c["action"] != "insert":
+            raise ValueError(
+                "WHEN NOT MATCHED supports INSERT only (there is no "
+                "target row to update or delete)"
+            )
+        if when == "not_matched_by_source" and c["action"] == "insert":
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only "
+                "(there is no source row to insert from)"
+            )
+        cols = c.get("set") if c["action"] == "update" else c.get("values")
+        if isinstance(cols, dict):
+            unknown = sorted(set(cols) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"MERGE clause references columns not on the target "
+                    f"table: {unknown}"
+                )
+        groups[when].append((f"c{i}", c))
+
+    def group_case(rows: list[tuple[str, dict]], default: str):
+        expr = F.lit(default)
+        for label, c in reversed(rows):
+            cond = (
+                F.expr(_rewrite_refs(c["cond"], tcols, scols, bare[c["when"]]))
+                if c.get("cond")
+                else F.lit(True)
+            )
+            expr = F.when(cond, F.lit(label)).otherwise(expr)
+        return expr
+
+    action = (
+        F.when(matched, group_case(groups["matched"], "keep"))
+        .when(only_s, group_case(groups["not_matched"], "drop"))
+        .otherwise(group_case(groups["not_matched_by_source"], "keep"))
+    )
+    j = j.withColumn("__action", action)
+    dead = {
+        label
+        for g in groups.values()
+        for label, c in g
+        if c["action"] == "delete"
+    } | {"drop"}
+    j = j.where(~F.col("__action").isin(*dead))
+
+    schema = {f.name: f.dataType for f in base.schema.fields}
+    out_cols = []
+    for col in tcols:
+        pick = F.col(f"__t_{col}")
+        # later clauses first so the earliest clause's when() wins
+        for label, c in reversed(
+            groups["matched"]
+            + groups["not_matched"]
+            + groups["not_matched_by_source"]
+        ):
+            if c["action"] == "delete":
+                continue
+            if c["action"] == "update":
+                st = c.get("set")
+                if st == "*":
+                    st = {x: f"s.{x}" for x in tcols if x in scols}
+                if col in st:
+                    v = F.expr(
+                        _rewrite_refs(st[col], tcols, scols, bare[c["when"]])
+                    )
+                else:
+                    continue  # unset column keeps the target value
+            else:  # insert
+                vals = c.get("values")
+                if vals == "*":
+                    vals = {x: f"s.{x}" for x in tcols if x in scols}
+                v = (
+                    F.expr(_rewrite_refs(vals[col], tcols, scols, "s"))
+                    if col in vals
+                    else F.lit(None)
+                )
+            pick = F.when(F.col("__action") == label, v).otherwise(pick)
+        out_cols.append(pick.cast(schema[col]).alias(col))
+    return j.select(*out_cols)

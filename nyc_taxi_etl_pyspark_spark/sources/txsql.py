@@ -191,6 +191,186 @@ _UPSERT_ALL = re.compile(
 )
 
 
+def _canon_qualifiers(text: str, t_names: set[str], s_names: set[str]) -> str:
+    """Normalize every ``<alias-or-name>.`` qualifier in a clause
+    expression to the canonical ``t.`` / ``s.`` the merge operator
+    resolves (outside string literals). Unknown qualifiers pass
+    through untouched (struct field access)."""
+    pat = re.compile(r"(?<![\w.'])([A-Za-z_]\w*)\s*\.", re.I)
+
+    def repl(m: re.Match) -> str:
+        q = m.group(1)
+        if q in t_names or q.lower() in {n.lower() for n in t_names}:
+            return "t."
+        if q in s_names or q.lower() in {n.lower() for n in s_names}:
+            return "s."
+        return m.group(0)
+
+    out = []
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", text)):
+        out.append(seg if i % 2 else pat.sub(repl, seg))
+    return "".join(out)
+
+
+def _outside_case(text: str, kw: str) -> list[int]:
+    """Top-level offsets of keyword ``kw`` that are NOT inside a
+    ``CASE ... END`` expression — a MERGE clause's WHEN/THEN must not
+    be confused with the WHEN/THEN of a CASE inside a condition or
+    SET expression. Tracks CASE/END nesting over top-level keyword
+    offsets (CASE expressions are not parenthesized, so
+    ``_scan_top_level``'s paren tracking alone cannot see them)."""
+    marks = sorted(
+        [(i, "case") for i in _scan_top_level(text, "CASE")]
+        + [(i, "end") for i in _scan_top_level(text, "END")]
+        + [(i, "kw") for i in _scan_top_level(text, kw.upper())]
+    )
+    depth = 0
+    out: list[int] = []
+    for i, kind in marks:
+        if kind == "case":
+            depth += 1
+        elif kind == "end":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            out.append(i)
+    return out
+
+
+def _split_cond_then(text: str) -> tuple[str | None, str]:
+    """Split ``[AND <cond>] THEN <action>`` at the clause-level THEN —
+    NOT a THEN belonging to a ``CASE WHEN ... THEN`` inside the
+    condition."""
+    for i in _outside_case(text, "THEN"):
+        head = text[:i].strip()
+        tail = text[i + 4 :].strip()
+        if head:
+            am = re.match(r"^AND\s+(.+)$", head, re.I | re.S)
+            if am is None:
+                raise ValueError(
+                    f"MERGE clause: expected [AND <cond>] THEN, got "
+                    f"{head[:60]!r}"
+                )
+            return am.group(1).strip(), tail
+        return None, tail
+    raise ValueError(f"MERGE clause missing THEN: {text[:60]!r}")
+
+
+def _parse_merge_action(act: str, canon) -> dict:
+    """Parse the post-THEN action of one MERGE clause into the
+    ``operators/merge.py:merge_clauses`` dict form."""
+    a = act.strip()
+    if re.fullmatch(r"DELETE", a, re.I):
+        return {"action": "delete"}
+    m = re.match(r"^UPDATE\s+SET\s+(.+)$", a, re.I | re.S)
+    if m is not None:
+        body = m.group(1).strip()
+        if body == "*":
+            return {"action": "update", "set": "*"}
+        assignments: dict[str, str] = {}
+        for item in _split_top_level(body, ","):
+            am = re.match(
+                r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*=\s*(.+)$",
+                item,
+                re.S,
+            )
+            if am is None:
+                raise ValueError(f"unparseable MERGE SET assignment: {item!r}")
+            assignments[am.group(1)] = canon(am.group(2).strip())
+        return {"action": "update", "set": assignments}
+    m = re.match(
+        r"^INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))$", a, re.I | re.S
+    )
+    if m is not None:
+        if m.group(1) is None:
+            return {"action": "insert", "values": "*"}
+        cols = [c.strip().strip("`") for c in m.group(1).split(",")]
+        exprs = _split_top_level(m.group(2), ",")
+        if len(cols) != len(exprs):
+            raise ValueError(
+                f"MERGE INSERT arity mismatch: {len(cols)} columns vs "
+                f"{len(exprs)} values"
+            )
+        return {
+            "action": "insert",
+            "values": {c: canon(e) for c, e in zip(cols, exprs)},
+        }
+    raise ValueError(
+        f"unparseable MERGE action (expected UPDATE SET ... | DELETE | "
+        f"INSERT * | INSERT (cols) VALUES (...)): {a[:80]!r}"
+    )
+
+
+def _parse_merge_clauses(
+    text: str, t_names: set[str], s_names: set[str]
+) -> list[dict]:
+    """Parse the full WHEN-clause tail of a MERGE statement:
+
+    - ``WHEN MATCHED [AND <cond>] THEN UPDATE SET c=expr,... | UPDATE
+      SET * | DELETE``
+    - ``WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * |
+      INSERT (cols) VALUES (exprs)``
+    - ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... |
+      DELETE``
+
+    Clauses keep statement order (first-match-wins per group, standard
+    MERGE). An UNconditional clause followed by another clause in the
+    SAME group is rejected — the later clause could never fire, which
+    is a statement bug, not a preference."""
+
+    def canon(e: str) -> str:
+        return _canon_qualifiers(e, t_names, s_names)
+
+    offsets = _outside_case(text, "WHEN")
+    if not offsets or text[: offsets[0]].strip():
+        raise ValueError(
+            f"MERGE clauses must start at WHEN, got: {text[:60]!r}"
+        )
+    clauses: list[dict] = []
+    for i, start in enumerate(offsets):
+        seg = text[
+            start : offsets[i + 1] if i + 1 < len(offsets) else len(text)
+        ].strip()
+        m = re.match(
+            r"^WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED"
+            r"(?:\s+BY\s+TARGET)?|MATCHED)\b(.*)$",
+            seg,
+            re.I | re.S,
+        )
+        if m is None:
+            raise ValueError(f"unparseable MERGE clause head: {seg[:60]!r}")
+        kw = re.sub(r"\s+", " ", m.group(1).upper())
+        when = {
+            "MATCHED": "matched",
+            "NOT MATCHED": "not_matched",
+            "NOT MATCHED BY TARGET": "not_matched",
+            "NOT MATCHED BY SOURCE": "not_matched_by_source",
+        }[kw]
+        cond, act = _split_cond_then(m.group(2).strip())
+        clause = {"when": when, "cond": canon(cond) if cond else None}
+        clause.update(_parse_merge_action(act, canon))
+        if when == "not_matched" and clause["action"] != "insert":
+            raise ValueError(
+                "WHEN NOT MATCHED supports INSERT only (there is no "
+                "target row to update or delete)"
+            )
+        if when == "not_matched_by_source" and clause["action"] == "insert":
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only "
+                "(there is no source row to insert from)"
+            )
+        clauses.append(clause)
+    seen_unconditional: set[str] = set()
+    for c in clauses:
+        if c["when"] in seen_unconditional:
+            raise ValueError(
+                f"unreachable MERGE clause: an unconditional WHEN "
+                f"{c['when'].replace('_', ' ').upper()} clause precedes it"
+            )
+        if c["cond"] is None:
+            seen_unconditional.add(c["when"])
+    return clauses
+
+
 def execute_dml(
     spark: SparkSession,
     statement: str,
@@ -242,12 +422,7 @@ def execute_dml(
         on_end = _find_top_level_kw(rest, "WHEN")
         if on_end < 0:
             raise ValueError("MERGE: expected WHEN MATCHED ... clauses")
-        cond, clauses = rest[:on_end], rest[on_end:]
-        if not _UPSERT_ALL.match(clauses):
-            raise ValueError(
-                "MERGE supports the upsert-all form only: WHEN MATCHED "
-                "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-            )
+        cond, clause_text = rest[:on_end], rest[on_end:]
         t = _resolve_target(target, tables)
         keys = _merge_keys(  # shape-check before I/O
             cond,
@@ -256,8 +431,27 @@ def execute_dml(
             names=(target, src if not src.startswith("(") else None),
         )
         updates = _parse_relation(spark, src)
-        version = t.merge(spark, updates, keys)
-        return {"op": "merge", "table": target, "version": version}
+        if _UPSERT_ALL.match(clause_text):
+            # upsert-all fast path: the latest-wins whole-row operator
+            # (identical result to the clause form, fewer CASE arms)
+            version = t.merge(spark, updates, keys)
+            return {"op": "merge", "table": target, "version": version}
+        t_names = {x for x in (talias, target) if x}
+        s_names = {
+            x
+            for x in (salias, src if not src.startswith("(") else None)
+            if x
+        }
+        clauses = _parse_merge_clauses(clause_text, t_names, s_names)
+        version = t.merge(spark, updates, keys, clauses=clauses)
+        return {
+            "op": "merge",
+            "table": target,
+            "version": version,
+            "clauses": [
+                {"when": c["when"], "action": c["action"]} for c in clauses
+            ],
+        }
     if head == "DELETE":
         m = re.match(
             rf"^DELETE\s+FROM\s+({_NAME}){_ALIAS}\s+WHERE\s+(.+)$",

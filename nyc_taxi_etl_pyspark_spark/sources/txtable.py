@@ -3692,6 +3692,7 @@ class TransactionalTable:
         key_cols: list[str],
         *,
         latest_by: list[str] | None = None,
+        clauses: list[dict] | None = None,
         meta: dict | None = None,
         max_retries: int = 5,
     ) -> int:
@@ -3703,9 +3704,51 @@ class TransactionalTable:
         schema-evolved table the updates frame must carry the FULL
         current schema (merge_upsert raises a loud schema-mismatch
         otherwise — add the evolved columns as NULL literals to the
-        updates before merging)."""
-        from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+        updates before merging).
 
+        ``clauses`` switches to FULL-FORM merge semantics
+        (``operators/merge.py:merge_clauses`` — conditional
+        ``WHEN MATCHED [AND cond] THEN UPDATE SET col=expr | DELETE``,
+        ``WHEN NOT MATCHED [AND cond] THEN INSERT``, ``WHEN NOT
+        MATCHED BY SOURCE ...``). In clause form the SQL-standard
+        cardinality rule is enforced up front: a source with DUPLICATE
+        merge keys would apply two different clause outcomes to one
+        target row, so it raises instead of silently fanning out
+        (``latest_by`` still pre-reduces the batch when given)."""
+        from pyspark.sql import functions as F
+
+        from nyc_taxi_etl_pyspark_spark.operators.merge import (
+            merge_clauses,
+            merge_upsert,
+        )
+
+        if clauses is not None:
+            from pyspark.sql import Window
+
+            if latest_by:
+                w = Window.partitionBy(*key_cols).orderBy(
+                    *[F.col(c).desc() for c in latest_by]
+                )
+                updates = (
+                    updates.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            elif any(c["when"] != "not_matched" for c in clauses):
+                dup = (
+                    updates.groupBy(*key_cols)
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        "MERGE cardinality violation: multiple source rows "
+                        "share a merge key — deduplicate the source (or "
+                        "pass latest_by) so each target row matches at "
+                        "most one source row"
+                    )
         for _ in range(max_retries):
             base_v = self.latest_version()
             if base_v < 0:
@@ -3714,12 +3757,23 @@ class TransactionalTable:
                 # merges must conflict-and-retry, not blind-replace each
                 # other (the loser would silently erase the winner's
                 # rows).
+                if clauses is not None:
+                    # no current snapshot: only NOT MATCHED inserts can
+                    # produce rows; replay the clause semantics against
+                    # an empty base of the updates' own schema
+                    merged = merge_clauses(
+                        updates.limit(0), updates, key_cols, clauses
+                    )
             else:
                 m = self.manifest(base_v)
                 pb = m.get("partition_by") if m else None
-                merged = merge_upsert(
-                    self.read(spark, base_v), updates, key_cols, latest_by=latest_by
-                )
+                base = self.read(spark, base_v)
+                if clauses is not None:
+                    merged = merge_clauses(base, updates, key_cols, clauses)
+                else:
+                    merged = merge_upsert(
+                        base, updates, key_cols, latest_by=latest_by
+                    )
             try:
                 # the merged snapshot keeps the table's physical layout:
                 # a merge must not silently flatten a partitioned table

@@ -659,6 +659,7 @@ _op = st.one_of(
     st.tuples(st.just("replace"), _rows),
     st.tuples(st.just("append"), _rows),
     st.tuples(st.just("merge"), _rows),
+    st.tuples(st.just("merge_full"), _rows),
     st.tuples(st.just("zorder_replace"), _rows),
     st.tuples(st.just("bloom_replace"), _rows),
     st.tuples(
@@ -733,6 +734,44 @@ def test_txtable_matches_reference_model(spark, tmp_path_factory, ops):
             )
             d = dict(model)
             d.update(dict(updates))
+            model = sorted(d.items())
+        elif op[0] == "merge_full":
+            # clause-form merge: matched negatives DELETE, matched
+            # non-negatives UPDATE, unmatched non-negatives INSERT,
+            # and deeply-negative never-matched target rows are swept
+            # by NOT MATCHED BY SOURCE — every clause kind in the mix
+            if not t.exists():
+                continue
+            if len({k for k, _ in model}) != len(model):
+                continue
+            updates = collapse(op[1])
+            t.merge(
+                spark,
+                spark.createDataFrame(updates, "k int, v int"),
+                key_cols=["k"],
+                clauses=[
+                    {"when": "matched", "cond": "s.v < 0",
+                     "action": "delete"},
+                    {"when": "matched", "cond": None, "action": "update",
+                     "set": {"v": "s.v"}},
+                    {"when": "not_matched", "cond": "s.v >= 0",
+                     "action": "insert", "values": "*"},
+                    {"when": "not_matched_by_source", "cond": "t.v < -40",
+                     "action": "delete"},
+                ],
+            )
+            d = dict(model)
+            ukeys = {k for k, _ in updates}
+            for k, v in updates:
+                if k in d:
+                    if v < 0:
+                        del d[k]
+                    else:
+                        d[k] = v
+                elif v >= 0:
+                    d[k] = v
+            for k in [k for k, v in d.items() if k not in ukeys and v < -40]:
+                del d[k]
             model = sorted(d.items())
         elif op[0] == "zorder_replace":
             # content-wise identical to replace; additionally declares
@@ -4359,3 +4398,199 @@ def test_execute_sql_dml_source_reads_head(spark, tmp_path):
     )
     assert r["op"] == "merge"
     assert t.read(spark).count() == 20  # 10 survivors + 10 shifted
+
+
+# -- full-form MERGE (round-7) ---------------------------------------------
+
+
+def _mergefull_fixture(spark, tmp_path, name="t_mf"):
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import register_dml_target
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, status string, amt double",
+    )
+    t = TransactionalTable(str(tmp_path / name))
+    t.commit(base)
+    register_dml_target(name, t)
+    spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", -1.0), (5, "e", 50.0), (6, "f", -6.0)],
+        "k int, status string, amt double",
+    ).createOrReplaceTempView(f"{name}_src")
+    return t
+
+
+def test_merge_full_form_all_clause_kinds(spark, tmp_path):
+    """Conditional DELETE, conditional + fallthrough UPDATE with
+    expressions over both sides, column-list INSERT with a condition,
+    and NOT MATCHED BY SOURCE — the clause forms the upsert-all front
+    door rejected — applied through one statement."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = _mergefull_fixture(spark, tmp_path, "t_mf_all")
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO t_mf_all AS t USING t_mf_all_src AS s ON t.k = s.k
+        WHEN MATCHED AND s.amt < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET status = s.status, amt = t.amt + s.amt
+        WHEN NOT MATCHED AND s.amt >= 0 THEN
+            INSERT (k, status, amt) VALUES (s.k, upper(s.status), s.amt)
+        WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET status = 'stale'
+        """,
+    )
+    assert res["op"] == "merge" and len(res["clauses"]) == 4
+    got = sorted(
+        (r.k, r.status, r.amt) for r in t.read(spark).collect()
+    )
+    assert got == [
+        (1, "stale", 10.0),  # by-source conditional update
+        (2, "B", 220.0),  # second matched clause (first's cond false)
+        (4, "d", 40.0),  # no clause matched: target row kept
+        (5, "E", 50.0),  # conditional insert (6 fails the condition)
+    ]
+    assert t.manifest()["meta"]["op"] == "merge"
+
+
+def test_merge_full_form_bare_table_name_qualifiers(spark, tmp_path):
+    """Standard SQL allows the bare table/source names as qualifiers
+    instead of declared aliases; they canonicalize identically."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = _mergefull_fixture(spark, tmp_path, "t_mf_bare")
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t_mf_bare USING t_mf_bare_src
+        ON t_mf_bare.k = t_mf_bare_src.k
+        WHEN MATCHED AND t_mf_bare_src.amt < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amt = t_mf_bare_src.amt
+        """,
+    )
+    got = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    assert got == [(1, 10.0), (2, 200.0), (4, 40.0)]
+
+
+def test_merge_full_form_cardinality_violation_raises(spark, tmp_path):
+    """Duplicate source keys with a MATCHED clause = the SQL-standard
+    cardinality violation: raise loudly, never fan the target out."""
+    base = spark.createDataFrame([(1, 10.0)], "k int, amt double")
+    t = TransactionalTable(str(tmp_path / "t_card"))
+    t.commit(base)
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "k int, amt double"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        t.merge(
+            spark,
+            dup,
+            ["k"],
+            clauses=[
+                {"when": "matched", "cond": None, "action": "update",
+                 "set": "*"}
+            ],
+        )
+    # latest_by resolves the ambiguity the standard way
+    v = t.merge(
+        spark,
+        dup,
+        ["k"],
+        latest_by=["amt"],
+        clauses=[
+            {"when": "matched", "cond": None, "action": "update", "set": "*"}
+        ],
+    )
+    assert v >= 1
+    assert [(r.k, r.amt) for r in t.read(spark).collect()] == [(1, 2.0)]
+
+
+def test_merge_full_form_reject_paths(spark, tmp_path):
+    """Malformed clause orders and impossible group/action pairs are
+    statement bugs — rejected at parse time with the reason."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import _parse_merge_clauses
+
+    # unreachable: unconditional clause precedes another in the group
+    with pytest.raises(ValueError, match="unreachable"):
+        _parse_merge_clauses(
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND t.k = 1 THEN UPDATE SET amt = 0",
+            {"t"},
+            {"s"},
+        )
+    # NOT MATCHED cannot DELETE (no target row)
+    with pytest.raises(ValueError, match="INSERT only"):
+        _parse_merge_clauses(
+            "WHEN NOT MATCHED THEN DELETE", {"t"}, {"s"}
+        )
+    # NOT MATCHED BY SOURCE cannot INSERT (no source row)
+    with pytest.raises(ValueError, match="UPDATE/DELETE only"):
+        _parse_merge_clauses(
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *", {"t"}, {"s"}
+        )
+    # INSERT arity mismatch
+    with pytest.raises(ValueError, match="arity"):
+        _parse_merge_clauses(
+            "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.a)", {"t"}, {"s"}
+        )
+    # missing THEN
+    with pytest.raises(ValueError, match="THEN"):
+        _parse_merge_clauses("WHEN MATCHED DELETE", {"t"}, {"s"})
+    # unknown target column caught at the operator
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_clauses
+
+    base = spark.createDataFrame([(1, 1.0)], "k int, amt double")
+    with pytest.raises(ValueError, match="not on the target"):
+        merge_clauses(
+            base,
+            base,
+            ["k"],
+            [
+                {"when": "matched", "cond": None, "action": "update",
+                 "set": {"nope": "s.amt"}}
+            ],
+        )
+
+
+def test_merge_full_form_case_expression_in_clause(spark, tmp_path):
+    """CASE WHEN ... THEN inside a clause condition or SET expression
+    must not be mistaken for the clause-level WHEN/THEN split."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = _mergefull_fixture(spark, tmp_path, "t_mf_case")
+    execute_dml(
+        spark,
+        """
+        MERGE INTO t_mf_case AS t USING t_mf_case_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET
+            amt = CASE WHEN s.amt > 100 THEN 100.0 ELSE s.amt END
+        """,
+    )
+    got = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    assert got == [(1, 10.0), (2, 100.0), (3, -1.0), (4, 40.0)]
+
+
+def test_merge_full_form_insert_omitted_columns_null(spark, tmp_path):
+    """INSERT with a partial column list NULL-fills the rest (typed),
+    keeping the merged schema identical to the table's."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0)], "k int, status string, amt double"
+    )
+    t = TransactionalTable(str(tmp_path / "t_mf_nulls"))
+    t.commit(base)
+    ups = spark.createDataFrame(
+        [(9, "z", 99.0)], "k int, status string, amt double"
+    )
+    t.merge(
+        spark,
+        ups,
+        ["k"],
+        clauses=[
+            {"when": "not_matched", "cond": None, "action": "insert",
+             "values": {"k": "s.k", "amt": "s.amt"}}
+        ],
+    )
+    rows = {r.k: (r.status, r.amt) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", 10.0), 9: (None, 99.0)}
+    assert [f.name for f in t.read(spark).schema.fields] == [
+        "k", "status", "amt",
+    ]
