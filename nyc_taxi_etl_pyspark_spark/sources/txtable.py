@@ -98,6 +98,7 @@ from pyspark.sql import DataFrame, SparkSession
 COMMITS_DIR = "_commits"
 CHECKPOINTS_DIR = "_checkpoints"
 BLOOMS_DIR = "_blooms"
+DVS_DIR = "_dvs"  # deletion-vector sidecars (merge-on-read DELETE/UPDATE)
 DATA_DIR = "data"
 _V_WIDTH = 20  # zero-padded so lexicographic listing order == numeric order
 
@@ -1014,6 +1015,17 @@ def _reconcile_schema(df: DataFrame, m: dict) -> DataFrame:
     )
 
 
+def _logical_rows(stats: dict, f: str) -> int | None:
+    """LOGICAL row count of one file: physical footer rows minus the
+    rows its deletion vector soft-deleted. None when the file has no
+    recorded row count (pruning/arithmetic then fall back to a scan)."""
+    s = stats.get(f, {})
+    r = s.get("rows")
+    if r is None:
+        return None
+    return int(r) - int(s.get("dv", {}).get("n", 0))
+
+
 def _publish_one(
     storage: "LocalStorage",
     local: str | None,
@@ -1734,9 +1746,15 @@ class TransactionalTable:
             df = self._empty_frame(reader, m, m["files"][0])
         else:
             with _no_listing_job(spark, len(files)):
-                df = _reconcile_schema(
-                    reader.parquet(*[self.storage.url(f) for f in files]), m
+                raw = reader.parquet(
+                    *[self.storage.url(f) for f in files]
                 )
+            dv_map = self._dv_map(m, files)
+            if dv_map:
+                # merge-on-read: anti-join this snapshot's deletion
+                # vectors before anything else sees the rows
+                raw = self._strip_dv(spark, self._with_dv_keys(raw), dv_map)
+            df = _reconcile_schema(raw, m)
         if where or partitions or equals:
             from pyspark.sql import functions as F
 
@@ -2369,10 +2387,18 @@ class TransactionalTable:
         partition_by: list[str] | None,
         prev: dict | None,
         mixed_schemas: bool = False,
+        stats_override: dict | None = None,
     ) -> bool:
         """Build and conditionally put manifest ``base_v + 1``; the ONE
         place the manifest shape is defined (commit and delete both
         route here). Returns False when the version was taken.
+
+        ``stats_override`` carries replacement stats entries for
+        RETAINED files — the deletion-vector commit shape, where the
+        only change is an existing file's stats gaining/extending its
+        ``dv`` entry. ``_apply_delta`` already merges delta stats over
+        the parent's, so overrides reconstruct identically from the
+        log, from checkpoints, and from the writer cache.
 
         STICKY meta keys are CARRIED FORWARD from the previous
         manifest when this commit doesn't set them — application state
@@ -2440,7 +2466,10 @@ class TransactionalTable:
                 "remove": [f for f in prev["files"] if f not in fset],
                 "rows": rows,
                 "schema": schema,
-                "stats": {f: stats[f] for f in add if f in stats},
+                "stats": {
+                    **{f: stats[f] for f in add if f in stats},
+                    **(stats_override or {}),
+                },
                 "meta": meta,
                 "committed_at": committed_at,
             }
@@ -3463,26 +3492,254 @@ class TransactionalTable:
             # snapshot.
         raise CommitConflict(f"delete lost {max_retries} commit races on {self.root}")
 
+    # -- deletion vectors (merge-on-read) ------------------------------------
+    #
+    # A DV commit soft-deletes rows by POSITION: instead of rewriting
+    # every file a selective DELETE touches (copy-on-write — O(matched
+    # file bytes)), it writes one small parquet sidecar of
+    # (file key, row position) pairs under ``_dvs/`` and a delta record
+    # whose only change is the affected files' stats gaining a
+    # ``"dv": {"refs": [...], "n": total}`` entry — O(deleted
+    # positions) bytes, the Delta/Iceberg deletion-vector shape on the
+    # commit log. Readers subtract the DV with a broadcast anti-join on
+    # (file, ``_metadata.row_index``) — the physical row position Spark
+    # exposes on every parquet scan — so no data file is ever modified
+    # and time travel keeps every version exact (DV refs ride per-file
+    # stats, which are versioned like everything else). Min/max and
+    # bloom stats keep describing the PHYSICAL file: pruning may keep a
+    # file whose only matching rows are deleted (a false positive —
+    # never wrong, the anti-join makes the read exact), and
+    # ``optimize()`` / ``optimize_incremental()`` materialize DVs by
+    # rewriting through the DV-aware reader. At 100 TB the anti-join
+    # input is O(accumulated deleted positions on the scanned files),
+    # which maintenance keeps bounded — the standard merge-on-read
+    # compaction contract.
+
+    def _dv_map(self, m: dict, files: list[str]) -> dict[str, dict]:
+        """{file key: dv entry} for the subset of ``files`` carrying a
+        deletion vector in this snapshot's stats."""
+        stats = m.get("stats", {})
+        return {
+            f: stats[f]["dv"]
+            for f in files
+            if "dv" in stats.get(f, {})
+        }
+
+    def _dv_key_col(self):
+        """Expression rendering each scanned row's table-relative file
+        KEY from ``_metadata.file_path``. File NAMES are not unique
+        across hive partition directories (two partitions' task-0 files
+        share a name), so the join key must be the path suffix under
+        the table's data root."""
+        from pyspark.sql import functions as F
+
+        return F.concat(
+            F.lit(DATA_DIR + "/"),
+            F.substring_index(
+                F.col("_metadata.file_path"),
+                self.storage.url(DATA_DIR) + "/",
+                -1,
+            ),
+        )
+
+    def _with_dv_keys(self, raw: DataFrame) -> DataFrame:
+        """Attach ``__dv_file``/``__dv_pos`` to a parquet SCAN frame.
+        Must be called on the scan relation directly — ``_metadata``
+        is a hidden column that does not survive an intervening
+        projection."""
+        from pyspark.sql import functions as F
+
+        return raw.select(
+            "*",
+            self._dv_key_col().alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+
+    def _dv_positions(self, spark: SparkSession, dv_map: dict) -> DataFrame:
+        """(``__dv_file``, ``__dv_pos``) frame of every deleted position
+        recorded for ``dv_map``'s files — a distributed read of the
+        referenced sidecars, never a driver materialization."""
+        from pyspark.sql import functions as F
+
+        refs = sorted({r for e in dv_map.values() for r in e["refs"]})
+        return spark.read.parquet(
+            *[self.storage.url(r) for r in refs]
+        ).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+
+    def _strip_dv(
+        self,
+        spark: SparkSession,
+        keyed: DataFrame,
+        dv_map: dict,
+        drop: bool = True,
+    ) -> DataFrame:
+        """Remove soft-deleted rows: broadcast anti-join of a
+        ``_with_dv_keys`` frame against the sidecar positions."""
+        from pyspark.sql import functions as F
+
+        out = keyed.join(
+            F.broadcast(self._dv_positions(spark, dv_map)),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+        return out.drop("__dv_file", "__dv_pos") if drop else out
+
     def _affected_frame(self, spark: SparkSession, m: dict, files: list[str]):
         """Reader over a snapshot's file SUBSET with the snapshot's
         layout semantics applied (basePath for v1 partitioned tables,
         mergeSchema for evolved ones, manifest-schema reconciliation
-        for ALTERed columns no file carries yet)."""
+        for ALTERed columns no file carries yet, deletion vectors
+        anti-joined out — a rewrite of a DV-carrying file must not
+        resurrect its soft-deleted rows)."""
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
         if m.get("mixed_schemas"):
             reader = reader.option("mergeSchema", "true")
         with _no_listing_job(spark, len(files)):
-            return _reconcile_schema(
-                reader.parquet(*[self.storage.url(f) for f in files]), m
-            )
+            raw = reader.parquet(*[self.storage.url(f) for f in files])
+        dv_map = self._dv_map(m, files)
+        if dv_map:
+            raw = self._strip_dv(spark, self._with_dv_keys(raw), dv_map)
+        return _reconcile_schema(raw, m)
+
+    def _dv_delete(
+        self,
+        spark: SparkSession,
+        base_v: int,
+        m: dict,
+        affected: list[str],
+        cond,
+        op_meta: dict,
+    ) -> dict | None:
+        """One merge-on-read DELETE attempt against snapshot ``m``:
+        find every live row of ``affected`` matching ``cond`` (a
+        Column; NULL keeps the row, SQL three-valued logic), write
+        their (file, position) pairs as ONE parquet sidecar under
+        ``_dvs/``, and commit a delta whose only file-set change is
+        dropping files that became fully empty — everything else is a
+        stats edit (dv refs + logical row arithmetic). Returns the
+        result dict, or None on a commit race (caller retries from the
+        new head). Cost: one scan of the affected files + O(deleted
+        positions) bytes written; no data file is rewritten."""
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        stats = m.get("stats", {})
+        reader = spark.read
+        if self._path_partitioned(m):
+            reader = reader.option("basePath", self.storage.url(DATA_DIR))
+        if m.get("mixed_schemas"):
+            reader = reader.option("mergeSchema", "true")
+        with _no_listing_job(spark, len(affected)):
+            raw = reader.parquet(*[self.storage.url(f) for f in affected])
+        keyed = _reconcile_schema(self._with_dv_keys(raw), m)
+        prev_dvs = self._dv_map(m, affected)
+        if prev_dvs:
+            # only LIVE rows can be deleted again — scanning raw files
+            # would re-match already-deleted positions and double-count
+            keyed = self._strip_dv(spark, keyed, prev_dvs, drop=False)
+        hits = keyed.where(cond).select("__dv_file", "__dv_pos")
+        hits.persist()
+        try:
+            # per-file deletion counts: bounded by len(affected)
+            counts = {
+                r["__dv_file"]: int(r["n"])
+                for r in hits.groupBy("__dv_file")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if not counts:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(m["files"]),
+                    "rows_deleted": 0,
+                    "dv_files": 0,
+                }
+            total = sum(counts.values())
+            dv_key = f"{DVS_DIR}/c{uuid.uuid4().hex}.parquet"
+            tmp = tempfile.mkdtemp(prefix="txdv_")
+            try:
+                (
+                    hits.select(
+                        F.col("__dv_file").alias("file"),
+                        F.col("__dv_pos").alias("pos"),
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tmp, "dv"))
+                )
+                part = _glob.glob(os.path.join(tmp, "dv", "part-*.parquet"))
+                self.storage.upload_file(part[0], dv_key)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            hits.unpersist()
+        override: dict[str, dict] = {}
+        emptied: list[str] = []
+        for f, n in counts.items():
+            old = dict(stats.get(f, {}))
+            prev = old.get("dv", {"refs": [], "n": 0})
+            new_n = int(prev.get("n", 0)) + n
+            if old.get("rows") is not None and new_n >= int(old["rows"]):
+                # every physical row is now deleted: drop the file from
+                # the snapshot instead of carrying a full-file DV
+                emptied.append(f)
+                continue
+            old["dv"] = {
+                "refs": list(prev.get("refs", [])) + [dv_key],
+                "n": new_n,
+            }
+            override[f] = old
+        files = (
+            [f for f in m["files"] if f not in set(emptied)]
+            if emptied
+            else list(m["files"])
+        )
+        if self._put_manifest(
+            base_v,
+            files,
+            max(0, int(m.get("rows", 0)) - total),
+            m.get("schema"),
+            {},  # no staged files; retained stats ride the parent
+            {
+                **op_meta,
+                "source_version": base_v,
+                "strategy": "merge-on-read",
+                "dv_commit": total,
+            },
+            m.get("partition_by"),
+            m,
+            mixed_schemas=bool(m.get("mixed_schemas")),
+            stats_override=override,
+        ):
+            return {
+                "version": base_v + 1,
+                "files_rewritten": 0,
+                "files_retained": len(files),
+                "files_dropped_empty": len(emptied),
+                "rows_deleted": total,
+                "dv_files": len(override),
+                "dv_ref": dv_key,
+            }
+        # commit race: reclaim the orphaned sidecar eagerly (vacuum
+        # would also catch it) and let the caller retry
+        try:
+            self.storage.delete(dv_key)
+        except Exception:
+            pass
+        return None
 
     def delete_where(
         self,
         spark: SparkSession,
         predicate: str,
         max_retries: int = 5,
+        merge_on_read: bool = False,
     ) -> dict:
         """Row-level DELETE with an arbitrary SQL predicate — the
         ``DELETE FROM t WHERE <pred>`` form (``sources/txsql.py``
@@ -3518,10 +3775,27 @@ class TransactionalTable:
                     "files_retained": len(retained),
                     "rows_deleted": 0,
                 }
+            if merge_on_read:
+                res = self._dv_delete(
+                    spark,
+                    base_v,
+                    m,
+                    affected,
+                    F.coalesce(F.expr(predicate), F.lit(False)),
+                    {"op": "delete"},
+                )
+                if res is not None:
+                    return res
+                continue  # commit race: retry from the new head
             df = self._affected_frame(spark, m, affected)
             prev_stats = m.get("stats", {})
             if all("rows" in prev_stats.get(f, {}) for f in affected):
-                affected_rows = sum(prev_stats[f]["rows"] for f in affected)
+                # LOGICAL rows: physical footer counts minus any
+                # deletion vector already on the file (the DV-aware
+                # _affected_frame stages only live rows)
+                affected_rows = sum(
+                    _logical_rows(prev_stats, f) for f in affected
+                )
             else:
                 affected_rows = df.count()
             pred = F.coalesce(F.expr(predicate), F.lit(False))
