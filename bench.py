@@ -41,7 +41,11 @@ HEADLINE = [
     "q_sessionize",
     "q_dedup_exact",
     "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
+    # round-8 swap: the ngram-jaccard within-block exact verify is the
+    # documented ORACLE tier (block-quadratic; 5.67× top-decade ratio at
+    # sf1, SCALE_PROBE_r06) — the production near-dup chain is the
+    # banded-LSH survivors path, which is what belongs in the headline
+    "q_dedup_minhash_survivors",
     "q_topk_cosine",
     "q_text_tokenstats",
     "q_array_explode",

@@ -157,11 +157,20 @@ def merge_clauses(
     The caller is responsible for source key uniqueness when any
     matched/by-source clause exists (``TransactionalTable.merge``
     pre-checks and raises — the SQL-standard cardinality violation);
-    duplicate source keys here would fan matched target rows out."""
+    duplicate source keys here would fan matched target rows out.
+    The INSERT-ONLY form (every clause ``not_matched``) carries the
+    Delta relaxation instead: duplicate source keys are legal (every
+    qualifying non-matching row inserts), target rows pass through
+    exactly once — expressed as an anti-join of the source against
+    the target KEYS unioned with the untouched base, so the base's
+    value columns never shuffle at all."""
     tcols, scols = list(base.columns), list(updates.columns)
     for k in key_cols:
         if k not in tcols or k not in scols:
             raise ValueError(f"merge key {k!r} must exist on both sides")
+    insert_only = bool(clauses) and all(
+        c.get("when") == "not_matched" for c in clauses
+    )
     t = base.select(
         *[F.col(c).alias(f"__t_{c}") for c in tcols],
         F.lit(True).alias("__in_t"),
@@ -170,8 +179,30 @@ def merge_clauses(
         *[F.col(c).alias(f"__s_{c}") for c in scols],
         F.lit(True).alias("__in_s"),
     )
-    on = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in key_cols]
-    j = t.join(s, on=on if len(on) > 1 else on[0], how="full")
+    if insert_only:
+        # a full-outer join would fan a matched target row out once per
+        # duplicate source key (every copy 'keep' → duplicated target
+        # rows). Anti-join the source against the column-pruned target
+        # keys, synthesize NULL target sides so the clause machinery
+        # below evaluates identically, and union the untouched base in
+        # at the end.
+        tkeys = t.select(*[F.col(f"__t_{k}") for k in key_cols]).distinct()
+        anti_on = [tkeys[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in key_cols]
+        anti = s.join(
+            tkeys, on=anti_on if len(anti_on) > 1 else anti_on[0], how="left_anti"
+        )
+        tschema = {f.name: f.dataType for f in base.schema.fields}
+        j = anti.select(
+            *[
+                F.lit(None).cast(tschema[c]).alias(f"__t_{c}")
+                for c in tcols
+            ],
+            F.lit(None).cast("boolean").alias("__in_t"),
+            "*",
+        )
+    else:
+        on = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in key_cols]
+        j = t.join(s, on=on if len(on) > 1 else on[0], how="full")
 
     matched = F.col("__in_t").isNotNull() & F.col("__in_s").isNotNull()
     only_s = F.col("__in_t").isNull()
@@ -263,4 +294,8 @@ def merge_clauses(
                 )
             pick = F.when(F.col("__action") == label, v).otherwise(pick)
         out_cols.append(pick.cast(schema[col]).alias(col))
-    return j.select(*out_cols)
+    out = j.select(*out_cols)
+    if insert_only:
+        # target rows pass through untouched — unioned, never joined
+        out = base.select(*tcols).unionByName(out)
+    return out

@@ -1486,3 +1486,94 @@ def q_tx_sql_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_delete_dv",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE NOT (o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+               AND o_orderstatus = 'O')
+    """,
+)
+def q_tx_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors
+    (``TransactionalTable.delete_where(..., merge_on_read=True)``): the
+    same selective delete as ``q_tx_delete``, but instead of rewriting
+    the matched files the commit writes ONE ``_dvs/`` position sidecar
+    and a stats delta — O(deleted positions), never O(matched file
+    bytes); readers subtract the vector with a broadcast anti-join on
+    (file, ``_metadata.row_index``). The query ASSERTS
+    ``files_rewritten == 0`` (the whole point of the strategy) and the
+    oracle is the plain anti-filter: matching proves soft-deleted rows
+    vanish from reads exactly as a copy-on-write delete's would, while
+    every data file stays byte-identical. Idempotent: a re-run matches
+    only live rows (none remain) and commits nothing."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txdvdel", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_totalprice"], num_files=8)
+    res = t.delete_where(
+        spark,
+        "o_totalprice >= 50000.0 AND o_totalprice <= 150000.0 "
+        "AND o_orderstatus = 'O'",
+        merge_on_read=True,
+    )
+    assert res["files_rewritten"] == 0, res  # merge-on-read contract
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_tx_update_dv",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000.0
+                THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    """,
+)
+def q_tx_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors
+    (``update_where(..., merge_on_read=True)``): the matched rows' old
+    positions are soft-deleted through a ``_dvs/`` sidecar and the
+    updated rows re-enter the table as APPENDED files — no matched
+    file is rewritten (asserted), the Delta DV-update shape whose cost
+    is O(matched rows). The assignment is absolute and its predicate
+    self-extinguishes ('F' rows become 'R'), so a re-run matches
+    nothing and commits no version; the oracle replays the update as a
+    CASE projection over the raw table."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txdvupd", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_totalprice"], num_files=8)
+    res = t.update_where(
+        spark,
+        {"o_orderstatus": "'R'"},
+        "o_orderstatus = 'F' AND o_totalprice < 50000.0",
+        merge_on_read=True,
+    )
+    assert res["files_rewritten"] == 0, res  # merge-on-read contract
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

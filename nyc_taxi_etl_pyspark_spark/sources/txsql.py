@@ -121,6 +121,19 @@ def _strip_alias(text: str, alias: str | None) -> str:
 
 _NAME = r"[A-Za-z_][\w.]*"
 _ALIAS = rf"(?:\s+(?:AS\s+)?(?!USING\b|ON\b|SET\b|WHERE\b)([A-Za-z_]\w*))?"
+# optional statement-level write-strategy hint on DELETE/UPDATE; the
+# captured group is the hint body (or None)
+_MOR_HINT = r"(?:/\*\+\s*(MERGE_ON_READ|COPY_ON_WRITE)\s*\*/\s+)?"
+
+
+def _merge_on_read(t: TransactionalTable, hint: str | None) -> bool:
+    """Resolve the DELETE/UPDATE write strategy: an explicit statement
+    hint wins, else the table's ``merge_on_read`` property (the Delta
+    ``enableDeletionVectors`` shape, set via ``ALTER TABLE ... SET
+    TBLPROPERTIES (merge_on_read = true)``), else copy-on-write."""
+    if hint is not None:
+        return hint.upper() == "MERGE_ON_READ"
+    return t.properties().get("merge_on_read", "").lower() == "true"
 
 
 def _parse_relation(spark: SparkSession, rel: str) -> DataFrame:
@@ -454,28 +467,41 @@ def execute_dml(
         }
     if head == "DELETE":
         m = re.match(
-            rf"^DELETE\s+FROM\s+({_NAME}){_ALIAS}\s+WHERE\s+(.+)$",
+            rf"^DELETE\s+{_MOR_HINT}FROM\s+({_NAME}){_ALIAS}\s+WHERE\s+(.+)$",
             s,
             re.I | re.S,
         )
         if m is None:
             raise ValueError(
-                "DELETE shape: DELETE FROM <table> [AS a] WHERE <predicate> "
-                "(an unconstrained DELETE must be an explicit truncation "
-                "commit)"
+                "DELETE shape: DELETE [/*+ MERGE_ON_READ */] FROM <table> "
+                "[AS a] WHERE <predicate> (an unconstrained DELETE must be "
+                "an explicit truncation commit)"
             )
-        target, alias, pred = m.group(1), m.group(2), m.group(3)
+        hint, target, alias, pred = (
+            m.group(1),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
         t = _resolve_target(target, tables)
-        res = t.delete_where(spark, _strip_alias(pred, alias))
+        res = t.delete_where(
+            spark,
+            _strip_alias(pred, alias),
+            merge_on_read=_merge_on_read(t, hint),
+        )
         return {"op": "delete", "table": target, **res}
     if head == "UPDATE":
-        m = re.match(rf"^UPDATE\s+({_NAME}){_ALIAS}\s+SET\s+", s, re.I | re.S)
+        m = re.match(
+            rf"^UPDATE\s+{_MOR_HINT}({_NAME}){_ALIAS}\s+SET\s+",
+            s,
+            re.I | re.S,
+        )
         if m is None:
             raise ValueError(
-                "UPDATE shape: UPDATE <table> [AS a] SET c = expr, ... "
-                "[WHERE <predicate>]"
+                "UPDATE shape: UPDATE [/*+ MERGE_ON_READ */] <table> [AS a] "
+                "SET c = expr, ... [WHERE <predicate>]"
             )
-        target, alias = m.group(1), m.group(2)
+        hint, target, alias = m.group(1), m.group(2), m.group(3)
         rest = s[m.end() :]
         w = _find_top_level_kw(rest, "WHERE")
         set_part, pred = (rest, None) if w < 0 else (rest[:w], rest[w + 5 :])
@@ -488,7 +514,10 @@ def execute_dml(
             assignments[am.group(1)] = _strip_alias(am.group(2).strip(), alias)
         t = _resolve_target(target, tables)
         res = t.update_where(
-            spark, assignments, _strip_alias(pred, alias) if pred else None
+            spark,
+            assignments,
+            _strip_alias(pred, alias) if pred else None,
+            merge_on_read=_merge_on_read(t, hint),
         )
         return {"op": "update", "table": target, **res}
     if head == "INSERT":
@@ -676,6 +705,37 @@ def execute_dml(
             "history": t.history(),
         }
     if head == "ALTER":
+        pm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+SET\s+TBLPROPERTIES\s*\((.+)\)$",
+            s,
+            re.I | re.S,
+        )
+        if pm is not None:
+            t = _resolve_target(pm.group(1), tables)
+            props: dict[str, str] = {}
+            for item in _split_top_level(pm.group(2), ","):
+                am = re.match(
+                    r"^\s*(?:'((?:[^']|'')*)'|`?([\w.]+)`?)\s*=\s*"
+                    r"(?:'((?:[^']|'')*)'|(\S+))\s*$",
+                    item,
+                    re.S,
+                )
+                if am is None:
+                    raise ValueError(f"unparseable TBLPROPERTIES item: {item!r}")
+                key = (am.group(1) or am.group(2)).replace("''", "'")
+                val = (
+                    am.group(3).replace("''", "'")
+                    if am.group(3) is not None
+                    else am.group(4)
+                )
+                props[key] = val
+            version = t.set_properties(props)
+            return {
+                "op": "set_properties",
+                "table": pm.group(1),
+                "properties": t.properties(),
+                "version": version,
+            }
         # greedy to the FINAL ')': column types may themselves be
         # parenthesized (decimal(10,2), varchar(64)); the comma split
         # below is paren-aware so nested commas stay inside their type
@@ -687,7 +747,8 @@ def execute_dml(
         if m is None:
             raise ValueError(
                 "ALTER shape: ALTER TABLE <table> ADD COLUMNS "
-                "(col type, ...)"
+                "(col type, ...) | ALTER TABLE <table> SET TBLPROPERTIES "
+                "(k = v, ...)"
             )
         t = _resolve_target(m.group(1), tables)
         columns: dict[str, str] = {}

@@ -408,6 +408,30 @@ class TxTableStreamReader(DataSourceStreamReader):
                     "with TransactionalTable.changes() instead"
                 )
             stats = m.get("stats", {})
+            # a merge-on-read DELETE mutates rows WITHOUT removing any
+            # file — its whole delta is retained files' stats gaining a
+            # ``dv`` entry. The append-only contract must fail that just
+            # as loudly as a rewrite (silently passing it through would
+            # emit rows the table no longer contains).
+            if prev is not None:
+                prev_stats = prev.get("stats", {})
+                dv_mutated = [
+                    key
+                    for key in m["files"]
+                    if key in prev_files
+                    and stats.get(key, {}).get("dv")
+                    != prev_stats.get(key, {}).get("dv")
+                ]
+                if dv_mutated:
+                    raise ValueError(
+                        f"txstream: version {v} of {self.path} attaches a "
+                        f"deletion vector to {len(dv_mutated)} retained "
+                        f"file(s) (op="
+                        f"{m.get('meta', {}).get('op', 'replace')!r}) — "
+                        "the streaming source is append-only; consume "
+                        "mutations with TransactionalTable.changes() "
+                        "instead"
+                    )
             for key in m["files"]:
                 if key in prev_files:
                     continue

@@ -2036,6 +2036,16 @@ class TransactionalTable:
                     if mn != mx or mn != rec:
                         partition_mismatches.append(key)
                         break
+        # deletion-vector refs are part of the snapshot's read path —
+        # a missing sidecar is as fatal as a missing data file (reads
+        # would resurrect soft-deleted rows or fail outright)
+        missing_dvs: list[str] = []
+        for key in m["files"]:
+            for ref in stats.get(key, {}).get("dv", {}).get("refs", []):
+                if ref not in missing_dvs and not os.path.exists(
+                    self.storage.url(ref)
+                ):
+                    missing_dvs.append(ref)
         referenced: set[str] = set()
         for v in self.versions():
             mv = self.manifest(v)
@@ -2048,10 +2058,12 @@ class TransactionalTable:
             "missing_files": missing,
             "row_mismatches": row_mismatches,
             "partition_mismatches": partition_mismatches,
+            "missing_dv_sidecars": missing_dvs,
             "orphan_files": orphans,
             "ok": not missing
             and not row_mismatches
-            and not partition_mismatches,
+            and not partition_mismatches
+            and not missing_dvs,
         }
 
     def changes(
@@ -2422,7 +2434,14 @@ class TransactionalTable:
           Change it by committing with different clustering args."""
         new_v = base_v + 1
         meta = dict(meta or {})
-        for sticky in ("replay", "app", "clustering", "bloom_index", "layout"):
+        for sticky in (
+            "replay",
+            "app",
+            "clustering",
+            "bloom_index",
+            "layout",
+            "properties",
+        ):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
                 if carried is not None:
@@ -3049,7 +3068,11 @@ class TransactionalTable:
             stats = m.get("stats", {})
 
             def _rows(f: str):
-                return stats.get(f, {}).get("rows")
+                # LOGICAL rows: a large file most of whose rows a
+                # deletion vector soft-deleted is exactly the fragment
+                # this pass exists to clean up (compacting it
+                # materializes the DV)
+                return _logical_rows(stats, f)
 
             groups: dict[tuple, list[str]] = {}
             for f in m["files"]:
@@ -3070,17 +3093,15 @@ class TransactionalTable:
                     "rows_compacted": 0,
                 }
             retained = [f for f in m["files"] if f not in set(to_compact)]
-            rows_compacted = sum(stats[f]["rows"] for f in to_compact)
+            rows_compacted = sum(
+                _logical_rows(stats, f) for f in to_compact
+            )
             pb = m.get("partition_by")
-            reader = spark.read
-            if self._path_partitioned(m):
-                reader = reader.option("basePath", self.storage.url(DATA_DIR))
-            if m.get("mixed_schemas"):
-                reader = reader.option("mergeSchema", "true")
-            with _no_listing_job(spark, len(to_compact)):
-                df = reader.parquet(
-                    *[self.storage.url(f) for f in to_compact]
-                )
+            # _affected_frame applies the snapshot's read semantics —
+            # crucially the deletion-vector anti-join: compacting a
+            # DV-carrying file through a raw reader would resurrect its
+            # soft-deleted rows (the new file has no dv stats entry)
+            df = self._affected_frame(spark, m, to_compact)
             if pb:
                 # one task per compacted partition: whole fragments of a
                 # partition land together; the writer's maxRecordsPerFile
@@ -3188,6 +3209,20 @@ class TransactionalTable:
                 "restored_version": version,
                 "layout": self._layout_of(target),
             }
+            # per-file stats are NOT immutable by key anymore: a
+            # deletion-vector commit edits a retained file's entry in
+            # place, so restoring across one must explicitly re-assert
+            # the TARGET's entry for every retained file whose stats
+            # drifted (else _apply_delta carries the head's dv refs
+            # into the restored snapshot — resurrected deletes)
+            prev_stats = (prev or {}).get("stats", {})
+            t_stats = target.get("stats", {})
+            prev_files = set((prev or {}).get("files", ()))
+            override = {
+                f: t_stats.get(f, {})
+                for f in target["files"]
+                if f in prev_files and prev_stats.get(f) != t_stats.get(f)
+            }
             if self._put_manifest(
                 base_v,
                 list(target["files"]),
@@ -3198,6 +3233,7 @@ class TransactionalTable:
                 target.get("partition_by"),
                 prev,
                 mixed_schemas=bool(target.get("mixed_schemas")),
+                stats_override=override or None,
             ):
                 return base_v + 1
             if expect_version is not None:
@@ -3264,6 +3300,56 @@ class TransactionalTable:
         raise CommitConflict(
             f"add_columns lost {max_retries} commit races on {self.root}"
         )
+
+    def set_properties(
+        self, props: dict[str, str], max_retries: int = 5
+    ) -> int:
+        """``ALTER TABLE ... SET TBLPROPERTIES``: merge ``props`` into
+        the table's sticky key/value properties — a metadata-only O(1)
+        commit (no file touched, no Spark job). Properties ride the
+        manifest's sticky meta, so maintenance commits carry them
+        forward; setting a key to the string ``"null"`` unsets it.
+        The engine itself reads ``merge_on_read`` (``"true"`` routes
+        SQL DELETE/UPDATE through deletion vectors, the Delta
+        ``enableDeletionVectors`` shape); everything else is
+        application-owned."""
+        if not props:
+            raise ValueError("set_properties: no properties given")
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            merged = dict(m.get("meta", {}).get("properties") or {})
+            for k, v in props.items():
+                if str(v).lower() == "null":
+                    merged.pop(k, None)
+                else:
+                    merged[k] = str(v)
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                m.get("schema"),
+                dict(m.get("stats", {})),
+                {"op": "set_properties", "properties": merged},
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"set_properties lost {max_retries} commit races on {self.root}"
+        )
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        """The table's sticky key/value properties at ``version``
+        (current when None); {} for a table that never set any."""
+        v = self.latest_version() if version is None else version
+        m = self.manifest(v) if v >= 0 else None
+        return dict((m or {}).get("meta", {}).get("properties") or {})
 
     def vacuum(
         self,
@@ -3358,6 +3444,28 @@ class TransactionalTable:
             if not dry_run:
                 self.storage.delete(key)
             removed_sidecars += 1
+        # deletion-vector sidecars: live refs ride per-file stats
+        # (``dv.refs``) of the retained snapshots, same lifecycle as
+        # bloom sidecars — a ref is uploaded BEFORE the manifest that
+        # cites it, so the writer grace window applies identically.
+        # Orphans come from commit races (_dv_delete's eager cleanup
+        # can itself fail), expired versions, and rewrites/compactions
+        # that materialized the DV away.
+        live_dvs: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            for fstats in (m or {}).get("stats", {}).values():
+                live_dvs.update(fstats.get("dv", {}).get("refs", []))
+        removed_dv_sidecars = 0
+        for key in self.storage.list(DVS_DIR):
+            if key in live_dvs:
+                continue
+            if self.storage.age_seconds(key) < unreferenced_grace_s:
+                skipped_in_grace += 1
+                continue
+            if not dry_run:
+                self.storage.delete(key)
+            removed_dv_sidecars += 1
         # POSIX hygiene: directories emptied by the deletions above
         # (vacated commit dirs, drained hive partitions) would pile up
         # forever on a filesystem backend — object stores have no
@@ -3371,6 +3479,7 @@ class TransactionalTable:
             "removed_manifests": removed_manifests,
             "removed_data_files": removed_files,
             "removed_bloom_sidecars": removed_sidecars,
+            "removed_dv_sidecars": removed_dv_sidecars,
             "skipped_in_grace": skipped_in_grace,
             "retained_versions": sorted(keep),
         }
@@ -3425,7 +3534,12 @@ class TransactionalTable:
             df = self._affected_frame(spark, m, affected)
             prev_stats = m.get("stats", {})
             if all("rows" in prev_stats.get(f, {}) for f in affected):
-                affected_rows = sum(prev_stats[f]["rows"] for f in affected)
+                # LOGICAL rows: the DV-aware _affected_frame stages only
+                # live rows, so the deleted-row arithmetic must subtract
+                # any deletion vector already on the file
+                affected_rows = sum(
+                    _logical_rows(prev_stats, f) for f in affected
+                )
             else:
                 affected_rows = df.count()
             pred = None
@@ -3613,17 +3727,23 @@ class TransactionalTable:
         affected: list[str],
         cond,
         op_meta: dict,
+        assignments: dict[str, str] | None = None,
     ) -> dict | None:
-        """One merge-on-read DELETE attempt against snapshot ``m``:
-        find every live row of ``affected`` matching ``cond`` (a
+        """One merge-on-read DELETE/UPDATE attempt against snapshot
+        ``m``: find every live row of ``affected`` matching ``cond`` (a
         Column; NULL keeps the row, SQL three-valued logic), write
         their (file, position) pairs as ONE parquet sidecar under
         ``_dvs/``, and commit a delta whose only file-set change is
         dropping files that became fully empty — everything else is a
-        stats edit (dv refs + logical row arithmetic). Returns the
-        result dict, or None on a commit race (caller retries from the
-        new head). Cost: one scan of the affected files + O(deleted
-        positions) bytes written; no data file is rewritten."""
+        stats edit (dv refs + logical row arithmetic). With
+        ``assignments`` this is merge-on-read UPDATE (the Delta DV
+        update shape): the matched OLD positions are soft-deleted
+        exactly as above AND the matched rows re-enter the table as
+        appended files with the assignments applied (each RHS
+        evaluated against the old row, cast back to the column's
+        type), so cost is O(matched rows), never O(matched file
+        bytes). Returns the result dict, or None on a commit race
+        (caller retries from the new head)."""
         import glob as _glob
 
         from pyspark.sql import functions as F
@@ -3642,7 +3762,9 @@ class TransactionalTable:
             # only LIVE rows can be deleted again — scanning raw files
             # would re-match already-deleted positions and double-count
             keyed = self._strip_dv(spark, keyed, prev_dvs, drop=False)
-        hits = keyed.where(cond).select("__dv_file", "__dv_pos")
+        hits = keyed.where(cond)
+        if assignments is None:
+            hits = hits.select("__dv_file", "__dv_pos")
         hits.persist()
         try:
             # per-file deletion counts: bounded by len(affected)
@@ -3652,12 +3774,13 @@ class TransactionalTable:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            counted = "rows_deleted" if assignments is None else "rows_updated"
             if not counts:
                 return {
                     "version": base_v,
                     "files_rewritten": 0,
                     "files_retained": len(m["files"]),
-                    "rows_deleted": 0,
+                    counted: 0,
                     "dv_files": 0,
                 }
             total = sum(counts.values())
@@ -3677,6 +3800,31 @@ class TransactionalTable:
                 self.storage.upload_file(part[0], dv_key)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
+            staged_keys: list[str] = []
+            staged_stats: dict[str, dict] = {}
+            if assignments is not None:
+                # the matched rows re-enter as appends: RHS evaluated
+                # against the OLD row (still in scope here), cast back
+                # to the column's type so the schema never drifts
+                old = hits.drop("__dv_file", "__dv_pos")
+                updated = old.select(
+                    *[
+                        (
+                            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                            if f.name in assignments
+                            else F.col(f.name)
+                        )
+                        for f in old.schema.fields
+                    ]
+                )
+                staged_keys, staged_stats = self._stage(
+                    updated,
+                    partition_by=m.get("partition_by"),
+                    bloom_by=(
+                        m.get("meta", {}).get("bloom_index") or {}
+                    ).get("cols"),
+                    layout=self._layout_of(m),
+                )
         finally:
             hits.unpersist()
         override: dict[str, dict] = {}
@@ -3702,10 +3850,12 @@ class TransactionalTable:
         )
         if self._put_manifest(
             base_v,
-            files,
-            max(0, int(m.get("rows", 0)) - total),
+            files + staged_keys,
+            # DELETE shrinks the table by the matched count; UPDATE
+            # re-inserts every matched row, so cardinality is unchanged
+            max(0, int(m.get("rows", 0)) - (total if assignments is None else 0)),
             m.get("schema"),
-            {},  # no staged files; retained stats ride the parent
+            staged_stats,  # retained files' stats ride the parent
             {
                 **op_meta,
                 "source_version": base_v,
@@ -3717,17 +3867,21 @@ class TransactionalTable:
             mixed_schemas=bool(m.get("mixed_schemas")),
             stats_override=override,
         ):
-            return {
+            res = {
                 "version": base_v + 1,
                 "files_rewritten": 0,
                 "files_retained": len(files),
                 "files_dropped_empty": len(emptied),
-                "rows_deleted": total,
+                counted: total,
                 "dv_files": len(override),
                 "dv_ref": dv_key,
             }
-        # commit race: reclaim the orphaned sidecar eagerly (vacuum
-        # would also catch it) and let the caller retry
+            if assignments is not None:
+                res["files_appended"] = len(staged_keys)
+            return res
+        # commit race: reclaim the orphaned sidecar eagerly (vacuum's
+        # _dvs/ sweep would also catch it after the writer grace) and
+        # let the caller retry; staged update files are vacuum backlog
         try:
             self.storage.delete(dv_key)
         except Exception:
@@ -3846,6 +4000,7 @@ class TransactionalTable:
         assignments: dict[str, str],
         predicate: str | None = None,
         max_retries: int = 5,
+        merge_on_read: bool = False,
     ) -> dict:
         """Row-level UPDATE — the ``UPDATE t SET col = expr, ... WHERE
         <pred>`` form (``sources/txsql.py`` routes statement text
@@ -3855,7 +4010,14 @@ class TransactionalTable:
         row updates only when the predicate is TRUE (NULL keeps the
         old values), and each assigned expression is cast back to the
         column's existing type so the table schema never drifts. No
-        predicate means update every row. Returns {version,
+        predicate means update every row.
+
+        ``merge_on_read=True`` switches to the deletion-vector UPDATE
+        shape: the matched rows' OLD positions are soft-deleted via a
+        ``_dvs/`` sidecar and the updated rows are APPENDED — cost
+        O(matched rows) instead of O(matched file bytes), the right
+        trade for selective updates over large files (``optimize``
+        later materializes the DVs away). Returns {version,
         files_rewritten, files_retained, rows_updated}."""
         from pyspark.sql import functions as F
 
@@ -3886,6 +4048,23 @@ class TransactionalTable:
                     "files_retained": len(retained),
                     "rows_updated": 0,
                 }
+            if merge_on_read:
+                res = self._dv_delete(
+                    spark,
+                    base_v,
+                    m,
+                    affected,
+                    (
+                        F.coalesce(F.expr(predicate), F.lit(False))
+                        if predicate
+                        else F.lit(True)
+                    ),
+                    {"op": "update"},
+                    assignments=assignments,
+                )
+                if res is not None:
+                    return res
+                continue  # commit race: retry from the new head
             df = self._affected_frame(spark, m, affected)
             pred = (
                 F.coalesce(F.expr(predicate), F.lit(False))

@@ -1,0 +1,435 @@
+"""Merge-on-read deletion vectors (sources/txtable.py ``_dv_delete``
+and friends — no reference counterpart; the reference,
+``src/pipeline/etl_writer.py``, only overwrites whole partitions).
+
+The contract under test: ``delete_where(..., merge_on_read=True)`` and
+``update_where(..., merge_on_read=True)`` mutate rows WITHOUT rewriting
+any data file — the whole commit is one small ``_dvs/`` position
+sidecar plus a stats delta — while every read path (current, time
+travel, metadata count, change feed, maintenance rewrite) stays exactly
+as precise as the copy-on-write forms. Plus the lifecycle edges:
+stacked DVs, re-deletes seeing only live rows, emptied-file drops,
+checkpoint/delta reconstruction of the ``dv`` stats entry, vacuum GC of
+orphaned sidecars, and the streaming source failing a DV commit loudly
+(it mutates rows while removing no file — the silent case).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+    DVS_DIR,
+    TransactionalTable,
+)
+
+
+def _tenk(spark, n=1000):
+    """n rows in 4 files: id, k = id % 10, v = id * 2.0."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 10).alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+        .repartition(4)
+    )
+
+
+def _dv_sidecars(root: str) -> list[str]:
+    d = os.path.join(root, DVS_DIR)
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_dv_delete_rewrites_nothing_and_reads_exact(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_tenk(spark))
+    before_files = sorted(t.manifest()["files"])
+
+    res = t.delete_where(spark, "k = 3", merge_on_read=True)
+    assert res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 100
+    assert res["dv_files"] == 4  # every file held k=3 rows
+    # the data file SET is untouched — the commit is stats + sidecar
+    assert sorted(t.manifest()["files"]) == before_files
+    assert len(_dv_sidecars(root)) == 1
+
+    cur = t.read(spark)
+    assert cur.count() == 900
+    assert cur.where("k = 3").count() == 0
+    # filtered read over non-deleted keys is untouched
+    assert cur.where("k = 7").count() == 100
+    # metadata-only count() agrees with the logical row count
+    assert t.count() == 900
+    # time travel: the pre-delete snapshot still reads every row
+    assert t.read(spark, 0).count() == 1000
+    assert t.count(0) == 1000
+
+
+def test_dv_stacked_and_redelete_sees_only_live_rows(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark))
+    t.delete_where(spark, "k = 4 AND id < 500", merge_on_read=True)
+    # second DV on the SAME files: only live rows may match again
+    res = t.delete_where(spark, "k = 4", merge_on_read=True)
+    assert res["rows_deleted"] == 50  # the surviving k=4 half, not 100
+    assert t.read(spark).count() == 900
+    assert t.read(spark).where("k = 4").count() == 0
+    # each version of the stack is exact under time travel
+    assert t.read(spark, 1).where("k = 4").count() == 50
+    # stats carry BOTH sidecar refs for the stacked files
+    stats = t.manifest().get("stats", {})
+    refs = {r for s in stats.values() for r in s.get("dv", {}).get("refs", [])}
+    assert len(refs) == 2
+
+
+def test_dv_delete_drops_fully_emptied_files(spark, tmp_path):
+    """A file whose every physical row is deleted leaves the snapshot
+    instead of carrying a full-file DV."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    # partition by k → each file holds exactly one k value
+    t.commit(
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).alias("k")
+        ),
+        partition_by=["k"],
+    )
+    n_before = len(t.manifest()["files"])
+    res = t.delete_where(spark, "k = 2", merge_on_read=True)
+    assert res["rows_deleted"] == 25
+    assert res["files_dropped_empty"] >= 1
+    assert len(t.manifest()["files"]) == n_before - res["files_dropped_empty"]
+    assert t.read(spark).count() == 75
+    assert t.read(spark).where("k = 2").count() == 0
+
+
+def test_dv_delete_on_partitioned_table_keys_by_path_suffix(spark, tmp_path):
+    """Two hive partitions' task-0 files share a NAME — the DV join key
+    must be the table-relative path, or positions would cross-delete."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(200).select(
+            F.col("id"), (F.col("id") % 2).alias("p"), (F.col("id") % 5).alias("k")
+        ),
+        partition_by=["p"],
+    )
+    res = t.delete_where(spark, "k = 1 AND id < 100", merge_on_read=True)
+    assert res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 20
+    cur = t.read(spark)
+    assert cur.count() == 180
+    assert cur.where("k = 1 AND id < 100").count() == 0
+    assert cur.where("k = 1").count() == 20  # id >= 100 half lives
+    # partition-scoped reads subtract exactly their own partition's DV
+    # positions (ids ≡ 1 mod 5 below 100 split 10/10 across p=0/p=1)
+    assert cur.where("p = 0").count() == 90
+    assert cur.where("p = 1").count() == 90
+
+
+def test_dv_update_appends_new_rows_and_soft_deletes_old(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark))
+    res = t.update_where(spark, {"v": "v + 1000"}, "k = 5", merge_on_read=True)
+    assert res["files_rewritten"] == 0
+    assert res["rows_updated"] == 100
+    assert res["files_appended"] >= 1
+    cur = t.read(spark)
+    assert cur.count() == 1000  # cardinality unchanged
+    got = cur.where("k = 5").agg(
+        F.count("*").alias("c"), F.min("v").alias("mn")
+    ).first()
+    assert (got.c, got.mn) == (100, 5 * 2.0 + 1000)
+    # untouched keys untouched; old snapshot isolated
+    assert cur.where("k = 6").agg(F.max("v")).first()[0] == 996 * 2.0
+    assert t.read(spark, 0).where("k = 5").agg(F.max("v")).first()[0] == 995 * 2.0
+    assert t.count() == 1000
+
+
+def test_dv_update_rhs_sees_old_row_and_casts_to_schema(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 100))
+    before = dict(t.read(spark).dtypes)
+    # RHS yields a double-typed expr for a bigint column → cast back
+    t.update_where(spark, {"id": "id + 0.9"}, "k = 2", merge_on_read=True)
+    cur = t.read(spark)
+    assert dict(cur.dtypes) == before
+    # 2 + 0.9 cast to bigint truncates (ANSI cast of 2.9 → 2)
+    assert cur.where("k = 2").agg(F.min("id")).first()[0] == 2
+
+
+def test_dv_update_moves_rows_across_partitions(spark, tmp_path):
+    """An assignment that changes the partition column must land the
+    updated rows in the RIGHT partition directory (staging re-applies
+    the table layout, exactly like copy-on-write)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("p")),
+        partition_by=["p"],
+    )
+    res = t.update_where(spark, {"p": "5"}, "p = 1", merge_on_read=True)
+    assert res["rows_updated"] == 25
+    cur = t.read(spark)
+    assert cur.where("p = 1").count() == 0
+    assert cur.where("p = 5").count() == 25
+    assert cur.count() == 100
+    # partition-pruned band read resolves the moved rows
+    assert t.read(spark, where=[("p", 5, 5)]).count() == 25
+
+
+def test_dv_optimize_materializes_and_never_resurrects(spark, tmp_path):
+    """Regression for the round-7 advice finding: optimize_incremental
+    read compaction inputs with a raw reader, resurrecting soft-deleted
+    rows and dropping the dv stats entry. Both OPTIMIZE forms must
+    rewrite through the DV-aware reader."""
+    for name, run in (
+        ("full", lambda t: t.optimize(spark, target_rows_per_file=1000)),
+        (
+            "incr",
+            lambda t: t.optimize_incremental(spark, target_rows_per_file=1000),
+        ),
+    ):
+        t = TransactionalTable(str(tmp_path / f"t_{name}"))
+        t.commit(_tenk(spark, 100))
+        t.delete_where(spark, "k = 0", merge_on_read=True)
+        assert t.read(spark).count() == 90
+        res = run(t)
+        assert t.read(spark).count() == 90, name
+        assert t.read(spark).where("k = 0").count() == 0, name
+        # materialized: no dv entry survives on the compacted snapshot
+        stats = t.manifest().get("stats", {})
+        assert not any("dv" in s for s in stats.values()), name
+        if name == "incr":
+            assert res["rows_compacted"] == 90  # logical, not physical
+
+
+def test_dv_band_delete_logical_row_arithmetic(spark, tmp_path):
+    """Copy-on-write band delete() over a DV-carrying file: rows_deleted
+    must not double-count the soft-deleted rows (round-7 advice)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 100))
+    t.delete_where(spark, "k = 0", merge_on_read=True)  # 10 rows soft-dead
+    res = t.delete(spark, [("k", 5, 6)])  # copy-on-write over same files
+    assert res["rows_deleted"] == 20
+    assert t.read(spark).count() == 70
+    assert t.manifest()["rows"] == 70
+    assert t.count() == 70
+
+
+def test_dv_change_feed_reports_dv_deletes(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 100))
+    v = t.delete_where(spark, "k = 7", merge_on_read=True)["version"]
+    feed = t.changes(spark, ["id"], v - 1, v)
+    rows = feed.collect()
+    assert len(rows) == 10
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [7, 17, 27, 37, 47, 57, 67, 77, 87, 97]
+
+
+def test_dv_stats_survive_checkpoint_reconstruction(spark, tmp_path):
+    """The ``dv`` stats entry must round-trip through the columnar
+    checkpoint and the delta chain: a FRESH handle resolving the
+    snapshot via checkpoint must subtract the same positions."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root, checkpoint_interval=2)
+    t.commit(_tenk(spark, 100))
+    t.delete_where(spark, "k = 9", merge_on_read=True)
+    # drive a few commits across checkpoint boundaries
+    t.commit(
+        spark.range(1000, 1010).select(
+            F.col("id"), (F.col("id") % 10).alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        mode="append",
+    )
+    t.commit(
+        spark.range(1010, 1020).select(
+            F.col("id"), (F.col("id") % 10).alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        mode="append",
+    )
+    fresh = TransactionalTable(root, checkpoint_interval=2)
+    cur = fresh.read(spark)
+    assert cur.count() == 110
+    assert cur.where("k = 9 AND id < 1000").count() == 0
+    assert fresh.count() == 110
+    # time travel through the checkpointed history stays exact
+    assert fresh.read(spark, 1).count() == 90
+
+
+def test_dv_vacuum_reclaims_orphaned_sidecars_keeps_live(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_tenk(spark, 100))
+    t.delete_where(spark, "k = 1", merge_on_read=True)
+    assert len(_dv_sidecars(root)) == 1
+    # live DV: vacuum must NOT touch it
+    res = t.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert res["removed_dv_sidecars"] == 0
+    assert len(_dv_sidecars(root)) == 1
+    assert t.read(spark).count() == 90
+
+    # full replace orphans the sidecar; dry run reports, real run deletes
+    t.commit(_tenk(spark, 50), mode="replace")
+    dry = t.vacuum(retain_versions=1, unreferenced_grace_s=0, dry_run=True)
+    assert dry["removed_dv_sidecars"] == 1
+    assert len(_dv_sidecars(root)) == 1  # dry run touched nothing
+    res = t.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert res["removed_dv_sidecars"] == 1
+    assert len(_dv_sidecars(root)) == 0
+    assert t.read(spark).count() == 50
+
+    # writer grace: a FRESH orphan inside the window is kept
+    t2root = str(tmp_path / "t2")
+    t2 = TransactionalTable(t2root)
+    t2.commit(_tenk(spark, 100))
+    t2.delete_where(spark, "k = 2", merge_on_read=True)
+    t2.commit(_tenk(spark, 50), mode="replace")
+    res = t2.vacuum(retain_versions=1, unreferenced_grace_s=3600)
+    assert res["removed_dv_sidecars"] == 0
+    assert len(_dv_sidecars(t2root)) == 1
+
+
+def test_dv_restore_across_dv_commit(spark, tmp_path):
+    """RESTORE to a pre-DV version, then forward again: every snapshot
+    keeps its own logical content (dv refs ride per-version stats)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 100))
+    v_dv = t.delete_where(spark, "k = 8", merge_on_read=True)["version"]
+    t.restore(0)
+    assert t.read(spark).count() == 100
+    assert t.count() == 100
+    t.restore(v_dv)
+    assert t.read(spark).count() == 90
+    assert t.read(spark).where("k = 8").count() == 0
+
+
+def test_txstream_fails_loudly_on_dv_commit(spark, tmp_path):
+    """A DV delete removes no file — the old detector (file-set
+    removal) silently passed the mutation through. The append-only
+    contract must fail it exactly like a rewrite (round-7 verdict)."""
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_tenk(spark, 100))
+
+    s = spark.readStream.format("txstream").option("path", root).load()
+    q = (
+        s.writeStream.format("memory")
+        .queryName("txs_dv")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("txs_dv").count() == 100
+        t.delete_where(spark, "k = 0", merge_on_read=True)
+        q.processAllAvailable()
+        raise AssertionError("stream should have failed on the DV commit")
+    except Exception as exc:  # noqa: BLE001 - StreamingQueryException wrapper
+        assert "deletion vector" in str(exc) or "append-only" in str(exc)
+    finally:
+        q.stop()
+
+
+def test_dv_noop_when_nothing_matches(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 100))
+    v = t.latest_version()
+    res = t.delete_where(spark, "k = 3 AND id > 10000", merge_on_read=True)
+    assert res["rows_deleted"] == 0
+    assert t.latest_version() == v  # no empty commit
+    assert _dv_sidecars(str(tmp_path / "t")) == []
+
+
+def test_sql_routing_hint_and_table_property(spark, tmp_path):
+    """SQL front door: ``DELETE /*+ MERGE_ON_READ */`` routes through
+    deletion vectors, the sticky ``merge_on_read`` table property
+    routes bare statements, and ``/*+ COPY_ON_WRITE */`` overrides the
+    property back (``sources/txsql.py::_merge_on_read``)."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark))
+    tables = {"sqldv": t}
+
+    r = execute_dml(
+        spark, "DELETE /*+ MERGE_ON_READ */ FROM sqldv WHERE k = 3", tables
+    )
+    assert r["files_rewritten"] == 0 and r["rows_deleted"] == 100
+
+    r = execute_dml(
+        spark,
+        "ALTER TABLE sqldv SET TBLPROPERTIES (merge_on_read = true)",
+        tables,
+    )
+    assert r["properties"] == {"merge_on_read": "true"}
+    r = execute_dml(spark, "DELETE FROM sqldv WHERE k = 4", tables)
+    assert r["files_rewritten"] == 0 and r["rows_deleted"] == 100
+    r = execute_dml(spark, "UPDATE sqldv SET v = v + 1 WHERE k = 6", tables)
+    assert r["files_rewritten"] == 0 and r["rows_updated"] == 100
+
+    # hint overrides the property back to copy-on-write
+    r = execute_dml(
+        spark, "DELETE /*+ COPY_ON_WRITE */ FROM sqldv WHERE k = 5", tables
+    )
+    assert r["files_rewritten"] > 0 and r["rows_deleted"] == 100
+
+    # property survives maintenance commits (sticky meta) and unsets
+    t.optimize(spark, target_rows_per_file=10_000)
+    assert t.properties()["merge_on_read"] == "true"
+    execute_dml(
+        spark,
+        "ALTER TABLE sqldv SET TBLPROPERTIES (merge_on_read = null)",
+        tables,
+    )
+    r = execute_dml(spark, "DELETE FROM sqldv WHERE k = 7", tables)
+    assert r["files_rewritten"] > 0
+    assert t.read(spark).count() == 600
+    assert t.read(spark).where("k = 6").agg(F.min("v")).first()[0] == 13.0
+
+
+def test_fsck_flags_missing_dv_sidecar(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_tenk(spark, 100))
+    t.delete_where(spark, "k = 1", merge_on_read=True)
+    assert t.fsck()["ok"]
+    # simulate a lifecycle-policy misfire eating the sidecar
+    dv = _dv_sidecars(root)[0]
+    os.remove(os.path.join(root, DVS_DIR, dv))
+    f = TransactionalTable(root).fsck()
+    assert not f["ok"]
+    assert f["missing_dv_sidecars"] == [f"{DVS_DIR}/{dv}"]
+
+
+def test_insert_only_merge_does_not_duplicate_matched_targets(spark, tmp_path):
+    """Round-7 advice: an insert-only clause merge with duplicate
+    source keys fanned matched target rows out through the full-outer
+    join. Now: target rows pass through exactly once (anti-join +
+    union) while duplicate NON-matching sources all insert (the Delta
+    insert-only relaxation)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    )
+    src = spark.createDataFrame(
+        [(1, 91.0), (1, 92.0), (9, 90.0), (9, 95.0)], "k int, v double"
+    )
+    t.merge(
+        spark,
+        src,
+        ["k"],
+        clauses=[
+            {"when": "not_matched", "cond": None, "action": "insert",
+             "values": "*"},
+        ],
+    )
+    rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert rows == [(1, 10.0), (2, 20.0), (9, 90.0), (9, 95.0)], rows

@@ -33,6 +33,11 @@ def main() -> None:
 
     queries = all_queries()
     names = sorted(all_oracle_sql())
+    if len(sys.argv) > 2:
+        # solo audit of freshly-added queries: trailing args are
+        # substring filters over the query names
+        pats = sys.argv[2:]
+        names = [n for n in names if any(p in n for p in pats)]
     spark = get_spark(app_name="partition-order-audit", master="local[7]")
     bad: list[str] = []
     t0 = time.perf_counter()

@@ -13,7 +13,11 @@ pinned low so reconstruction (base checkpoint + delta replay) is
 crossed constantly, and the distributed-publish threshold is pinned
 to 1 so every commit takes the executor-side path. The op mix
 includes SQL-text UPDATE/DELETE/MERGE through the DML front door
-(sources/txsql.py) and randomly flips the storage's
+(sources/txsql.py) — both the upsert-all fast path and the full
+clause form (conditional DELETE/UPDATE, guarded INSERT, NOT MATCHED
+BY SOURCE) — plus merge-on-read deletion-vector DELETE/UPDATE
+(crossing DVs with optimize, restore, vacuum, and checkpoint
+reconstruction), and randomly flips the storage's
 ``supports_direct_write`` capability, so version histories MIX layout
 v1 and v2 snapshots — restore/time-travel/vacuum must then resolve
 each version under its own manifest's layout flag.
@@ -182,6 +186,65 @@ def soak(spark, seed: int, n_ops: int) -> int:
         )
         model.update(d)
 
+    def do_sql_merge_clauses():
+        # FULL-FORM clause merge: conditional DELETE + UPDATE + guarded
+        # INSERT + NOT MATCHED BY SOURCE, replayed against the model
+        if not t.exists():
+            return
+        register_dml_target(dml_name, t)
+        d = rand_batch()
+        frame(d).createOrReplaceTempView(f"{dml_name}_cl")
+        execute_dml(
+            spark,
+            f"MERGE INTO {dml_name} AS t USING {dml_name}_cl AS s "
+            f"ON t.k = s.k "
+            f"WHEN MATCHED AND s.v < -300 THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET v = s.v + 1 "
+            f"WHEN NOT MATCHED AND s.v % 2 = 0 THEN "
+            f"INSERT (k, v) VALUES (s.k, s.v) "
+            f"WHEN NOT MATCHED BY SOURCE AND t.v > 400 THEN "
+            f"UPDATE SET v = t.v - 1000",
+        )
+        for k in [k for k in model if k not in d and model[k] > 400]:
+            model[k] -= 1000
+        for k, v in d.items():
+            if k in model:
+                if v < -300:
+                    del model[k]
+                else:
+                    model[k] = v + 1
+            elif v % 2 == 0:
+                model[k] = v
+
+    def do_dv_delete():
+        # merge-on-read DELETE: no file rewritten, positions sidecar'd
+        if not t.exists() or not model:
+            return
+        lo = rng.randint(-500, 500)
+        hi = lo + rng.randint(0, 300)
+        res = t.delete_where(
+            spark, f"v BETWEEN {lo} AND {hi}", merge_on_read=True
+        )
+        assert res["files_rewritten"] == 0, res
+        for k in [k for k, v in model.items() if lo <= v <= hi]:
+            del model[k]
+
+    def do_dv_update():
+        # merge-on-read UPDATE: old positions DV'd, new rows appended
+        if not t.exists() or not model:
+            return
+        lo = rng.randint(-500, 500)
+        hi = lo + rng.randint(0, 300)
+        res = t.update_where(
+            spark,
+            {"v": "v + 13"},
+            f"v BETWEEN {lo} AND {hi}",
+            merge_on_read=True,
+        )
+        assert res["files_rewritten"] == 0, res
+        for k in [k for k, v in model.items() if lo <= v <= hi]:
+            model[k] += 13
+
     def do_add_columns():
         # ALTER TABLE ADD COLUMNS: a schema-only commit crossing the
         # same checkpoint/vacuum/restore machinery as data commits;
@@ -212,6 +275,9 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_sql_update,
         do_sql_delete,
         do_sql_merge,
+        do_sql_merge_clauses,
+        do_dv_delete,
+        do_dv_update,
         do_flip_layout_capability,
     ]
     do_replace()
