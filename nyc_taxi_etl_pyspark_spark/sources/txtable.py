@@ -3700,13 +3700,21 @@ class TransactionalTable:
         )
         return out.drop("__dv_file", "__dv_pos") if drop else out
 
-    def _affected_frame(self, spark: SparkSession, m: dict, files: list[str]):
+    def _affected_frame(
+        self,
+        spark: SparkSession,
+        m: dict,
+        files: list[str],
+        keep_keys: bool = False,
+    ):
         """Reader over a snapshot's file SUBSET with the snapshot's
         layout semantics applied (basePath for v1 partitioned tables,
         mergeSchema for evolved ones, manifest-schema reconciliation
         for ALTERed columns no file carries yet, deletion vectors
         anti-joined out — a rewrite of a DV-carrying file must not
-        resurrect its soft-deleted rows)."""
+        resurrect its soft-deleted rows). ``keep_keys`` retains the
+        ``__dv_file``/``__dv_pos`` scan-position columns on the result
+        (merge's touched-file discovery joins on them)."""
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
@@ -3715,8 +3723,10 @@ class TransactionalTable:
         with _no_listing_job(spark, len(files)):
             raw = reader.parquet(*[self.storage.url(f) for f in files])
         dv_map = self._dv_map(m, files)
+        if dv_map or keep_keys:
+            raw = self._with_dv_keys(raw)
         if dv_map:
-            raw = self._strip_dv(spark, self._with_dv_keys(raw), dv_map)
+            raw = self._strip_dv(spark, raw, dv_map, drop=not keep_keys)
         return _reconcile_schema(raw, m)
 
     def _dv_delete(
@@ -4202,6 +4212,26 @@ class TransactionalTable:
                         "pass latest_by) so each target row matches at "
                         "most one source row"
                     )
+        # key-band stats over the source, computed ONCE (the updates
+        # frame is immutable across commit retries): min/max per merge
+        # key prune the candidate files, a NULL-key count decides
+        # whether clause-form eqNullSafe matching can trust band
+        # pruning (min/max stats ignore NULLs, so a NULL source key
+        # could match a pruned file's NULL target rows)
+        key_aggs = []
+        for k in key_cols:
+            key_aggs += [
+                F.min(F.col(k)).alias(f"__lo_{k}"),
+                F.max(F.col(k)).alias(f"__hi_{k}"),
+                F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(
+                    f"__n_{k}"
+                ),
+            ]
+        key_row = updates.agg(*key_aggs).first()
+        null_keys = any(int(key_row[f"__n_{k}"] or 0) > 0 for k in key_cols)
+        bands = [
+            (k, key_row[f"__lo_{k}"], key_row[f"__hi_{k}"]) for k in key_cols
+        ]
         for _ in range(max_retries):
             base_v = self.latest_version()
             if base_v < 0:
@@ -4217,9 +4247,45 @@ class TransactionalTable:
                     merged = merge_clauses(
                         updates.limit(0), updates, key_cols, clauses
                     )
-            else:
-                m = self.manifest(base_v)
-                pb = m.get("partition_by") if m else None
+                try:
+                    return self.commit(
+                        merged,
+                        mode="replace",
+                        partition_by=None,
+                        meta={
+                            **(meta or {}),
+                            "op": "merge",
+                            "source_version": base_v,
+                        },
+                        expect_version=base_v,
+                    )
+                except CommitConflict:
+                    continue
+            m = self.manifest(base_v)
+            pb = m.get("partition_by") if m else None
+            # TOUCHED-FILE merge (the Delta shape): a merge may only
+            # change target rows whose key appears in the source, so
+            # rewrite ONLY the files holding such rows — candidates
+            # pruned by the source's key bands against the manifest's
+            # min/max, then pinned exactly by a key semi-join — and
+            # retain every other file byte-for-byte. A 10-row CDC batch
+            # against a clustered 100 TB table rewrites a handful of
+            # files, never the table. Exceptions that fall back to the
+            # full-outer rewrite: NOT MATCHED BY SOURCE clauses (they
+            # touch every unmatched target row) and clause-form merges
+            # with NULL source keys (eqNullSafe matches NULL rows that
+            # band pruning cannot see).
+            subset_ok = clauses is None or (
+                not null_keys
+                and all(c["when"] != "not_matched_by_source" for c in clauses)
+            )
+            if subset_ok and all(
+                key_row[f"__lo_{k}"] is None
+                and int(key_row[f"__n_{k}"] or 0) == 0
+                for k in key_cols
+            ):
+                return base_v  # empty source: nothing can match or insert
+            if not subset_ok:
                 base = self.read(spark, base_v)
                 if clauses is not None:
                     merged = merge_clauses(base, updates, key_cols, clauses)
@@ -4227,20 +4293,100 @@ class TransactionalTable:
                     merged = merge_upsert(
                         base, updates, key_cols, latest_by=latest_by
                     )
-            try:
-                # the merged snapshot keeps the table's physical layout:
-                # a merge must not silently flatten a partitioned table
-                # (that would break partition pruning for every later
-                # reader).
-                return self.commit(
-                    merged,
-                    mode="replace",
-                    partition_by=pb,
-                    meta={**(meta or {}), "op": "merge", "source_version": base_v},
-                    expect_version=base_v,
+                try:
+                    return self.commit(
+                        merged,
+                        mode="replace",
+                        partition_by=pb,
+                        meta={
+                            **(meta or {}),
+                            "op": "merge",
+                            "source_version": base_v,
+                        },
+                        expect_version=base_v,
+                    )
+                except CommitConflict:
+                    continue
+            candidates = prune_files(
+                m, bands, bloom_loader=self._bloom_sidecar
+            )
+            matched: list[str] = []
+            if candidates:
+                sub = self._affected_frame(
+                    spark, m, candidates, keep_keys=True
                 )
-            except CommitConflict:
-                continue
+                skeys = F.broadcast(
+                    updates.select(
+                        *[F.col(k).alias(f"__mk_{k}") for k in key_cols]
+                    ).distinct()
+                )
+                cond = None
+                for k in key_cols:
+                    c = sub[k].eqNullSafe(F.col(f"__mk_{k}"))
+                    cond = c if cond is None else cond & c
+                matched = sorted(
+                    r["__dv_file"]
+                    for r in sub.join(skeys, cond, "left_semi")
+                    .select("__dv_file")
+                    .distinct()
+                    .collect()
+                )
+            retained = [f for f in m["files"] if f not in set(matched)]
+            base_subset = (
+                self._affected_frame(spark, m, matched)
+                if matched
+                else self.read(spark, base_v).limit(0)
+            )
+            if clauses is not None:
+                merged = merge_clauses(base_subset, updates, key_cols, clauses)
+            else:
+                merged = merge_upsert(
+                    base_subset, updates, key_cols, latest_by=latest_by
+                )
+            keys, staged_stats = self._stage(
+                merged,
+                partition_by=pb,
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
+            staged_rows = self._staged_rows(spark, keys, staged_stats)
+            if not matched and staged_rows == 0:
+                # nothing matched and nothing inserts: no commit (the
+                # zero-row staged files are vacuum backlog)
+                return base_v
+            prev_stats = m.get("stats", {})
+            sub_rows = (
+                sum(_logical_rows(prev_stats, f) for f in matched)
+                if all("rows" in prev_stats.get(f, {}) for f in matched)
+                else None
+            )
+            if sub_rows is None:
+                sub_rows = self._affected_frame(spark, m, matched).count()
+            if self._put_manifest(
+                base_v,
+                retained + keys,
+                max(0, int(m.get("rows", 0)) - sub_rows + staged_rows),
+                m.get("schema"),
+                {
+                    **{f: prev_stats[f] for f in retained if f in prev_stats},
+                    **staged_stats,
+                },
+                {
+                    **(meta or {}),
+                    "op": "merge",
+                    "source_version": base_v,
+                    "strategy": "touched-files",
+                    "files_rewritten": len(matched),
+                },
+                pb,
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return base_v + 1
+            # lost the race: staged strays are vacuum backlog; retry
+            # from the new head
         raise CommitConflict(f"merge lost {max_retries} commit races on {self.root}")
 
 

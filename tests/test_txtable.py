@@ -4594,3 +4594,99 @@ def test_merge_full_form_insert_omitted_columns_null(spark, tmp_path):
     assert [f.name for f in t.read(spark).schema.fields] == [
         "k", "status", "amt",
     ]
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """MERGE is touched-file-only (the Delta shape): a small change set
+    against a clustered multi-file table rewrites only the files whose
+    key range the source hits — everything else is retained
+    byte-for-byte, so a CDC batch against a 100 TB table never pays an
+    O(table) write."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.commit(base, cluster_by=["k"], num_files=8)
+    files_before = {
+        f: s for f, s in t.manifest()["stats"].items()
+    }
+
+    # a 3-row change set confined to one key neighborhood
+    ups = spark.createDataFrame(
+        [(10, -1), (11, -2), (5000, -3)], "k bigint, v bigint"
+    )
+    v = t.merge(spark, ups, ["k"])
+    m = t.manifest(v)
+    meta = m.get("meta", {})
+    assert meta.get("strategy") == "touched-files"
+    rewritten = meta.get("files_rewritten")
+    retained = [f for f in m["files"] if f in files_before]
+    assert rewritten is not None and rewritten <= 2, meta
+    assert len(retained) >= 6, (len(retained), len(m["files"]))
+    # retained files are the SAME objects (stats entries untouched)
+    for f in retained:
+        assert m["stats"][f] == files_before[f]
+
+    # content is exactly the latest-wins upsert
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    want = {i: i * 2 for i in range(1000)}
+    want.update({10: -1, 11: -2, 5000: -3})
+    assert got == want
+
+    # clause-form merge is touched-file-only too
+    ups2 = spark.createDataFrame([(20, 0), (21, 0)], "k bigint, v bigint")
+    v2 = t.merge(
+        spark,
+        ups2,
+        ["k"],
+        clauses=[
+            {"when": "matched", "cond": None, "action": "delete"},
+        ],
+    )
+    m2 = t.manifest(v2)
+    assert m2.get("meta", {}).get("strategy") == "touched-files"
+    assert m2.get("meta", {}).get("files_rewritten", 99) <= 2
+    got2 = {r.k: r.v for r in t.read(spark).collect()}
+    assert 20 not in got2 and 21 not in got2 and len(got2) == len(want) - 2
+
+    # NOT MATCHED BY SOURCE falls back to the full rewrite (it touches
+    # every unmatched target row) and stays correct
+    ups3 = spark.createDataFrame([(30, 7)], "k bigint, v bigint")
+    v3 = t.merge(
+        spark,
+        ups3,
+        ["k"],
+        clauses=[
+            {"when": "matched", "cond": None, "action": "update",
+             "set": {"v": "s.v"}},
+            {"when": "not_matched_by_source", "cond": "t.k = 31",
+             "action": "delete"},
+        ],
+    )
+    m3 = t.manifest(v3)
+    assert m3.get("meta", {}).get("strategy") != "touched-files"
+    got3 = {r.k: r.v for r in t.read(spark).collect()}
+    assert got3[30] == 7 and 31 not in got3
+
+
+def test_merge_insert_only_touched_files_appends(spark, tmp_path):
+    """A merge whose source matches NO existing key appends the inserts
+    and retains every file — zero rewrites."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        cluster_by=["k"],
+        num_files=4,
+    )
+    n_before = set(t.manifest()["files"])
+    ups = spark.createDataFrame([(900, 9), (901, 9)], "k bigint, v int")
+    v = t.merge(spark, ups, ["k"])
+    m = t.manifest(v)
+    assert m.get("meta", {}).get("files_rewritten") == 0
+    assert n_before <= set(m["files"])
+    assert t.read(spark).count() == 102
+    assert t.count() == 102
+
+    # empty source: no-op, no new version
+    empty = spark.createDataFrame([], "k bigint, v int")
+    assert t.merge(spark, empty, ["k"]) == v
