@@ -602,3 +602,102 @@ def q_streaming_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="q_streaming_rate_limited",
         source_options={"maxfilespertrigger": "2"},
     )
+
+
+@query(
+    "q_streaming_cdf",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice,
+           'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM orders
+    WHERE o_totalprice >= 100000.0 AND o_totalprice <= 120000.0
+    UNION ALL
+    SELECT o_orderkey, 'R', round(o_totalprice + 1e-9, 4), 'update',
+           CAST(2 AS BIGINT)
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice < 20000.0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'N', 1.0, 'insert', CAST(3 AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def q_streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED (``sources/txcdf.py`` — the Delta
+    ``readChangeFeed`` source shape): a transactional orders table
+    takes a merge-on-read DV delete (v1), a copy-on-write UPDATE (v2),
+    and an append (v3); the ``txcdf`` source streams versions 1..3 and
+    each micro-batch emits that commit's KEYED SNAPSHOT DIFF — rows
+    tagged insert/update/delete + ``_commit_version`` — computed from
+    the commit's file diff alone (removed/added files + DV position
+    deltas; retained files are provably changeless). The oracle states
+    all three diffs declaratively over raw orders: matching proves the
+    DV positions resolve to exactly the deleted rows, the CoW rewrite
+    emits ONLY the updated rows (the rewritten-but-unchanged rows are
+    value-filtered), and the append surfaces as pure inserts.
+    Deterministic replay: manifests are immutable, the stream starts
+    from a fresh checkpoint each run and re-derives the identical
+    batches. Exempt from the collect guard like every q_streaming_*
+    query (the streaming run executes during plan construction)."""
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    base = fixture_scratch_dir("spark_graft_txcdfstream", sf_dir)
+    t = TransactionalTable(base)
+    if not t.exists():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t.commit(o, cluster_by=["o_totalprice"], num_files=8)  # v0
+        t.delete_where(  # v1: merge-on-read — the DV position path
+            spark,
+            "o_totalprice >= 100000.0 AND o_totalprice <= 120000.0",
+            merge_on_read=True,
+        )
+        t.update_where(  # v2: copy-on-write — the rewrite-diff path
+            spark,
+            {"o_orderstatus": "'R'"},
+            "o_orderstatus = 'F' AND o_totalprice < 20000.0",
+        )
+        t.commit(  # v3: plain append — the insert path
+            o.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            ),
+            mode="append",
+        )
+    stream = (
+        spark.readStream.format("txcdf")
+        .option("path", base)
+        .option("keycols", "o_orderkey")
+        .option("startingversion", 1)
+        .load()
+    )
+    sink = "q_streaming_cdf_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="spark_graft_cdf_ckpt_"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        "_change_type",
+        "_commit_version",
+    )

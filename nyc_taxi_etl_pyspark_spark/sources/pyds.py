@@ -116,6 +116,7 @@ _REGISTERED_APPS: set[str] = set()
 
 def register_python_sources(spark: SparkSession) -> None:
     """Idempotently register the engine's Python data sources."""
+    from nyc_taxi_etl_pyspark_spark.sources.txcdf import TxTableCdfSource
     from nyc_taxi_etl_pyspark_spark.sources.txstream import TxTableStreamSource
 
     app_id = spark.sparkContext.applicationId
@@ -123,4 +124,5 @@ def register_python_sources(spark: SparkSession) -> None:
         return
     spark.dataSource.register(RangeDocSource)
     spark.dataSource.register(TxTableStreamSource)
+    spark.dataSource.register(TxTableCdfSource)
     _REGISTERED_APPS.add(app_id)

@@ -955,3 +955,166 @@ def test_txstream_capped_walk_fails_loudly_on_vacuumed_range(
     end2 = r2.latestOffset()["version"]
     parts = r2.partitions({"version": 3}, {"version": end2})
     assert len(parts) == 1  # v4's single file, planned cleanly
+
+
+def test_txcdf_source_streams_mutations_exactly_once(spark, tmp_path):
+    """The txcdf streaming source (sources/txcdf.py): each micro-batch
+    is one commit's keyed snapshot diff — DV deletes resolve to exactly
+    the soft-deleted rows, a copy-on-write rewrite emits only changed
+    rows, optimize emits nothing — and a checkpoint restart re-emits
+    nothing (exactly-once from immutable manifests)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        num_files=4,
+    )  # v0
+    t.delete_where(spark, "k >= 90", merge_on_read=True)  # v1: DV path
+    t.update_where(spark, {"v": "v + 1000"}, "k < 5")  # v2: CoW rewrite
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        s = (
+            spark.readStream.format("txcdf")
+            .option("path", root)
+            .option("keycols", "k")
+            .option("startingversion", 1)
+            .load()
+        )
+        return (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert got.count() == 15
+        dels = {r.k for r in got.where("_change_type = 'delete'").collect()}
+        assert dels == set(range(90, 100))
+        upds = {
+            (r.k, r.v)
+            for r in got.where("_change_type = 'update'").collect()
+        }
+        assert upds == {(k, 2 * k + 1000) for k in range(5)}
+        # live mutation while the stream runs: optimize emits NOTHING
+        t.optimize(spark, target_rows_per_file=1000)  # v3: pure rewrite
+        t.commit(
+            spark.range(500, 503).select(
+                F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+            ),
+            mode="append",
+        )  # v4
+        q.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert got.count() == 18
+        assert got.where("_commit_version = 3").count() == 0
+        ins = {
+            r.k for r in got.where("_commit_version = 4").collect()
+        }
+        assert ins == {500, 501, 502}
+    finally:
+        q.stop()
+
+    # mutate while DOWN, restart from checkpoint: only the missed diff
+    t.delete_where(spark, "k = 0", merge_on_read=True)  # v5
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert got.count() == 19  # nothing re-emitted
+        assert {
+            (r.k, r._change_type)
+            for r in got.where("_commit_version = 5").collect()
+        } == {(0, "delete")}
+    finally:
+        q2.stop()
+
+
+def test_txcdf_restore_resurrects_dv_rows_as_inserts(spark, tmp_path):
+    """RESTORE to a pre-DV version makes soft-deleted positions live
+    again — the feed reports them as inserts (the 'positions' spec on
+    the new side)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+    )  # v0
+    t.delete_where(spark, "k BETWEEN 10 AND 14", merge_on_read=True)  # v1
+    t.restore(0)  # v2: the 5 dead rows come back
+
+    s = (
+        spark.readStream.format("txcdf")
+        .option("path", root)
+        .option("keycols", "k")
+        .option("startingversion", 2)
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("cdf_restore")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("cdf_restore").collect()
+        assert {(r.k, r.v, r._change_type) for r in got} == {
+            (k, 3 * k, "insert") for k in range(10, 15)
+        }
+    finally:
+        q.stop()
+
+
+def test_txcdf_duplicate_key_raises_loudly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    )  # duplicate key in the initial snapshot
+    s = (
+        spark.readStream.format("txcdf")
+        .option("path", root)
+        .option("keycols", "k")
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("cdf_dup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        raise AssertionError("stream should have failed on duplicate keys")
+    except Exception as exc:  # noqa: BLE001 - StreamingQueryException wrapper
+        assert "duplicate key" in str(exc)
+    finally:
+        q.stop()
