@@ -1577,3 +1577,78 @@ def q_tx_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
     )
+
+
+@query(
+    "q_tx_sql_alter_widen",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CASE WHEN o_orderstatus = 'O' AND o_orderkey % 13 = 0
+                THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey + 10000000 AS BIGINT), 'N',
+           round(o_totalprice + 1e-9, 4)
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_tx_sql_alter_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE type WIDENING through the SQL front door
+    (``ALTER TABLE t ALTER COLUMN c TYPE bigint`` →
+    ``TransactionalTable.alter_column_type``): the table is committed
+    with a NARROW int key, widened to bigint as a SCHEMA-ONLY commit
+    (zero files rewritten, zero Spark jobs — the parquet reader
+    upcasts narrow files on scan via the explicit manifest schema),
+    then an append lands WIDE rows and a self-extinguishing UPDATE
+    rewrites across the mixed narrow+wide files. The oracle replays
+    all of it declaratively with a CAST: matching proves the widened
+    reads, the mixed-file rewrite, and the post-widen append agree
+    bit-for-bit with the declared type. Idempotent: reruns find no 'O'
+    rows at the updated keys and commit nothing."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txwiden", sf_dir)
+    t = TransactionalTable(root)
+    tables = {"widen_t": t}
+    if not t.exists():
+        t.commit(
+            o.select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            ),
+            num_files=4,
+        )
+        res = execute_dml(
+            spark, "ALTER TABLE widen_t ALTER COLUMN o_orderkey TYPE bigint",
+            tables,
+        )
+        assert res["type"] == "bigint", res
+        t.commit(
+            o.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            ),
+            mode="append",
+        )
+    execute_dml(
+        spark,
+        "UPDATE widen_t SET o_orderstatus = 'W' "
+        "WHERE o_orderstatus = 'O' AND o_orderkey % 13 = 0",
+        tables,
+    )
+    out = t.read(spark)
+    assert dict(out.dtypes)["o_orderkey"] == "bigint"
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )

@@ -86,7 +86,12 @@ def _canon_arrow_table(path: str, schema_items: list, part_vals: dict):
                 )
             )
         elif name in table.column_names:
-            arrays.append(table.column(name).combine_chunks())
+            col = table.column(name).combine_chunks()
+            at = _arrow_type(type_str)
+            if at is not None and col.type != at:
+                # schema widening: emit the declared width
+                col = col.cast(at)
+            arrays.append(col)
         else:
             at = _arrow_type(type_str)
             arrays.append(

@@ -736,6 +736,24 @@ def execute_dml(
                 "properties": t.properties(),
                 "version": version,
             }
+        wm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+ALTER\s+COLUMN\s+"
+            rf"`?([A-Za-z_]\w*)`?\s+TYPE\s+([A-Za-z_]\w*(?:\s*\([\d\s,]*\))?)$",
+            s,
+            re.I,
+        )
+        if wm is not None:
+            t = _resolve_target(wm.group(1), tables)
+            version = t.alter_column_type(
+                spark, wm.group(2), wm.group(3).strip()
+            )
+            return {
+                "op": "alter_column_type",
+                "table": wm.group(1),
+                "column": wm.group(2),
+                "type": wm.group(3).strip().lower(),
+                "version": version,
+            }
         # greedy to the FINAL ')': column types may themselves be
         # parenthesized (decimal(10,2), varchar(64)); the comma split
         # below is paren-aware so nested commas stay inside their type
@@ -747,7 +765,8 @@ def execute_dml(
         if m is None:
             raise ValueError(
                 "ALTER shape: ALTER TABLE <table> ADD COLUMNS "
-                "(col type, ...) | ALTER TABLE <table> SET TBLPROPERTIES "
+                "(col type, ...) | ALTER TABLE <table> ALTER COLUMN <c> "
+                "TYPE <t> | ALTER TABLE <table> SET TBLPROPERTIES "
                 "(k = v, ...)"
             )
         t = _resolve_target(m.group(1), tables)

@@ -472,7 +472,15 @@ class TxTableStreamReader(DataSourceStreamReader):
                     )
                 )
             elif name in table.column_names:
-                arrays.append(table.column(name).combine_chunks())
+                col = table.column(name).combine_chunks()
+                at = _arrow_type(type_str)
+                if at is not None and col.type != at:
+                    # schema widening (ALTER COLUMN TYPE): the file
+                    # stores the narrow physical type; emit the
+                    # declared width, like the batch reader's explicit
+                    # wide schema
+                    col = col.cast(at)
+                arrays.append(col)
             else:
                 # schema-evolution append: this file predates (or
                 # omitted) the column — NULL-fill, like the batch

@@ -1015,6 +1015,18 @@ def _reconcile_schema(df: DataFrame, m: dict) -> DataFrame:
     )
 
 
+# Type widenings the parquet vectorized reader can upcast on scan
+# (verified: explicit wider read schema over narrow files) — the
+# Delta/Iceberg safe-widening set for the types the engine stores.
+# bigint→double is deliberately ABSENT (lossy above 2^53).
+_WIDENINGS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
 def _logical_rows(stats: dict, f: str) -> int | None:
     """LOGICAL row count of one file: physical footer rows minus the
     rows its deletion vector soft-deleted. None when the file has no
@@ -1736,11 +1748,7 @@ class TransactionalTable:
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
-        if m.get("mixed_schemas"):
-            # evolution appends left files under more than one physical
-            # schema; merge footers so pre-evolution files surface the
-            # added columns as NULL (and omitted columns reappear)
-            reader = reader.option("mergeSchema", "true")
+        reader = self._schema_reader(reader, m)
         if not files:
             # every file excluded: empty frame with the table's schema
             df = self._empty_frame(reader, m, m["files"][0])
@@ -1831,8 +1839,7 @@ class TransactionalTable:
         reader = spark.read
         if self._path_partitioned(m1):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
-        if m1.get("mixed_schemas"):
-            reader = reader.option("mergeSchema", "true")
+        reader = self._schema_reader(reader, m1)
         if not new_files:
             anchor = m1["files"] or m0["files"]
             if not anchor:
@@ -1843,6 +1850,27 @@ class TransactionalTable:
             return self._empty_frame(reader, m1, anchor[0])
         with _no_listing_job(spark, len(new_files)):
             return reader.parquet(*[self.storage.url(f) for f in new_files])
+
+    def _schema_reader(self, reader, m: dict):
+        """Reader schema handling for a mixed-physical-schema snapshot.
+        Evolution APPENDS (files differing only in column presence)
+        merge footers, so pre-evolution files surface added columns as
+        NULL. Once a column type has been WIDENED (``alter_column_type``
+        — sticky ``widened`` meta), footer merging would fail with
+        CANNOT_MERGE_SCHEMA on int-vs-bigint files; instead the
+        manifest schema is passed EXPLICITLY and the parquet reader's
+        type-widening upcast (int32→long, float→double) reads narrow
+        files directly — no rewrite, files stay byte-identical, exactly
+        the Delta/Iceberg metadata-only widening contract."""
+        if not m.get("mixed_schemas"):
+            return reader
+        if m.get("meta", {}).get("widened"):
+            return reader.schema(
+                ", ".join(
+                    f"`{c}` {t}" for c, t in (m.get("schema") or {}).items()
+                )
+            )
+        return reader.option("mergeSchema", "true")
 
     def _empty_frame(self, reader, m: dict, anchor_key: str) -> DataFrame:
         """Zero-row frame carrying the TABLE schema. The anchor file's
@@ -2441,6 +2469,7 @@ class TransactionalTable:
             "bloom_index",
             "layout",
             "properties",
+            "widened",
         ):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
@@ -3301,6 +3330,71 @@ class TransactionalTable:
             f"add_columns lost {max_retries} commit races on {self.root}"
         )
 
+    def alter_column_type(
+        self,
+        spark: SparkSession,
+        column: str,
+        new_type: str,
+        max_retries: int = 5,
+    ) -> int:
+        """``ALTER TABLE ... ALTER COLUMN c TYPE t`` — SAFE type
+        widening as a SCHEMA-ONLY commit (Delta's type-widening table
+        feature): no file is rewritten and no Spark job runs; the new
+        manifest declares the wider type and every read path passes
+        the manifest schema explicitly (``_schema_reader``), letting
+        the parquet reader upcast narrow files on scan. Only widenings
+        in ``_WIDENINGS`` are accepted — anything lossy (narrowing,
+        string↔numeric, bigint→double) raises before any commit. The
+        sticky ``widened`` meta flag switches mixed-schema reads from
+        footer merging (which cannot merge int-vs-bigint) to the
+        explicit-schema form for the rest of the table's life."""
+        nt = new_type.strip().lower()
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            schema = dict(m.get("schema") or {})
+            if column not in schema:
+                raise ValueError(
+                    f"alter_column_type: unknown column {column!r} "
+                    f"(have {sorted(schema)})"
+                )
+            old = str(schema[column]).lower()
+            if nt == old:
+                return base_v  # no-op
+            if nt not in _WIDENINGS.get(old, ()):  # loud reject
+                raise ValueError(
+                    f"alter_column_type: {old} -> {nt} is not a safe "
+                    f"widening (allowed from {old}: "
+                    f"{sorted(_WIDENINGS.get(old, ())) or 'none'}); "
+                    "lossy conversions need an explicit rewrite commit"
+                )
+            schema[column] = nt
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                schema,
+                dict(m.get("stats", {})),
+                {
+                    "op": "alter_column_type",
+                    "column": column,
+                    "from": old,
+                    "to": nt,
+                    "widened": True,
+                },
+                m.get("partition_by"),
+                m,
+                mixed_schemas=True,
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"alter_column_type lost {max_retries} commit races on {self.root}"
+        )
+
     def set_properties(
         self, props: dict[str, str], max_retries: int = 5
     ) -> int:
@@ -3718,8 +3812,7 @@ class TransactionalTable:
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
-        if m.get("mixed_schemas"):
-            reader = reader.option("mergeSchema", "true")
+        reader = self._schema_reader(reader, m)
         with _no_listing_job(spark, len(files)):
             raw = reader.parquet(*[self.storage.url(f) for f in files])
         dv_map = self._dv_map(m, files)
@@ -3762,8 +3855,7 @@ class TransactionalTable:
         reader = spark.read
         if self._path_partitioned(m):
             reader = reader.option("basePath", self.storage.url(DATA_DIR))
-        if m.get("mixed_schemas"):
-            reader = reader.option("mergeSchema", "true")
+        reader = self._schema_reader(reader, m)
         with _no_listing_job(spark, len(affected)):
             raw = reader.parquet(*[self.storage.url(f) for f in affected])
         keyed = _reconcile_schema(self._with_dv_keys(raw), m)
@@ -3858,6 +3950,18 @@ class TransactionalTable:
             if emptied
             else list(m["files"])
         )
+        if not files and not staged_keys:
+            # the delete emptied EVERY file: a zero-file snapshot is
+            # unreadable (no schema anchor), so stage one empty file —
+            # exactly what the copy-on-write path's empty rewrite does
+            staged_keys, staged_stats = self._stage(
+                keyed.drop("__dv_file", "__dv_pos").limit(0),
+                partition_by=m.get("partition_by"),
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
         if self._put_manifest(
             base_v,
             files + staged_keys,

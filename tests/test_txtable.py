@@ -4690,3 +4690,73 @@ def test_merge_insert_only_touched_files_appends(spark, tmp_path):
     # empty source: no-op, no new version
     empty = spark.createDataFrame([], "k bigint, v int")
     assert t.merge(spark, empty, ["k"]) == v
+
+
+def test_alter_column_type_widens_without_rewrite(spark, tmp_path):
+    """ALTER COLUMN TYPE (safe widening) is a schema-only commit: the
+    narrow files stay byte-identical and every read path upcasts on
+    scan via the explicit manifest schema (mergeSchema cannot merge
+    int-vs-bigint footers)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("float").alias("v"),
+        ),
+        num_files=4,
+    )
+    files_before = sorted(t.manifest()["files"])
+    t.alter_column_type(spark, "k", "bigint")
+    t.alter_column_type(spark, "v", "double")
+    assert sorted(t.manifest()["files"]) == files_before  # zero rewrites
+    cur = t.read(spark)
+    assert dict(cur.dtypes) == {"k": "bigint", "v": "double"}
+    assert cur.count() == 100 and cur.agg(F.sum("k")).first()[0] == 4950
+
+    # unsafe conversions reject loudly before any commit
+    for col, bad in (("k", "int"), ("k", "string"), ("v", "float")):
+        with pytest.raises(ValueError, match="not a safe widening"):
+            t.alter_column_type(spark, col, bad)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.alter_column_type(spark, "nope", "bigint")
+
+    # post-widen append lands WIDE rows; reads mix narrow+wide files
+    t.commit(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        mode="append",
+    )
+    assert t.read(spark).count() == 110
+    # copy-on-write UPDATE across the mixed files keeps the wide schema
+    t.update_where(spark, {"v": "v + 0.5"}, "k < 3")
+    assert t.read(spark).where("k = 1").first()["v"] == 2.5
+    assert dict(t.read(spark).dtypes) == {"k": "bigint", "v": "double"}
+
+    # time travel: the pre-widen snapshot still reads narrow
+    assert dict(t.read(spark, 0).dtypes) == {"k": "int", "v": "float"}
+    # the widen itself is metadata-only: change feed reports nothing
+    assert t.changes(spark, ["k"], 0, 1).count() == 0
+    # maintenance over mixed widths materializes the wide schema
+    t.optimize(spark, target_rows_per_file=1000)
+    assert t.read(spark).count() == 110
+    assert t.fsck()["ok"]
+
+
+def test_alter_column_type_widen_partitioned_and_band_reads(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(60).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 3).alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    t.alter_column_type(spark, "k", "bigint")
+    assert dict(t.read(spark).dtypes)["k"] == "bigint"
+    assert t.read(spark, partitions={"p": [1]}).count() == 20
+    assert t.read(spark, where=[("k", 10, 20)]).count() == 11
+    # DV delete over a widened table reads/filters through the wide schema
+    res = t.delete_where(spark, "k >= 50", merge_on_read=True)
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == 10
+    assert t.read(spark).count() == 50

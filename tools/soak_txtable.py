@@ -54,10 +54,15 @@ def soak(spark, seed: int, n_ops: int) -> int:
     # contract), so write frames widen with NULL literals
     extra: list[str] = []
     extra_history: list[list[str]] = []
+    # declared type of v — widened in place by do_widen (ALTER COLUMN
+    # TYPE), reverted by restore/replace; write frames must track it
+    # because appends/merges require the exact evolved schema
+    vtype = ["int"]
+    vtype_history: list[str] = []
 
     def frame(d):
         return spark.createDataFrame(
-            [(k, v) for k, v in sorted(d.items())], "k int, v int"
+            [(k, v) for k, v in sorted(d.items())], f"k int, v {vtype[0]}"
         )
 
     def widen(df):
@@ -88,6 +93,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         model.clear()
         model.update(d)
         extra.clear()  # a replace REDEFINES the schema
+        vtype[0] = "int"
 
     def do_append():
         if not t.exists():
@@ -134,6 +140,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         model.clear()
         model.update(history[v])
         extra[:] = list(extra_history[v])  # schema went back in time too
+        vtype[0] = vtype_history[v]
 
     def do_vacuum():
         t.vacuum(retain_versions=4, unreferenced_grace_s=0)
@@ -255,6 +262,15 @@ def soak(spark, seed: int, n_ops: int) -> int:
         t.add_columns(spark, {c: "int"})
         extra.append(c)
 
+    def do_widen():
+        # ALTER COLUMN TYPE int -> bigint: schema-only widening commit;
+        # later appends/merges must carry bigint, reads upcast narrow
+        # files on scan
+        if not t.exists() or vtype[0] != "int":
+            return
+        t.alter_column_type(spark, "v", "bigint")
+        vtype[0] = "bigint"
+
     def do_flip_layout_capability():
         # a later replace/optimize then migrates the layout; appends
         # keep the table's current layout regardless of the flag
@@ -272,6 +288,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_restore,
         do_vacuum,
         do_add_columns,
+        do_widen,
         do_sql_update,
         do_sql_delete,
         do_sql_merge,
@@ -287,6 +304,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         while len(history) < t.latest_version() + 1:
             history.append(dict(model))
             extra_history.append(list(extra))
+            vtype_history.append(vtype[0])
 
     fill_history()
     for i in range(n_ops):
