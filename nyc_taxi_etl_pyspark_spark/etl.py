@@ -105,14 +105,27 @@ def filter_bbox(
     return df.filter(pred)
 
 
+# English day-of-week abbreviations, indexed by Spark's dayofweek()
+# (1=Sunday..7=Saturday). A literal mapping, NOT date_format(ts, 'E'):
+# 'E' renders through the JVM default locale, so the same pipeline on a
+# differently-configured cluster would emit different strings — the one
+# reference behavior deliberately re-expressed (SURVEY §7 hard parts).
+_DOW_ABBREV = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+
+
 def derive_date_parts(df: DataFrame, ts: str, prefix: str = "pickup") -> DataFrame:
     """transformations.py:31-33 — to_date / hour / day-of-week. DOW is
-    numeric (1=Sunday..7=Saturday) rather than the reference's
-    locale-dependent ``date_format(ts,'E')`` (SURVEY §7 hard parts)."""
+    the reference's curated-schema string ("Sat"), produced
+    locale-proof by indexing a literal array with ``dayofweek()``."""
     return (
         df.withColumn(f"{prefix}_date", F.to_date(ts))
         .withColumn(f"{prefix}_hour", F.hour(ts))
-        .withColumn(f"{prefix}_dow", F.dayofweek(ts))
+        .withColumn(
+            f"{prefix}_dow",
+            F.element_at(
+                F.array(*[F.lit(d) for d in _DOW_ABBREV]), F.dayofweek(ts)
+            ),
+        )
     )
 
 

@@ -32,6 +32,53 @@ from pyspark.ml import PipelineModel
 from pyspark.sql import Row, SparkSession
 
 
+# the reference webapp's fleet-average NYC yellow-cab speed, used to
+# derive trip_duration_min server-side from the form's distance
+# (src/webapp/webapp.py:24, 48-52)
+AVG_SPEED_MPH = 12.0
+
+# the form's fields and coercions, exactly webapp.py:40-43 (duration
+# is NOT a form field — it is derived)
+_WEB_FORM_FIELDS: dict[str, type] = {
+    "trip_distance": float,
+    "passenger_count": int,
+    "pickup_hour": int,
+    "payment_type": int,
+}
+
+
+def _form_page(
+    prediction=None, duration_est=None, error=None, form=None
+) -> str:
+    """Minimal HTML mirroring the reference's templates/index.html: the
+    input form, plus the prediction / estimated-duration block (or the
+    error block) when present — stdlib string rendering, no template
+    engine."""
+    form = form or {}
+    rows = "\n".join(
+        f'<label>{name} <input name="{name}" '
+        f'value="{form.get(name, "")}"></label><br>'
+        for name in _WEB_FORM_FIELDS
+    )
+    result = ""
+    if prediction is not None:
+        result = (
+            f'<p id="prediction">Predicted total amount: '
+            f"{prediction}</p>"
+            f'<p id="duration">Estimated duration (min): '
+            f"{duration_est}</p>"
+        )
+    if error is not None:
+        result = f'<p id="error">Error: {error}</p>'
+    return (
+        "<!doctype html><html><head><title>Trip predictor</title></head>"
+        f'<body><h1>Trip predictor</h1>'
+        f'<form method="post" action="/predict_web">{rows}'
+        f'<button type="submit">Predict</button></form>{result}'
+        "</body></html>"
+    )
+
+
 def load_model(path: str) -> PipelineModel:
     return PipelineModel.load(path)
 
@@ -124,7 +171,68 @@ class ModelServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _reply_html(self, code: int, html: str) -> None:
+                body = html.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                # the reference webapp's home: render the empty form
+                # (src/webapp/webapp.py:26-29 + templates/index.html)
+                if self.path != "/":
+                    self._reply(404, {"error": "not found"})
+                    return
+                self._reply_html(200, _form_page())
+
+            def _score(self, features: dict) -> float:
+                if server.scorer is not None:
+                    return float(server.scorer(features))
+                return predict_one(server.spark, server.model, features)
+
             def do_POST(self):
+                if self.path == "/predict_web":
+                    # HTML-form path with SERVER-SIDE duration
+                    # derivation (src/webapp/webapp.py:32-83): the form
+                    # carries distance/passengers/hour/payment only;
+                    # trip_duration_min is estimated from the distance
+                    # at the fleet's average speed before scoring.
+                    import urllib.parse
+
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        form = {
+                            k: v[0]
+                            for k, v in urllib.parse.parse_qs(
+                                self.rfile.read(n).decode()
+                            ).items()
+                        }
+                        features = coerce_request(form, _WEB_FORM_FIELDS)
+                    except ValueError as exc:
+                        # the reference renders the error page with 500
+                        # (webapp.py:81-83) — even for bad input
+                        self._reply_html(500, _form_page(error=str(exc)))
+                        return
+                    duration_est = (
+                        features["trip_distance"] / AVG_SPEED_MPH
+                    ) * 60.0
+                    features["trip_duration_min"] = duration_est
+                    try:
+                        pred = self._score(features)
+                    except Exception as exc:
+                        self._reply_html(500, _form_page(error=str(exc)))
+                        return
+                    self._reply_html(
+                        200,
+                        _form_page(
+                            prediction=round(pred, 2),
+                            duration_est=round(duration_est, 1),
+                            form=form,
+                        ),
+                    )
+                    return
                 if self.path != "/predict":
                     self._reply(404, {"error": "not found"})
                     return
@@ -136,10 +244,7 @@ class ModelServer:
                     self._reply(400, {"error": str(exc)})
                     return
                 try:
-                    if server.scorer is not None:
-                        pred = float(server.scorer(features))
-                    else:
-                        pred = predict_one(server.spark, server.model, features)
+                    pred = self._score(features)
                 except Exception as exc:  # scoring failure → 500
                     self._reply(500, {"error": str(exc)})
                     return

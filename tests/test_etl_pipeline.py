@@ -268,3 +268,29 @@ def test_incremental_etl_recovers_from_crash_between_commits(spark, tmp_path):
             b["pickup_date"], b["pickup_hour"], b["total_trips"]
         )
     assert TransactionalTable(curated).read(spark).count() == stats["rows_new"]
+
+
+def test_pickup_dow_is_locale_proof_string(spark):
+    """Curated-schema parity with the reference: pickup_dow is the
+    English three-letter abbreviation (src/features/transformations.py:33
+    uses date_format 'E', which is LOCALE-dependent; the engine indexes
+    a literal array with dayofweek() so any cluster locale emits the
+    identical strings). Golden: 2015-01-03 was a Saturday."""
+    from nyc_taxi_etl_pyspark_spark.etl import derive_date_parts
+
+    df = spark.createDataFrame(
+        [("2015-01-03 10:00:00",), ("2015-01-04 10:00:00",),
+         ("2015-01-05 10:00:00",), ("2015-01-09 23:59:59",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        r["ts"].strftime("%Y-%m-%d"): r["pickup_dow"]
+        for r in derive_date_parts(df, "ts").collect()
+    }
+    assert got == {
+        "2015-01-03": "Sat",
+        "2015-01-04": "Sun",
+        "2015-01-05": "Mon",
+        "2015-01-09": "Fri",
+    }
+    assert dict(derive_date_parts(df, "ts").dtypes)["pickup_dow"] == "string"

@@ -233,3 +233,69 @@ def test_exported_scorer_matches_deep_model(spark, sf_dir):
     for r in preds:
         got = scorer({"x1": r["x1"], "x2": r["x2"], "prio": r["prio"]})
         assert abs(got - r["prediction"]) <= 1e-9
+
+
+def test_webapp_form_and_predict_web():
+    """The reference's HTML surface (src/webapp/webapp.py:26-83 +
+    templates/index.html): GET / renders the form, POST /predict_web
+    takes form-encoded fields, derives trip_duration_min server-side
+    from the distance at AVG_SPEED_MPH, scores, and renders the
+    prediction + estimated duration; bad input renders the error page
+    with 500 (the reference's behavior)."""
+    import urllib.parse
+    import urllib.request
+
+    from nyc_taxi_etl_pyspark_spark.ml.serving import AVG_SPEED_MPH
+
+    seen = {}
+
+    def fake_scorer(features):
+        seen.update(features)
+        return features["trip_distance"] * 2 + features["trip_duration_min"]
+
+    required = {
+        "trip_distance": float,
+        "trip_duration_min": float,
+        "passenger_count": int,
+        "pickup_hour": int,
+        "payment_type": int,
+    }
+    with ModelServer(required_fields=required, scorer=fake_scorer) as srv:
+        host, port = srv.addr
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(base + "/") as resp:
+            html = resp.read().decode()
+            assert resp.status == 200
+            assert 'action="/predict_web"' in html
+            assert 'name="trip_distance"' in html
+
+        form = {
+            "trip_distance": "6.0",
+            "passenger_count": "2",
+            "pickup_hour": "14",
+            "payment_type": "1",
+        }
+        req = urllib.request.Request(
+            base + "/predict_web",
+            data=urllib.parse.urlencode(form).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            html = resp.read().decode()
+        # duration derived server-side: 6.0 / 12 mph * 60 = 30.0 min
+        assert seen["trip_duration_min"] == (6.0 / AVG_SPEED_MPH) * 60.0
+        assert seen["passenger_count"] == 2 and seen["pickup_hour"] == 14
+        assert "Predicted total amount: 42.0" in html  # 6*2 + 30
+        assert "Estimated duration (min): 30.0" in html
+
+        bad = urllib.request.Request(
+            base + "/predict_web",
+            data=urllib.parse.urlencode({"trip_distance": "abc"}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("bad form input should 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert 'id="error"' in e.read().decode()
