@@ -129,9 +129,34 @@ def tx_micro_bench(spark) -> dict:
                 (F.col("id") % 997).alias("k"),
                 F.col("id").cast("double").alias("v"),
             )
+            # commit_s: the PRODUCTION file-sizing shape — natural
+            # input partitioning, the writer ROLLS to ~1000-row files
+            # via maxRecordsPerFile (what optimize/streaming actually
+            # issue). commit_exact_files_s: the task-per-file
+            # repartition(n) shape, kept for continuity — its extra
+            # cost is Spark's per-task overhead × n_files, not
+            # protocol cost (SCALE.md "commit wall" breakdown).
+            par = spark.sparkContext.defaultParallelism
             t0 = time.perf_counter()
-            t.commit(df, num_files=n_files, bloom_by=["k"])
+            t.commit(
+                df,
+                num_files=min(n_files, par),
+                max_records_per_file=1000,
+                bloom_by=["k"],
+            )
             commit_s = time.perf_counter() - t0
+            # rolled sizing targets ~1000-row files; round-robin skew
+            # can roll a few extra — the protocol cost measured is
+            # per-file, so a ±10% file count is the same measurement
+            n_written = len(t.manifest()["files"])
+            assert n_files <= n_written <= n_files * 1.1 + 8, (
+                n_written,
+                n_files,
+            )
+            t2 = TransactionalTable(td + "/t2")
+            t0 = time.perf_counter()
+            t2.commit(df, num_files=n_files, bloom_by=["k"])
+            commit_exact_s = time.perf_counter() - t0
             fresh = TransactionalTable(td + "/t")  # cold manifest cache
             t0 = time.perf_counter()
             pruned = fresh.read(spark, equals={"k": 5})
@@ -142,6 +167,7 @@ def tx_micro_bench(spark) -> dict:
             assert n == len([i for i in range(n_files * 1000) if i % 997 == 5])
             out[str(n_files)] = {
                 "commit_s": round(commit_s, 3),
+                "commit_exact_files_s": round(commit_exact_s, 3),
                 "plan_s": round(plan_s, 3),
                 "point_read_s": round(read_s, 3),
             }

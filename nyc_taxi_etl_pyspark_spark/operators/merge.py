@@ -168,6 +168,34 @@ def merge_clauses(
     for k in key_cols:
         if k not in tcols or k not in scols:
             raise ValueError(f"merge key {k!r} must exist on both sides")
+    # clause EXPRESSIONS are rewritten onto the __t_/__s_ prefixed
+    # joined frame by _rewrite_refs, which treats an unqualified dotted
+    # path as a possible struct access and leaves it alone — but the
+    # joined frame's columns are RENAMED, so a genuine struct field
+    # access could silently mis-resolve. Reject the combination loudly
+    # instead of producing a wrong merge (whole-row '*' clauses never
+    # rewrite expressions, so struct COLUMNS themselves are fine there).
+    has_exprs = any(
+        c.get("cond")
+        or isinstance(c.get("set"), dict)
+        or isinstance(c.get("values"), dict)
+        for c in clauses
+    )
+    if has_exprs:
+        structy = sorted(
+            {
+                f.name
+                for f in list(base.schema.fields) + list(updates.schema.fields)
+                if f.dataType.typeName() == "struct"
+            }
+        )
+        if structy:
+            raise ValueError(
+                f"clause-form MERGE expressions are not supported on "
+                f"struct-typed columns {structy}: field access would "
+                "mis-resolve through the reference rewriter — flatten the "
+                "structs or use whole-row '*' clauses / the upsert form"
+            )
     insert_only = bool(clauses) and all(
         c.get("when") == "not_matched" for c in clauses
     )

@@ -4322,7 +4322,9 @@ class TransactionalTable:
         # whether clause-form eqNullSafe matching can trust band
         # pruning (min/max stats ignore NULLs, so a NULL source key
         # could match a pruned file's NULL target rows)
-        key_aggs = []
+        key_aggs = [
+            F.approx_count_distinct(F.struct(*key_cols)).alias("__n_keys")
+        ]
         for k in key_cols:
             key_aggs += [
                 F.min(F.col(k)).alias(f"__lo_{k}"),
@@ -4332,6 +4334,7 @@ class TransactionalTable:
                 ),
             ]
         key_row = updates.agg(*key_aggs).first()
+        n_src_keys = int(key_row["__n_keys"] or 0)
         null_keys = any(int(key_row[f"__n_{k}"] or 0) > 0 for k in key_cols)
         bands = [
             (k, key_row[f"__lo_{k}"], key_row[f"__hi_{k}"]) for k in key_cols
@@ -4414,6 +4417,38 @@ class TransactionalTable:
             candidates = prune_files(
                 m, bands, bloom_loader=self._bloom_sidecar
             )
+            # DENSE-merge fallback: when band pruning excluded little
+            # AND the source carries a large share of the table's keys,
+            # the semi-join discovery pass cannot exclude files either
+            # (hash-spread keys land in every file) — the single-pass
+            # full-outer rewrite is strictly cheaper than discovery +
+            # subset rewrite of everything. Sparse CDC batches (the
+            # case touched-files exists for) never trip this.
+            if (
+                len(candidates) > 0.5 * max(1, len(m["files"]))
+                and n_src_keys > 0.05 * max(1, int(m.get("rows") or 0))
+            ):
+                base = self.read(spark, base_v)
+                if clauses is not None:
+                    merged = merge_clauses(base, updates, key_cols, clauses)
+                else:
+                    merged = merge_upsert(
+                        base, updates, key_cols, latest_by=latest_by
+                    )
+                try:
+                    return self.commit(
+                        merged,
+                        mode="replace",
+                        partition_by=pb,
+                        meta={
+                            **(meta or {}),
+                            "op": "merge",
+                            "source_version": base_v,
+                        },
+                        expect_version=base_v,
+                    )
+                except CommitConflict:
+                    continue
             matched: list[str] = []
             if candidates:
                 sub = self._affected_frame(

@@ -433,3 +433,31 @@ def test_insert_only_merge_does_not_duplicate_matched_targets(spark, tmp_path):
     )
     rows = sorted((r.k, r.v) for r in t.read(spark).collect())
     assert rows == [(1, 10.0), (2, 20.0), (9, 90.0), (9, 95.0)], rows
+
+
+def test_clause_merge_rejects_struct_expressions_loudly(spark):
+    """Clause expressions rewrite references onto the renamed joined
+    frame, so struct field access would silently mis-resolve — the
+    combination raises instead (whole-row '*' clauses stay allowed)."""
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_clauses
+
+    base = spark.createDataFrame(
+        [(1, {"a": 1})], "k int, s struct<a:int>"
+    )
+    src = spark.createDataFrame([(2, {"a": 2})], "k int, s struct<a:int>")
+    with pytest.raises(ValueError, match="struct-typed"):
+        merge_clauses(
+            base, src, ["k"],
+            [{"when": "matched", "cond": "s.a > 0", "action": "delete"}],
+        )
+    # whole-row clauses never rewrite expressions: structs pass through
+    out = merge_clauses(
+        base, src, ["k"],
+        [
+            {"when": "matched", "cond": None, "action": "update", "set": "*"},
+            {"when": "not_matched", "cond": None, "action": "insert",
+             "values": "*"},
+        ],
+    )
+    rows = sorted((r.k, r.s.a) for r in out.collect())
+    assert rows == [(1, 1), (2, 2)]
