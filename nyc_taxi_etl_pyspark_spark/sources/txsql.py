@@ -621,14 +621,15 @@ def execute_dml(
     if head == "OPTIMIZE":
         m = re.match(
             rf"^OPTIMIZE\s+({_NAME})"
-            rf"(?:(\s+INCREMENTAL)|\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
+            rf"(?:(\s+INCREMENTAL)|\s+ZORDER\s+BY\s+\(([^)]+)\)"
+            rf"|(\s+PURGE(?:\s+DELETES)?))?$",
             s,
             re.I,
         )
         if m is None:
             raise ValueError(
                 "OPTIMIZE shape: OPTIMIZE <table> "
-                "[INCREMENTAL | ZORDER BY (col, ...)]"
+                "[INCREMENTAL | ZORDER BY (col, ...) | PURGE [DELETES]]"
             )
         t = _resolve_target(m.group(1), tables)
         if m.group(2):
@@ -638,6 +639,9 @@ def execute_dml(
                 spark,
                 zorder_by=[c.strip().strip("`") for c in m.group(3).split(",")],
             )
+        elif m.group(4):
+            # materialize deletion vectors away (REORG ... APPLY (PURGE))
+            res = t.purge_deletion_vectors(spark)
         else:
             res = t.optimize(spark)
         return {"op": "optimize", "table": m.group(1), **res}

@@ -3196,6 +3196,94 @@ class TransactionalTable:
             f"optimize_incremental lost {max_retries} commit races on {self.root}"
         )
 
+    def purge_deletion_vectors(
+        self,
+        spark: SparkSession,
+        max_dv_fraction: float = 0.0,
+        max_retries: int = 5,
+    ) -> dict:
+        """Materialize deletion vectors away (Delta's ``REORG TABLE ...
+        APPLY (PURGE)``): rewrite every file whose soft-deleted
+        fraction exceeds ``max_dv_fraction`` through the DV-aware
+        reader — the new files carry only live rows and no ``dv``
+        stats entry — and retain every other file byte-for-byte. The
+        maintenance knob merge-on-read needs at 100 TB: DV reads cost
+        O(accumulated deleted positions) per scan, so files past the
+        threshold get that debt paid ONCE here instead of on every
+        query; ``optimize_incremental`` only catches files whose
+        LOGICAL size fell under the compaction threshold, while this
+        targets deadness directly (default 0.0 = purge every
+        DV-carrying file). Orphaned ``_dvs/`` sidecars become vacuum
+        backlog. Returns {version, files_rewritten, files_retained,
+        rows_purged}; a no-op commits nothing."""
+        if not 0 <= max_dv_fraction < 1:
+            raise ValueError(
+                f"max_dv_fraction must be in [0, 1), got {max_dv_fraction}"
+            )
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to purge in {self.root}")
+            stats = m.get("stats", {})
+            to_purge = [
+                f
+                for f in m["files"]
+                if "dv" in stats.get(f, {})
+                and stats[f].get("rows")
+                and int(stats[f]["dv"].get("n", 0))
+                > max_dv_fraction * int(stats[f]["rows"])
+            ]
+            if not to_purge:
+                return {
+                    "version": base_v,
+                    "files_rewritten": 0,
+                    "files_retained": len(m["files"]),
+                    "rows_purged": 0,
+                }
+            retained = [f for f in m["files"] if f not in set(to_purge)]
+            rows_purged = sum(
+                int(stats[f]["dv"].get("n", 0)) for f in to_purge
+            )
+            df = self._affected_frame(spark, m, to_purge)
+            keys, staged_stats = self._stage(
+                df,
+                partition_by=m.get("partition_by"),
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
+            if self._put_manifest(
+                base_v,
+                retained + keys,
+                m.get("rows", 0),  # logical content unchanged
+                m.get("schema"),
+                {
+                    **{f: stats[f] for f in retained if f in stats},
+                    **staged_stats,
+                },
+                {
+                    "op": "purge_dv",
+                    "source_version": base_v,
+                    "rows_purged": rows_purged,
+                },
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return {
+                    "version": base_v + 1,
+                    "files_rewritten": len(to_purge),
+                    "files_retained": len(retained),
+                    "rows_purged": rows_purged,
+                }
+            # lost the race: staged strays are vacuum backlog; retry
+        raise CommitConflict(
+            f"purge_deletion_vectors lost {max_retries} commit races on "
+            f"{self.root}"
+        )
+
     def restore(self, version: int, expect_version: int | None = None) -> int:
         """RESTORE TABLE TO VERSION (Delta's ``RESTORE``): commit a NEW
         version whose file list is the target snapshot's — a pure

@@ -461,3 +461,52 @@ def test_clause_merge_rejects_struct_expressions_loudly(spark):
     )
     rows = sorted((r.k, r.s.a) for r in out.collect())
     assert rows == [(1, 1), (2, 2)]
+
+
+def test_purge_deletion_vectors_materializes_and_thresholds(spark, tmp_path):
+    """``purge_deletion_vectors`` (REORG ... APPLY (PURGE) shape):
+    files past the deadness threshold are rewritten through the
+    DV-aware reader (live rows only, no dv stats entry), others are
+    retained byte-for-byte; the orphaned sidecar becomes vacuum
+    backlog; SQL spells it OPTIMIZE <t> PURGE."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    # partition by k so deletes concentrate deadness in k=0's file
+    t.commit(
+        spark.range(400)
+        .select(F.col("id"), (F.col("id") % 4).alias("k"))
+        .repartition(4, "k"),  # one file per partition
+        partition_by=["k"],
+    )
+    t.delete_where(spark, "k = 0 AND id < 360", merge_on_read=True)  # 90% dead
+    t.delete_where(spark, "k = 1 AND id < 41", merge_on_read=True)  # 10% dead
+    before = dict(t.manifest()["stats"])
+
+    res = t.purge_deletion_vectors(spark, max_dv_fraction=0.5)
+    assert res["files_rewritten"] == 1  # only the 90%-dead file
+    assert res["rows_purged"] == 90
+    cur = t.read(spark)
+    assert cur.count() == 300
+    assert cur.where("k = 0").count() == 10
+    stats = t.manifest()["stats"]
+    dv_files = [f for f, s in stats.items() if "dv" in s]
+    assert len(dv_files) == 1  # the 10%-dead file keeps its DV
+    assert before[dv_files[0]] == stats[dv_files[0]]  # retained verbatim
+
+    # SQL: OPTIMIZE ... PURGE takes the rest (default threshold 0)
+    res2 = execute_dml(spark, "OPTIMIZE purge_t PURGE DELETES", {"purge_t": t})
+    assert res2["files_rewritten"] == 1 and res2["rows_purged"] == 10
+    stats = t.manifest()["stats"]
+    assert not any("dv" in s for s in stats.values())
+    assert t.read(spark).count() == 300
+    assert t.count() == 300
+
+    # idempotent no-op afterwards
+    v = t.latest_version()
+    assert t.purge_deletion_vectors(spark)["files_rewritten"] == 0
+    assert t.latest_version() == v
+    # vacuum reclaims the now-orphaned sidecars
+    res3 = t.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert res3["removed_dv_sidecars"] == 2
