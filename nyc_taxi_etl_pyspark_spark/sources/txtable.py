@@ -972,26 +972,50 @@ def _evolve_schema(
     """Merge an incoming commit schema into the table schema for
     append-family commits. Returns ``(manifest_schema, evolved)``;
     raises when the schemas differ and evolution is not allowed, or
-    when a column present in both changed type (never mergeable —
-    readers cannot reconcile two physical types for one column)."""
+    when a column present in both changed type incompatibly.
+
+    A commit whose column type safely WIDENS to the declared table
+    type (``int`` frame into a ``bigint`` table — the normal state of
+    old writers after ``ALTER TABLE ... ALTER COLUMN TYPE``) is always
+    legal, with or without ``allow``: the declared (wider) type wins,
+    the narrow physical files land as-is, and the read path's explicit
+    wider schema upcasts them on scan (Delta's post-type-widening
+    append contract). The reverse — a commit WIDER than the table —
+    still requires an explicit ``alter_column_type`` first, so an
+    append can never silently change the declared schema."""
     if old is None or old == new:
         return new, False
+
+    def _upcastable(c: str) -> bool:
+        return old[c] in _WIDENINGS.get(new[c], ())
+
+    if set(old) == set(new) and all(
+        old[c] == new[c] or _upcastable(c) for c in new
+    ):
+        return dict(old), True
     if not allow:
         raise ValueError(
             f"{root}: {mode} schema mismatch — table has {old}, commit "
-            f"brings {new}. Appends must match the table schema exactly; "
-            "pass allow_schema_evolution=True to add or omit columns, or "
-            "evolve types with a full replace commit."
+            f"brings {new}. Appends must match the table schema exactly "
+            "(narrower types that safely widen to the declared type are "
+            "upcast on read); pass allow_schema_evolution=True to add or "
+            "omit columns, alter_column_type to widen the declared type, "
+            "or evolve otherwise with a full replace commit."
         )
     conflicts = {
-        c: (old[c], new[c]) for c in old.keys() & new.keys() if old[c] != new[c]
+        c: (old[c], new[c])
+        for c in old.keys() & new.keys()
+        if old[c] != new[c] and not _upcastable(c)
     }
     if conflicts:
         raise ValueError(
             f"{root}: {mode} schema evolution cannot change column types: "
-            f"{conflicts}; rewrite with a full replace commit instead"
+            f"{conflicts}; widen the declared type with alter_column_type "
+            "or rewrite with a full replace commit instead"
         )
-    return {**old, **new}, True
+    # table columns keep their order and DECLARED type (for an
+    # upcastable pair that is the wider one); new-only columns append
+    return {**old, **{c: t for c, t in new.items() if c not in old}}, True
 
 
 def _reconcile_schema(df: DataFrame, m: dict) -> DataFrame:
@@ -2748,6 +2772,17 @@ class TransactionalTable:
                     self.root,
                     mode,
                 )
+                if any(
+                    m_schema.get(c) != t
+                    for c, t in schema.items()
+                    if c in m_schema
+                ):
+                    # narrow physical files joined a wider declared
+                    # schema (post-widening append): flip the sticky
+                    # ``widened`` flag so reads pass the explicit wider
+                    # schema — footer merging would fail int-vs-bigint
+                    meta = dict(meta or {})
+                    meta["widened"] = True
             if (
                 mode in ("append", "replace_partitions")
                 and prev is not None

@@ -4760,3 +4760,62 @@ def test_alter_column_type_widen_partitioned_and_band_reads(spark, tmp_path):
     res = t.delete_where(spark, "k >= 50", merge_on_read=True)
     assert res["files_rewritten"] == 0 and res["rows_deleted"] == 10
     assert t.read(spark).count() == 50
+
+
+def test_append_narrower_than_declared_upcasts_on_read(spark, tmp_path):
+    """A commit whose column types safely WIDEN to the declared table
+    type is legal without allow_schema_evolution — the normal state of
+    old writers after ALTER COLUMN TYPE (Delta's post-type-widening
+    append contract). Declared type wins; narrow physical files upcast
+    on scan via the sticky ``widened`` explicit-schema read path."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(10).select(F.col("id").cast("int").alias("k")),
+    )
+    t.alter_column_type(spark, "k", "bigint")
+    # an old writer still produces int frames — accepted as-is
+    t.commit(
+        spark.range(10, 15).select(F.col("id").cast("int").alias("k")),
+        mode="append",
+    )
+    cur = t.read(spark)
+    assert dict(cur.dtypes) == {"k": "bigint"}
+    assert cur.count() == 15 and cur.agg(F.sum("k")).first()[0] == 105
+    assert t.count() == 15  # metadata count over mixed widths
+
+    # ... even on a table that was never ALTERed: a replace declared
+    # bigint, a narrow int append joins it — the commit itself flips
+    # the sticky widened flag so mixed footers read under the wide one
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(spark.range(5).select(F.col("id").alias("k")))
+    t2.commit(
+        spark.range(5, 8).select(F.col("id").cast("int").alias("k")),
+        mode="append",
+    )
+    assert t2.manifest()["meta"].get("widened") is True
+    cur2 = t2.read(spark)
+    assert dict(cur2.dtypes) == {"k": "bigint"} and cur2.count() == 8
+
+    # the reverse — wider than declared — still rejects loudly, with
+    # and without evolution (appends never silently change the schema)
+    wide = spark.range(8, 9).select(F.col("id").cast("bigint").alias("k"))
+    t3 = TransactionalTable(str(tmp_path / "t3"))
+    t3.commit(spark.range(3).select(F.col("id").cast("int").alias("k")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t3.commit(wide, mode="append")
+    with pytest.raises(ValueError, match="cannot change column types"):
+        t3.commit(wide, mode="append", allow_schema_evolution=True)
+
+    # narrow append composes with evolution: int frame + a NEW column
+    t.commit(
+        spark.range(15, 18).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit(1).alias("extra"),
+        ),
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    cur3 = t.read(spark)
+    assert dict(cur3.dtypes) == {"k": "bigint", "extra": "int"}
+    assert cur3.count() == 18
+    assert cur3.where("extra is null").count() == 15

@@ -80,6 +80,11 @@ def soak(spark, seed: int, n_ops: int) -> int:
 
     def do_replace():
         d = rand_batch()
+        # a replace REDEFINES the schema — reset the declared state
+        # BEFORE building the frame, or the replace writes the widened
+        # type while the model thinks the schema went back to int
+        extra.clear()
+        vtype[0] = "int"
         t.commit(
             frame(d),
             num_files=rng.randint(1, 4),
@@ -92,8 +97,6 @@ def soak(spark, seed: int, n_ops: int) -> int:
         )
         model.clear()
         model.update(d)
-        extra.clear()  # a replace REDEFINES the schema
-        vtype[0] = "int"
 
     def do_append():
         if not t.exists():
