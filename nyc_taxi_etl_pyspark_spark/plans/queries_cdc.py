@@ -1580,6 +1580,74 @@ def q_tx_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_merge_dv",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 1.1 + 1e-9, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 100.0
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           round((CASE WHEN u.o_orderkey IS NOT NULL
+                       THEN u.o_totalprice ELSE b.o_totalprice END) + 1e-9, 4)
+             AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_tx_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE via deletion vectors
+    (``TransactionalTable.merge(..., merge_on_read=True)`` →
+    ``_dv_merge``): the exact change set and oracle of
+    ``q_tx_table_merge``, but the matched target positions are
+    soft-deleted through ONE ``_dvs/`` sidecar and the merge output
+    rows APPEND — zero files rewritten (asserted from the committed
+    manifest), so a small CDC batch against a wide table writes
+    O(batch) bytes where even the touched-file copy-on-write path
+    rewrites whole files. Matching the full-outer-join oracle proves
+    the DV route is result-identical to copy-on-write MERGE.
+    Deterministic across re-runs (latest-wins on a fixed change set is
+    a fixpoint; each run stacks a new DV + appends, vacuum bounds the
+    versions)."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txdvmerge", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_orderkey"], num_files=8)
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        stable_round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    t.merge(spark, updates, ["o_orderkey"], merge_on_read=True)
+    m = t.manifest()
+    assert m["meta"].get("strategy") == "merge-on-read", m["meta"]
+    t.vacuum(retain_versions=2)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_sql_alter_widen",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

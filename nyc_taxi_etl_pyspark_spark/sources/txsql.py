@@ -397,11 +397,13 @@ def execute_dml(
     head = s.split(None, 1)[0].upper() if s else ""
     if head == "MERGE":
         m = re.match(
-            rf"^MERGE\s+INTO\s+({_NAME}){_ALIAS}\s+USING\s+", s, re.I | re.S
+            rf"^MERGE\s+{_MOR_HINT}INTO\s+({_NAME}){_ALIAS}\s+USING\s+",
+            s,
+            re.I | re.S,
         )
         if m is None:
             raise ValueError(f"unparseable MERGE INTO head: {s[:80]!r}")
-        target, talias = m.group(1), m.group(2)
+        hint, target, talias = m.group(1), m.group(2), m.group(3)
         rest = s[m.end() :]
         # source relation: a parenthesized subquery or a name
         if rest.lstrip().startswith("("):
@@ -446,8 +448,16 @@ def execute_dml(
         updates = _parse_relation(spark, src)
         if _UPSERT_ALL.match(clause_text):
             # upsert-all fast path: the latest-wins whole-row operator
-            # (identical result to the clause form, fewer CASE arms)
-            version = t.merge(spark, updates, keys)
+            # (identical result to the clause form, fewer CASE arms).
+            # The write strategy resolves like DELETE/UPDATE: statement
+            # hint wins, else the merge_on_read table property — the DV
+            # path soft-deletes matched positions and appends O(batch).
+            version = t.merge(
+                spark,
+                updates,
+                keys,
+                merge_on_read=_merge_on_read(t, hint),
+            )
             return {"op": "merge", "table": target, "version": version}
         t_names = {x for x in (talias, target) if x}
         s_names = {
@@ -455,6 +465,12 @@ def execute_dml(
             for x in (salias, src if not src.startswith("(") else None)
             if x
         }
+        if hint is not None and hint.upper() == "MERGE_ON_READ":
+            raise ValueError(
+                "MERGE /*+ MERGE_ON_READ */ supports the "
+                "UPDATE SET * / INSERT * upsert form only; clause-form "
+                "MERGE always uses the copy-on-write touched-file path"
+            )
         clauses = _parse_merge_clauses(clause_text, t_names, s_names)
         version = t.merge(spark, updates, keys, clauses=clauses)
         return {

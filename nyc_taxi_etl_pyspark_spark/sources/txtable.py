@@ -3945,6 +3945,33 @@ class TransactionalTable:
             raw = self._strip_dv(spark, raw, dv_map, drop=not keep_keys)
         return _reconcile_schema(raw, m)
 
+    def _upload_dv_sidecar(self, hits: DataFrame) -> str:
+        """Write the (``__dv_file``, ``__dv_pos``) pairs of ``hits`` as
+        ONE parquet deletion-vector sidecar under ``_dvs/`` and return
+        its storage key. Uploaded BEFORE the manifest that cites it, so
+        vacuum's writer grace window applies to in-flight sidecars."""
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        dv_key = f"{DVS_DIR}/c{uuid.uuid4().hex}.parquet"
+        tmp = tempfile.mkdtemp(prefix="txdv_")
+        try:
+            (
+                hits.select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, "dv"))
+            )
+            part = _glob.glob(os.path.join(tmp, "dv", "part-*.parquet"))
+            self.storage.upload_file(part[0], dv_key)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return dv_key
+
     def _dv_delete(
         self,
         spark: SparkSession,
@@ -3970,8 +3997,6 @@ class TransactionalTable:
         type), so cost is O(matched rows), never O(matched file
         bytes). Returns the result dict, or None on a commit race
         (caller retries from the new head)."""
-        import glob as _glob
-
         from pyspark.sql import functions as F
 
         stats = m.get("stats", {})
@@ -4009,22 +4034,7 @@ class TransactionalTable:
                     "dv_files": 0,
                 }
             total = sum(counts.values())
-            dv_key = f"{DVS_DIR}/c{uuid.uuid4().hex}.parquet"
-            tmp = tempfile.mkdtemp(prefix="txdv_")
-            try:
-                (
-                    hits.select(
-                        F.col("__dv_file").alias("file"),
-                        F.col("__dv_pos").alias("pos"),
-                    )
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(tmp, "dv"))
-                )
-                part = _glob.glob(os.path.join(tmp, "dv", "part-*.parquet"))
-                self.storage.upload_file(part[0], dv_key)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
+            dv_key = self._upload_dv_sidecar(hits)
             staged_keys: list[str] = []
             staged_stats: dict[str, dict] = {}
             if assignments is not None:
@@ -4052,6 +4062,47 @@ class TransactionalTable:
                 )
         finally:
             hits.unpersist()
+        res = self._dv_finalize(
+            base_v,
+            m,
+            counts,
+            dv_key,
+            staged_keys,
+            staged_stats,
+            # DELETE shrinks the table by the matched count; UPDATE
+            # re-inserts every matched row, so cardinality is unchanged
+            max(0, int(m.get("rows", 0)) - (total if assignments is None else 0)),
+            op_meta,
+            anchor_df=keyed.drop("__dv_file", "__dv_pos").limit(0),
+        )
+        if res is not None:
+            res[counted] = total
+            if assignments is None:
+                res.pop("files_appended", None)
+        return res
+
+    def _dv_finalize(
+        self,
+        base_v: int,
+        m: dict,
+        counts: dict[str, int],
+        dv_key: str | None,
+        staged_keys: list[str],
+        staged_stats: dict[str, dict],
+        new_rows: int,
+        op_meta: dict,
+        anchor_df: DataFrame,
+    ) -> dict | None:
+        """Shared tail of every merge-on-read commit (DELETE / UPDATE /
+        MERGE): fold the sidecar's per-file hit ``counts`` into the
+        affected files' ``dv`` stats — dropping any file whose every
+        physical row is now dead — stage a schema anchor if the
+        snapshot would go zero-file, and CAS the delta manifest whose
+        only file-set change is drops + appends. Returns the common
+        result fields, or None on a lost race (the orphaned sidecar is
+        reclaimed eagerly; vacuum's ``_dvs/`` sweep would also catch
+        it after the writer grace)."""
+        stats = m.get("stats", {})
         override: dict[str, dict] = {}
         emptied: list[str] = []
         for f, n in counts.items():
@@ -4078,7 +4129,7 @@ class TransactionalTable:
             # unreadable (no schema anchor), so stage one empty file —
             # exactly what the copy-on-write path's empty rewrite does
             staged_keys, staged_stats = self._stage(
-                keyed.drop("__dv_file", "__dv_pos").limit(0),
+                anchor_df,
                 partition_by=m.get("partition_by"),
                 bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
                     "cols"
@@ -4088,42 +4139,157 @@ class TransactionalTable:
         if self._put_manifest(
             base_v,
             files + staged_keys,
-            # DELETE shrinks the table by the matched count; UPDATE
-            # re-inserts every matched row, so cardinality is unchanged
-            max(0, int(m.get("rows", 0)) - (total if assignments is None else 0)),
+            new_rows,
             m.get("schema"),
             staged_stats,  # retained files' stats ride the parent
             {
                 **op_meta,
                 "source_version": base_v,
                 "strategy": "merge-on-read",
-                "dv_commit": total,
+                "dv_commit": sum(counts.values()),
             },
             m.get("partition_by"),
             m,
             mixed_schemas=bool(m.get("mixed_schemas")),
             stats_override=override,
         ):
-            res = {
+            return {
                 "version": base_v + 1,
                 "files_rewritten": 0,
                 "files_retained": len(files),
                 "files_dropped_empty": len(emptied),
-                counted: total,
                 "dv_files": len(override),
                 "dv_ref": dv_key,
+                "files_appended": len(staged_keys),
             }
-            if assignments is not None:
-                res["files_appended"] = len(staged_keys)
-            return res
-        # commit race: reclaim the orphaned sidecar eagerly (vacuum's
-        # _dvs/ sweep would also catch it after the writer grace) and
-        # let the caller retry; staged update files are vacuum backlog
-        try:
-            self.storage.delete(dv_key)
-        except Exception:
-            pass
+        # commit race: staged update files are vacuum backlog
+        if dv_key is not None:
+            try:
+                self.storage.delete(dv_key)
+            except Exception:
+                pass
         return None
+
+    def _dv_merge(
+        self,
+        spark: SparkSession,
+        base_v: int,
+        m: dict,
+        affected: list[str],
+        updates: DataFrame,
+        key_cols: list[str],
+        meta: dict | None,
+    ) -> dict | None:
+        """One merge-on-read MERGE attempt (upsert form) against
+        snapshot ``m``: soft-delete the matched target positions via a
+        deletion-vector sidecar and append the merge output rows — cost
+        is O(matched + source rows), never O(matched file bytes), the
+        Delta DV-merge shape for frequent small CDC batches against
+        wide tables. Replays :func:`operators.merge.merge_upsert`
+        semantics exactly: plain-equality key matching (NULL keys
+        insert), per-TARGET-row replacement (duplicate target keys stay
+        duplicated, each copy taking the source values), and duplicate
+        source keys fanning out (callers pre-reduce via ``latest_by``
+        upstream, as the copy-on-write path does). ``affected`` is the
+        discovery pass's matched-file list — complete for equality
+        matching because min/max band pruning never excludes a file
+        containing a source key. Returns the result dict, or None on a
+        commit race (caller retries from the new head)."""
+        from pyspark.sql import functions as F
+
+        schema_cols = list((m.get("schema") or {}).keys())
+        if set(schema_cols) != set(updates.columns):
+            raise ValueError(
+                f"merge: schema mismatch table={schema_cols} "
+                f"updates={updates.columns}"
+            )
+        m_schema = m.get("schema") or {}
+        # cast the source to the DECLARED types up front so staged
+        # appends can never narrow or widen the physical schema
+        u = updates.select(
+            *[F.col(c).cast(m_schema[c]).alias(c) for c in schema_cols]
+        )
+        counts: dict[str, int] = {}
+        dv_key: str | None = None
+        total_deleted = 0
+        if affected:
+            keyed = self._affected_frame(spark, m, affected, keep_keys=True)
+            su = F.broadcast(
+                u.select(
+                    *[F.col(c).alias(f"__u_{c}") for c in schema_cols]
+                )
+            )
+            cond = None
+            for k in key_cols:
+                c = keyed[k] == F.col(f"__u_{k}")
+                cond = c if cond is None else cond & c
+            pairs = keyed.join(su, cond, "inner")
+            pairs.persist()
+            try:
+                # one DV mark per matched TARGET row, even when
+                # duplicate source keys fan the pair list out
+                positions = pairs.select("__dv_file", "__dv_pos").distinct()
+                counts = {
+                    r["__dv_file"]: int(r["n"])
+                    for r in positions.groupBy("__dv_file")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                total_deleted = sum(counts.values())
+                if counts:
+                    dv_key = self._upload_dv_sidecar(positions)
+                # matched target rows re-enter with the SOURCE values
+                # (one output row per pair — merge_upsert's fan-out);
+                # unmatched source rows are the inserts
+                re_entered = pairs.select(
+                    *[F.col(f"__u_{c}").alias(c) for c in schema_cols]
+                )
+                inserts = u.join(
+                    keyed.select(*key_cols).distinct(),
+                    on=list(key_cols),
+                    how="left_anti",
+                ).select(*schema_cols)
+                appends = re_entered.unionByName(inserts)
+                staged_keys, staged_stats = self._stage(
+                    appends,
+                    partition_by=m.get("partition_by"),
+                    bloom_by=(
+                        m.get("meta", {}).get("bloom_index") or {}
+                    ).get("cols"),
+                    layout=self._layout_of(m),
+                )
+            finally:
+                pairs.unpersist()
+        else:
+            # no candidate file holds a source key: pure insert
+            staged_keys, staged_stats = self._stage(
+                u,
+                partition_by=m.get("partition_by"),
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
+        staged_rows = self._staged_rows(spark, staged_keys, staged_stats)
+        if not counts and staged_rows == 0:
+            # nothing matched, nothing inserts: no commit (zero-row
+            # staged files are vacuum backlog)
+            return {"version": base_v, "files_rewritten": 0}
+        res = self._dv_finalize(
+            base_v,
+            m,
+            counts,
+            dv_key,
+            staged_keys,
+            staged_stats,
+            max(0, int(m.get("rows", 0)) - total_deleted + staged_rows),
+            {**(meta or {}), "op": "merge"},
+            anchor_df=u.limit(0),
+        )
+        if res is not None:
+            res["rows_matched"] = total_deleted
+            res["rows_appended"] = staged_rows
+        return res
 
     def delete_where(
         self,
@@ -4385,6 +4551,7 @@ class TransactionalTable:
         clauses: list[dict] | None = None,
         meta: dict | None = None,
         max_retries: int = 5,
+        merge_on_read: bool = False,
     ) -> int:
         """Transactional MERGE INTO: latest-wins upsert of ``updates``
         against the current snapshot (``operators/merge.py`` semantics),
@@ -4404,7 +4571,17 @@ class TransactionalTable:
         cardinality rule is enforced up front: a source with DUPLICATE
         merge keys would apply two different clause outcomes to one
         target row, so it raises instead of silently fanning out
-        (``latest_by`` still pre-reduces the batch when given)."""
+        (``latest_by`` still pre-reduces the batch when given).
+
+        ``merge_on_read=True`` (upsert form only; the SQL front door
+        routes it from the ``merge_on_read`` table property) switches
+        the matched-file effects to a deletion-vector commit
+        (:meth:`_dv_merge`): matched target positions are soft-deleted
+        and the merge output rows append, so a small CDC batch against
+        a wide 100 TB table writes O(batch) bytes instead of
+        rewriting even the touched files. Read amplification is
+        bounded by ``purge_deletion_vectors`` / OPTIMIZE exactly as
+        for DV DELETE/UPDATE."""
         from pyspark.sql import functions as F
 
         from nyc_taxi_etl_pyspark_spark.operators.merge import (
@@ -4412,6 +4589,28 @@ class TransactionalTable:
             merge_upsert,
         )
 
+        if merge_on_read and clauses is not None:
+            raise ValueError(
+                "merge_on_read=True supports the upsert form only; "
+                "clause-form MERGE uses the copy-on-write touched-file "
+                "path (route matched DELETE effects through "
+                "delete_where(merge_on_read=True) instead)"
+            )
+        if merge_on_read and latest_by:
+            # pre-reduce the batch ONCE (merge_upsert does this inside
+            # the copy-on-write path; the DV path appends the reduced
+            # rows directly)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c).desc() for c in latest_by]
+            )
+            updates = (
+                updates.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            latest_by = None
         if clauses is not None:
             from pyspark.sql import Window
 
@@ -4548,7 +4747,8 @@ class TransactionalTable:
             # subset rewrite of everything. Sparse CDC batches (the
             # case touched-files exists for) never trip this.
             if (
-                len(candidates) > 0.5 * max(1, len(m["files"]))
+                not merge_on_read  # DV merge is O(batch) at any density
+                and len(candidates) > 0.5 * max(1, len(m["files"]))
                 and n_src_keys > 0.05 * max(1, int(m.get("rows") or 0))
             ):
                 base = self.read(spark, base_v)
@@ -4593,6 +4793,13 @@ class TransactionalTable:
                     .distinct()
                     .collect()
                 )
+            if merge_on_read:
+                res = self._dv_merge(
+                    spark, base_v, m, matched, updates, key_cols, meta
+                )
+                if res is None:
+                    continue  # commit race: retry from the new head
+                return res["version"]
             retained = [f for f in m["files"] if f not in set(matched)]
             base_subset = (
                 self._affected_frame(spark, m, matched)

@@ -510,3 +510,163 @@ def test_purge_deletion_vectors_materializes_and_thresholds(spark, tmp_path):
     # vacuum reclaims the now-orphaned sidecars
     res3 = t.vacuum(retain_versions=1, unreferenced_grace_s=0)
     assert res3["removed_dv_sidecars"] == 2
+
+
+def test_dv_merge_matches_copy_on_write_and_rewrites_nothing(spark, tmp_path):
+    """``merge(..., merge_on_read=True)`` is result-identical to the
+    copy-on-write MERGE while retaining every data file byte-for-byte:
+    matched positions ride one ``_dvs/`` sidecar, the merge output
+    appends, metadata count/time travel/fsck stay exact."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 200), num_files=6, cluster_by=["id"])
+    files0 = sorted(t.manifest()["files"])
+    src = spark.createDataFrame(
+        [(5, 5, 999.0), (120, 0, 888.0), (900, 0, 777.0)],
+        "id bigint, k bigint, v double",
+    )
+    v = t.merge(spark, src, ["id"], merge_on_read=True)
+    m = t.manifest()
+    assert m["meta"]["strategy"] == "merge-on-read"
+    assert all(f in m["files"] for f in files0)  # zero rewrites
+    cow = TransactionalTable(str(tmp_path / "cow"))
+    cow.commit(_tenk(spark, 200), num_files=6, cluster_by=["id"])
+    cow.merge(spark, src, ["id"])
+    got = sorted(map(tuple, t.read(spark).collect()))
+    want = sorted(map(tuple, cow.read(spark).collect()))
+    assert got == want and len(got) == 201
+    assert t.count() == 201  # metadata count over the DV'd snapshot
+    assert t.read(spark, v - 1).count() == 200  # time travel isolation
+    assert t.fsck()["ok"]
+
+
+def test_dv_merge_duplicate_keys_replay_merge_upsert_fanout(spark, tmp_path):
+    """Cardinality parity with ``merge_upsert`` on both duplicate
+    shapes: duplicate TARGET keys each take the source values
+    (cardinality preserved), duplicate SOURCE keys fan out — exactly
+    the documented copy-on-write behavior."""
+    from nyc_taxi_etl_pyspark_spark.operators.merge import merge_upsert
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k bigint, s string"
+    )
+    t.commit(base, num_files=2)
+    src = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (2, "Z"), (9, "new")], "k bigint, s string"
+    )
+    t.merge(spark, src, ["k"], merge_on_read=True)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    want = sorted(map(tuple, merge_upsert(base, src, ["k"]).collect()))
+    assert got == want
+    # both target k=1 rows replaced by 'X'; source k=2 fans to Y and Z
+    assert got.count((1, "X")) == 2 and {(2, "Y"), (2, "Z")} <= set(got)
+
+
+def test_dv_merge_latest_by_prereduces_and_stacks_with_dv_deletes(
+    spark, tmp_path
+):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 100), num_files=4, cluster_by=["id"])
+    t.delete_where(spark, "id < 10", merge_on_read=True)
+    t2src = spark.createDataFrame(
+        [(50, 0, 1.0), (5, 0, 3.0)], "id bigint, k bigint, v double"
+    )
+    # latest_by path on a table whose schema carries the ordering column
+    t_full = TransactionalTable(str(tmp_path / "t4"))
+    t_full.commit(
+        spark.createDataFrame(
+            [(1, 10.0, 0), (2, 20.0, 0)], "id bigint, v double, seq int"
+        ),
+        num_files=1,
+    )
+    batch = spark.createDataFrame(
+        [(1, 111.0, 1), (1, 222.0, 2), (3, 30.0, 1)],
+        "id bigint, v double, seq int",
+    )
+    t_full.merge(spark, batch, ["id"], latest_by=["seq"], merge_on_read=True)
+    got = {r["id"]: (r["v"], r["seq"]) for r in t_full.read(spark).collect()}
+    assert got == {1: (222.0, 2), 2: (20.0, 0), 3: (30.0, 1)}
+    # and the stacked delete+merge table: id=5 was dead, so it INSERTS
+    t.merge(spark, t2src.where("id = 5"), ["id"], merge_on_read=True)
+    rows = t.read(spark).where("id in (5, 50)").collect()
+    assert {r["id"] for r in rows} == {5, 50}
+    assert t.fsck()["ok"]
+
+
+def test_dv_merge_rejects_clause_form_and_schema_mismatch(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 50), num_files=2)
+    src = spark.createDataFrame([(1, 1, 9.0)], "id bigint, k bigint, v double")
+    with pytest.raises(ValueError, match="upsert form only"):
+        t.merge(
+            spark,
+            src,
+            ["id"],
+            clauses=[{"when": "matched", "action": "delete"}],
+            merge_on_read=True,
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(
+            spark,
+            src.select("id", "v"),
+            ["id"],
+            merge_on_read=True,
+        )
+
+
+def test_dv_merge_pure_insert_and_sql_routing(spark, tmp_path):
+    """No matched candidate file -> pure-insert append commit (no
+    sidecar); SQL star-form MERGE routes merge-on-read from the hint
+    and the sticky table property, clause form rejects the hint."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 50), num_files=2, cluster_by=["id"])
+    files0 = sorted(t.manifest()["files"])
+    ins = spark.createDataFrame(
+        [(1000, 0, 1.0), (2000, 0, 2.0)], "id bigint, k bigint, v double"
+    )
+    t.merge(spark, ins, ["id"], merge_on_read=True)
+    m = t.manifest()
+    assert all(f in m["files"] for f in files0)
+    assert m["meta"]["dv_commit"] == 0 and t.count() == 52
+    assert not any(
+        "dv" in s for s in m["stats"].values()
+    )  # no sidecar for pure inserts
+    # SQL: hint routes the star form through deletion vectors
+    ins.createOrReplaceTempView("dvmerge_src")
+    execute_dml(
+        spark,
+        "MERGE /*+ MERGE_ON_READ */ INTO t USING dvmerge_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": t},
+    )
+    assert t.manifest()["meta"]["strategy"] == "merge-on-read"
+    assert t.count() == 52  # idempotent upsert of the same batch
+    # sticky property routes without a hint
+    t.set_properties({"merge_on_read": "true"})
+    execute_dml(
+        spark,
+        "MERGE INTO t USING dvmerge_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": t},
+    )
+    assert t.manifest()["meta"]["strategy"] == "merge-on-read"
+    # clause form + explicit hint fails loudly
+    with pytest.raises(ValueError, match="upsert form"):
+        execute_dml(
+            spark,
+            "MERGE /*+ MERGE_ON_READ */ INTO t USING dvmerge_src AS s "
+            "ON t.id = s.id WHEN MATCHED THEN DELETE",
+            tables={"t": t},
+        )
+    # clause form under the property silently stays copy-on-write
+    execute_dml(
+        spark,
+        "MERGE INTO t USING dvmerge_src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > 1.5 THEN UPDATE SET v = s.v + 0.5",
+        tables={"t": t},
+    )
+    assert t.manifest()["meta"].get("strategy") != "merge-on-read"
+    assert t.read(spark).where("id = 2000").first()["v"] == 2.5

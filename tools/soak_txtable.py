@@ -255,6 +255,18 @@ def soak(spark, seed: int, n_ops: int) -> int:
         for k in [k for k, v in model.items() if lo <= v <= hi]:
             model[k] += 13
 
+    def do_dv_merge():
+        # merge-on-read MERGE (upsert form): matched positions DV'd,
+        # merge output appended, zero rewrites — same model effect as
+        # the copy-on-write do_merge
+        if not t.exists():
+            return
+        d = rand_batch()
+        t.merge(spark, widen(frame(d)), ["k"], merge_on_read=True)
+        mf = t.manifest()
+        assert mf["meta"].get("strategy") in ("merge-on-read",), mf["meta"]
+        model.update(d)
+
     def do_add_columns():
         # ALTER TABLE ADD COLUMNS: a schema-only commit crossing the
         # same checkpoint/vacuum/restore machinery as data commits;
@@ -298,6 +310,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_sql_merge_clauses,
         do_dv_delete,
         do_dv_update,
+        do_dv_merge,
         do_flip_layout_capability,
     ]
     do_replace()
