@@ -165,11 +165,30 @@ def tx_micro_bench(spark) -> dict:
             n = pruned.count()
             read_s = time.perf_counter() - t0
             assert n == len([i for i in range(n_files * 1000) if i % 997 == 5])
+            # CDC-batch MERGE, 50 keys spread across the whole id range
+            # (≈1 touched file per key): copy-on-write touched-file
+            # rewrite vs merge-on-read DV+append. The gap is the bytes
+            # a small frequent merge writes — THE mutation-at-scale
+            # number (batch size is constant, so MoR should stay flat
+            # per file count while CoW grows with touched-file bytes).
+            batch = spark.range(50).select(
+                (F.col("id") * (n_files * 1000 // 50)).alias("id"),
+                (F.col("id") % 997).alias("k"),
+                F.lit(-1.0).alias("v"),
+            )
+            t0 = time.perf_counter()
+            t2.merge(spark, batch, ["id"])
+            merge_cow_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            t.merge(spark, batch, ["id"], merge_on_read=True)
+            merge_mor_s = time.perf_counter() - t0
             out[str(n_files)] = {
                 "commit_s": round(commit_s, 3),
                 "commit_exact_files_s": round(commit_exact_s, 3),
                 "plan_s": round(plan_s, 3),
                 "point_read_s": round(read_s, 3),
+                "merge_cow_s": round(merge_cow_s, 3),
+                "merge_mor_s": round(merge_mor_s, 3),
             }
         finally:
             shutil.rmtree(td, ignore_errors=True)

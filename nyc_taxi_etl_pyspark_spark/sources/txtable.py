@@ -4240,12 +4240,17 @@ class TransactionalTable:
                     dv_key = self._upload_dv_sidecar(positions)
                 # matched target rows re-enter with the SOURCE values
                 # (one output row per pair — merge_upsert's fan-out);
-                # unmatched source rows are the inserts
+                # unmatched source rows are the inserts. The anti-join
+                # runs against the MATCHED keys (bounded by the batch,
+                # broadcast explicitly) — never against the target's
+                # full key set, which is O(table) rows and would blow
+                # the broadcast build on a wide table
                 re_entered = pairs.select(
                     *[F.col(f"__u_{c}").alias(c) for c in schema_cols]
                 )
+                matched_keys = pairs.select(*key_cols).distinct()
                 inserts = u.join(
-                    keyed.select(*key_cols).distinct(),
+                    F.broadcast(matched_keys),
                     on=list(key_cols),
                     how="left_anti",
                 ).select(*schema_cols)
@@ -4772,6 +4777,17 @@ class TransactionalTable:
                     )
                 except CommitConflict:
                     continue
+            if merge_on_read:
+                # no touched-file discovery pass: the DV path never
+                # rewrites, so it needs positions (from its own pairs
+                # join over the band-pruned candidates), not a file
+                # list — one fewer full scan of the candidate files
+                res = self._dv_merge(
+                    spark, base_v, m, candidates, updates, key_cols, meta
+                )
+                if res is None:
+                    continue  # commit race: retry from the new head
+                return res["version"]
             matched: list[str] = []
             if candidates:
                 sub = self._affected_frame(
@@ -4793,13 +4809,6 @@ class TransactionalTable:
                     .distinct()
                     .collect()
                 )
-            if merge_on_read:
-                res = self._dv_merge(
-                    spark, base_v, m, matched, updates, key_cols, meta
-                )
-                if res is None:
-                    continue  # commit race: retry from the new head
-                return res["version"]
             retained = [f for f in m["files"] if f not in set(matched)]
             base_subset = (
                 self._affected_frame(spark, m, matched)
