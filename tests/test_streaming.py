@@ -1118,3 +1118,79 @@ def test_txcdf_duplicate_key_raises_loudly(spark, tmp_path):
         assert "duplicate key" in str(exc)
     finally:
         q.stop()
+
+
+def test_txcdf_and_txstream_across_merge_on_read_merge(spark, tmp_path):
+    """The DV-backed MERGE interacts correctly with both streaming
+    sources: txcdf emits exactly the merge's keyed diff (updates for
+    matched keys, inserts for new keys — the same rows a CoW merge
+    would produce), and the append-only txstream source fails it
+    LOUDLY (retained files' dv stats changed while no file was
+    removed — the silent case its round-7 detector missed)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        num_files=4,
+        cluster_by=["k"],
+    )  # v0
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txcdf")
+        .option("path", root)
+        .option("keycols", "k")
+        .option("startingversion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(3, 999), (777, 1)], "k bigint, v bigint"
+            ),
+            ["k"],
+            merge_on_read=True,
+        )  # v1
+        q.processAllAvailable()
+        got = spark.read.parquet(out)
+        assert {
+            (r.k, r.v, r._change_type) for r in got.collect()
+        } == {(3, 999, "update"), (777, 1, "insert")}
+    finally:
+        q.stop()
+
+    q2 = (
+        spark.readStream.format("txstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("txs_dvmerge")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()  # admits v0+v1's net state so far
+        t.merge(
+            spark,
+            spark.createDataFrame([(4, 111)], "k bigint, v bigint"),
+            ["k"],
+            merge_on_read=True,
+        )  # v2: mutates a retained file's dv stats, removes nothing
+        q2.processAllAvailable()
+        raise AssertionError("txstream should fail the DV-merge commit")
+    except Exception as exc:  # noqa: BLE001 - StreamingQueryException wrapper
+        assert "deletion vector" in str(exc) or "append-only" in str(exc)
+    finally:
+        q2.stop()
