@@ -39,6 +39,7 @@ from nyc_taxi_etl_pyspark_spark.operators.similarity import (
     cosine_pairs_within_group,
     ivf_topk_cosine,
     knn_within_group,
+    pq_topk_cosine,
 )
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from nyc_taxi_etl_pyspark_spark.plans.registry import query
@@ -405,6 +406,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=10,
         n_probe=4,
+    )
+
+
+@query("q_ann_pq", oracle=None)  # approximate by construction => rows-only
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k with asymmetric distance
+    computation (``operators/similarity.py::pq_topk_cosine``): each
+    64-dim embedding compresses to 8 subspace codes (deterministic
+    per-subspace codebooks from the 32 lowest-id vectors — the same
+    offline-k-means stand-in convention as ``q_ann_ivf``), a query
+    scores rows by 8 literal-table lookups instead of 64-dim float
+    math, and the top ADC survivors re-rank with exact cosine. The
+    memory-bandwidth ANN tier: at 100 TB a scan touches 8 small ints
+    per row, not the embedding column. Approximate ⇒ rows-only; recall
+    vs the ``q_topk_cosine`` exact baseline is floor-tested
+    (``tests/test_scale_techniques.py``) and the encode+ADC math is
+    asserted equal to a pure-Python replay."""
+    return pq_topk_cosine(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
     )
 
 

@@ -876,3 +876,89 @@ def test_prefix_filter_join_plan_no_cartesian_and_broadcast_df(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_pq_recall_floor_and_python_replay(spark, sf_dir):
+    """Product-quantization ANN (q_ann_pq): (a) exact-re-ranked ADC
+    must clear a recall floor against the exact top-10 and always
+    recover the query vector itself (its ADC distance is the minimum
+    by construction); (b) the Spark-side encode + ADC math must EQUAL
+    a pure-Python replay on a sample — codes are deterministic
+    integers, so equality is exact, no tolerance."""
+    import math
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import pq_encode
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    q = all_queries()
+    exact = {r["vec_id"] for r in q["q_topk_cosine"](spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in q["q_ann_pq"](spark, sf_dir).collect()}
+    assert 0 in approx  # the query vector itself always survives
+    assert len(exact & approx) / len(exact) >= 0.5, (exact, approx)
+
+    # python replay of encode on a 20-vector sample, same codebooks
+    e = load_table(spark, sf_dir, "embeddings")
+    m_subspaces, k_codes = 8, 32
+    seed = e.select("vec_id", "embedding").orderBy("vec_id").limit(k_codes).collect()
+    dim = len(seed[0]["embedding"])
+    d_sub = dim // m_subspaces
+
+    def norm(v):
+        n = math.sqrt(sum(float(x) ** 2 for x in v)) or 1e-12
+        return [float(x) / n for x in v]
+
+    codebooks = [
+        [norm(r["embedding"])[m * d_sub : (m + 1) * d_sub] for r in seed]
+        for m in range(m_subspaces)
+    ]
+    sample = e.where("vec_id < 20")
+    enc = {
+        r["vec_id"]: [r[f"__code_{m}"] for m in range(m_subspaces)]
+        for r in pq_encode(sample, codebooks, "vec_id", "embedding").collect()
+    }
+    for r in sample.collect():
+        nv = norm(r["embedding"])
+        want = []
+        for m in range(m_subspaces):
+            sub = nv[m * d_sub : (m + 1) * d_sub]
+            dists = [
+                (sum((sub[i] - c[i]) ** 2 for i in range(d_sub)), j)
+                for j, c in enumerate(codebooks[m])
+            ]
+            want.append(min(dists)[1])
+        assert enc[r["vec_id"]] == want, (r["vec_id"], enc[r["vec_id"]], want)
+
+
+def test_pq_codes_are_scale_invariant(spark, sf_dir):
+    """Encoding runs on L2-NORMALIZED vectors, so scaling an embedding
+    must not change its codes — the invariance that makes squared-L2
+    ADC rank like cosine."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings").where("vec_id < 40")
+    seed = e.orderBy("vec_id").limit(8).collect()
+    d_sub = len(seed[0]["embedding"]) // 4
+    import math
+
+    def norm(v):
+        n = math.sqrt(sum(float(x) ** 2 for x in v)) or 1e-12
+        return [float(x) / n for x in v]
+
+    codebooks = [
+        [norm(r["embedding"])[m * d_sub : (m + 1) * d_sub] for r in seed]
+        for m in range(4)
+    ]
+    base = pq_encode(e, codebooks, "vec_id", "embedding")
+    scaled = pq_encode(
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x * 7.5).alias("embedding"),
+        ),
+        codebooks,
+        "vec_id",
+        "embedding",
+    )
+    cols = ["vec_id"] + [f"__code_{m}" for m in range(4)]
+    assert sorted(map(tuple, base.select(*cols).collect())) == sorted(
+        map(tuple, scaled.select(*cols).collect())
+    )
