@@ -501,6 +501,63 @@ def pq_encode(
     return out.select(id_col, vec_col, *code_cols)
 
 
+def pq_seed_codebooks(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int = 8,
+    k_codes: int = 32,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace PQ codebooks: the L2-normalized
+    subvectors of the ``k_codes`` lowest-id vectors — the same
+    offline-k-means stand-in convention as ``ivf_topk_cosine``'s
+    codebook (a |codebook|-bounded driver fetch; a production deploy
+    swaps in k-means-fitted centroids with the identical shape)."""
+    import math
+
+    seed_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k_codes)
+        .collect()  # |codebook|-bounded driver fetch
+    )
+    dim = len(seed_rows[0][1])
+    d_sub = dim // m_subspaces
+    assert d_sub * m_subspaces == dim, (dim, m_subspaces)
+    codebooks: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        cb = []
+        for r in seed_rows:
+            v = [float(x) for x in r[1]]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            cb.append([x / n for x in v[m * d_sub : (m + 1) * d_sub]])
+        codebooks.append(cb)
+    return codebooks
+
+
+def _pq_adc_tables(
+    query_vec: DataFrame, codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """ADC lookup tables: squared distance from the (normalized)
+    query's m-th subvector to every centroid of subspace m — M×K
+    floats computed in plain Python from the 1-row query fetch, folded
+    into the plan as literals by the callers."""
+    import math
+
+    q_row = query_vec.limit(1).collect()[0]  # 1-row bounded fetch
+    q = [float(x) for x in q_row[0]]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    q = [x / qn for x in q]
+    d_sub = len(codebooks[0][0])
+    return [
+        [
+            sum((q[m * d_sub + i] - c[i]) ** 2 for i in range(d_sub))
+            for c in cb
+        ]
+        for m, cb in enumerate(codebooks)
+    ]
+
+
 def pq_topk_cosine(
     vectors: DataFrame,
     query_vec: DataFrame,
@@ -535,42 +592,8 @@ def pq_topk_cosine(
     columns next to the vectors); a query then scans M small-int
     columns instead of the D-float embedding — a 32× byte reduction at
     D=64/M=8 — and the exact path touches only k·refine rows."""
-    import math
-
-    q_row = query_vec.limit(1).collect()[0]  # 1-row bounded fetch
-    q = [float(x) for x in q_row[0]]
-    qn = math.sqrt(sum(x * x for x in q)) or 1.0
-    q = [x / qn for x in q]
-    dim = len(q)
-    d_sub = dim // m_subspaces
-    assert d_sub * m_subspaces == dim, (dim, m_subspaces)
-
-    seed_rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k_codes)
-        .collect()  # |codebook|-bounded driver fetch
-    )
-    codebooks: list[list[list[float]]] = []
-    for m in range(m_subspaces):
-        cb = []
-        for r in seed_rows:
-            v = [float(x) for x in r[1]]
-            n = math.sqrt(sum(x * x for x in v)) or 1.0
-            cb.append([x / n for x in v[m * d_sub : (m + 1) * d_sub]])
-        codebooks.append(cb)
-
-    # ADC lookup tables: squared distance from the query's m-th
-    # subvector to every centroid of subspace m — M×K floats, literal
-    adc = [
-        [
-            sum(
-                (q[m * d_sub + i] - c[i]) ** 2 for i in range(d_sub)
-            )
-            for c in cb
-        ]
-        for m, cb in enumerate(codebooks)
-    ]
+    codebooks = pq_seed_codebooks(vectors, id_col, vec_col, m_subspaces, k_codes)
+    adc = _pq_adc_tables(query_vec, codebooks)
     encoded = pq_encode(vectors, codebooks, id_col, vec_col)
     approx = encoded.select(
         id_col,
@@ -595,6 +618,103 @@ def pq_topk_cosine(
     ).alias("cosine_sim")
     return (
         shortlist.crossJoin(F.broadcast(query_vec))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    table,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int = 8,
+    k_codes: int = 32,
+) -> int:
+    """Persist a PQ index into a transactional commit-log table
+    (``sources/txtable.py``): rows are (id, embedding, ``__code_0..M``)
+    with the CODEBOOKS riding the manifest's sticky ``app`` meta — so
+    probe planning needs one manifest read and zero Spark jobs, and
+    the ADC scan projects ONLY the M small-int code columns (parquet
+    column pruning skips the embedding bytes entirely; the embedding
+    column exists for the exact re-rank point-read, which a bloom
+    index on ``id_col`` prunes to the shortlist's files). Maintenance
+    falls out of the protocol exactly as for the IVF index: new
+    vectors append (encode with the manifest codebooks first), a
+    re-trained codebook is a full replace, OPTIMIZE compacts, time
+    travel reproduces historical probes. Returns the committed
+    version."""
+    codebooks = pq_seed_codebooks(
+        vectors, id_col, vec_col, m_subspaces, k_codes
+    )
+    encoded = pq_encode(vectors, codebooks, id_col, vec_col)
+    return table.commit(
+        encoded,
+        bloom_by=[id_col],
+        meta={
+            "op": "pq_index",
+            "app": {"pq": {"codebooks": codebooks, "m": m_subspaces}},
+        },
+    )
+
+
+def pq_index_probe(
+    spark,
+    table,
+    query_vec: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    refine: int = 8,
+) -> DataFrame:
+    """Probe a persisted PQ index: codebooks come off the manifest (no
+    Spark job), the ADC pass scans only the code columns (column
+    pruning leaves the embedding bytes unread), the top ``k·refine``
+    ids are a bounded fetch, and the exact re-rank point-reads just
+    those rows — bloom-pruned on ``id_col``, so at 100 TB the
+    full-precision embedding column is touched for k·refine rows
+    TOTAL. Snapshot-pinned against concurrent rebuilds (assignments
+    and codebooks are read from the same version), same discipline as
+    ``ivf_index_probe``. Semantics equal the in-memory
+    :func:`pq_topk_cosine` over identical codebooks — asserted in
+    tests."""
+    m = table.manifest()
+    pq_meta = m["meta"]["app"]["pq"]
+    codebooks = pq_meta["codebooks"]
+    m_subspaces = int(pq_meta["m"])
+    adc = _pq_adc_tables(query_vec, codebooks)
+    code_cols = [f"__code_{i}" for i in range(m_subspaces)]
+    scan = table.read(spark, version=m["version"]).select(
+        id_col,
+        *code_cols,  # embedding column PRUNED from this scan
+    )
+    shortlist = (
+        scan.select(
+            id_col,
+            sum(
+                [
+                    F.element_at(
+                        F.array(*[F.lit(float(x)) for x in adc[i]]),
+                        F.col(f"__code_{i}") + 1,
+                    )
+                    for i in range(m_subspaces)
+                ],
+                F.lit(0.0),
+            ).alias("__adc_dist"),
+        )
+        .orderBy(F.col("__adc_dist").asc(), F.col(id_col))
+        .limit(k * refine)
+    )
+    ids = [r[0] for r in shortlist.collect()]  # k·refine-bounded fetch
+    candidates = table.read(
+        spark, version=m["version"], equals={id_col: ids}
+    ).select(id_col, vec_col)
+    sim = stable_round(
+        cosine_similarity_col(F.col(vec_col), F.col("query_embedding")), 4
+    ).alias("cosine_sim")
+    return (
+        candidates.crossJoin(F.broadcast(query_vec))
         .select(F.col(id_col), sim)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

@@ -1078,6 +1078,43 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_pq_persisted", oracle=None)  # approximate => rows-only
+def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index PERSISTED (``build_pq_index``/``pq_index_probe``):
+    codes + embeddings live in a bloom-indexed commit-log table with
+    the codebooks in manifest meta, so a probe (a) plans its ADC
+    tables with zero Spark jobs, (b) scans ONLY the M small-int code
+    columns — parquet column pruning leaves the embedding bytes
+    unread — and (c) point-reads just the k·refine shortlist rows for
+    the exact re-rank, bloom-pruned to their files on ``vec_id``. The
+    lakehouse ANN shape for 100 TB: full-precision vectors are touched
+    for 80 rows total per query. Equality with the in-memory
+    ``pq_topk_cosine`` over identical codebooks asserted in
+    tests/test_scale_techniques.py; approximate ⇒ rows-only."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_pq_index,
+        pq_index_probe,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = fixture_scratch_dir(
+        "spark_graft_pqindex", sf_dir, anchor="embeddings.parquet"
+    )
+    t = TransactionalTable(root)
+    if not t.exists():
+        build_pq_index(t, e, id_col="vec_id", vec_col="embedding")
+    return pq_index_probe(
+        spark,
+        t,
+        _query_vec(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+
+
 def _simhash_md5_oracle() -> str:
     """Generated SQL for the md5-simhash oracle: 60 per-bit vote sums
     over md5-derived token-hash bits (bit b lives in hex digit b//4,

@@ -962,3 +962,38 @@ def test_pq_codes_are_scale_invariant(spark, sf_dir):
     assert sorted(map(tuple, base.select(*cols).collect())) == sorted(
         map(tuple, scaled.select(*cols).collect())
     )
+
+
+def test_pq_persisted_probe_equals_in_memory(spark, sf_dir, tmp_path):
+    """The persisted PQ index probe must return EXACTLY the in-memory
+    pq_topk_cosine result over identical codebooks (same shortlist,
+    same exact re-rank), and its ADC scan plan must not read the
+    embedding column (column pruning is the point of persisting
+    codes)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_pq_index,
+        pq_index_probe,
+        pq_topk_cosine,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where("vec_id = 0").select(
+        F.col("embedding").alias("query_embedding")
+    )
+    t = TransactionalTable(str(tmp_path / "pqidx"))
+    build_pq_index(t, e, id_col="vec_id", vec_col="embedding")
+    got = pq_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=10
+    )
+    want = pq_topk_cosine(e, q, id_col="vec_id", vec_col="embedding", k=10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # the ADC scan projects codes only: embedding absent from ReadSchema
+    m = t.manifest()
+    scan = t.read(spark, version=m["version"]).select(
+        "vec_id", *[f"__code_{i}" for i in range(8)]
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan, plan[:2000]
