@@ -3319,6 +3319,117 @@ class TransactionalTable:
             f"{self.root}"
         )
 
+    def compact_deletion_vectors(
+        self,
+        spark: SparkSession,
+        max_refs: int = 1,
+        max_retries: int = 5,
+    ) -> dict:
+        """Merge each file's sidecar REF LIST into one consolidated
+        sidecar — a stats-only commit that touches no data file (the
+        cheap sibling of ``purge_deletion_vectors``, Delta's
+        one-DV-per-file invariant restored as maintenance). Every
+        merge-on-read commit APPENDS one ref per touched file, so N
+        stacked merges leave reads unioning N sidecars before the
+        anti-join; compaction collapses files carrying more than
+        ``max_refs`` refs to a single ref each, with logical content,
+        per-file ``dv.n``, and file bytes all unchanged (asserted:
+        consolidated position counts must equal the recorded ``n``).
+        Old sidecars stay referenced by older snapshots and become
+        vacuum backlog as those retire. Returns {version,
+        files_compacted, refs_before, refs_after}; no-op commits
+        nothing."""
+        from pyspark.sql import functions as F
+
+        if max_refs < 1:
+            raise ValueError(f"max_refs must be >= 1, got {max_refs}")
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(f"nothing to compact in {self.root}")
+            stats = m.get("stats", {})
+            targets = {
+                f: e["dv"]
+                for f, e in stats.items()
+                if f in set(m["files"])
+                and len(e.get("dv", {}).get("refs", [])) > max_refs
+            }
+            if not targets:
+                return {
+                    "version": base_v,
+                    "files_compacted": 0,
+                    "refs_before": 0,
+                    "refs_after": 0,
+                }
+            refs_before = sum(len(e["refs"]) for e in targets.values())
+            refs = sorted({r for e in targets.values() for r in e["refs"]})
+            positions = (
+                spark.read.parquet(*[self.storage.url(r) for r in refs])
+                .where(F.col("file").isin(list(targets)))
+                .select(
+                    F.col("file").alias("__dv_file"),
+                    F.col("pos").alias("__dv_pos"),
+                )
+            )
+            positions.persist()
+            try:
+                counts = {
+                    r["__dv_file"]: int(r["n"])
+                    for r in positions.groupBy("__dv_file")
+                    .agg(F.count("*").alias("n"))
+                    .collect()  # bounded by len(targets)
+                }
+                for f, e in targets.items():
+                    if counts.get(f, 0) != int(e.get("n", 0)):
+                        raise ValueError(
+                            f"{self.root}: DV compaction found "
+                            f"{counts.get(f, 0)} recorded positions for "
+                            f"{f} but stats claim n={e.get('n')} — "
+                            "sidecars and stats disagree; run fsck"
+                        )
+                dv_key = self._upload_dv_sidecar(positions)
+            finally:
+                positions.unpersist()
+            override = {
+                f: {
+                    **stats.get(f, {}),
+                    "dv": {"refs": [dv_key], "n": int(e["n"])},
+                }
+                for f, e in targets.items()
+            }
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),  # logical content unchanged
+                m.get("schema"),
+                {},  # retained files' stats ride the parent
+                {
+                    "op": "compact_dv",
+                    "source_version": base_v,
+                    "refs_before": refs_before,
+                    "refs_after": len(targets),
+                },
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+                stats_override=override,
+            ):
+                return {
+                    "version": base_v + 1,
+                    "files_compacted": len(targets),
+                    "refs_before": refs_before,
+                    "refs_after": len(targets),
+                }
+            try:  # lost the race: reclaim the orphaned sidecar eagerly
+                self.storage.delete(dv_key)
+            except Exception:
+                pass
+        raise CommitConflict(
+            f"compact_deletion_vectors lost {max_retries} commit races on "
+            f"{self.root}"
+        )
+
     def restore(self, version: int, expect_version: int | None = None) -> int:
         """RESTORE TABLE TO VERSION (Delta's ``RESTORE``): commit a NEW
         version whose file list is the target snapshot's — a pure

@@ -670,3 +670,53 @@ def test_dv_merge_pure_insert_and_sql_routing(spark, tmp_path):
     )
     assert t.manifest()["meta"].get("strategy") != "merge-on-read"
     assert t.read(spark).where("id = 2000").first()["v"] == 2.5
+
+
+def test_compact_deletion_vectors_collapses_refs_stats_only(spark, tmp_path):
+    """``compact_deletion_vectors``: N stacked merge-on-read commits
+    leave each touched file referencing N sidecars; compaction
+    collapses them to ONE per file in a stats-only commit — no data
+    file touched, logical rows/reads exact before and after, position
+    counts validated against the recorded ``dv.n``, idempotent."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 400), num_files=4, cluster_by=["id"])
+    files0 = sorted(t.manifest()["files"])
+    for i in range(5):
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(i * 40 + j, 0, -1.0) for j in range(3)],
+                "id bigint, k bigint, v double",
+            ),
+            ["id"],
+            merge_on_read=True,
+        )
+    m = t.manifest()
+    refs_before = sum(
+        len(s.get("dv", {}).get("refs", [])) for s in m["stats"].values()
+    )
+    assert refs_before > 4  # stacked refs exist
+    before = sorted(map(tuple, t.read(spark).collect()))
+    res = t.compact_deletion_vectors(spark)
+    assert res["files_compacted"] > 0 and res["refs_after"] < refs_before
+    m2 = t.manifest()
+    # data files untouched; every DV file now carries exactly one ref
+    assert all(f in m2["files"] for f in files0)
+    assert all(
+        len(s["dv"]["refs"]) == 1
+        for s in m2["stats"].values()
+        if "dv" in s
+    )
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert t.count() == 400 and t.fsck()["ok"]
+    # pre-compaction snapshots still read through their own refs
+    assert t.read(spark, res["version"] - 1).count() == 400
+    # idempotent: nothing above the threshold -> no commit
+    again = t.compact_deletion_vectors(spark)
+    assert again["version"] == res["version"]
+    assert again["files_compacted"] == 0
+    # a re-delete on compacted files stacks fresh refs and still reads
+    t.delete_where(spark, "id < 5", merge_on_read=True)
+    assert t.read(spark).count() == 395
+    with pytest.raises(ValueError, match="max_refs"):
+        t.compact_deletion_vectors(spark, max_refs=0)
