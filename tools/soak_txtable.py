@@ -286,6 +286,12 @@ def soak(spark, seed: int, n_ops: int) -> int:
         t.alter_column_type(spark, "v", "bigint")
         vtype[0] = "bigint"
 
+    def do_dv_compact():
+        # stats-only maintenance: collapse stacked sidecar refs; model
+        # unchanged (logical content identical by contract)
+        if t.exists():
+            t.compact_deletion_vectors(spark)
+
     def do_flip_layout_capability():
         # a later replace/optimize then migrates the layout; appends
         # keep the table's current layout regardless of the flag
@@ -311,6 +317,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_dv_delete,
         do_dv_update,
         do_dv_merge,
+        do_dv_compact,
         do_flip_layout_capability,
     ]
     do_replace()
