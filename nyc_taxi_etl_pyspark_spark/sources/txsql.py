@@ -638,14 +638,16 @@ def execute_dml(
         m = re.match(
             rf"^OPTIMIZE\s+({_NAME})"
             rf"(?:(\s+INCREMENTAL)|\s+ZORDER\s+BY\s+\(([^)]+)\)"
-            rf"|(\s+PURGE(?:\s+DELETES)?))?$",
+            rf"|(\s+PURGE(?:\s+DELETES)?)"
+            rf"|(\s+COMPACT\s+DELETES))?$",
             s,
             re.I,
         )
         if m is None:
             raise ValueError(
                 "OPTIMIZE shape: OPTIMIZE <table> "
-                "[INCREMENTAL | ZORDER BY (col, ...) | PURGE [DELETES]]"
+                "[INCREMENTAL | ZORDER BY (col, ...) | PURGE [DELETES] "
+                "| COMPACT DELETES]"
             )
         t = _resolve_target(m.group(1), tables)
         if m.group(2):
@@ -658,6 +660,9 @@ def execute_dml(
         elif m.group(4):
             # materialize deletion vectors away (REORG ... APPLY (PURGE))
             res = t.purge_deletion_vectors(spark)
+        elif m.group(5):
+            # collapse stacked sidecar refs, stats-only (no rewrite)
+            res = t.compact_deletion_vectors(spark)
         else:
             res = t.optimize(spark)
         return {"op": "optimize", "table": m.group(1), **res}

@@ -720,3 +720,21 @@ def test_compact_deletion_vectors_collapses_refs_stats_only(spark, tmp_path):
     assert t.read(spark).count() == 395
     with pytest.raises(ValueError, match="max_refs"):
         t.compact_deletion_vectors(spark, max_refs=0)
+
+
+def test_sql_optimize_compact_deletes(spark, tmp_path):
+    """``OPTIMIZE t COMPACT DELETES`` routes to
+    ``compact_deletion_vectors`` — stacked refs collapse, nothing is
+    rewritten, reads stay exact."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(_tenk(spark, 200), num_files=2)
+    t.delete_where(spark, "id < 5", merge_on_read=True)
+    t.delete_where(spark, "id >= 195", merge_on_read=True)
+    files0 = sorted(t.manifest()["files"])
+    res = execute_dml(spark, "OPTIMIZE ct COMPACT DELETES", {"ct": t})
+    assert res["op"] == "optimize" and res["files_compacted"] == 2
+    assert res["refs_before"] == 4 and res["refs_after"] == 2
+    assert sorted(t.manifest()["files"]) == files0  # nothing rewritten
+    assert t.read(spark).count() == 190 and t.count() == 190
