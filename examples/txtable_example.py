@@ -384,6 +384,43 @@ def main() -> None:
     execute_dml(spark, "VACUUM sql_demo RETAIN 2 VERSIONS")
 
     # ------------------------------------------------------------------
+    # 9f. Merge-on-read (deletion vectors): flip one table property and
+    # DELETE/UPDATE/MERGE stop rewriting files — each commit is a small
+    # position sidecar + appended rows, O(change) bytes against a table
+    # of any width. Read debt is bounded by maintenance: COMPACT
+    # DELETES collapses stacked sidecars (stats-only), PURGE rewrites
+    # deadness-heavy files through the DV-aware reader.
+    mor_root = os.path.join(root, "mor_demo")
+    execute_dml(spark, f"""
+        CREATE TABLE mor_demo LOCATION '{mor_root}' AS
+        SELECT id AS ride_id, CAST(id % 7 AS DOUBLE) AS fare
+        FROM range(1000)
+    """)
+    execute_dml(
+        spark, "ALTER TABLE mor_demo SET TBLPROPERTIES (merge_on_read = true)"
+    )
+    print("dv delete:", execute_dml(
+        spark, "DELETE FROM mor_demo WHERE fare = 0"
+    )["files_rewritten"], "files rewritten (positions sidecar'd)")
+    execute_dml(spark, "UPDATE mor_demo SET fare = fare + 100 WHERE ride_id < 3")
+    spark.createDataFrame(
+        [(1, 7.5), (5000, 1.0)], "ride_id bigint, fare double"
+    ).createOrReplaceTempView("mor_changes")
+    execute_dml(spark, """
+        MERGE INTO mor_demo USING mor_changes AS s ON mor_demo.ride_id = s.ride_id
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    """)  # DV merge: matched positions soft-deleted, batch appended
+    mor_t = TransactionalTable(mor_root)
+    print("after dv merge:", mor_t.count(), "rows (metadata count,"
+          " logical-row exact over stacked vectors)")
+    print("dv compact:", execute_dml(
+        spark, "OPTIMIZE mor_demo COMPACT DELETES"
+    )["refs_before"], "sidecar refs -> one per file, nothing rewritten")
+    print("dv purge:", execute_dml(
+        spark, "OPTIMIZE mor_demo PURGE DELETES"
+    )["rows_purged"], "dead rows materialized away")
+
+    # ------------------------------------------------------------------
     # 10. History + vacuum: audit trail from the commit log; reclaim
     # files referenced by no retained version (retention = reader grace).
     for h in table.history():
