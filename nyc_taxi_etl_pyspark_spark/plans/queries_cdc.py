@@ -1580,6 +1580,77 @@ def q_tx_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_partition_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_orderkey % 4 AS BIGINT) AS bucket, o_totalprice
+      FROM orders
+    ), appended AS (
+      SELECT o_orderkey + 10000000, 'N',
+             CAST((o_orderkey + 10000000) % 4 AS BIGINT), o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM appended
+    )
+    SELECT o_orderkey, o_orderstatus, bucket,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM all_rows WHERE bucket IN (0, 1)
+    """,
+)
+def q_tx_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (``alter_partitioning`` — Iceberg's
+    metadata-only re-partitioning): the fixture commits partitioned by
+    ``o_orderstatus``, evolves to partition by ``bucket`` through the
+    SQL front door (``ALTER TABLE t PARTITIONED BY (bucket)`` — zero
+    files rewritten, asserted), appends new rows under the NEW scheme,
+    and returns a partition-scoped read on the new column over the
+    MIXED snapshot. Old files don't record ``bucket`` so metadata
+    pruning keeps them and the exact residual filter applies; new
+    files prune by their recorded values — the oracle (a plain WHERE
+    over base ∪ appended) proves the mixed-scheme read loses and
+    invents nothing."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_orderkey") % 4).cast("bigint").alias("bucket"),
+        "o_totalprice",
+    )
+    root = fixture_scratch_dir("spark_graft_txpartevo", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, partition_by=["o_orderstatus"])
+        files0 = set(t.manifest()["files"])
+        res = execute_dml(
+            spark, "ALTER TABLE evo_t PARTITIONED BY (bucket)", {"evo_t": t}
+        )
+        assert res["partition_by"] == ["bucket"], res
+        assert set(t.manifest()["files"]) == files0  # metadata-only
+        t.commit(
+            o.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                ((F.col("o_orderkey") + 10000000) % 4)
+                .cast("bigint")
+                .alias("bucket"),
+                "o_totalprice",
+            ),
+            mode="append",
+            partition_by=["bucket"],
+        )
+    return t.read(spark, partitions={"bucket": [0, 1]}).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "bucket",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_merge_dv",
     oracle="""
     WITH base AS (

@@ -165,6 +165,13 @@ def zorder_bucket_exprs(
         maxs = [F.max(c).alias(f"__mx_{c}") for c in zorder_cols]
         stats = df.agg(*mins, *maxs).first()
         for c in zorder_cols:
+            if stats[f"__mn_{c}"] is None or stats[f"__mx_{c}"] is None:
+                # empty frame or all-NULL column: no span to bucket by
+                # — constant cell keeps the key well-defined (found by
+                # the hypothesis protocol model: delete-everything then
+                # OPTIMIZE on a zorder-clustered table)
+                buckets.append(F.lit(0))
+                continue
             mn = float(stats[f"__mn_{c}"])
             span = max(float(stats[f"__mx_{c}"]) - mn, 1e-12)
             buckets.append(

@@ -761,6 +761,28 @@ def execute_dml(
                 "properties": t.properties(),
                 "version": version,
             }
+        evm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)|DROP\s+PARTITIONING)$",
+            s,
+            re.I,
+        )
+        if evm is not None:
+            # partition EVOLUTION: metadata-only, future writes use the
+            # new scheme, old files read under their own recorded values
+            t = _resolve_target(evm.group(1), tables)
+            cols = (
+                [c.strip().strip("`") for c in evm.group(2).split(",") if c.strip()]
+                if evm.group(2) is not None
+                else []
+            )
+            version = t.alter_partitioning(spark, cols or None)
+            return {
+                "op": "alter_partitioning",
+                "table": evm.group(1),
+                "partition_by": cols or None,
+                "version": version,
+            }
         wm = re.match(
             rf"^ALTER\s+TABLE\s+({_NAME})\s+ALTER\s+COLUMN\s+"
             rf"`?([A-Za-z_]\w*)`?\s+TYPE\s+([A-Za-z_]\w*(?:\s*\([\d\s,]*\))?)$",
@@ -792,7 +814,8 @@ def execute_dml(
                 "ALTER shape: ALTER TABLE <table> ADD COLUMNS "
                 "(col type, ...) | ALTER TABLE <table> ALTER COLUMN <c> "
                 "TYPE <t> | ALTER TABLE <table> SET TBLPROPERTIES "
-                "(k = v, ...)"
+                "(k = v, ...) | ALTER TABLE <table> PARTITIONED BY "
+                "(col, ...) | ALTER TABLE <table> DROP PARTITIONING"
             )
         t = _resolve_target(m.group(1), tables)
         columns: dict[str, str] = {}

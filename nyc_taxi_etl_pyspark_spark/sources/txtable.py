@@ -1754,14 +1754,19 @@ class TransactionalTable:
                 if c in pb
             }
             if sel:
-                files = [
-                    f
-                    for f in files
-                    if all(
-                        stats.get(f, {}).get("partition", {}).get(c) in vs
+                # a file is skipped only when it RECORDS the queried
+                # column with a non-matching value; files written under
+                # an older partition scheme (alter_partitioning) don't
+                # record it and fall through to the exact residual
+                # filter below — superset skip, never a wrong result
+                def _may_match(f: str) -> bool:
+                    part = stats.get(f, {}).get("partition") or {}
+                    return all(
+                        c not in part or part[c] in vs
                         for c, vs in sel.items()
                     )
-                ]
+
+                files = [f for f in files if _may_match(f)]
         files = prune_files(
             m,
             where,
@@ -3627,6 +3632,89 @@ class TransactionalTable:
                 return base_v + 1
         raise CommitConflict(
             f"alter_column_type lost {max_retries} commit races on {self.root}"
+        )
+
+    def alter_partitioning(
+        self,
+        spark: SparkSession,
+        partition_by: list[str] | None,
+        max_retries: int = 5,
+    ) -> int:
+        """PARTITION EVOLUTION (Iceberg's ``ALTER TABLE ... ADD/DROP
+        PARTITION FIELD`` shape) as a METADATA-ONLY commit: the new
+        scheme applies to FUTURE writes, every existing file stays
+        byte-identical under its own recorded partition values, and no
+        Spark job runs. Sound because layout v2 keeps partition
+        columns in the data pages and reads plan from per-file
+        ``partition`` stats: metadata pruning skips a file only when
+        it RECORDS a queried column with a non-matching value (a file
+        from an older scheme falls through to the exact residual
+        filter — never a silent wrong result; see :meth:`read`).
+        Legacy v1 path-partitioned tables must ``optimize()`` to
+        layout v2 first — their partition columns exist only in file
+        paths, and two path schemes cannot share one ``basePath``
+        reconstruction. Old-scheme files migrate incrementally: any
+        rewrite (OPTIMIZE, copy-on-write DELETE/UPDATE/MERGE) re-stages
+        its rows under the current scheme. ``replace_partitions``
+        only owns files that record the current scheme's values, so it
+        never silently drops old-scheme files. ``partition_by=None``
+        (or ``[]``) drops partitioning for future writes."""
+        nt = list(partition_by or [])
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            cur = list(m.get("partition_by") or [])
+            if nt == cur:
+                return base_v  # no-op
+            if self._layout_of(m) < 2:
+                # v1 keeps partition values ONLY in file paths and
+                # appends stage in the table's existing layout, so a
+                # scheme change (or introducing partitioning over flat
+                # v1 files) would mix path encodings under one basePath
+                # — unreadable. This holds even when currently
+                # unpartitioned: the first new-scheme append would
+                # stage v1 path-partitioned files next to flat ones.
+                raise ValueError(
+                    f"{self.root}: partition evolution needs layout v2 "
+                    "(partition columns in data pages); this snapshot is "
+                    "legacy layout v1 — run optimize() to migrate, then "
+                    "alter"
+                )
+            schema = m.get("schema") or {}
+            unknown = [c for c in nt if c not in schema]
+            if unknown:
+                raise ValueError(
+                    f"alter_partitioning: unknown columns {unknown} "
+                    f"(have {sorted(schema)})"
+                )
+            if any(c.startswith(_SHADOW_PREFIX) for c in nt):
+                raise ValueError(
+                    f"alter_partitioning: columns may not start with "
+                    f"{_SHADOW_PREFIX!r}: {nt}"
+                )
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                dict(schema),
+                {},  # retained files' stats ride the parent
+                {
+                    "op": "alter_partitioning",
+                    "from": cur,
+                    "to": nt,
+                },
+                nt or None,
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"alter_partitioning lost {max_retries} commit races on "
+            f"{self.root}"
         )
 
     def set_properties(

@@ -4819,3 +4819,121 @@ def test_append_narrower_than_declared_upcasts_on_read(spark, tmp_path):
     assert dict(cur3.dtypes) == {"k": "bigint", "extra": "int"}
     assert cur3.count() == 18
     assert cur3.where("extra is null").count() == 15
+
+
+def test_alter_partitioning_evolution_metadata_only(spark, tmp_path):
+    """Partition EVOLUTION (Iceberg's shape): a metadata-only commit
+    changes the scheme for FUTURE writes; old files stay byte-identical
+    under their own recorded values, partition-scoped reads stay exact
+    on both the old and the new column across the mixed snapshot, and
+    any rewrite migrates rows to the current scheme."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 4).alias("p"),
+            (F.col("id") % 3).alias("q"),
+        ),
+        partition_by=["p"],
+    )
+    files0 = sorted(t.manifest()["files"])
+    v = t.alter_partitioning(spark, ["q"])
+    m = t.manifest()
+    assert m["partition_by"] == ["q"] and m["meta"]["op"] == "alter_partitioning"
+    assert sorted(m["files"]) == files0  # zero rewrites, zero staging
+    # appends now stage under the NEW scheme
+    t.commit(
+        spark.range(100, 160).select(
+            F.col("id"),
+            (F.col("id") % 4).alias("p"),
+            (F.col("id") % 3).alias("q"),
+        ),
+        mode="append",
+        partition_by=["q"],
+    )
+    cur = t.read(spark)
+    assert cur.count() == 160
+    # exact partition-scoped reads across the MIXED snapshot: old files
+    # don't record q (kept + residual), new files don't record p
+    assert t.read(spark, partitions={"q": [1]}).count() == 53
+    assert t.read(spark, partitions={"p": [2]}).count() == 40
+    assert t.count() == 160 and t.fsck()["ok"]
+    # time travel: the pre-evolution snapshot keeps its own scheme
+    assert t.manifest(v - 1)["partition_by"] == ["p"]
+    # the evolution commit is content-invisible to the change feed
+    assert t.changes(spark, ["id"], v - 1, v).count() == 0
+    # a full rewrite migrates everything to the current scheme
+    t.optimize(spark, target_rows_per_file=1000)
+    parts = {
+        tuple(sorted((s.get("partition") or {}).keys()))
+        for s in t.manifest()["stats"].values()
+    }
+    assert parts == {("q",)}
+    assert t.read(spark).count() == 160
+
+    # unknown column and legacy v1 layouts reject loudly
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.alter_partitioning(spark, ["nope"])
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(
+        spark.range(40).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by=["p"],
+        meta={"layout": 1},
+    )
+    with pytest.raises(ValueError, match="layout v2"):
+        t2.alter_partitioning(spark, ["id"])
+    # introducing partitioning over FLAT v1 files is just as unreadable
+    # (appends stage in the table's layout -> mixed path encodings)
+    t3 = TransactionalTable(str(tmp_path / "t3"))
+    t3.commit(
+        spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        meta={"layout": 1},
+    )
+    with pytest.raises(ValueError, match="layout v2"):
+        t3.alter_partitioning(spark, ["p"])
+
+
+def test_alter_partitioning_sql_and_drop(spark, tmp_path):
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(60).select(F.col("id"), (F.col("id") % 3).alias("q"))
+    )
+    res = execute_dml(
+        spark, "ALTER TABLE evo PARTITIONED BY (q)", {"evo": t}
+    )
+    assert res["partition_by"] == ["q"]
+    assert t.manifest()["partition_by"] == ["q"]
+    t.commit(
+        spark.range(60, 90).select(F.col("id"), (F.col("id") % 3).alias("q")),
+        mode="append",
+        partition_by=["q"],
+    )
+    assert t.read(spark, partitions={"q": [0]}).count() == 30
+    res = execute_dml(spark, "ALTER TABLE evo DROP PARTITIONING", {"evo": t})
+    assert res["partition_by"] is None
+    assert t.manifest().get("partition_by") is None
+    t.commit(spark.range(90, 100).select(F.col("id"), (F.col("id") % 3).alias("q")), mode="append")
+    assert t.read(spark).count() == 100 and t.fsck()["ok"]
+
+
+def test_optimize_zordered_table_after_delete_all(spark, tmp_path):
+    """Regression (hypothesis-found): OPTIMIZE on a zorder-clustered
+    table whose rows were ALL deleted crashed on float(None) — the
+    zorder bucketer had no min/max to span. Empty/all-NULL columns now
+    bucket to a constant cell."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(0, -40)], "k int, v int"), zorder_by=["v"]
+    )
+    t.delete(spark, [("v", -41, 1)])  # empties the table
+    t.optimize(spark, target_rows_per_file=20)
+    assert t.read(spark).count() == 0 and t.count() == 0
+    assert t.fsck()["ok"]
+    # and still usable afterwards
+    t.commit(
+        spark.createDataFrame([(1, 5)], "k int, v int"),
+        mode="append",
+    )
+    assert t.read(spark).count() == 1

@@ -107,7 +107,14 @@ def soak(spark, seed: int, n_ops: int) -> int:
         d = {k: v for k, v in d.items() if k not in model}
         if not d:
             return
-        t.commit(widen(frame(d)), mode="append", num_files=1)
+        # appends must stage under the table's CURRENT partitioning
+        # (do_alter_partitioning may have evolved it)
+        t.commit(
+            widen(frame(d)),
+            mode="append",
+            num_files=1,
+            partition_by=(t.manifest() or {}).get("partition_by"),
+        )
         model.update(d)
 
     def do_merge():
@@ -286,6 +293,20 @@ def soak(spark, seed: int, n_ops: int) -> int:
         t.alter_column_type(spark, "v", "bigint")
         vtype[0] = "bigint"
 
+    def do_alter_partitioning():
+        # partition evolution: flip future-write partitioning between
+        # none and by-k; old files keep their recorded scheme, model
+        # unchanged (content identical). Legacy v1-layout snapshots
+        # (do_replace's ~1/4 meta={"layout": 1}) reject loudly — that
+        # reject IS the contract, so just skip them here.
+        if not t.exists():
+            return
+        m = t.manifest()
+        if (m.get("meta", {}).get("layout") or 2) < 2:
+            return
+        cur = m.get("partition_by")
+        t.alter_partitioning(spark, None if cur else ["k"])
+
     def do_dv_compact():
         # stats-only maintenance: collapse stacked sidecar refs; model
         # unchanged (logical content identical by contract)
@@ -318,6 +339,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_dv_update,
         do_dv_merge,
         do_dv_compact,
+        do_alter_partitioning,
         do_flip_layout_capability,
     ]
     do_replace()
