@@ -24,6 +24,7 @@ and deliberately matches the reference's.
 
 from __future__ import annotations
 
+import html
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -55,21 +56,25 @@ def _form_page(
     error block) when present — stdlib string rendering, no template
     engine."""
     form = form or {}
+    # user-controlled form values and exception text are reflected back
+    # into the page — escape them (quote=True: values land in an HTML
+    # attribute) so the demo endpoint is not an XSS vector
     rows = "\n".join(
         f'<label>{name} <input name="{name}" '
-        f'value="{form.get(name, "")}"></label><br>'
+        f'value="{html.escape(str(form.get(name, "")), quote=True)}">'
+        f"</label><br>"
         for name in _WEB_FORM_FIELDS
     )
     result = ""
     if prediction is not None:
         result = (
             f'<p id="prediction">Predicted total amount: '
-            f"{prediction}</p>"
+            f"{html.escape(str(prediction))}</p>"
             f'<p id="duration">Estimated duration (min): '
-            f"{duration_est}</p>"
+            f"{html.escape(str(duration_est))}</p>"
         )
     if error is not None:
-        result = f'<p id="error">Error: {error}</p>'
+        result = f'<p id="error">Error: {html.escape(str(error))}</p>'
     return (
         "<!doctype html><html><head><title>Trip predictor</title></head>"
         f'<body><h1>Trip predictor</h1>'

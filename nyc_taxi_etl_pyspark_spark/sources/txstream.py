@@ -415,12 +415,30 @@ class TxTableStreamReader(DataSourceStreamReader):
             # emit rows the table no longer contains).
             if prev is not None:
                 prev_stats = prev.get("stats", {})
+                # DV *compaction* (op == "compact_dv") rewrites each
+                # file's sidecar ref LIST without changing which rows
+                # are deleted (dv.n is asserted equal by the writer) —
+                # logical content is unchanged, so the append-only
+                # contract treats it as a no-op. Anything that changes
+                # dv.n (or any dv change under a non-compaction op)
+                # still fails loudly below.
+                is_compact = m.get("meta", {}).get("op") == "compact_dv"
+
+                def _dv_changed(key: str) -> bool:
+                    new_dv = stats.get(key, {}).get("dv")
+                    old_dv = prev_stats.get(key, {}).get("dv")
+                    if new_dv == old_dv:
+                        return False
+                    if is_compact and (new_dv or {}).get("n") == (
+                        old_dv or {}
+                    ).get("n"):
+                        return False
+                    return True
+
                 dv_mutated = [
                     key
                     for key in m["files"]
-                    if key in prev_files
-                    and stats.get(key, {}).get("dv")
-                    != prev_stats.get(key, {}).get("dv")
+                    if key in prev_files and _dv_changed(key)
                 ]
                 if dv_mutated:
                     raise ValueError(

@@ -2593,6 +2593,7 @@ class TransactionalTable:
         meta: dict | None = None,
         expect_version: int | None = None,
         allow_schema_evolution: bool = False,
+        allow_stale_partition_scheme: bool = False,
     ) -> int:
         """Commit ``df`` as the next snapshot and return its version.
 
@@ -2821,6 +2822,32 @@ class TransactionalTable:
                 stats = {**prev.get("stats", {}), **staged_stats}
             elif mode == "replace_partitions" and prev is not None:
                 prev_stats = prev.get("stats", {})
+                # replace_partitions only OWNS files recording the
+                # current scheme's partition values; after partition
+                # evolution, old-scheme files whose rows logically
+                # belong to a replaced partition would be silently
+                # retained alongside the new data (duplicates). Fail
+                # loudly until the table is migrated (optimize()), or
+                # the caller explicitly accepts the retain semantics.
+                scheme = set(partition_by or [])
+                stale = [
+                    f
+                    for f in prev["files"]
+                    if set(prev_stats.get(f, {}).get("partition") or {})
+                    != scheme
+                ]
+                if stale and not allow_stale_partition_scheme:
+                    raise ValueError(
+                        f"{self.root}: replace_partitions over scheme "
+                        f"{sorted(scheme)} but {len(stale)} snapshot "
+                        "file(s) record a different partition scheme "
+                        "(written before alter_partitioning?) — their "
+                        "rows may logically belong to a replaced "
+                        "partition yet would be retained. Run "
+                        "optimize() to migrate old-scheme files first, "
+                        "or pass allow_stale_partition_scheme=True to "
+                        "accept retain-by-file semantics."
+                    )
 
                 def _in_touched(f: str) -> bool:
                     part = prev_stats.get(f, {}).get("partition")
@@ -2830,8 +2857,12 @@ class TransactionalTable:
                     )
 
                 retained = [f for f in prev["files"] if not _in_touched(f)]
+                # LOGICAL rows: a touched file may carry a deletion
+                # vector, in which case its contribution to the
+                # manifest's rows total is footer rows minus dv.n —
+                # subtracting physical rows would understate the total
                 dropped_rows = sum(
-                    prev_stats.get(f, {}).get("rows", 0)
+                    _logical_rows(prev_stats, f) or 0
                     for f in prev["files"]
                     if _in_touched(f)
                 )
@@ -3657,7 +3688,10 @@ class TransactionalTable:
         rewrite (OPTIMIZE, copy-on-write DELETE/UPDATE/MERGE) re-stages
         its rows under the current scheme. ``replace_partitions``
         only owns files that record the current scheme's values, so it
-        never silently drops old-scheme files. ``partition_by=None``
+        REFUSES to run while old-scheme files remain (their rows may
+        logically belong to a replaced partition yet would be
+        retained) — run ``optimize()`` to migrate first, or pass
+        ``allow_stale_partition_scheme=True``. ``partition_by=None``
         (or ``[]``) drops partitioning for future writes."""
         nt = list(partition_by or [])
         for _ in range(max_retries):

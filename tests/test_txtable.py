@@ -4937,3 +4937,48 @@ def test_optimize_zordered_table_after_delete_all(spark, tmp_path):
         mode="append",
     )
     assert t.read(spark).count() == 1
+
+
+def test_replace_partitions_rejects_stale_scheme_files(spark, tmp_path):
+    """advice r8: after ``alter_partitioning``, ``replace_partitions``
+    only owns files recording the CURRENT scheme — old-scheme files
+    whose rows logically belong to a replaced partition would be
+    silently retained (duplicates). The commit now fails loudly until
+    the table is migrated (optimize), with an explicit opt-in flag for
+    callers who accept retain-by-file semantics."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 4).alias("p"),
+            (F.col("id") % 3).alias("q"),
+        ),
+        partition_by=["p"],
+    )
+    t.alter_partitioning(spark, ["q"])
+    patch = spark.range(5).select(
+        (F.col("id") * 3).alias("id"),
+        ((F.col("id") * 3) % 4).alias("p"),
+        F.lit(0).cast("long").alias("q"),
+    )
+    with pytest.raises(ValueError, match="different partition scheme"):
+        t.commit(patch, mode="replace_partitions", partition_by=["q"])
+    # explicit opt-in: commits, but old-scheme q=0 rows are RETAINED
+    v = t.commit(
+        patch,
+        mode="replace_partitions",
+        partition_by=["q"],
+        allow_stale_partition_scheme=True,
+    )
+    cur = t.read(spark)
+    assert cur.where("q = 0").count() == 34 + 5  # retained old + new
+    assert t.count() == cur.count()
+    t.restore(v - 1)
+    # after optimize() migrates every file to the current scheme, the
+    # replace owns q=0 exactly: 34 old rows drop, 5 new rows land
+    t.optimize(spark, target_rows_per_file=1000)
+    t.commit(patch, mode="replace_partitions", partition_by=["q"])
+    cur = t.read(spark)
+    assert cur.where("q = 0").count() == 5
+    assert cur.count() == 100 - 34 + 5
+    assert t.count() == cur.count() and t.fsck()["ok"]

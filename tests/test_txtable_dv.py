@@ -738,3 +738,88 @@ def test_sql_optimize_compact_deletes(spark, tmp_path):
     assert res["refs_before"] == 4 and res["refs_after"] == 2
     assert sorted(t.manifest()["files"]) == files0  # nothing rewritten
     assert t.read(spark).count() == 190 and t.count() == 190
+
+
+def test_txstream_survives_dv_compaction(spark, tmp_path):
+    """``compact_deletion_vectors`` is a stats-only commit — refs
+    collapse [r1, r2] -> [c] with identical positions and ``dv.n`` —
+    so a live txstream consumer must treat it as a no-op (advice r8:
+    the old guard compared the whole dv entry including refs, and the
+    documented OPTIMIZE ... COMPACT DELETES maintenance killed
+    streams). An actual ``dv.n`` change afterwards still fails."""
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_tenk(spark, 400), num_files=2)
+    # stack two DV commits BEFORE the stream starts (a started stream
+    # would fail on the DV mutation itself, which is the other test)
+    t.delete_where(spark, "id < 10", merge_on_read=True)
+    t.delete_where(spark, "id >= 390", merge_on_read=True)
+
+    # start AFTER the DV commits (those correctly fail the append-only
+    # contract — covered by test_txstream_fails_loudly_on_dv_commit);
+    # only the compaction delta and later appends arrive here
+    s = (
+        spark.readStream.format("txstream")
+        .option("path", root)
+        .option("startingversion", str(t.latest_version() + 1))
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("txs_compact")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n0 = spark.table("txs_compact").count()
+        assert n0 == 0  # started past the snapshot + DV commits
+        res = t.compact_deletion_vectors(spark)
+        assert res["files_compacted"] == 2
+        q.processAllAvailable()  # must NOT raise: logical no-op
+        assert spark.table("txs_compact").count() == n0
+        # appends keep flowing after the compaction commit
+        t.commit(_tenk(spark, 50), mode="append", num_files=1)
+        q.processAllAvailable()
+        assert spark.table("txs_compact").count() == n0 + 50
+        # but an n-changing DV commit STILL fails loudly
+        t.delete_where(spark, "id = 100", merge_on_read=True)
+        try:
+            q.processAllAvailable()
+            raise AssertionError("stream should fail on an n-changing DV")
+        except AssertionError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - StreamingQueryException
+            assert "deletion vector" in str(exc) or "append-only" in str(exc)
+    finally:
+        q.stop()
+
+
+def test_replace_partitions_subtracts_logical_rows_under_dv(spark, tmp_path):
+    """advice r8 (medium): ``replace_partitions`` computed
+    dropped_rows from PHYSICAL per-file footer rows; replacing a
+    partition whose files carry deletion vectors over-subtracted,
+    understating the manifest's logical rows total. The metadata
+    count must equal the scanned count after the replace."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    base = spark.range(400).select(
+        F.col("id"), (F.col("id") % 4).alias("p"), (F.col("id") * 2.0).alias("v")
+    )
+    t.commit(base, partition_by=["p"])
+    # attach a DV to partition 0's file(s): 100 physical, 60 logical
+    t.delete_where(spark, "p = 0 AND id < 160", merge_on_read=True)
+    assert t.count() == 360 and t.read(spark).count() == 360
+    # replace partition 0 with 25 fresh rows: logical total must be
+    # 300 (other partitions) + 25, NOT 400 - 100(physical) - ... skew
+    patch = spark.range(25).select(
+        (F.col("id") * 4).alias("id"),
+        F.lit(0).cast("long").alias("p"),
+        F.lit(-1.0).alias("v"),
+    )
+    t.commit(patch, mode="replace_partitions", partition_by=["p"])
+    assert t.read(spark).count() == 325
+    assert t.count() == 325  # metadata count == scan count
+    assert t.fsck()["ok"]
