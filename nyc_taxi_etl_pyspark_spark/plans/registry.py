@@ -72,15 +72,98 @@ def _load_all_modules() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Attestation rotation.
+#
+# The external correctness gate samples the FIRST 50 registry keys in
+# iteration order, so a static order leaves most of the registry
+# permanently self-attested only (191/241 queries had never been
+# driver-checked through round 8 — the round-8 verdict's top ask). Each
+# round this list front-loads ~50 queries that have NOT yet appeared in
+# any CORRECTNESS_r*.json, highest-risk first; everything else follows
+# in registration order. Rotation is safe because tools/preflight.py
+# re-runs the ENTIRE registry against its oracles before each round
+# closes, so the un-sampled remainder never goes unchecked.
+#
+# Round 9 window: the transactional SQL front door, the deletion-vector
+# and partition-evolution commits, every full-oracle streaming query,
+# the 18 TPC-H shapes, and a slice of the dedup/text suite.
+_ATTESTATION_FRONT: list[str] = [
+    # SQL front door (never attested r1-r8)
+    "q_tx_sql_merge",
+    "q_tx_sql_merge_full",
+    "q_tx_sql_update_delete",
+    "q_tx_sql_ctas",
+    "q_tx_sql_time_travel",
+    "q_tx_sql_alter",
+    "q_tx_sql_alter_widen",
+    # deletion vectors + partition evolution (new in r8)
+    "q_tx_delete_dv",
+    "q_tx_update_dv",
+    "q_tx_merge_dv",
+    "q_tx_partition_evolution",
+    # streaming (full-oracle set)
+    "q_streaming_cdf",
+    "q_streaming_tumbling",
+    "q_streaming_sliding",
+    "q_streaming_dedup",
+    "q_streaming_interval_join",
+    "q_streaming_static_join",
+    "q_streaming_upsert",
+    "q_streaming_append_tx",
+    "q_streaming_expectations",
+    "q_streaming_tx_source",
+    "q_streaming_silver_agg",
+    "q_streaming_rate_limited",
+    "q_streaming_pyds",
+    "q_streaming_corpus_dedup",
+    # TPC-H shapes (verbatim ANSI)
+    "q_sql_q1_pricing_summary",
+    "q_sql_q2_min_cost_supplier",
+    "q_sql_q5_local_volume",
+    "q_sql_q6_forecast_revenue",
+    "q_sql_q7_volume_shipping",
+    "q_sql_q8_market_share",
+    "q_sql_q9_product_profit",
+    "q_sql_q10_returned_items",
+    "q_sql_q11_important_stock",
+    "q_sql_q12_priority_shipping",
+    "q_sql_q13_order_distribution",
+    "q_sql_q14_promo_revenue",
+    "q_sql_q15_top_supplier",
+    "q_sql_q16_parts_supplier_cnt",
+    "q_sql_q19_disjunctive_join",
+    "q_sql_q20_promo_suppliers",
+    "q_sql_q21_waiting_supplier",
+    "q_sql_q22_dormant_customers",
+    # LLM-pipeline / dedup slice
+    "q_dedup_exact",
+    "q_dedup_lsh_md5_survivors",
+    "q_topk_cosine",
+    "q_scd2_build",
+    "q_record_linkage",
+    "q_funnel",
+    "q_window_tumbling",
+]
+
+
+def _rotated(names: list[str]) -> list[str]:
+    front = [n for n in _ATTESTATION_FRONT if n in _REGISTRY]
+    rest = [n for n in names if n not in set(front)]
+    return front + rest
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all_modules()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _rotated(list(_REGISTRY))}
 
 
 def all_oracle_sql() -> dict[str, str]:
     _load_all_modules()
     return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
+        name: _REGISTRY[name].oracle
+        for name in _rotated(list(_REGISTRY))
+        if _REGISTRY[name].oracle is not None
     }
 
 
