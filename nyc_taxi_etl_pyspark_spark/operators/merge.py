@@ -121,6 +121,142 @@ def _rewrite_refs(
     return "".join(out)
 
 
+# which side a BARE identifier resolves to, per clause group (see
+# _rewrite_refs): matched sees both (target first), INSERT sees no
+# target row, BY SOURCE sees no source row
+_BARE = {"matched": "ts", "not_matched": "s", "not_matched_by_source": "t"}
+
+
+def _reject_struct_exprs(
+    clauses: Sequence[dict], base: DataFrame, updates: DataFrame
+) -> None:
+    """Clause EXPRESSIONS are rewritten onto the ``__t_``/``__s_``
+    prefixed joined frame by :func:`_rewrite_refs`, which treats an
+    unqualified dotted path as a possible struct access and leaves it
+    alone — but the joined frame's columns are RENAMED, so a genuine
+    struct field access could silently mis-resolve. Reject the
+    combination loudly instead of producing a wrong merge (whole-row
+    ``'*'`` clauses never rewrite expressions, so struct COLUMNS
+    themselves are fine there)."""
+    has_exprs = any(
+        c.get("cond")
+        or isinstance(c.get("set"), dict)
+        or isinstance(c.get("values"), dict)
+        for c in clauses
+    )
+    if not has_exprs:
+        return
+    structy = sorted(
+        {
+            f.name
+            for f in list(base.schema.fields) + list(updates.schema.fields)
+            if f.dataType.typeName() == "struct"
+        }
+    )
+    if structy:
+        raise ValueError(
+            f"clause-form MERGE expressions are not supported on "
+            f"struct-typed columns {structy}: field access would "
+            "mis-resolve through the reference rewriter — flatten the "
+            "structs or use whole-row '*' clauses / the upsert form"
+        )
+
+
+def _build_groups(
+    clauses: Sequence[dict], tcols: list[str]
+) -> dict[str, list[tuple[str, dict]]]:
+    """Validate the clause list and bucket it into the three MERGE
+    groups, each clause labelled ``c<i>`` by its position (labels feed
+    the ``__action`` CASE and the projection arms)."""
+    groups: dict[str, list[tuple[str, dict]]] = {
+        "matched": [],
+        "not_matched": [],
+        "not_matched_by_source": [],
+    }
+    for i, c in enumerate(clauses):
+        when = c.get("when")
+        if when not in groups:
+            raise ValueError(f"unknown MERGE clause group: {when!r}")
+        if when == "not_matched" and c["action"] != "insert":
+            raise ValueError(
+                "WHEN NOT MATCHED supports INSERT only (there is no "
+                "target row to update or delete)"
+            )
+        if when == "not_matched_by_source" and c["action"] == "insert":
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only "
+                "(there is no source row to insert from)"
+            )
+        cols = c.get("set") if c["action"] == "update" else c.get("values")
+        if isinstance(cols, dict):
+            unknown = sorted(set(cols) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"MERGE clause references columns not on the target "
+                    f"table: {unknown}"
+                )
+        groups[when].append((f"c{i}", c))
+    return groups
+
+
+def _group_case(
+    rows: list[tuple[str, dict]], default: str, tcols: list[str], scols: list[str]
+):
+    """First-matching-clause CASE for one group: the label of the first
+    clause whose condition holds, else ``default``."""
+    expr = F.lit(default)
+    for label, c in reversed(rows):
+        cond = (
+            F.expr(_rewrite_refs(c["cond"], tcols, scols, _BARE[c["when"]]))
+            if c.get("cond")
+            else F.lit(True)
+        )
+        expr = F.when(cond, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def _clause_projection(
+    tcols: list[str],
+    scols: list[str],
+    ordered: list[tuple[str, dict]],
+    schema: dict,
+) -> list:
+    """Per-target-column projection over a frame tagged with
+    ``__action``: each clause label maps to its SET/VALUES expression
+    (earliest clause's ``when()`` wins), default is the target value;
+    everything cast to the target column type so the merged schema is
+    byte-identical to the table's."""
+    out_cols = []
+    for col in tcols:
+        pick = F.col(f"__t_{col}")
+        # later clauses first so the earliest clause's when() wins
+        for label, c in reversed(ordered):
+            if c["action"] == "delete":
+                continue
+            if c["action"] == "update":
+                st = c.get("set")
+                if st == "*":
+                    st = {x: f"s.{x}" for x in tcols if x in scols}
+                if col in st:
+                    v = F.expr(
+                        _rewrite_refs(st[col], tcols, scols, _BARE[c["when"]])
+                    )
+                else:
+                    continue  # unset column keeps the target value
+            else:  # insert
+                vals = c.get("values")
+                if vals == "*":
+                    vals = {x: f"s.{x}" for x in tcols if x in scols}
+                v = (
+                    F.expr(_rewrite_refs(vals[col], tcols, scols, "s"))
+                    if col in vals
+                    else F.lit(None)
+                )
+            pick = F.when(F.col("__action") == label, v).otherwise(pick)
+        out_cols.append(pick.cast(schema[col]).alias(col))
+    return out_cols
+
+
 def merge_clauses(
     base: DataFrame,
     updates: DataFrame,
@@ -168,34 +304,7 @@ def merge_clauses(
     for k in key_cols:
         if k not in tcols or k not in scols:
             raise ValueError(f"merge key {k!r} must exist on both sides")
-    # clause EXPRESSIONS are rewritten onto the __t_/__s_ prefixed
-    # joined frame by _rewrite_refs, which treats an unqualified dotted
-    # path as a possible struct access and leaves it alone — but the
-    # joined frame's columns are RENAMED, so a genuine struct field
-    # access could silently mis-resolve. Reject the combination loudly
-    # instead of producing a wrong merge (whole-row '*' clauses never
-    # rewrite expressions, so struct COLUMNS themselves are fine there).
-    has_exprs = any(
-        c.get("cond")
-        or isinstance(c.get("set"), dict)
-        or isinstance(c.get("values"), dict)
-        for c in clauses
-    )
-    if has_exprs:
-        structy = sorted(
-            {
-                f.name
-                for f in list(base.schema.fields) + list(updates.schema.fields)
-                if f.dataType.typeName() == "struct"
-            }
-        )
-        if structy:
-            raise ValueError(
-                f"clause-form MERGE expressions are not supported on "
-                f"struct-typed columns {structy}: field access would "
-                "mis-resolve through the reference rewriter — flatten the "
-                "structs or use whole-row '*' clauses / the upsert form"
-            )
+    _reject_struct_exprs(clauses, base, updates)
     insert_only = bool(clauses) and all(
         c.get("when") == "not_matched" for c in clauses
     )
@@ -234,51 +343,14 @@ def merge_clauses(
 
     matched = F.col("__in_t").isNotNull() & F.col("__in_s").isNotNull()
     only_s = F.col("__in_t").isNull()
-    bare = {"matched": "ts", "not_matched": "s", "not_matched_by_source": "t"}
-    groups: dict[str, list[tuple[str, dict]]] = {
-        "matched": [],
-        "not_matched": [],
-        "not_matched_by_source": [],
-    }
-    for i, c in enumerate(clauses):
-        when = c.get("when")
-        if when not in groups:
-            raise ValueError(f"unknown MERGE clause group: {when!r}")
-        if when == "not_matched" and c["action"] != "insert":
-            raise ValueError(
-                "WHEN NOT MATCHED supports INSERT only (there is no "
-                "target row to update or delete)"
-            )
-        if when == "not_matched_by_source" and c["action"] == "insert":
-            raise ValueError(
-                "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only "
-                "(there is no source row to insert from)"
-            )
-        cols = c.get("set") if c["action"] == "update" else c.get("values")
-        if isinstance(cols, dict):
-            unknown = sorted(set(cols) - set(tcols))
-            if unknown:
-                raise ValueError(
-                    f"MERGE clause references columns not on the target "
-                    f"table: {unknown}"
-                )
-        groups[when].append((f"c{i}", c))
-
-    def group_case(rows: list[tuple[str, dict]], default: str):
-        expr = F.lit(default)
-        for label, c in reversed(rows):
-            cond = (
-                F.expr(_rewrite_refs(c["cond"], tcols, scols, bare[c["when"]]))
-                if c.get("cond")
-                else F.lit(True)
-            )
-            expr = F.when(cond, F.lit(label)).otherwise(expr)
-        return expr
+    groups = _build_groups(clauses, tcols)
 
     action = (
-        F.when(matched, group_case(groups["matched"], "keep"))
-        .when(only_s, group_case(groups["not_matched"], "drop"))
-        .otherwise(group_case(groups["not_matched_by_source"], "keep"))
+        F.when(matched, _group_case(groups["matched"], "keep", tcols, scols))
+        .when(only_s, _group_case(groups["not_matched"], "drop", tcols, scols))
+        .otherwise(
+            _group_case(groups["not_matched_by_source"], "keep", tcols, scols)
+        )
     )
     j = j.withColumn("__action", action)
     dead = {
@@ -290,40 +362,122 @@ def merge_clauses(
     j = j.where(~F.col("__action").isin(*dead))
 
     schema = {f.name: f.dataType for f in base.schema.fields}
-    out_cols = []
-    for col in tcols:
-        pick = F.col(f"__t_{col}")
-        # later clauses first so the earliest clause's when() wins
-        for label, c in reversed(
+    out = j.select(
+        *_clause_projection(
+            tcols,
+            scols,
             groups["matched"]
             + groups["not_matched"]
-            + groups["not_matched_by_source"]
-        ):
-            if c["action"] == "delete":
-                continue
-            if c["action"] == "update":
-                st = c.get("set")
-                if st == "*":
-                    st = {x: f"s.{x}" for x in tcols if x in scols}
-                if col in st:
-                    v = F.expr(
-                        _rewrite_refs(st[col], tcols, scols, bare[c["when"]])
-                    )
-                else:
-                    continue  # unset column keeps the target value
-            else:  # insert
-                vals = c.get("values")
-                if vals == "*":
-                    vals = {x: f"s.{x}" for x in tcols if x in scols}
-                v = (
-                    F.expr(_rewrite_refs(vals[col], tcols, scols, "s"))
-                    if col in vals
-                    else F.lit(None)
-                )
-            pick = F.when(F.col("__action") == label, v).otherwise(pick)
-        out_cols.append(pick.cast(schema[col]).alias(col))
-    out = j.select(*out_cols)
+            + groups["not_matched_by_source"],
+            schema,
+        )
+    )
     if insert_only:
         # target rows pass through untouched — unioned, never joined
         out = base.select(*tcols).unionByName(out)
     return out
+
+
+def merge_clauses_decomposed(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    clauses: Sequence[dict],
+    carry_cols: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Full-form MERGE decomposed into its MERGE-ON-READ effects —
+    identical clause semantics to :func:`merge_clauses`, different
+    output shape:
+
+    - ``touched``: the ``carry_cols`` (e.g. ``__dv_file``/``__dv_pos``
+      physical positions) of every target row whose first matching
+      MATCHED clause fires UPDATE or DELETE — the rows a
+      deletion-vector commit soft-deletes;
+    - ``appends``: the matched UPDATE outputs plus the qualifying
+      NOT MATCHED inserts, projected and cast to the target schema.
+
+    Target rows matching no source key — or matching one but failing
+    every clause condition ("keep") — appear in NEITHER frame: that is
+    the point of the decomposition. The copy-on-write form must
+    rewrite their files to retain them; this form leaves those files
+    byte-identical and the commit is O(matched + inserts).
+
+    ``NOT MATCHED BY SOURCE`` clauses cannot be decomposed this way
+    (they touch every unmatched target row, which is O(table)) and are
+    rejected — callers route them through the copy-on-write rewrite.
+    The caller is responsible for source key uniqueness exactly as for
+    :func:`merge_clauses` (``TransactionalTable.merge`` pre-checks),
+    and for passing a ``target`` subset that contains EVERY row whose
+    key could appear in the source (band-pruned candidate files are
+    complete for non-NULL source keys)."""
+    if any(c.get("when") == "not_matched_by_source" for c in clauses):
+        raise ValueError(
+            "merge_clauses_decomposed cannot express NOT MATCHED BY "
+            "SOURCE (it touches every unmatched target row); use the "
+            "copy-on-write merge_clauses rewrite"
+        )
+    carry = list(carry_cols)
+    tcols = [c for c in target.columns if c not in set(carry)]
+    scols = list(updates.columns)
+    for k in key_cols:
+        if k not in tcols or k not in scols:
+            raise ValueError(f"merge key {k!r} must exist on both sides")
+    _reject_struct_exprs(clauses, target.select(*tcols), updates)
+    groups = _build_groups(clauses, tcols)
+    schema = {
+        f.name: f.dataType for f in target.schema.fields if f.name in set(tcols)
+    }
+
+    t = target.select(
+        *[F.col(c).alias(f"__t_{c}") for c in tcols], *carry
+    )
+    s = updates.select(*[F.col(c).alias(f"__s_{c}") for c in scols])
+    # the source is a CDC batch — broadcast it so the candidate files
+    # never shuffle (the same shape _dv_merge's upsert path uses)
+    on = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in key_cols]
+    pairs = t.join(
+        F.broadcast(s), on=on if len(on) > 1 else on[0], how="inner"
+    ).withColumn("__action", _group_case(groups["matched"], "keep", tcols, scols))
+
+    touched = pairs.where(F.col("__action") != "keep").select(*carry)
+
+    upd_labels = [
+        label for label, c in groups["matched"] if c["action"] == "update"
+    ]
+    replaced = (
+        pairs.where(F.col("__action").isin(upd_labels)).select(
+            *_clause_projection(tcols, scols, groups["matched"], schema)
+        )
+        if upd_labels
+        else None
+    )
+
+    # inserts: source rows matching NO target row, run through the
+    # NOT MATCHED group with a typed-NULL target side (identical
+    # evaluation to merge_clauses' full-outer source-only rows). The
+    # anti-join is against the MATCHED source keys — bounded by the
+    # batch, never the table's key set.
+    mk = pairs.select(
+        *[F.col(f"__s_{k}").alias(f"__mk_{k}") for k in key_cols]
+    ).distinct()
+    anti_on = [
+        updates[k].eqNullSafe(mk[f"__mk_{k}"]) for k in key_cols
+    ]
+    anti = updates.join(
+        F.broadcast(mk),
+        on=anti_on if len(anti_on) > 1 else anti_on[0],
+        how="left_anti",
+    )
+    ins = (
+        anti.select(
+            *[F.lit(None).cast(schema[c]).alias(f"__t_{c}") for c in tcols],
+            *[F.col(c).alias(f"__s_{c}") for c in scols],
+        )
+        .withColumn(
+            "__action", _group_case(groups["not_matched"], "drop", tcols, scols)
+        )
+        .where(F.col("__action") != "drop")
+        .select(*_clause_projection(tcols, scols, groups["not_matched"], schema))
+    )
+    appends = ins if replaced is None else replaced.unionByName(ins)
+    return touched, appends

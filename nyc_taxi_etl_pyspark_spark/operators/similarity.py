@@ -501,6 +501,121 @@ def pq_encode(
     return out.select(id_col, vec_col, *code_cols)
 
 
+def _codebook_train_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, n: int = 4096
+) -> DataFrame:
+    """Deterministic bounded training sample for codebook fits: the
+    ``n`` rows with the smallest ``xxhash64(id)`` — a uniform
+    pseudo-random draw that is stable across runs and cheap at any
+    scale (TakeOrdered top-n, never a full sort). Training quantizer
+    codebooks on a bounded sample is the standard billion-scale
+    practice (faiss trains on ~10⁵–10⁶ points regardless of corpus
+    size); assignment/encoding then runs over the FULL corpus."""
+    return (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n)
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_n: int = 4096,
+) -> DataFrame:
+    """K-MEANS-FITTED IVF codebook (round-9: replaces the lowest-id
+    stand-in): fit seeded ``pyspark.ml`` KMeans — the same estimator
+    ``q_ml_kmeans_embeddings`` exercises — on the L2-NORMALIZED
+    vectors of a bounded deterministic sample
+    (:func:`_codebook_train_sample`) and return the fitted centers as
+    the (centroid_id, centroid_vec) frame every IVF entry point takes.
+    Normalizing first makes squared-L2 Lloyd steps rank like cosine
+    (the metric the probes use), i.e. spherical k-means up to the
+    center renormalization. Trained centroids track the data's actual
+    density instead of whatever the first ``k`` ids happened to be —
+    the recall difference is measured in SCALE.md §Round 9."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = _codebook_train_sample(vectors, id_col, vec_col, train_n)
+    feats = sample.select(
+        array_to_vector(
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double")
+                / F.greatest(l2_norm_col(F.col(vec_col)), F.lit(1e-12)),
+            )
+        ).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    centers = model.clusterCenters()
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+    return vectors.sparkSession.createDataFrame(
+        rows, "centroid_id int, centroid_vec array<double>"
+    )
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int = 8,
+    k_codes: int = 32,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_n: int = 4096,
+) -> list[list[list[float]]]:
+    """K-MEANS-FITTED per-subspace PQ codebooks (round-9: replaces the
+    lowest-id stand-in, the Jégou PQ training recipe): L2-normalize,
+    slice each training vector into ``m_subspaces`` contiguous
+    subvectors, and fit one seeded ``pyspark.ml`` KMeans per subspace
+    on the bounded deterministic sample
+    (:func:`_codebook_train_sample` — the faiss convention: train on
+    ~10³–10⁶ points, encode the full corpus). The sample frame is
+    cached once and reused by all M fits. Output shape is identical to
+    :func:`pq_seed_codebooks`, so persisted-index metadata, encode,
+    and ADC are unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = _codebook_train_sample(vectors, id_col, vec_col, train_n)
+    norm = sample.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.greatest(l2_norm_col(F.col(vec_col)), F.lit(1e-12)),
+        ).alias("__nvec")
+    )
+    dim = len(norm.select("__nvec").first()[0])
+    d_sub = dim // m_subspaces
+    assert d_sub * m_subspaces == dim, (dim, m_subspaces)
+    subs = norm.select(
+        *[
+            array_to_vector(
+                F.slice(F.col("__nvec"), m * d_sub + 1, d_sub)
+            ).alias(f"__sub_{m}")
+            for m in range(m_subspaces)
+        ]
+    )
+    subs.persist()
+    try:
+        codebooks: list[list[list[float]]] = []
+        for m in range(m_subspaces):
+            model = KMeans(
+                k=k_codes, seed=seed + m, maxIter=max_iter, featuresCol=f"__sub_{m}"
+            ).fit(subs)
+            codebooks.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        subs.unpersist()
+    return codebooks
+
+
 def pq_seed_codebooks(
     vectors: DataFrame,
     id_col: str,
@@ -508,11 +623,11 @@ def pq_seed_codebooks(
     m_subspaces: int = 8,
     k_codes: int = 32,
 ) -> list[list[list[float]]]:
-    """Deterministic per-subspace PQ codebooks: the L2-normalized
-    subvectors of the ``k_codes`` lowest-id vectors — the same
-    offline-k-means stand-in convention as ``ivf_topk_cosine``'s
-    codebook (a |codebook|-bounded driver fetch; a production deploy
-    swaps in k-means-fitted centroids with the identical shape)."""
+    """STAND-IN per-subspace PQ codebooks: the L2-normalized
+    subvectors of the ``k_codes`` lowest-id vectors. Superseded by
+    the k-means-fitted :func:`pq_train_codebooks` as the default
+    (round 9) — kept as the zero-fit tier for tests and for the
+    recall comparison recorded in SCALE.md §Round 9."""
     import math
 
     seed_rows = (
@@ -567,14 +682,16 @@ def pq_topk_cosine(
     m_subspaces: int = 8,
     k_codes: int = 32,
     refine: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via product quantization with
     asymmetric distance computation (ADC) + exact re-rank:
 
-    1. Deterministic codebooks: per subspace, the normalized
-       subvectors of the ``k_codes`` lowest-id vectors (the same
-       offline-k-means stand-in convention as ``ivf_topk_cosine``'s
-       codebook — a |codebook|-bounded driver fetch).
+    1. Codebooks: k-means-FITTED per subspace on a bounded
+       deterministic sample (:func:`pq_train_codebooks`, round-9 —
+       replaces the lowest-id stand-in) unless the caller passes
+       pre-trained ``codebooks`` (e.g. off a persisted index
+       manifest).
     2. Encode the corpus (:func:`pq_encode`) — map-only.
     3. ADC: the 1-row query is collected (bounded fetch), its M×K
        table of squared distances query-subvector→centroid is computed
@@ -592,7 +709,10 @@ def pq_topk_cosine(
     columns next to the vectors); a query then scans M small-int
     columns instead of the D-float embedding — a 32× byte reduction at
     D=64/M=8 — and the exact path touches only k·refine rows."""
-    codebooks = pq_seed_codebooks(vectors, id_col, vec_col, m_subspaces, k_codes)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            vectors, id_col, vec_col, m_subspaces, k_codes
+        )
     adc = _pq_adc_tables(query_vec, codebooks)
     encoded = pq_encode(vectors, codebooks, id_col, vec_col)
     approx = encoded.select(
@@ -631,6 +751,7 @@ def build_pq_index(
     vec_col: str,
     m_subspaces: int = 8,
     k_codes: int = 32,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> int:
     """Persist a PQ index into a transactional commit-log table
     (``sources/txtable.py``): rows are (id, embedding, ``__code_0..M``)
@@ -645,9 +766,10 @@ def build_pq_index(
     re-trained codebook is a full replace, OPTIMIZE compacts, time
     travel reproduces historical probes. Returns the committed
     version."""
-    codebooks = pq_seed_codebooks(
-        vectors, id_col, vec_col, m_subspaces, k_codes
-    )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            vectors, id_col, vec_col, m_subspaces, k_codes
+        )
     encoded = pq_encode(vectors, codebooks, id_col, vec_col)
     return table.commit(
         encoded,

@@ -1719,6 +1719,91 @@ def q_tx_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_merge_dv_clauses",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'M'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN o_orderkey % 7 = 0
+                      THEN round(o_totalprice * 1.1 + 1e-9, 4)
+                      ELSE o_totalprice END + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 14 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+           100.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_tx_merge_dv_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLAUSE-FORM merge-on-read MERGE through the SQL front door
+    (round-8 verdict #4 — the last copy-on-write-only mutation shape):
+    ``MERGE /*+ MERGE_ON_READ */ INTO ... WHEN MATCHED AND <cond>
+    THEN DELETE / WHEN MATCHED AND <cond> THEN UPDATE SET ... / WHEN
+    NOT MATCHED AND <cond> THEN INSERT *`` routes through
+    ``operators/merge.py:merge_clauses_decomposed`` →
+    ``TransactionalTable._dv_merge_clauses``: the fired matched
+    clauses become ONE ``_dvs/`` position sidecar + a CASE-projected
+    append, "keep" rows' files stay byte-identical, and the commit is
+    O(matched + inserts) — never O(touched file bytes). The oracle
+    replays the clause cascade declaratively, so a hash match proves
+    the decomposition is result-identical to the copy-on-write clause
+    rewrite. The clause conditions make the statement a FIXPOINT
+    (delete/update arms exclude inserted keys; the insert arm excludes
+    update keys), so re-runs stack idempotent DVs+appends; vacuum
+    bounds the versions."""
+    import hashlib
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txdvmergeclauses", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_orderkey"], num_files=8)
+    tag = hashlib.sha256(root.encode()).hexdigest()[:8]
+    view, ups = f"tx_dvmc_{tag}", f"tx_dvmc_src_{tag}"
+    t.create_view(spark, view)
+    o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        stable_round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    ).createOrReplaceTempView(ups)
+    res = execute_dml(
+        spark,
+        f"""
+        MERGE /*+ MERGE_ON_READ */ INTO {view} AS t USING {ups} AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderkey % 14 = 0
+            AND t.o_orderkey < 10000000 THEN DELETE
+        WHEN MATCHED AND t.o_orderkey < 10000000 THEN UPDATE SET
+            o_orderstatus = s.o_orderstatus,
+            o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED AND s.o_orderkey >= 10000000 THEN INSERT *
+        """,
+    )
+    m = t.manifest()
+    assert m["meta"].get("strategy") == "merge-on-read", m["meta"]
+    assert res["op"] == "merge" and res.get("clauses"), res
+    t.vacuum(retain_versions=2)
+    return t.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_sql_alter_widen",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -390,14 +390,19 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ann_ivf", oracle=None)  # approximate by construction => rows-only
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k: codebook = embeddings of
-    vec_id 0..15 (deterministic stand-in for offline k-means centroids),
-    probe the 4 cells nearest the query. Approximate ⇒ rows-only; the
-    exactness baseline is ``q_topk_cosine``."""
-    e = load_table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    """IVF-bucketed approximate top-k: codebook = 16 k-means-FITTED
+    centroids (seeded ``pyspark.ml`` KMeans on a bounded deterministic
+    sample — ``operators/similarity.py:kmeans_centroids``, round-9:
+    replaces the lowest-id stand-in; recall vs both recorded in
+    SCALE.md §Round 9), probe the 4 cells nearest the query.
+    Approximate ⇒ rows-only; the exactness baseline is
+    ``q_topk_cosine``."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        kmeans_centroids,
     )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, "vec_id", "embedding", k=16)
     return ivf_topk_cosine(
         e,
         centroids,
@@ -413,9 +418,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-k with asymmetric distance
     computation (``operators/similarity.py::pq_topk_cosine``): each
-    64-dim embedding compresses to 8 subspace codes (deterministic
-    per-subspace codebooks from the 32 lowest-id vectors — the same
-    offline-k-means stand-in convention as ``q_ann_ivf``), a query
+    64-dim embedding compresses to 8 subspace codes (per-subspace
+    codebooks k-means-FITTED on a bounded deterministic sample —
+    ``pq_train_codebooks``, round-9: replaces the lowest-id
+    stand-in), a query
     scores rows by 8 literal-table lookups instead of 64-dim float
     math, and the top ADC survivors re-rank with exact cosine. The
     memory-bandwidth ANN tier: at 100 TB a scan touches 8 small ints
@@ -1062,10 +1068,11 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = TransactionalTable(root)
     if not t.exists():
-        centroids = e.filter(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("centroid_vec"),
+        from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+            kmeans_centroids,
         )
+
+        centroids = kmeans_centroids(e, "vec_id", "embedding", k=16)
         build_ivf_index(t, e, centroids, id_col="vec_id", vec_col="embedding")
     return ivf_index_probe(
         spark,

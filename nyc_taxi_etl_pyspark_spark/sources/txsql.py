@@ -465,14 +465,19 @@ def execute_dml(
             for x in (salias, src if not src.startswith("(") else None)
             if x
         }
-        if hint is not None and hint.upper() == "MERGE_ON_READ":
-            raise ValueError(
-                "MERGE /*+ MERGE_ON_READ */ supports the "
-                "UPDATE SET * / INSERT * upsert form only; clause-form "
-                "MERGE always uses the copy-on-write touched-file path"
-            )
         clauses = _parse_merge_clauses(clause_text, t_names, s_names)
-        version = t.merge(spark, updates, keys, clauses=clauses)
+        # clause form resolves the write strategy exactly like the
+        # upsert form: statement hint wins, else the merge_on_read
+        # table property. TransactionalTable.merge itself falls back
+        # to copy-on-write for the two shapes a DV cannot express
+        # (NOT MATCHED BY SOURCE clauses, NULL source merge keys).
+        version = t.merge(
+            spark,
+            updates,
+            keys,
+            clauses=clauses,
+            merge_on_read=_merge_on_read(t, hint),
+        )
         return {
             "op": "merge",
             "table": target,

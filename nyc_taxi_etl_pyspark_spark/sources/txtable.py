@@ -4412,24 +4412,37 @@ class TransactionalTable:
         updates: DataFrame,
         key_cols: list[str],
         meta: dict | None,
+        clauses: list[dict] | None = None,
     ) -> dict | None:
-        """One merge-on-read MERGE attempt (upsert form) against
-        snapshot ``m``: soft-delete the matched target positions via a
-        deletion-vector sidecar and append the merge output rows — cost
-        is O(matched + source rows), never O(matched file bytes), the
+        """One merge-on-read MERGE attempt against snapshot ``m``:
+        soft-delete the matched target positions via a deletion-vector
+        sidecar and append the merge output rows — cost is
+        O(matched + source rows), never O(matched file bytes), the
         Delta DV-merge shape for frequent small CDC batches against
-        wide tables. Replays :func:`operators.merge.merge_upsert`
-        semantics exactly: plain-equality key matching (NULL keys
-        insert), per-TARGET-row replacement (duplicate target keys stay
-        duplicated, each copy taking the source values), and duplicate
-        source keys fanning out (callers pre-reduce via ``latest_by``
-        upstream, as the copy-on-write path does). ``affected`` is the
-        discovery pass's matched-file list — complete for equality
-        matching because min/max band pruning never excludes a file
-        containing a source key. Returns the result dict, or None on a
-        commit race (caller retries from the new head)."""
+        wide tables. The upsert form replays
+        :func:`operators.merge.merge_upsert` semantics exactly:
+        plain-equality key matching (NULL keys insert), per-TARGET-row
+        replacement (duplicate target keys stay duplicated, each copy
+        taking the source values), and duplicate source keys fanning
+        out (callers pre-reduce via ``latest_by`` upstream, as the
+        copy-on-write path does). The clause form
+        (``clauses is not None``) replays
+        :func:`operators.merge.merge_clauses` via its merge-on-read
+        decomposition — matched UPDATE/DELETE effects become DV
+        positions + projected appends; "keep" rows (no clause fires)
+        touch nothing, which is exactly the rows the copy-on-write
+        path pays to rewrite. ``affected`` is the band-pruned
+        candidate-file list — complete because min/max pruning never
+        excludes a file containing a (non-NULL) source key; the
+        caller routes NULL-source-key clause merges to copy-on-write.
+        Returns the result dict, or None on a commit race (caller
+        retries from the new head)."""
         from pyspark.sql import functions as F
 
+        if clauses is not None:
+            return self._dv_merge_clauses(
+                spark, base_v, m, affected, updates, key_cols, meta, clauses
+            )
         schema_cols = list((m.get("schema") or {}).keys())
         if set(schema_cols) != set(updates.columns):
             raise ValueError(
@@ -4523,6 +4536,90 @@ class TransactionalTable:
             max(0, int(m.get("rows", 0)) - total_deleted + staged_rows),
             {**(meta or {}), "op": "merge"},
             anchor_df=u.limit(0),
+        )
+        if res is not None:
+            res["rows_matched"] = total_deleted
+            res["rows_appended"] = staged_rows
+        return res
+
+    def _dv_merge_clauses(
+        self,
+        spark: SparkSession,
+        base_v: int,
+        m: dict,
+        affected: list[str],
+        updates: DataFrame,
+        key_cols: list[str],
+        meta: dict | None,
+        clauses: list[dict],
+    ) -> dict | None:
+        """Clause-form merge-on-read MERGE attempt: decompose the
+        conditional WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED
+        INSERT semantics into a deletion-vector sidecar (the matched
+        rows a clause fires on) plus one append (the CASE-projected
+        UPDATE outputs and qualifying inserts) —
+        :func:`operators.merge.merge_clauses_decomposed`. Matched rows
+        on which NO clause fires stay byte-identical in their files,
+        which is precisely the copy-on-write path's rewrite cost this
+        route avoids. The caller guarantees no ``not_matched_by_source``
+        clauses and no NULL source keys (both routed to copy-on-write
+        upstream) and unique source keys (pre-checked). Returns the
+        result dict, or None on a commit race."""
+        from pyspark.sql import functions as F
+
+        from nyc_taxi_etl_pyspark_spark.operators.merge import (
+            merge_clauses_decomposed,
+        )
+
+        if affected:
+            keyed = self._affected_frame(spark, m, affected, keep_keys=True)
+        else:
+            # no candidate file holds a source key: clause evaluation
+            # against an EMPTY typed target — only NOT MATCHED inserts
+            # can produce rows
+            keyed = (
+                self.read(spark, base_v)
+                .limit(0)
+                .withColumn("__dv_file", F.lit(None).cast("string"))
+                .withColumn("__dv_pos", F.lit(None).cast("bigint"))
+            )
+        touched, appends = merge_clauses_decomposed(
+            keyed, updates, key_cols, clauses, ["__dv_file", "__dv_pos"]
+        )
+        touched = touched.distinct()  # one DV mark per target row
+        touched.persist()
+        try:
+            counts = {
+                r["__dv_file"]: int(r["n"])
+                for r in touched.groupBy("__dv_file")
+                .agg(F.count("*").alias("n"))
+                .collect()  # bounded by the batch's matched-file set
+            }
+            total_deleted = sum(counts.values())
+            dv_key = self._upload_dv_sidecar(touched) if counts else None
+        finally:
+            touched.unpersist()
+        staged_keys, staged_stats = self._stage(
+            appends,
+            partition_by=m.get("partition_by"),
+            bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get("cols"),
+            layout=self._layout_of(m),
+        )
+        staged_rows = self._staged_rows(spark, staged_keys, staged_stats)
+        if not counts and staged_rows == 0:
+            # no clause fired and nothing inserts: no commit (zero-row
+            # staged files are vacuum backlog)
+            return {"version": base_v, "files_rewritten": 0}
+        res = self._dv_finalize(
+            base_v,
+            m,
+            counts,
+            dv_key,
+            staged_keys,
+            staged_stats,
+            max(0, int(m.get("rows", 0)) - total_deleted + staged_rows),
+            {**(meta or {}), "op": "merge"},
+            anchor_df=appends.limit(0),
         )
         if res is not None:
             res["rows_matched"] = total_deleted
@@ -4811,13 +4908,21 @@ class TransactionalTable:
         target row, so it raises instead of silently fanning out
         (``latest_by`` still pre-reduces the batch when given).
 
-        ``merge_on_read=True`` (upsert form only; the SQL front door
-        routes it from the ``merge_on_read`` table property) switches
-        the matched-file effects to a deletion-vector commit
+        ``merge_on_read=True`` (the SQL front door routes it from the
+        ``MERGE_ON_READ`` hint / ``merge_on_read`` table property)
+        switches the matched-row effects to a deletion-vector commit
         (:meth:`_dv_merge`): matched target positions are soft-deleted
         and the merge output rows append, so a small CDC batch against
         a wide 100 TB table writes O(batch) bytes instead of
-        rewriting even the touched files. Read amplification is
+        rewriting even the touched files. Works for BOTH the upsert
+        form and clause form (matched UPDATE/DELETE effects decompose
+        into DV positions + CASE-projected appends,
+        ``operators/merge.py:merge_clauses_decomposed``); the two
+        shapes a DV cannot express fall back to the copy-on-write
+        full rewrite automatically: ``NOT MATCHED BY SOURCE`` clauses
+        (they touch every unmatched target row) and clause-form
+        merges whose source carries NULL merge keys (band pruning
+        cannot see eqNullSafe NULL matches). Read amplification is
         bounded by ``purge_deletion_vectors`` / OPTIMIZE exactly as
         for DV DELETE/UPDATE."""
         from pyspark.sql import functions as F
@@ -4827,13 +4932,6 @@ class TransactionalTable:
             merge_upsert,
         )
 
-        if merge_on_read and clauses is not None:
-            raise ValueError(
-                "merge_on_read=True supports the upsert form only; "
-                "clause-form MERGE uses the copy-on-write touched-file "
-                "path (route matched DELETE effects through "
-                "delete_where(merge_on_read=True) instead)"
-            )
         if merge_on_read and latest_by:
             # pre-reduce the batch ONCE (merge_upsert does this inside
             # the copy-on-write path; the DV path appends the reduced
@@ -5016,7 +5114,14 @@ class TransactionalTable:
                 # join over the band-pruned candidates), not a file
                 # list — one fewer full scan of the candidate files
                 res = self._dv_merge(
-                    spark, base_v, m, candidates, updates, key_cols, meta
+                    spark,
+                    base_v,
+                    m,
+                    candidates,
+                    updates,
+                    key_cols,
+                    meta,
+                    clauses=clauses,
                 )
                 if res is None:
                     continue  # commit race: retry from the new head

@@ -986,7 +986,13 @@ def test_pq_persisted_probe_equals_in_memory(spark, sf_dir, tmp_path):
     got = pq_index_probe(
         spark, t, q, id_col="vec_id", vec_col="embedding", k=10
     )
-    want = pq_topk_cosine(e, q, id_col="vec_id", vec_col="embedding", k=10)
+    # identical codebooks on both sides: the in-memory path takes the
+    # k-means-fitted books straight off the index manifest (round 9 —
+    # re-fitting would compare two fits, not storage vs memory)
+    books = t.manifest()["meta"]["app"]["pq"]["codebooks"]
+    want = pq_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10, codebooks=books
+    )
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]

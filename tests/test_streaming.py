@@ -1194,3 +1194,94 @@ def test_txcdf_and_txstream_across_merge_on_read_merge(spark, tmp_path):
         assert "deletion vector" in str(exc) or "append-only" in str(exc)
     finally:
         q2.stop()
+
+
+def test_txcdf_large_commit_shards_by_key_hash(spark, tmp_path):
+    """A commit whose changed rows exceed ``maxrowspertask`` is diffed
+    across KEY-HASH SHARDS (round 9 — removes the single-task
+    full-replace cliff): the sharded output must equal the
+    ``TransactionalTable.changes`` oracle exactly, with nothing
+    duplicated or dropped at shard boundaries, including a
+    full-table replace (the canonical large commit)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txcdf import TxTableCdfReader
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        num_files=4,
+    )  # v0
+    # v1: full replace — 300 keys keep their value (no change row),
+    # 50 update, 50 delete, 25 insert
+    t.commit(
+        spark.range(425).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 300, F.col("id") * 2)
+            .when(F.col("id") < 350, F.col("id") * 2 + 1)
+            .when(F.col("id") < 400, F.col("id") * 2)
+            .otherwise(F.lit(-1))
+            .alias("v"),
+        ).where((F.col("id") < 350) | (F.col("id") >= 400)),
+        num_files=4,
+    )
+
+    # tiny threshold forces sharding: est rows (400 old + 375 new)
+    # over 100/task → 8 shards for v1
+    reader = TxTableCdfReader(
+        {"path": root, "keycols": "k", "maxrowspertask": "100"}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) > 1  # the replace really sharded
+    assert len({p.value[1] for p in parts}) == len(parts)  # distinct shards
+    rows = [r for p in parts for r in reader.read(p)]
+    names = [n for n, _ in reader.schema_fields]
+    got = {
+        (row[names.index("k")], row[names.index("v")], row[-2], row[-1])
+        for row in rows
+    }
+    assert len(rows) == len(got)  # no shard-boundary duplicates
+    want = {
+        (r["k"], r["v"], r["_change_type"], 1)  # the whole diff is v1
+        for r in t.changes(spark, ["k"], 0, 1).collect()
+    }
+    assert got == want
+
+    # the small-commit path still plans ONE partition per version
+    t.delete_where(spark, "k = 5", merge_on_read=True)  # v2: 1 changed row
+    small = reader.partitions({"version": 1}, {"version": 2})
+    assert len(small) == 1 and small[0].value[2] == 1  # n_shards == 1
+
+    # end-to-end: the streaming query over the sharded source matches
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txcdf")
+        .option("path", root)
+        .option("keycols", "k")
+        .option("maxrowspertask", "100")
+        .option("startingversion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        }
+        want_all = want | {
+            (r["k"], r["v"], r["_change_type"], 2)
+            for r in t.changes(spark, ["k"], 1, 2).collect()
+        }
+        assert streamed == want_all
+    finally:
+        q.stop()

@@ -593,18 +593,24 @@ def test_dv_merge_latest_by_prereduces_and_stacks_with_dv_deletes(
     assert t.fsck()["ok"]
 
 
-def test_dv_merge_rejects_clause_form_and_schema_mismatch(spark, tmp_path):
+def test_dv_merge_clause_form_routes_and_schema_mismatch_rejects(
+    spark, tmp_path
+):
+    """Clause form + merge_on_read routes through the DV decomposition
+    (the round-8 reject is lifted); the upsert form still demands the
+    full table schema on the source."""
     t = TransactionalTable(str(tmp_path / "t"))
     t.commit(_tenk(spark, 50), num_files=2)
     src = spark.createDataFrame([(1, 1, 9.0)], "id bigint, k bigint, v double")
-    with pytest.raises(ValueError, match="upsert form only"):
-        t.merge(
-            spark,
-            src,
-            ["id"],
-            clauses=[{"when": "matched", "action": "delete"}],
-            merge_on_read=True,
-        )
+    t.merge(
+        spark,
+        src,
+        ["id"],
+        clauses=[{"when": "matched", "action": "delete"}],
+        merge_on_read=True,
+    )
+    assert t.manifest()["meta"]["strategy"] == "merge-on-read"
+    assert t.read(spark).count() == 49
     with pytest.raises(ValueError, match="schema mismatch"):
         t.merge(
             spark,
@@ -617,7 +623,7 @@ def test_dv_merge_rejects_clause_form_and_schema_mismatch(spark, tmp_path):
 def test_dv_merge_pure_insert_and_sql_routing(spark, tmp_path):
     """No matched candidate file -> pure-insert append commit (no
     sidecar); SQL star-form MERGE routes merge-on-read from the hint
-    and the sticky table property, clause form rejects the hint."""
+    and the sticky table property; clause form routes too (r9)."""
     from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
 
     t = TransactionalTable(str(tmp_path / "t"))
@@ -653,19 +659,21 @@ def test_dv_merge_pure_insert_and_sql_routing(spark, tmp_path):
         tables={"t": t},
     )
     assert t.manifest()["meta"]["strategy"] == "merge-on-read"
-    # clause form + explicit hint fails loudly
-    with pytest.raises(ValueError, match="upsert form"):
-        execute_dml(
-            spark,
-            "MERGE /*+ MERGE_ON_READ */ INTO t USING dvmerge_src AS s "
-            "ON t.id = s.id WHEN MATCHED THEN DELETE",
-            tables={"t": t},
-        )
-    # clause form under the property silently stays copy-on-write
+    # clause form under the property routes merge-on-read too (r9)
     execute_dml(
         spark,
         "MERGE INTO t USING dvmerge_src AS s ON t.id = s.id "
         "WHEN MATCHED AND s.v > 1.5 THEN UPDATE SET v = s.v + 0.5",
+        tables={"t": t},
+    )
+    assert t.manifest()["meta"].get("strategy") == "merge-on-read"
+    assert t.read(spark).where("id = 2000").first()["v"] == 2.5
+    # /*+ COPY_ON_WRITE */ hint overrides the property for clause form
+    execute_dml(
+        spark,
+        "MERGE /*+ COPY_ON_WRITE */ INTO t USING dvmerge_src AS s "
+        "ON t.id = s.id WHEN MATCHED AND s.v > 1.5 THEN "
+        "UPDATE SET v = s.v + 0.5",
         tables={"t": t},
     )
     assert t.manifest()["meta"].get("strategy") != "merge-on-read"
@@ -823,3 +831,206 @@ def test_replace_partitions_subtracts_logical_rows_under_dv(spark, tmp_path):
     assert t.read(spark).count() == 325
     assert t.count() == 325  # metadata count == scan count
     assert t.fsck()["ok"]
+
+
+def _clause_fixture(spark, tmp_path, name):
+    t = TransactionalTable(str(tmp_path / name))
+    t.commit(_tenk(spark), num_files=4)
+    return t
+
+
+_CLAUSES = [
+    {"when": "matched", "cond": "t.v > 500", "action": "delete"},
+    {
+        "when": "matched",
+        "cond": None,
+        "action": "update",
+        "set": {"v": "s.v + t.v", "k": "s.k"},
+    },
+    {
+        "when": "not_matched",
+        "cond": "s.id < 1100",
+        "action": "insert",
+        "values": "*",
+    },
+]
+
+
+def test_dv_merge_clauses_parity_with_copy_on_write(spark, tmp_path):
+    """Clause-form merge-on-read (round-8 verdict #4): conditional
+    DELETE + UPDATE + conditional INSERT through the DV route must be
+    result-identical to the copy-on-write clause rewrite, while
+    rewriting ZERO files — matched rows decompose into one position
+    sidecar + a CASE-projected append, and 'keep' rows' files stay
+    byte-identical in the snapshot."""
+    mor = _clause_fixture(spark, tmp_path, "mor")
+    cow = _clause_fixture(spark, tmp_path, "cow")
+    src = spark.range(30).select(
+        (F.col("id") * 40).alias("id"),
+        F.lit(99).cast("long").alias("k"),
+        F.lit(-5.0).alias("v"),
+    )
+    files_before = set(mor.manifest()["files"])
+    mor.merge(spark, src, ["id"], clauses=_CLAUSES, merge_on_read=True)
+    cow.merge(spark, src, ["id"], clauses=_CLAUSES)
+    m = mor.manifest()
+    assert m["meta"]["strategy"] == "merge-on-read"
+    # every pre-merge file is RETAINED (DVs attach, nothing rewritten)
+    assert files_before <= set(m["files"])
+    assert len(_dv_sidecars(str(tmp_path / "mor"))) == 1
+    got = mor.read(spark).orderBy("id", "k", "v").collect()
+    want = cow.read(spark).orderBy("id", "k", "v").collect()
+    assert got == want
+    assert mor.count() == cow.count() == len(got)
+    # 'keep' files carry no dv entry: only files with fired clauses do
+    stats = m["stats"]
+    dv_files = {f for f, s in stats.items() if s.get("dv")}
+    assert dv_files and dv_files <= files_before
+
+
+def test_dv_merge_clauses_sql_hint_and_property(spark, tmp_path):
+    """SQL front door routes clause-form MERGE by hint and by the
+    sticky merge_on_read table property — the round-8 reject is
+    lifted."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = _clause_fixture(spark, tmp_path, "t")
+    spark.range(5).select(
+        (F.col("id") * 100).alias("id"),
+        F.lit(1).cast("long").alias("k"),
+        F.lit(7.5).alias("v"),
+    ).createOrReplaceTempView("dvmc_src")
+    files_before = set(t.manifest()["files"])
+    r = execute_dml(
+        spark,
+        "MERGE /*+ MERGE_ON_READ */ INTO dvt AS t USING dvmc_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND t.k = 0 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"dvt": t},
+    )
+    assert r["op"] == "merge" and r["clauses"]
+    m = t.manifest()
+    assert m["meta"]["strategy"] == "merge-on-read"
+    assert files_before <= set(m["files"])
+    # ids 0,100,...,400 all exist with k=0 -> all updated, none deleted
+    cur = t.read(spark)
+    assert cur.count() == 1000
+    assert cur.where("id % 100 = 0 AND id < 500 AND v = 7.5").count() == 5
+
+    # property-routed: no hint, sticky table property
+    execute_dml(
+        spark,
+        "ALTER TABLE dvt SET TBLPROPERTIES (merge_on_read = true)",
+        {"dvt": t},
+    )
+    execute_dml(
+        spark,
+        "MERGE INTO dvt AS t USING dvmc_src AS s ON t.id = s.id "
+        "WHEN MATCHED AND t.v = 7.5 THEN DELETE",
+        {"dvt": t},
+    )
+    m2 = t.manifest()
+    assert m2["meta"]["strategy"] == "merge-on-read"
+    assert t.read(spark).count() == 995
+
+
+def test_dv_merge_clauses_falls_back_to_cow_when_undecomposable(
+    spark, tmp_path
+):
+    """The two shapes a DV cannot express route to copy-on-write
+    automatically: NOT MATCHED BY SOURCE clauses (touch every
+    unmatched target row) and NULL source merge keys (band pruning
+    cannot see eqNullSafe NULL matches)."""
+    t = _clause_fixture(spark, tmp_path, "t")
+    src = spark.range(3).select(
+        (F.col("id") * 2).alias("id"),
+        F.lit(1).cast("long").alias("k"),
+        F.lit(0.0).alias("v"),
+    )
+    t.merge(
+        spark,
+        src,
+        ["id"],
+        clauses=[
+            {"when": "matched", "cond": None, "action": "update", "set": "*"},
+            {
+                "when": "not_matched_by_source",
+                "cond": "t.id >= 900",
+                "action": "delete",
+            },
+        ],
+        merge_on_read=True,
+    )
+    m = t.manifest()
+    assert m["meta"].get("strategy") != "merge-on-read"  # CoW rewrite
+    assert t.read(spark).count() == 900
+    assert t.read(spark).where("id IN (0, 2, 4)").agg(
+        F.sum("v")
+    ).first()[0] == 0.0
+
+    # NULL source key: eqNullSafe semantics preserved via CoW
+    t2 = _clause_fixture(spark, tmp_path, "t2")
+    src_null = spark.createDataFrame(
+        [(None, 1, 0.0), (4, 1, 0.0)], "id long, k long, v double"
+    )
+    t2.merge(
+        spark,
+        src_null,
+        ["id"],
+        clauses=[
+            {"when": "matched", "cond": None, "action": "update", "set": "*"},
+            {"when": "not_matched", "cond": None, "action": "insert",
+             "values": "*"},
+        ],
+        merge_on_read=True,
+    )
+    assert t2.manifest()["meta"].get("strategy") != "merge-on-read"
+    cur = t2.read(spark)
+    assert cur.count() == 1001  # NULL key matches no target row: insert
+    assert cur.where("id IS NULL").count() == 1
+    assert cur.where("id = 4 AND v = 0.0").count() == 1
+
+
+def test_dv_merge_clauses_insert_only_and_empty_effects(spark, tmp_path):
+    """Edge shapes on the DV route: a clause merge whose every fired
+    effect is an INSERT (no candidate file holds a source key) appends
+    without a sidecar; a merge where NO clause fires commits nothing."""
+    t = _clause_fixture(spark, tmp_path, "t")
+    v0 = t.latest_version()
+    ins = spark.range(3).select(
+        (F.col("id") + 5000).alias("id"),
+        F.lit(1).cast("long").alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+    t.merge(
+        spark,
+        ins,
+        ["id"],
+        clauses=[
+            {"when": "matched", "cond": None, "action": "delete"},
+            {"when": "not_matched", "cond": None, "action": "insert",
+             "values": "*"},
+        ],
+        merge_on_read=True,
+    )
+    assert t.latest_version() == v0 + 1
+    assert t.read(spark).count() == 1003
+    assert _dv_sidecars(str(tmp_path / "t")) == []  # pure insert: no DV
+
+    # no clause fires: matched rows fail the cond, inserts excluded
+    v1 = t.latest_version()
+    noop = spark.range(2).select(
+        F.col("id"), F.lit(1).cast("long").alias("k"), F.lit(1.0).alias("v")
+    )
+    t.merge(
+        spark,
+        noop,
+        ["id"],
+        clauses=[
+            {"when": "matched", "cond": "t.v > 1e9", "action": "delete"},
+        ],
+        merge_on_read=True,
+    )
+    assert t.latest_version() == v1  # nothing fired: no commit

@@ -1,0 +1,114 @@
+"""Measure ANN recall@k vs the exact cosine top-k baseline, for the
+STAND-IN codebooks (lowest-id vectors, rounds 7-8) vs the K-MEANS-FITTED
+codebooks (round 9) — the number the round-8 verdict asked to see before
+and after wiring trained centroids into IVF and PQ.
+
+Recall is averaged over ``--n-queries`` query vectors (each corpus
+vector in turn plays the query, like a retrieval-eval harness would).
+Results are printed as one JSON line; the round's numbers are recorded
+in SCALE.md §Round 9.
+
+Usage: python tools/ann_recall.py [--sf-dir /root/testdata/sf0.01]
+                                  [--k 10] [--n-queries 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-queries", type=int, default=20)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("ann-recall")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        brute_force_topk_cosine,
+        ivf_topk_cosine,
+        kmeans_centroids,
+        pq_seed_codebooks,
+        pq_topk_cosine,
+        pq_train_codebooks,
+    )
+
+    e = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    e = e.select("vec_id", "embedding").persist()
+    n = e.count()
+    query_ids = [int(i * n / args.n_queries) for i in range(args.n_queries)]
+
+    # codebooks computed ONCE per variant (a real deployment trains
+    # offline and serves many queries — per-query training would
+    # charge the fit to every probe)
+    standin_cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    trained_cents = kmeans_centroids(e, "vec_id", "embedding", k=16)
+    standin_books = pq_seed_codebooks(e, "vec_id", "embedding")
+    trained_books = pq_train_codebooks(e, "vec_id", "embedding")
+
+    def ids(df) -> set:
+        return {r[0] for r in df.collect()}
+
+    sums = {"ivf_standin": 0.0, "ivf_trained": 0.0,
+            "pq_standin": 0.0, "pq_trained": 0.0}
+    for qid in query_ids:
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("query_embedding")
+        )
+        exact = ids(
+            brute_force_topk_cosine(e, q, "vec_id", "embedding", k=args.k)
+        )
+        variants = {
+            "ivf_standin": ivf_topk_cosine(
+                e, standin_cents, q, "vec_id", "embedding",
+                k=args.k, n_probe=4,
+            ),
+            "ivf_trained": ivf_topk_cosine(
+                e, trained_cents, q, "vec_id", "embedding",
+                k=args.k, n_probe=4,
+            ),
+            "pq_standin": pq_topk_cosine(
+                e, q, "vec_id", "embedding", k=args.k,
+                codebooks=standin_books,
+            ),
+            "pq_trained": pq_topk_cosine(
+                e, q, "vec_id", "embedding", k=args.k,
+                codebooks=trained_books,
+            ),
+        }
+        for name, df in variants.items():
+            sums[name] += len(exact & ids(df)) / len(exact)
+        print(f"# qid={qid} done", file=sys.stderr)
+
+    out = {
+        "sf_dir": args.sf_dir,
+        "k": args.k,
+        "n_queries": args.n_queries,
+        "recall": {k: round(v / args.n_queries, 4) for k, v in sums.items()},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

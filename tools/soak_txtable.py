@@ -274,6 +274,44 @@ def soak(spark, seed: int, n_ops: int) -> int:
         assert mf["meta"].get("strategy") in ("merge-on-read",), mf["meta"]
         model.update(d)
 
+    def do_dv_merge_clauses():
+        # merge-on-read CLAUSE merge (round 9): conditional DELETE +
+        # UPDATE + guarded INSERT decompose into DV positions + a
+        # projected append — zero rewrites; same model effects as the
+        # decomposable subset of do_sql_merge_clauses (no NOT MATCHED
+        # BY SOURCE here — that shape falls back to copy-on-write,
+        # covered by the SQL op)
+        if not t.exists():
+            return
+        d = rand_batch()
+        v0 = t.latest_version()
+        t.merge(
+            spark,
+            widen(frame(d)),
+            ["k"],
+            clauses=[
+                {"when": "matched", "cond": "s.v < -300",
+                 "action": "delete"},
+                {"when": "matched", "cond": None, "action": "update",
+                 "set": {"v": "s.v + 1"}},
+                {"when": "not_matched", "cond": "s.v % 2 = 0",
+                 "action": "insert", "values": "*"},
+            ],
+            merge_on_read=True,
+        )
+        # a batch where no clause fires legitimately commits nothing
+        if t.latest_version() > v0:
+            mf = t.manifest()
+            assert mf["meta"].get("strategy") == "merge-on-read", mf["meta"]
+        for k, v in d.items():
+            if k in model:
+                if v < -300:
+                    del model[k]
+                else:
+                    model[k] = v + 1
+            elif v % 2 == 0:
+                model[k] = v
+
     def do_add_columns():
         # ALTER TABLE ADD COLUMNS: a schema-only commit crossing the
         # same checkpoint/vacuum/restore machinery as data commits;
@@ -338,6 +376,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_dv_delete,
         do_dv_update,
         do_dv_merge,
+        do_dv_merge_clauses,
         do_dv_compact,
         do_alter_partitioning,
         do_flip_layout_capability,
