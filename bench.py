@@ -291,20 +291,35 @@ def main() -> None:
     # the single-pass methodology too), so both passes measure execution
     # over identical in-memory inputs — the min removes per-run jitter,
     # not input-scan cost.
-    def time_headline(d: str) -> dict[str, float]:
-        best: dict[str, float] = {}
+    def time_headline(d: str) -> tuple[dict[str, float], dict[str, list]]:
+        runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
         for _run in range(2):
             for name in HEADLINE:
                 t0 = time.perf_counter()
                 df = queries[name](spark, d)
                 df.count()
-                elapsed = round(time.perf_counter() - t0, 4)
-                if name not in best or elapsed < best[name]:
-                    best[name] = elapsed
-        return best
+                runs[name].append(round(time.perf_counter() - t0, 4))
+        return {n: min(r) for n, r in runs.items()}, runs
 
-    per_query = time_headline(sf_dir)
+    per_query, per_query_runs = time_headline(sf_dir)
     total = round(sum(per_query.values()), 4)
+    # Variance note: per-query spread between the two passes, so a
+    # loaded container reads as "high spread" instead of a phantom
+    # round-over-round regression (the round-8 lesson: a recorded +31%
+    # headline delta was machine load, provable only by re-running).
+    spreads = [
+        abs(r[0] - r[1]) / max(min(r), 1e-9) for r in per_query_runs.values()
+    ]
+    spreads.sort()
+    run_spread = {
+        "median_rel_spread": round(spreads[len(spreads) // 2], 3),
+        "max_rel_spread": round(spreads[-1], 3),
+        "note": (
+            "per-query best-of-2; totals are comparable across rounds "
+            "only when median_rel_spread is small — a large spread "
+            "means a loaded machine, not a code regression"
+        ),
+    }
 
     # Scaling curve: the same headline set at a SECOND scale factor
     # (default sf0.01, a 10x data step down) gives a per-query growth
@@ -326,7 +341,7 @@ def main() -> None:
         clear_cache()
         with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
             list(ex.map(lambda t: load_table(spark, d, t).count(), TABLES))
-        per_query_d = time_headline(d)
+        per_query_d, _ = time_headline(d)
         sf_d = d.rstrip("/").rsplit("sf", 1)[-1]
         try:
             sf_val = float(sf_d)
@@ -469,6 +484,8 @@ def main() -> None:
         "baseline_etl_rows_per_s": 99214,  # 12,380,927 / 124.79 s (BASELINE.md)
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         "tx_micro": tx_micro,
+        "run_spread": run_spread,
+        "queries_runs": per_query_runs,  # both passes, full precision
         **sf2_block,
     }
     # The full per-SF detail (queries_sf2/sf3, per-query ratios and
@@ -492,6 +509,7 @@ def main() -> None:
             "queries_sf3",
             "scaling_ratio",
             "scaling_slope",
+            "queries_runs",
         )
     }
     # 2dp in the compact stdout line (48+ queries at 3dp crowds the
