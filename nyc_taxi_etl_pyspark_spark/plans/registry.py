@@ -97,10 +97,11 @@ _ATTESTATION_FRONT: list[str] = [
     "q_tx_sql_time_travel",
     "q_tx_sql_alter",
     "q_tx_sql_alter_widen",
-    # deletion vectors + partition evolution (new in r8)
+    # deletion vectors + partition evolution (new in r8/r9)
     "q_tx_delete_dv",
     "q_tx_update_dv",
     "q_tx_merge_dv",
+    "q_tx_merge_dv_clauses",
     "q_tx_partition_evolution",
     # streaming (full-oracle set)
     "q_streaming_cdf",
@@ -143,7 +144,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_scd2_build",
     "q_record_linkage",
     "q_funnel",
-    "q_window_tumbling",
 ]
 
 
