@@ -1003,3 +1003,32 @@ def test_pq_persisted_probe_equals_in_memory(spark, sf_dir, tmp_path):
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan, plan[:2000]
+
+
+def test_trained_codebooks_deterministic_and_shaped(spark, sf_dir):
+    """Round-9 k-means codebooks: seeded fits on the deterministic
+    hash-sampled training set must reproduce bit-identical codebooks
+    within a session (index rebuilds and probe==in-memory equality
+    depend on it), with the exact shapes the encode/ADC plumbing
+    assumes."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_train_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_centroids(e, "vec_id", "embedding", k=16).collect()
+    c2 = kmeans_centroids(e, "vec_id", "embedding", k=16).collect()
+    assert [(r["centroid_id"], r["centroid_vec"]) for r in c1] == [
+        (r["centroid_id"], r["centroid_vec"]) for r in c2
+    ]
+    assert len(c1) == 16
+    dim = len(c1[0]["centroid_vec"])
+
+    b1 = pq_train_codebooks(e, "vec_id", "embedding", m_subspaces=8, k_codes=32)
+    b2 = pq_train_codebooks(e, "vec_id", "embedding", m_subspaces=8, k_codes=32)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(cb) == 32 for cb in b1)
+    assert all(len(c) == dim // 8 for cb in b1 for c in cb)
+    # per-subspace seeds differ: subspace codebooks are not clones
+    assert b1[0] != b1[1]
