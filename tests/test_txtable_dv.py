@@ -1034,3 +1034,64 @@ def test_dv_merge_clauses_insert_only_and_empty_effects(spark, tmp_path):
         merge_on_read=True,
     )
     assert t.latest_version() == v1  # nothing fired: no commit
+
+
+def test_concurrent_dv_clause_merges_serialize(spark, tmp_path):
+    """Two clause-form merge-on-read writers racing on DIFFERENT keys
+    must both land through the CAS retry (the DV route recomputes its
+    candidates and positions from the new head after a lost race) —
+    no lost update, no double-DV, final state exact."""
+    import threading
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(_tenk(spark, 400), num_files=4)
+
+    errors: list = []
+
+    def do_merge(lo: int, hi: int, tag: float):
+        try:
+            src = spark.range(lo, hi).select(
+                F.col("id"),
+                (F.col("id") % 10).alias("k"),
+                F.lit(tag).alias("v"),
+            )
+            TransactionalTable(root).merge(
+                spark,
+                src,
+                ["id"],
+                clauses=[
+                    {"when": "matched", "cond": "s.v < 0",
+                     "action": "delete"},
+                    {"when": "matched", "cond": None, "action": "update",
+                     "set": {"v": "s.v"}},
+                ],
+                merge_on_read=True,
+                max_retries=20,
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=do_merge, args=(0, 30, 7.0)),
+        threading.Thread(target=do_merge, args=(30, 60, -1.0)),  # deletes
+        threading.Thread(target=do_merge, args=(60, 90, 9.0)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    fresh = TransactionalTable(root)
+    got = {r["id"]: r["v"] for r in fresh.read(spark).collect()}
+    assert len(got) == 370  # ids 30..59 deleted
+    for i in range(100):
+        if i < 30:
+            assert got[i] == 7.0, (i, got[i])
+        elif i < 60:
+            assert i not in got
+        elif i < 90:
+            assert got[i] == 9.0, (i, got[i])
+        else:
+            assert got[i] == i * 2.0
+    assert fresh.count() == 370 and fresh.fsck()["ok"]
