@@ -27,7 +27,7 @@ from nyc_taxi_etl_pyspark_spark.operators.merge import (
 
 # target rows: duplicate keys ALLOWED (each copy decides independently)
 base_row = st.tuples(
-    st.integers(min_value=0, max_value=8),  # k
+    st.one_of(st.none(), st.integers(min_value=0, max_value=8)),  # k
     st.integers(min_value=-9, max_value=9),  # v
     st.integers(min_value=0, max_value=3),  # w (an unset passthrough col)
 )
@@ -47,6 +47,7 @@ _SETS = [
     {"v": "s.v"},
     {"v": "t.v + s.v"},
     {"v": "s.v + 1", "w": "t.w + 10"},
+    {"k": "t.k + 100", "v": "s.v"},  # key-mutating UPDATE
 ]
 _VALUES = ["*", {"v": "s.v"}, {"v": "s.v - 1"}]
 
