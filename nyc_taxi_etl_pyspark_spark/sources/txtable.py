@@ -4610,6 +4610,20 @@ class TransactionalTable:
             # no clause fired and nothing inserts: no commit (zero-row
             # staged files are vacuum backlog)
             return {"version": base_v, "files_rewritten": 0}
+        # delete-only (or skewed) clause effects leave 0-row staged
+        # files — keep them OUT of the snapshot (they'd accrete one
+        # no-op scan task per CDC delete batch; the strays are vacuum
+        # backlog). Files with unknown row counts are kept. The
+        # zero-file-snapshot case is still covered: _dv_finalize stages
+        # a schema anchor itself if the DV empties every file.
+        nonempty = [
+            f
+            for f in staged_keys
+            if staged_stats.get(f, {}).get("rows") != 0
+        ]
+        if len(nonempty) != len(staged_keys):
+            staged_stats = {f: staged_stats[f] for f in nonempty}
+            staged_keys = nonempty
         res = self._dv_finalize(
             base_v,
             m,
