@@ -148,9 +148,16 @@ _ATTESTATION_FRONT: list[str] = [
 
 
 def _rotated(names: list[str]) -> list[str]:
-    front = [n for n in _ATTESTATION_FRONT if n in _REGISTRY]
-    rest = [n for n in names if n not in set(front)]
-    return front + rest
+    unknown = [n for n in _ATTESTATION_FRONT if n not in _REGISTRY]
+    if unknown:
+        # fail LOUDLY: silently dropping a front name (typo, renamed
+        # query) would shrink the externally-sampled attestation window
+        # without any signal
+        raise ValueError(
+            f"_ATTESTATION_FRONT names not in the registry: {unknown}"
+        )
+    rest = [n for n in names if n not in set(_ATTESTATION_FRONT)]
+    return list(_ATTESTATION_FRONT) + rest
 
 
 def all_queries() -> dict[str, QueryFn]:

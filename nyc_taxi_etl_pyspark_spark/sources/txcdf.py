@@ -307,23 +307,34 @@ class TxTableCdfReader(DataSourceStreamReader):
                 ]
                 # estimate the diff's row volume from manifest stats to
                 # decide the shard count: full-file specs contribute
-                # their recorded footer rows, position specs at most
-                # their file's dv.n (conservative upper bounds — the
-                # estimate only sizes tasks, never affects results)
+                # their recorded footer rows; position specs are
+                # bounded by the LARGER side's dv.n — newly-dead
+                # positions number n_v − n_{v−1}, so the side that
+                # GAINED the vector holds the count (reading the spec's
+                # own side would see 0 on a first DV delete and plan
+                # the exact single-task cliff sharding exists to
+                # remove). Conservative upper bounds only — the
+                # estimate sizes tasks, never affects results.
+                def _dv_bound(key: str) -> int:
+                    return max(
+                        int(pstats.get(key, {}).get("dv", {}).get("n", 0)),
+                        int(stats.get(key, {}).get("dv", {}).get("n", 0)),
+                    )
+
                 est = 0
                 for mode, _url, key, _pv, _refs in old_specs:
                     fs = pstats.get(key, {})
                     est += int(
                         fs.get("rows")
                         if mode == "full" and fs.get("rows") is not None
-                        else fs.get("dv", {}).get("n", 0)
+                        else _dv_bound(key)
                     )
                 for mode, _url, key, _pv, _refs in new_specs:
                     fs = stats.get(key, {})
                     est += int(
                         fs.get("rows")
                         if mode == "full" and fs.get("rows") is not None
-                        else fs.get("dv", {}).get("n", 0)
+                        else _dv_bound(key)
                     )
                 n_shards = min(
                     64, -(-est // self.max_rows_per_task)

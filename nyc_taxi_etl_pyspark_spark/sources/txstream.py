@@ -417,21 +417,45 @@ class TxTableStreamReader(DataSourceStreamReader):
                 prev_stats = prev.get("stats", {})
                 # DV *compaction* (op == "compact_dv") rewrites each
                 # file's sidecar ref LIST without changing which rows
-                # are deleted (dv.n is asserted equal by the writer) —
-                # logical content is unchanged, so the append-only
-                # contract treats it as a no-op. Anything that changes
-                # dv.n (or any dv change under a non-compaction op)
-                # still fails loudly below.
+                # are deleted — logical content is unchanged, so the
+                # append-only contract treats it as a no-op. The claim
+                # is VERIFIED, not trusted: matching dv.n alone would
+                # let a buggy (or mislabeled) writer swap WHICH
+                # positions are dead while keeping the count, so the
+                # old and new sidecar position SETS for the file are
+                # compared — a bounded driver read that only runs for
+                # compaction commits (rare maintenance), O(dv.n) per
+                # touched file. Anything that changes dv.n, positions,
+                # or any dv change under a non-compaction op fails
+                # loudly below.
                 is_compact = m.get("meta", {}).get("op") == "compact_dv"
+
+                def _positions(dv: dict | None, key: str) -> set:
+                    import pyarrow.parquet as pq
+
+                    out: set = set()
+                    for ref in (dv or {}).get("refs", []):
+                        tbl = pq.read_table(
+                            t.storage.url(ref), columns=["file", "pos"]
+                        )
+                        fcol = tbl.column("file").to_pylist()
+                        pcol = tbl.column("pos").to_pylist()
+                        out.update(
+                            p for f, p in zip(fcol, pcol) if f == key
+                        )
+                    return out
 
                 def _dv_changed(key: str) -> bool:
                     new_dv = stats.get(key, {}).get("dv")
                     old_dv = prev_stats.get(key, {}).get("dv")
                     if new_dv == old_dv:
                         return False
-                    if is_compact and (new_dv or {}).get("n") == (
-                        old_dv or {}
-                    ).get("n"):
+                    if (
+                        is_compact
+                        and (new_dv or {}).get("n") == (old_dv or {}).get("n")
+                        and _positions(old_dv, key)
+                        == _positions(new_dv, key)
+                    ):
                         return False
                     return True
 

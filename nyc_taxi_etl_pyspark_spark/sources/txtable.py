@@ -5011,10 +5011,38 @@ class TransactionalTable:
         bands = [
             (k, key_row[f"__lo_{k}"], key_row[f"__hi_{k}"]) for k in key_cols
         ]
+        def _cow_replace(base: DataFrame, base_v: int, pb) -> int | None:
+            """One full-rewrite merge attempt against snapshot
+            ``base_v`` (first commit / undecomposable clauses / dense
+            batch): merge declaratively over ``base`` and commit the
+            whole result as the next snapshot. Returns the version, or
+            None on a lost race (the caller's loop retries from the
+            new head)."""
+            if clauses is not None:
+                merged = merge_clauses(base, updates, key_cols, clauses)
+            else:
+                merged = merge_upsert(
+                    base, updates, key_cols, latest_by=latest_by
+                )
+            try:
+                return self.commit(
+                    merged,
+                    mode="replace",
+                    partition_by=pb,
+                    meta={
+                        **(meta or {}),
+                        "op": "merge",
+                        "source_version": base_v,
+                    },
+                    expect_version=base_v,
+                )
+            except CommitConflict:
+                return None
+
         for _ in range(max_retries):
             base_v = self.latest_version()
             if base_v < 0:
-                merged, pb = updates, None
+                merged = updates
                 # expect_version=-1 (not None): two concurrent FIRST
                 # merges must conflict-and-retry, not blind-replace each
                 # other (the loser would silently erase the winner's
@@ -5065,27 +5093,10 @@ class TransactionalTable:
             ):
                 return base_v  # empty source: nothing can match or insert
             if not subset_ok:
-                base = self.read(spark, base_v)
-                if clauses is not None:
-                    merged = merge_clauses(base, updates, key_cols, clauses)
-                else:
-                    merged = merge_upsert(
-                        base, updates, key_cols, latest_by=latest_by
-                    )
-                try:
-                    return self.commit(
-                        merged,
-                        mode="replace",
-                        partition_by=pb,
-                        meta={
-                            **(meta or {}),
-                            "op": "merge",
-                            "source_version": base_v,
-                        },
-                        expect_version=base_v,
-                    )
-                except CommitConflict:
+                v = _cow_replace(self.read(spark, base_v), base_v, pb)
+                if v is None:
                     continue
+                return v
             candidates = prune_files(
                 m, bands, bloom_loader=self._bloom_sidecar
             )
@@ -5101,27 +5112,10 @@ class TransactionalTable:
                 and len(candidates) > 0.5 * max(1, len(m["files"]))
                 and n_src_keys > 0.05 * max(1, int(m.get("rows") or 0))
             ):
-                base = self.read(spark, base_v)
-                if clauses is not None:
-                    merged = merge_clauses(base, updates, key_cols, clauses)
-                else:
-                    merged = merge_upsert(
-                        base, updates, key_cols, latest_by=latest_by
-                    )
-                try:
-                    return self.commit(
-                        merged,
-                        mode="replace",
-                        partition_by=pb,
-                        meta={
-                            **(meta or {}),
-                            "op": "merge",
-                            "source_version": base_v,
-                        },
-                        expect_version=base_v,
-                    )
-                except CommitConflict:
+                v = _cow_replace(self.read(spark, base_v), base_v, pb)
+                if v is None:
                     continue
+                return v
             if merge_on_read:
                 # no touched-file discovery pass: the DV path never
                 # rewrites, so it needs positions (from its own pairs

@@ -1285,3 +1285,34 @@ def test_txcdf_large_commit_shards_by_key_hash(spark, tmp_path):
         assert streamed == want_all
     finally:
         q.stop()
+
+
+def test_txcdf_first_dv_delete_shards_from_new_side_estimate(spark, tmp_path):
+    """Review-fix regression: a FIRST deletion-vector delete records
+    its dv.n on the NEW side only — the shard estimate must read the
+    larger side's dv.n, not the spec's own side (which is 0 at v-1 and
+    planned the exact single-task cliff sharding exists to remove)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.sources.txcdf import TxTableCdfReader
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    root = str(tmp_path / "t")
+    t = TransactionalTable(root)
+    t.commit(
+        spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        num_files=2,
+    )
+    t.delete_where(spark, "k < 250", merge_on_read=True)  # v1: first DV
+
+    reader = TxTableCdfReader(
+        {"path": root, "keycols": "k", "maxrowspertask": "100"}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) > 1, "first DV delete must shard (est from new dv.n)"
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 250
+    assert {row[-2] for row in rows} == {"delete"}
+    assert {row[0] for row in rows} == set(range(250))

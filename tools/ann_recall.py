@@ -53,7 +53,17 @@ def main() -> int:
     e = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
     e = e.select("vec_id", "embedding").persist()
     n = e.count()
-    query_ids = [int(i * n / args.n_queries) for i in range(args.n_queries)]
+    # query ids drawn from the ACTUAL key values (hash-ordered — a
+    # deterministic uniform draw), never by position: vec_id need not
+    # be dense 0..n-1, and a missing id would make the exact baseline
+    # empty (division by zero after minutes of Spark work)
+    query_ids = [
+        r["vec_id"]
+        for r in e.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(args.n_queries)
+        .collect()
+    ]
 
     # codebooks computed ONCE per variant (a real deployment trains
     # offline and serves many queries — per-query training would
