@@ -430,20 +430,34 @@ class TxTableStreamReader(DataSourceStreamReader):
                 # loudly below.
                 is_compact = m.get("meta", {}).get("op") == "compact_dv"
 
-                def _positions(dv: dict | None, key: str) -> set:
+                def _positions(dv: dict | None, key: str) -> tuple:
+                    """Order-independent fingerprint (count, sum, xor of
+                    a mixed 64-bit hash) of the file's recorded
+                    positions across the dv's sidecars — streamed per
+                    record batch, O(1) driver memory even for a
+                    many-million-row vector. Positions within one
+                    file's DV are unique by construction, so equal
+                    fingerprints ⇔ equal sets for any non-adversarial
+                    writer."""
                     import pyarrow.parquet as pq
 
-                    out: set = set()
+                    cnt, tot, xor = 0, 0, 0
                     for ref in (dv or {}).get("refs", []):
-                        tbl = pq.read_table(
-                            t.storage.url(ref), columns=["file", "pos"]
-                        )
-                        fcol = tbl.column("file").to_pylist()
-                        pcol = tbl.column("pos").to_pylist()
-                        out.update(
-                            p for f, p in zip(fcol, pcol) if f == key
-                        )
-                    return out
+                        pf = pq.ParquetFile(t.storage.url(ref))
+                        for batch in pf.iter_batches(
+                            columns=["file", "pos"]
+                        ):
+                            fcol = batch.column(0).to_pylist()
+                            pcol = batch.column(1).to_pylist()
+                            for f, p in zip(fcol, pcol):
+                                if f != key:
+                                    continue
+                                cnt += 1
+                                tot += p
+                                xor ^= (
+                                    p * 0x9E3779B97F4A7C15
+                                ) & 0xFFFFFFFFFFFFFFFF
+                    return (cnt, tot, xor)
 
                 def _dv_changed(key: str) -> bool:
                     new_dv = stats.get(key, {}).get("dv")
