@@ -1804,6 +1804,67 @@ def q_tx_merge_dv_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_clone_shallow",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'C'
+                ELSE o_orderstatus END AS o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    """,
+)
+def q_tx_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE through the SQL front door (``CREATE TABLE ...
+    SHALLOW CLONE`` — Delta's clone; ``TransactionalTable.clone_from``):
+    the clone is an O(metadata) commit whose manifest BORROWS the
+    source snapshot's data files (absolutized keys, zero bytes
+    copied), then a copy-on-write UPDATE mutates the CLONE — touched
+    foreign files rewrite locally, untouched ones stay byte-identical
+    in the source's root — while the SOURCE is asserted unchanged.
+    The oracle replays source ∘ update declaratively, so a hash match
+    proves the borrowed-file read path (stats, blooms, pruning, the
+    foreign-key scan mapping) end to end. Idempotent: the clone
+    commits once per fixture, the UPDATE is a fixpoint."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src_root = fixture_scratch_dir("spark_graft_txclonesrc", sf_dir)
+    src = TransactionalTable(src_root)
+    if not src.exists():
+        src.commit(o, cluster_by=["o_orderkey"], num_files=8)
+    n_src = src.count()
+    dst_root = fixture_scratch_dir("spark_graft_txclonedst", sf_dir)
+    dst = TransactionalTable(dst_root)
+    if not dst.exists():
+        res = execute_dml(
+            spark,
+            f"CREATE TABLE clone_t LOCATION '{dst_root}' "
+            "SHALLOW CLONE clone_src",
+            {"clone_src": src},
+        )
+        assert res["op"] == "clone", res
+        m = dst.manifest()
+        assert m["meta"]["op"] == "clone", m["meta"]
+        # zero data bytes copied at clone time
+        assert dst.storage.list("data") == [], "clone copied data files"
+    dst.update_where(
+        spark, {"o_orderstatus": "'C'"}, "o_orderkey % 5 = 0"
+    )
+    # the source is untouched by the clone's mutation
+    assert src.count() == n_src, (src.count(), n_src)
+    dst.vacuum(retain_versions=2)
+    return dst.read(spark).select(
+        "o_orderkey",
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@query(
     "q_tx_sql_alter_widen",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -102,6 +102,7 @@ _ATTESTATION_FRONT: list[str] = [
     "q_tx_update_dv",
     "q_tx_merge_dv",
     "q_tx_merge_dv_clauses",
+    "q_tx_clone_shallow",
     "q_tx_partition_evolution",
     # streaming (full-oracle set)
     "q_streaming_cdf",
@@ -143,7 +144,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_topk_cosine",
     "q_scd2_build",
     "q_record_linkage",
-    "q_funnel",
 ]
 
 

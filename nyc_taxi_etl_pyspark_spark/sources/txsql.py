@@ -599,6 +599,37 @@ def execute_dml(
         )
         return {"op": "insert", "table": target, "version": version}
     if head == "CREATE":
+        mc = re.match(
+            rf"^CREATE\s+TABLE\s+({_NAME})\s+LOCATION\s+'((?:[^']|'')+)'"
+            rf"\s+SHALLOW\s+CLONE\s+({_NAME})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+            s,
+            re.I,
+        )
+        if mc is not None:
+            # Delta's CREATE TABLE ... SHALLOW CLONE: an O(metadata)
+            # commit referencing the source snapshot's files in place
+            name, path, src_name, ver = (
+                mc.group(1),
+                mc.group(2).replace("''", "'"),
+                mc.group(3),
+                mc.group(4),
+            )
+            src = _resolve_target(src_name, tables)
+            t = TransactionalTable(path)
+            version = t.clone_from(
+                src, version=int(ver) if ver is not None else None
+            )
+            register_dml_target(name, t)
+            t.create_view(spark, name)
+            return {
+                "op": "clone",
+                "table": name,
+                "path": path,
+                "source": src_name,
+                "source_version": t.manifest()["meta"]["clone_version"],
+                "version": version,
+            }
         m = re.match(
             rf"^CREATE\s+TABLE\s+({_NAME})\s+LOCATION\s+'((?:[^']|'')+)'"
             rf"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
@@ -609,7 +640,9 @@ def execute_dml(
         if m is None:
             raise ValueError(
                 "CREATE shape: CREATE TABLE <name> LOCATION '<path>' "
-                "[PARTITIONED BY (col, ...)] AS <query>"
+                "[PARTITIONED BY (col, ...)] AS <query> | "
+                "CREATE TABLE <name> LOCATION '<path>' SHALLOW CLONE "
+                "<table> [VERSION AS OF <n>]"
             )
         name, path, pb, q = (
             m.group(1),

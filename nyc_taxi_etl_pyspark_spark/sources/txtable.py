@@ -189,7 +189,12 @@ class LocalStorage:
     # -- key <-> filesystem ------------------------------------------------
     def url(self, key: str) -> str:
         """Spark-readable location of ``key`` (local path here; a cloud
-        backend returns the object URI)."""
+        backend returns the object URI). An ABSOLUTE key passes through
+        unchanged — that is how a SHALLOW CLONE's manifest references
+        another table's data files without copying them (clone_from
+        absolutizes the source keys; ``list``/``delete`` only ever see
+        own-root relative keys, so maintenance can never touch a
+        foreign file)."""
         return os.path.join(self.root, key)
 
     # -- object ops --------------------------------------------------------
@@ -1487,6 +1492,23 @@ class TransactionalTable:
         cached = self._bcache.get(key)
         if cached is None:
             cached = self._read_json(key) or {}
+            if os.path.isabs(key) and f"/{BLOOMS_DIR}/" in key:
+                # a BORROWED sidecar (shallow clone): its entries are
+                # keyed by the SOURCE's relative file keys, while this
+                # table's manifest keys those same files absolutely —
+                # re-key onto the source root so point-read pruning
+                # keeps working on the clone (miss = conservative keep,
+                # never wrong, but the whole point of borrowing stats
+                # is not to lose the pruning)
+                src_root = key.split(f"/{BLOOMS_DIR}/")[0]
+                cached = {
+                    (
+                        f
+                        if os.path.isabs(f)
+                        else os.path.join(src_root, f)
+                    ): v
+                    for f, v in cached.items()
+                }
             self._bcache[key] = cached
             while len(self._bcache) > self._MCACHE_MAX:
                 try:  # prefetch runs loaders concurrently (prune_files)
@@ -1790,7 +1812,9 @@ class TransactionalTable:
             if dv_map:
                 # merge-on-read: anti-join this snapshot's deletion
                 # vectors before anything else sees the rows
-                raw = self._strip_dv(spark, self._with_dv_keys(raw), dv_map)
+                raw = self._strip_dv(
+                    spark, self._with_dv_keys(raw, files), dv_map
+                )
             df = _reconcile_schema(raw, m)
         if where or partitions or equals:
             from pyspark.sql import functions as F
@@ -2751,6 +2775,19 @@ class TransactionalTable:
             bloom_by=bloom_by,
             layout=layout,
         )
+        # A frame with empty input partitions can stage 0-row part
+        # files; a 0-row file carries NO min/max/bloom stats, so it is
+        # a candidate for EVERY pruned read forever — one no-op scan
+        # task per stray per query. Drop empties (vacuum backlog),
+        # keeping ONE as the schema anchor only when the whole batch is
+        # empty (a zero-file snapshot is unreadable, and an empty
+        # replace is the documented truncate idiom).
+        nonempty = [
+            k for k in keys if staged_stats.get(k, {}).get("rows") != 0
+        ]
+        if len(nonempty) != len(keys):
+            keys = nonempty if nonempty else keys[:1]
+            staged_stats = {k: staged_stats[k] for k in keys}
         rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
             tuple(sorted(staged_stats[k]["partition"].items()))
@@ -3665,6 +3702,144 @@ class TransactionalTable:
             f"alter_column_type lost {max_retries} commit races on {self.root}"
         )
 
+    def clone_from(
+        self,
+        source: "TransactionalTable",
+        version: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+        commit a snapshot of THIS table whose manifest references the
+        SOURCE snapshot's data files — absolutized keys, zero bytes
+        copied, O(metadata) regardless of table size. The clone is a
+        fully independent table from that instant: its own commit log,
+        its own time travel, appends staged locally, copy-on-write and
+        merge-on-read DML rewriting/DV-marking only what they touch
+        (foreign files they don't touch stay byte-identical in the
+        SOURCE's data root), and ``optimize()`` rewrites everything
+        locally — the standard "shallow clone, then OPTIMIZE to
+        materialize" deep-clone recipe. Per-file stats, bloom sidecar
+        refs, deletion-vector refs, schema, partitioning, and sticky
+        properties (clustering/bloom/merge_on_read) all carry over, so
+        pruning and DV reads work on the clone exactly as on the
+        source.
+
+        Caveats (the same ones Delta documents): the clone BORROWS the
+        source's files, so ``vacuum`` on the SOURCE can reclaim files
+        the clone still references once the source's own retention
+        expires them — run ``optimize()`` on the clone to make it
+        self-contained before vacuuming the source, and ``fsck`` on
+        the clone detects the breakage loudly. The clone's own
+        ``vacuum`` can never touch foreign files (absolute keys are
+        never listed under the clone's root). Layout v2 sources only
+        (v1 path-partitioned files need basePath reconstruction, which
+        cannot span two roots); cloning a clone is fine — already-
+        absolute keys pass through. Requires an EMPTY destination (a
+        clone is a table's first commit, not a merge)."""
+        src_v = source.latest_version() if version is None else version
+        m = source.manifest(src_v)
+        if m is None:
+            raise FileNotFoundError(
+                f"clone_from: {source.root} has no version {src_v}"
+            )
+        if source._layout_of(m) < 2 and m.get("partition_by"):
+            raise ValueError(
+                f"clone_from: {source.root} v{src_v} is legacy layout v1 "
+                "(partition values live in file paths; two roots cannot "
+                "share one basePath) — optimize() the source to layout "
+                "v2 first"
+            )
+
+        def _abs(key: str) -> str:
+            return key if os.path.isabs(key) else source.storage.url(key)
+
+        files = [_abs(f) for f in m["files"]]
+
+        # DV sidecars address rows by the SOURCE's relative file keys;
+        # the clone's manifest keys are absolute, so borrowed sidecars
+        # would silently anti-join nothing. Rewrite each referenced
+        # sidecar ONCE into the clone's own ``_dvs/`` with absolutized
+        # file values — DV sidecars are O(deleted positions), tiny next
+        # to the data files the clone deliberately does NOT copy, and
+        # owning them decouples the clone from the source's DV-sidecar
+        # vacuum lifecycle (only DATA files stay borrowed).
+        ref_rewrite: dict[str, str] = {}
+
+        def _clone_sidecar(ref: str) -> str:
+            if ref in ref_rewrite:
+                return ref_rewrite[ref]
+            import pyarrow as pa
+            import pyarrow.parquet as pq_
+
+            tbl = pq_.read_table(source.storage.url(ref) if not os.path.isabs(ref) else ref)
+            tbl = pa.table(
+                {
+                    "file": pa.array(
+                        [_abs(x) for x in tbl.column("file").to_pylist()],
+                        type=pa.string(),
+                    ),
+                    "pos": tbl.column("pos").combine_chunks(),
+                }
+            )
+            new_key = f"{DVS_DIR}/c{uuid.uuid4().hex}.parquet"
+            tmp = tempfile.mkdtemp(prefix="txclone_dv_")
+            try:
+                path = os.path.join(tmp, "dv.parquet")
+                pq_.write_table(tbl, path)
+                self.storage.upload_file(path, new_key)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            ref_rewrite[ref] = new_key
+            return new_key
+
+        stats: dict[str, dict] = {}
+        for f, fs in (m.get("stats") or {}).items():
+            fs = dict(fs)
+            if fs.get("bloom_ref"):
+                fs["bloom_ref"] = _abs(fs["bloom_ref"])
+            if fs.get("dv"):
+                dv = dict(fs["dv"])
+                dv["refs"] = [_clone_sidecar(r) for r in dv.get("refs", [])]
+                fs["dv"] = dv
+            stats[_abs(f)] = fs
+        meta = {
+            k: v
+            for k, v in (m.get("meta") or {}).items()
+            if k in ("clustering", "bloom_index", "merge_on_read", "app")
+        }
+        meta.update(
+            {
+                "op": "clone",
+                "clone_source": source.root,
+                "clone_version": src_v,
+                "layout": 2,
+            }
+        )
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            if base_v >= 0:
+                raise ValueError(
+                    f"clone_from: {self.root} already has committed "
+                    "versions — a shallow clone must be a table's FIRST "
+                    "commit (replace the data through normal commits "
+                    "instead)"
+                )
+            if self._put_manifest(
+                base_v,
+                files,
+                m.get("rows", 0),
+                m.get("schema"),
+                stats,
+                meta,
+                m.get("partition_by"),
+                None,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"clone_from lost {max_retries} commit races on {self.root}"
+        )
+
     def alter_partitioning(
         self,
         spark: SparkSession,
@@ -4106,13 +4281,46 @@ class TransactionalTable:
             ),
         )
 
-    def _with_dv_keys(self, raw: DataFrame) -> DataFrame:
+    def _with_dv_keys(
+        self, raw: DataFrame, files: list[str] | None = None
+    ) -> DataFrame:
         """Attach ``__dv_file``/``__dv_pos`` to a parquet SCAN frame.
         Must be called on the scan relation directly — ``_metadata``
         is a hidden column that does not survive an intervening
-        projection."""
+        projection.
+
+        When the scanned ``files`` include FOREIGN keys (absolute —
+        shallow-clone references into another table's data root), the
+        prefix-strip expression cannot reconstruct them from
+        ``file_path``; the key column instead comes from a broadcast
+        (path → key) lookup built from the file list — metadata-sized,
+        one small hash join on the scan."""
         from pyspark.sql import functions as F
 
+        if files and any(os.path.isabs(f) for f in files):
+            spark = raw.sparkSession
+            mapping = F.broadcast(
+                spark.createDataFrame(
+                    [(self.storage.url(f), f) for f in files],
+                    "__dv_path string, __dv_file string",
+                )
+            )
+            # _metadata.file_path is a URI ("file:/abs/path" or
+            # "file:///abs/path"); the map holds plain paths —
+            # normalize by stripping the scheme (the path's own
+            # leading "/" survives either spelling)
+            normalized = F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            )
+            return (
+                raw.select(
+                    "*",
+                    normalized.alias("__dv_path"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+                .join(mapping, "__dv_path", "inner")
+                .drop("__dv_path")
+            )
         return raw.select(
             "*",
             self._dv_key_col().alias("__dv_file"),
@@ -4173,7 +4381,7 @@ class TransactionalTable:
             raw = reader.parquet(*[self.storage.url(f) for f in files])
         dv_map = self._dv_map(m, files)
         if dv_map or keep_keys:
-            raw = self._with_dv_keys(raw)
+            raw = self._with_dv_keys(raw, files)
         if dv_map:
             raw = self._strip_dv(spark, raw, dv_map, drop=not keep_keys)
         return _reconcile_schema(raw, m)
@@ -4239,7 +4447,7 @@ class TransactionalTable:
         reader = self._schema_reader(reader, m)
         with _no_listing_job(spark, len(affected)):
             raw = reader.parquet(*[self.storage.url(f) for f in affected])
-        keyed = _reconcile_schema(self._with_dv_keys(raw), m)
+        keyed = _reconcile_schema(self._with_dv_keys(raw, affected), m)
         prev_dvs = self._dv_map(m, affected)
         if prev_dvs:
             # only LIVE rows can be deleted again — scanning raw files

@@ -1,0 +1,177 @@
+"""SHALLOW CLONE (``TransactionalTable.clone_from`` / SQL ``CREATE
+TABLE ... SHALLOW CLONE`` — Delta's clone shape; no reference
+counterpart, the reference has no storage layer at all).
+
+Contract under test: a clone is an O(metadata) commit that BORROWS the
+source snapshot's data files (absolutized keys, zero bytes copied) and
+is a fully independent table from that instant — its own log, time
+travel, appends, copy-on-write and merge-on-read DML, pruning through
+the borrowed stats/blooms, and ``optimize()`` as the materialize-to-
+deep-clone recipe. Deletion-vector sidecars are REWRITTEN (tiny) so
+the clone's DV reads key correctly and survive the source's sidecar
+vacuum; data files stay borrowed, with the documented source-vacuum
+caveat surfaced by fsck."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+
+def _src(spark, tmp_path, n=1000, **kw):
+    t = TransactionalTable(str(tmp_path / "src"))
+    t.commit(
+        spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 10).alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+        ),
+        num_files=4,
+        cluster_by=["id"],
+        bloom_by=["id"],
+        **kw,
+    )
+    return t
+
+
+def test_clone_is_metadata_only_and_reads_equal(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.delete_where(spark, "id < 50", merge_on_read=True)  # source DV
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    v = dst.clone_from(src)
+    assert v == 0
+    # zero data bytes copied; only the rewritten DV sidecar is local
+    assert dst.storage.list("data") == []
+    assert len(dst.storage.list("_dvs")) == 1
+    got = sorted(map(tuple, dst.read(spark).collect()))
+    want = sorted(map(tuple, src.read(spark).collect()))
+    assert got == want and len(got) == 950
+    assert dst.count() == 950  # metadata count carries logical rows
+    m = dst.manifest()
+    assert m["meta"]["op"] == "clone"
+    assert m["meta"]["clone_source"] == src.root
+    assert all(os.path.isabs(f) for f in m["files"])
+    assert dst.fsck()["ok"]
+
+
+def test_clone_pruning_through_borrowed_stats_and_blooms(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    dst.clone_from(src)
+    # band pruning via borrowed min/max (id-clustered: 1 of 4 files)
+    assert len(dst.prune(where=[("id", 0, 100)])) == len(
+        src.prune(where=[("id", 0, 100)])
+    ) == 1
+    # bloom point pruning via the borrowed (re-keyed) sidecars
+    assert len(dst.prune(equals=[("id", 17)])) == 1
+    assert len(dst.prune(equals=[("id", -5)])) == 0
+    assert dst.read(spark, equals={"id": 17}).count() == 1
+
+
+def test_clone_mutates_independently_of_source(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    dst.clone_from(src)
+    foreign = set(dst.manifest()["files"])
+
+    # append stages locally
+    dst.commit(
+        spark.range(5000, 5010).select(
+            F.col("id"), (F.col("id") % 10).alias("k"), F.lit(0.0).alias("v")
+        ),
+        mode="append",
+    )
+    assert dst.count() == 1010
+    # merge-on-read DELETE over FOREIGN files: the path->key map keys
+    # the DV by the clone's absolute manifest keys
+    res = dst.delete_where(spark, "id >= 900 AND id < 950", merge_on_read=True)
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == 50
+    assert dst.count() == 960 and dst.read(spark).count() == 960
+    # copy-on-write UPDATE rewrites the ONE touched foreign file
+    # locally and retains the rest byte-identical
+    res = dst.update_where(spark, {"v": "v + 1"}, "id = 100")
+    assert res["files_rewritten"] == 1
+    m = dst.manifest()
+    assert len(foreign & set(m["files"])) == len(foreign) - 1
+    assert dst.read(spark).where("id = 100").first()["v"] == 201.0
+    # source is untouched by ALL of it
+    assert src.count() == 1000 and src.read(spark).count() == 1000
+    # the clone's vacuum never deletes the source's files
+    dst.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert src.read(spark).count() == 1000 and src.fsck()["ok"]
+    # optimize() materializes: no foreign refs remain (deep clone)
+    dst.optimize(spark, target_rows_per_file=10000)
+    m = dst.manifest()
+    assert not any(os.path.isabs(f) for f in m["files"])
+    assert dst.read(spark).count() == 960 and dst.fsck()["ok"]
+
+
+def test_clone_time_travel_and_clone_of_clone(spark, tmp_path):
+    src = _src(spark, tmp_path, n=100)
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    dst.clone_from(src)
+    dst.delete_where(spark, "id < 10")
+    assert dst.read(spark, 0).count() == 100  # the clone snapshot
+    assert dst.read(spark).count() == 90
+    # clone of a clone: already-absolute keys pass through
+    dd = TransactionalTable(str(tmp_path / "dd"))
+    dd.clone_from(dst, version=0)
+    assert dd.read(spark).count() == 100
+    assert dd.storage.list("data") == []
+    # versioned clone pins the requested source snapshot
+    assert dd.manifest()["meta"]["clone_version"] == 0
+
+
+def test_clone_rejects_v1_and_nonempty_dest(spark, tmp_path):
+    legacy = TransactionalTable(str(tmp_path / "legacy"))
+    legacy.commit(
+        spark.range(40).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by=["p"],
+        meta={"layout": 1},
+    )
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    with pytest.raises(ValueError, match="layout v1"):
+        dst.clone_from(legacy)
+    src = _src(spark, tmp_path, n=50)
+    dst.commit(spark.range(3).select(F.col("id")))
+    with pytest.raises(ValueError, match="FIRST commit"):
+        dst.clone_from(src)
+
+
+def test_clone_source_vacuum_breakage_is_loud(spark, tmp_path):
+    """The documented Delta caveat: the clone borrows data files, so a
+    source vacuum that expires them breaks the clone — fsck must
+    report the missing foreign files, never a silent partial read."""
+    src = _src(spark, tmp_path, n=200)
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    dst.clone_from(src)
+    # source replaces everything, then vacuums the old snapshot away
+    src.commit(spark.range(5).select(F.col("id"), F.lit(0).alias("k"), F.lit(0.0).alias("v")))
+    src.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    audit = dst.fsck()
+    assert not audit["ok"] and audit["missing_files"]
+
+
+def test_clone_sql_route(spark, tmp_path):
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    src = _src(spark, tmp_path, n=100)
+    src.delete_where(spark, "id < 10")  # v1
+    path = str(tmp_path / "sqlclone")
+    res = execute_dml(
+        spark,
+        f"CREATE TABLE cl LOCATION '{path}' SHALLOW CLONE s "
+        "VERSION AS OF 0",
+        {"s": src},
+    )
+    assert res["op"] == "clone" and res["source_version"] == 0
+    t = TransactionalTable(path)
+    assert t.read(spark).count() == 100  # the pre-delete snapshot
+    assert spark.table("cl").count() == 100  # view registered
+    # DML routes against the registered clone name
+    execute_dml(spark, "DELETE FROM cl WHERE id >= 90", {"cl": t})
+    assert t.read(spark).count() == 90
