@@ -2447,6 +2447,22 @@ class TransactionalTable:
                     )
                     for k in shard:
                         stats[k]["bloom_ref"] = sidecar
+            if not keys and partition_by:
+                # an EMPTY frame written hive-partitioned produces ZERO
+                # part files (no partition values to write under), but
+                # an empty UNPARTITIONED write produces one 0-row
+                # schema-anchor file — and a zero-file snapshot is
+                # unreadable. Re-stage flat so every caller (truncate
+                # replace, delete-all rewrite, emptied merge) keeps the
+                # anchor invariant. Latent until round 9's soak crossed
+                # delete-all with partition evolution.
+                return self._stage(
+                    df.limit(0),
+                    partition_by=None,
+                    max_records_per_file=max_records_per_file,
+                    bloom_by=bloom_by,
+                    layout=layout,
+                )
             return keys, stats
         finally:
             if staging is not None:

@@ -4982,3 +4982,43 @@ def test_replace_partitions_rejects_stale_scheme_files(spark, tmp_path):
     assert cur.where("q = 0").count() == 5
     assert cur.count() == 100 - 34 + 5
     assert t.count() == cur.count() and t.fsck()["ok"]
+
+
+def test_delete_all_on_partitioned_table_keeps_schema_anchor(spark, tmp_path):
+    """Latent bug found by the round-9 soak (clone op reshuffled the
+    sequence into delete-all × partitioning): an EMPTY frame written
+    hive-partitioned produces ZERO part files, so a delete that
+    removed every row of a partitioned table committed an unreadable
+    zero-file snapshot. _stage now re-stages empty partitioned writes
+    flat, keeping the one 0-row schema-anchor invariant everywhere."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+        ),
+        partition_by=["p"],
+    )
+    t.delete(spark, [("p", -10, 10)])  # removes every row
+    assert t.read(spark).count() == 0
+    assert t.count() == 0
+    assert len(t.manifest()["files"]) == 1  # the schema anchor
+    assert t.fsck()["ok"]
+    # schema survives: appends keep working after the truncate
+    t.commit(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(0).alias("p")),
+        mode="append",
+        partition_by=(t.manifest() or {}).get("partition_by"),
+    )
+    assert t.read(spark).count() == 5
+
+    # truncate via an empty PARTITIONED replace: same anchor invariant
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    t2.commit(
+        spark.range(9).select(F.col("id").alias("k"), (F.col("id") % 3).alias("p")),
+        partition_by=["p"],
+    )
+    t2.commit(
+        spark.range(0).select(F.col("id").alias("k"), (F.col("id") % 3).alias("p")),
+        partition_by=["p"],
+    )
+    assert t2.read(spark).count() == 0 and len(t2.manifest()["files"]) == 1

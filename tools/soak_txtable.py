@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
 import sys
 import tempfile
 import time
@@ -312,6 +313,36 @@ def soak(spark, seed: int, n_ops: int) -> int:
             elif v % 2 == 0:
                 model[k] = v
 
+    def do_clone_check():
+        # SHALLOW CLONE as an invariant probe (round 9): clone the
+        # CURRENT state — whatever mix of DVs, widened types, evolved
+        # columns, partition schemes the prior ops left — into a fresh
+        # root; the clone must read exactly the model, a mutation of
+        # the clone must not disturb the source, and the clone's
+        # vacuum must never touch the source's files.
+        if not t.exists():
+            return
+        mf = t.manifest()
+        if (mf.get("meta", {}).get("layout") or 2) < 2 and mf.get(
+            "partition_by"
+        ):
+            return  # v1 path-partitioned sources reject by contract
+        d = tempfile.mkdtemp(prefix="soakclone-")
+        try:
+            c = TransactionalTable(os.path.join(d, "c"))
+            c.clone_from(t)
+            got = {r["k"]: r["v"] for r in c.read(spark).collect()}
+            assert got == model, ("clone content", got, model)
+            assert c.count() == len(model)
+            if model:
+                c.delete_where(spark, f"k = {sorted(model)[0]}")
+                c.vacuum(retain_versions=1, unreferenced_grace_s=0)
+            src_again = {r["k"]: r["v"] for r in t.read(spark).collect()}
+            assert src_again == model, ("clone mutated source",)
+            assert t.fsck()["ok"], "clone vacuum touched source files"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     def do_add_columns():
         # ALTER TABLE ADD COLUMNS: a schema-only commit crossing the
         # same checkpoint/vacuum/restore machinery as data commits;
@@ -377,6 +408,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_dv_update,
         do_dv_merge,
         do_dv_merge_clauses,
+        do_clone_check,
         do_dv_compact,
         do_alter_partitioning,
         do_flip_layout_capability,
