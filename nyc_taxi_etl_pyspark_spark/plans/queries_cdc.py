@@ -1851,12 +1851,16 @@ def q_tx_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert m["meta"]["op"] == "clone", m["meta"]
         # zero data bytes copied at clone time
         assert dst.storage.list("data") == [], "clone copied data files"
-    dst.update_where(
-        spark, {"o_orderstatus": "'C'"}, "o_orderkey % 5 = 0"
-    )
+        # the mutation commits INSIDE the fixture guard (sibling-query
+        # convention): the predicate hits every id-clustered file, so
+        # re-running the copy-on-write rewrite per invocation would
+        # rewrite the whole table each time for an identical result
+        dst.update_where(
+            spark, {"o_orderstatus": "'C'"}, "o_orderkey % 5 = 0"
+        )
+        dst.vacuum(retain_versions=2)
     # the source is untouched by the clone's mutation
     assert src.count() == n_src, (src.count(), n_src)
-    dst.vacuum(retain_versions=2)
     return dst.read(spark).select(
         "o_orderkey",
         "o_orderstatus",

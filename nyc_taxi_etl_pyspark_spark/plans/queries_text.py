@@ -399,12 +399,52 @@ def _ann_train_key(sf_dir: str, kind: str) -> tuple:
     only saves wall clock, never changes results; a real deployment
     trains offline once and serves many probes (the persisted-index
     path), which is the behavior this memo restores for the in-memory
-    tier."""
+    tier. Non-local roots (s3a://, hdfs://) cannot os.stat — same
+    degraded-identity fallback as fixture_scratch_dir: key by path
+    alone (reuse within a process; a regenerated remote fixture needs
+    a fresh process, the documented limitation)."""
     import os
 
     path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(path)
-    return (kind, path, st.st_mtime_ns, st.st_size)
+    try:
+        st = os.stat(path)
+        return (kind, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (kind, sf_dir, "no-stat")
+
+
+def _cached_ivf_centroids(spark, e, sf_dir: str):
+    """The memoized 16-cell k-means IVF codebook for a fixture —
+    trained once per embeddings-file identity, rebuilt as a tiny
+    DataFrame per call (|codebook|-bounded driver rows)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    ck = _ann_train_key(sf_dir, "ivf16")
+    if ck not in _ANN_TRAIN_CACHE:
+        _ANN_TRAIN_CACHE[ck] = [
+            (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+            for r in kmeans_centroids(
+                e, "vec_id", "embedding", k=16
+            ).collect()  # |codebook|-bounded
+        ]
+    return spark.createDataFrame(
+        _ANN_TRAIN_CACHE[ck], "centroid_id int, centroid_vec array<double>"
+    )
+
+
+def _cached_pq_codebooks(e, sf_dir: str) -> list:
+    """The memoized per-subspace PQ codebooks (M=8, K=32) for a
+    fixture — trained once per embeddings-file identity."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    ck = _ann_train_key(sf_dir, "pq8x32")
+    if ck not in _ANN_TRAIN_CACHE:
+        _ANN_TRAIN_CACHE[ck] = pq_train_codebooks(e, "vec_id", "embedding")
+    return _ANN_TRAIN_CACHE[ck]
 
 
 @query("q_ann_ivf", oracle=None)  # approximate by construction => rows-only
@@ -416,22 +456,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE.md §Round 9), probe the 4 cells nearest the query.
     Approximate ⇒ rows-only; the exactness baseline is
     ``q_topk_cosine``."""
-    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
-        kmeans_centroids,
-    )
-
     e = load_table(spark, sf_dir, "embeddings")
-    ck = _ann_train_key(sf_dir, "ivf16")
-    if ck not in _ANN_TRAIN_CACHE:
-        _ANN_TRAIN_CACHE[ck] = [
-            (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
-            for r in kmeans_centroids(
-                e, "vec_id", "embedding", k=16
-            ).collect()  # |codebook|-bounded
-        ]
-    centroids = spark.createDataFrame(
-        _ANN_TRAIN_CACHE[ck], "centroid_id int, centroid_vec array<double>"
-    )
+    centroids = _cached_ivf_centroids(spark, e, sf_dir)
     return ivf_topk_cosine(
         e,
         centroids,
@@ -458,21 +484,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the ``q_topk_cosine`` exact baseline is floor-tested
     (``tests/test_scale_techniques.py``) and the encode+ADC math is
     asserted equal to a pure-Python replay."""
-    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
-        pq_train_codebooks,
-    )
-
     e = load_table(spark, sf_dir, "embeddings")
-    ck = _ann_train_key(sf_dir, "pq8x32")
-    if ck not in _ANN_TRAIN_CACHE:
-        _ANN_TRAIN_CACHE[ck] = pq_train_codebooks(e, "vec_id", "embedding")
     return pq_topk_cosine(
         e,
         _query_vec(spark, sf_dir),
         id_col="vec_id",
         vec_col="embedding",
         k=10,
-        codebooks=_ANN_TRAIN_CACHE[ck],
+        codebooks=_cached_pq_codebooks(e, sf_dir),
     )
 
 
@@ -1106,25 +1125,7 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = TransactionalTable(root)
     if not t.exists():
-        from nyc_taxi_etl_pyspark_spark.operators.similarity import (
-            kmeans_centroids,
-        )
-
-        ck = _ann_train_key(sf_dir, "ivf16")
-        if ck not in _ANN_TRAIN_CACHE:
-            _ANN_TRAIN_CACHE[ck] = [
-                (
-                    int(r["centroid_id"]),
-                    [float(x) for x in r["centroid_vec"]],
-                )
-                for r in kmeans_centroids(
-                    e, "vec_id", "embedding", k=16
-                ).collect()
-            ]
-        centroids = spark.createDataFrame(
-            _ANN_TRAIN_CACHE[ck],
-            "centroid_id int, centroid_vec array<double>",
-        )
+        centroids = _cached_ivf_centroids(spark, e, sf_dir)
         build_ivf_index(t, e, centroids, id_col="vec_id", vec_col="embedding")
     return ivf_index_probe(
         spark,
@@ -1163,21 +1164,12 @@ def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = TransactionalTable(root)
     if not t.exists():
-        from nyc_taxi_etl_pyspark_spark.operators.similarity import (
-            pq_train_codebooks,
-        )
-
-        ck = _ann_train_key(sf_dir, "pq8x32")
-        if ck not in _ANN_TRAIN_CACHE:
-            _ANN_TRAIN_CACHE[ck] = pq_train_codebooks(
-                e, "vec_id", "embedding"
-            )
         build_pq_index(
             t,
             e,
             id_col="vec_id",
             vec_col="embedding",
-            codebooks=_ANN_TRAIN_CACHE[ck],
+            codebooks=_cached_pq_codebooks(e, sf_dir),
         )
     return pq_index_probe(
         spark,

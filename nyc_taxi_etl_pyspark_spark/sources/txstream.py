@@ -430,33 +430,50 @@ class TxTableStreamReader(DataSourceStreamReader):
                 # loudly below.
                 is_compact = m.get("meta", {}).get("op") == "compact_dv"
 
+                # per-REF fingerprint memo: compaction writes ONE shared
+                # sidecar referenced by every compacted file, so reading
+                # it once per file would be O(files × total positions)
+                # of driver Python — each sidecar is scanned ONCE,
+                # accumulating every file's fingerprint in a single
+                # pass (O(total positions) overall, O(1) memory per
+                # batch plus one small dict per ref)
+                _ref_fps: dict[str, dict] = {}
+
+                def _ref_fingerprints(ref: str) -> dict:
+                    cached = _ref_fps.get(ref)
+                    if cached is not None:
+                        return cached
+                    import pyarrow.parquet as pq
+
+                    out: dict[str, list] = {}
+                    pf = pq.ParquetFile(t.storage.url(ref))
+                    for batch in pf.iter_batches(columns=["file", "pos"]):
+                        fcol = batch.column(0).to_pylist()
+                        pcol = batch.column(1).to_pylist()
+                        for f, p in zip(fcol, pcol):
+                            fp = out.setdefault(f, [0, 0, 0])
+                            fp[0] += 1
+                            fp[1] += p
+                            fp[2] ^= (
+                                p * 0x9E3779B97F4A7C15
+                            ) & 0xFFFFFFFFFFFFFFFF
+                    _ref_fps[ref] = out
+                    return out
+
                 def _positions(dv: dict | None, key: str) -> tuple:
                     """Order-independent fingerprint (count, sum, xor of
                     a mixed 64-bit hash) of the file's recorded
-                    positions across the dv's sidecars — streamed per
-                    record batch, O(1) driver memory even for a
-                    many-million-row vector. Positions within one
-                    file's DV are unique by construction, so equal
-                    fingerprints ⇔ equal sets for any non-adversarial
-                    writer."""
-                    import pyarrow.parquet as pq
-
+                    positions across the dv's sidecars. Positions
+                    within one file's DV are unique by construction,
+                    so equal fingerprints ⇔ equal sets for any
+                    non-adversarial writer."""
                     cnt, tot, xor = 0, 0, 0
                     for ref in (dv or {}).get("refs", []):
-                        pf = pq.ParquetFile(t.storage.url(ref))
-                        for batch in pf.iter_batches(
-                            columns=["file", "pos"]
-                        ):
-                            fcol = batch.column(0).to_pylist()
-                            pcol = batch.column(1).to_pylist()
-                            for f, p in zip(fcol, pcol):
-                                if f != key:
-                                    continue
-                                cnt += 1
-                                tot += p
-                                xor ^= (
-                                    p * 0x9E3779B97F4A7C15
-                                ) & 0xFFFFFFFFFFFFFFFF
+                        fp = _ref_fingerprints(ref).get(key)
+                        if fp is not None:
+                            cnt += fp[0]
+                            tot += fp[1]
+                            xor ^= fp[2]
                     return (cnt, tot, xor)
 
                 def _dv_changed(key: str) -> bool:

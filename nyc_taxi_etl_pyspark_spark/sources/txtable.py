@@ -1067,6 +1067,26 @@ def _logical_rows(stats: dict, f: str) -> int | None:
     return int(r) - int(s.get("dv", {}).get("n", 0))
 
 
+def _drop_empty_staged(
+    keys: list[str], stats: dict, have_other_files: bool
+) -> tuple[list[str], dict]:
+    """Filter 0-row files out of a commit's staged add-set: a 0-row
+    file carries no min/max/bloom stats, so once committed it is a
+    candidate for EVERY pruned read forever (one no-op scan task per
+    stray per query). Empty input partitions and emptied rewrites
+    produce them routinely. One empty file is kept as the SCHEMA
+    ANCHOR only when nothing else would anchor the snapshot
+    (``have_other_files`` False and every staged file empty) — a
+    zero-file snapshot is unreadable. Dropped strays are vacuum
+    backlog."""
+    nonempty = [k for k in keys if stats.get(k, {}).get("rows") != 0]
+    if len(nonempty) == len(keys):
+        return keys, stats
+    if not nonempty and not have_other_files and keys:
+        nonempty = keys[:1]
+    return nonempty, {k: stats[k] for k in nonempty}
+
+
 def _publish_one(
     storage: "LocalStorage",
     local: str | None,
@@ -2794,15 +2814,22 @@ class TransactionalTable:
         # A frame with empty input partitions can stage 0-row part
         # files; a 0-row file carries NO min/max/bloom stats, so it is
         # a candidate for EVERY pruned read forever — one no-op scan
-        # task per stray per query. Drop empties (vacuum backlog),
-        # keeping ONE as the schema anchor only when the whole batch is
-        # empty (a zero-file snapshot is unreadable, and an empty
-        # replace is the documented truncate idiom).
+        # task per stray per query. Drop empties here (strays are
+        # vacuum backlog), holding ONE back as a schema-anchor
+        # CANDIDATE: the CAS loop re-adds it only when the commit's
+        # FINAL file set (retained + staged) would otherwise be empty —
+        # a zero-file snapshot is unreadable, and an empty replace is
+        # the documented truncate idiom. An empty APPEND to a non-empty
+        # table must NOT accrete an anchor (the retained files carry
+        # the schema).
+        anchor: tuple[str, dict] | None = None
         nonempty = [
             k for k in keys if staged_stats.get(k, {}).get("rows") != 0
         ]
         if len(nonempty) != len(keys):
-            keys = nonempty if nonempty else keys[:1]
+            if not nonempty and keys:
+                anchor = (keys[0], staged_stats.get(keys[0], {}))
+            keys = nonempty
             staged_stats = {k: staged_stats[k] for k in keys}
         rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
@@ -2929,6 +2956,12 @@ class TransactionalTable:
                 files = keys
                 total_rows = rows
                 stats = staged_stats
+            if not files and anchor is not None:
+                # the whole commit is empty (truncate replace, or a
+                # replace_partitions/append that retained nothing):
+                # keep ONE 0-row staged file as the schema anchor
+                files = [anchor[0]]
+                stats = {**stats, anchor[0]: anchor[1]}
             pb = (
                 list(partition_by)
                 if partition_by
@@ -3291,6 +3324,9 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
+            keys, staged_stats = _drop_empty_staged(
+                keys, staged_stats, bool(retained)
+            )
             if self._put_manifest(
                 base_v,
                 retained + keys,
@@ -3377,6 +3413,9 @@ class TransactionalTable:
                     "cols"
                 ),
                 layout=self._layout_of(m),
+            )
+            keys, staged_stats = _drop_empty_staged(
+                keys, staged_stats, bool(retained)
             )
             if self._put_manifest(
                 base_v,
@@ -3818,10 +3857,19 @@ class TransactionalTable:
                 dv["refs"] = [_clone_sidecar(r) for r in dv.get("refs", [])]
                 fs["dv"] = dv
             stats[_abs(f)] = fs
+        # Carry every STICKY meta key EXCEPT "replay" (a streaming
+        # sink's replay watermark is the SINK's identity — a clone
+        # claiming it would make a resumed streaming job skip batches
+        # against the wrong table) and "layout" (set below: the clone's
+        # manifest is layout v2 by construction — absolute keys, no
+        # basePath). Dropping "widened" or "properties" here would make
+        # a clone of a type-widened source unreadable (explicit-schema
+        # reads route off the flag) / silently strip user properties.
         meta = {
             k: v
             for k, v in (m.get("meta") or {}).items()
-            if k in ("clustering", "bloom_index", "merge_on_read", "app")
+            if k
+            in ("app", "clustering", "bloom_index", "properties", "widened")
         }
         meta.update(
             {
@@ -4220,6 +4268,9 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
+            keys, staged_stats = _drop_empty_staged(
+                keys, staged_stats, bool(retained)
+            )
             kept_rows = self._staged_rows(spark, keys, staged_stats)
             deleted = affected_rows - kept_rows
             if self._put_manifest(
@@ -4517,6 +4568,9 @@ class TransactionalTable:
                     ).get("cols"),
                     layout=self._layout_of(m),
                 )
+                staged_keys, staged_stats = _drop_empty_staged(
+                    staged_keys, staged_stats, True  # DV retains files
+                )
         finally:
             hits.unpersist()
         res = self._dv_finalize(
@@ -4745,6 +4799,9 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
+        staged_keys, staged_stats = _drop_empty_staged(
+            staged_keys, staged_stats, True  # DV route retains all files
+        )
         staged_rows = self._staged_rows(spark, staged_keys, staged_stats)
         if not counts and staged_rows == 0:
             # nothing matched, nothing inserts: no commit (zero-row
@@ -4829,25 +4886,14 @@ class TransactionalTable:
             bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get("cols"),
             layout=self._layout_of(m),
         )
+        staged_keys, staged_stats = _drop_empty_staged(
+            staged_keys, staged_stats, True  # DV route retains all files
+        )
         staged_rows = self._staged_rows(spark, staged_keys, staged_stats)
         if not counts and staged_rows == 0:
             # no clause fired and nothing inserts: no commit (zero-row
             # staged files are vacuum backlog)
             return {"version": base_v, "files_rewritten": 0}
-        # delete-only (or skewed) clause effects leave 0-row staged
-        # files — keep them OUT of the snapshot (they'd accrete one
-        # no-op scan task per CDC delete batch; the strays are vacuum
-        # backlog). Files with unknown row counts are kept. The
-        # zero-file-snapshot case is still covered: _dv_finalize stages
-        # a schema anchor itself if the DV empties every file.
-        nonempty = [
-            f
-            for f in staged_keys
-            if staged_stats.get(f, {}).get("rows") != 0
-        ]
-        if len(nonempty) != len(staged_keys):
-            staged_stats = {f: staged_stats[f] for f in nonempty}
-            staged_keys = nonempty
         res = self._dv_finalize(
             base_v,
             m,
@@ -4943,6 +4989,9 @@ class TransactionalTable:
                     "cols"
                 ),
                 layout=self._layout_of(m),
+            )
+            keys, staged_stats = _drop_empty_staged(
+                keys, staged_stats, bool(retained)
             )
             kept_rows = self._staged_rows(spark, keys, staged_stats)
             deleted = affected_rows - kept_rows
@@ -5087,6 +5136,9 @@ class TransactionalTable:
                     "cols"
                 ),
                 layout=self._layout_of(m),
+            )
+            keys, staged_stats = _drop_empty_staged(
+                keys, staged_stats, bool(retained)
             )
             prev_stats = m.get("stats", {})
             if self._put_manifest(
@@ -5398,6 +5450,9 @@ class TransactionalTable:
                     "cols"
                 ),
                 layout=self._layout_of(m),
+            )
+            keys, staged_stats = _drop_empty_staged(
+                keys, staged_stats, bool(retained)
             )
             staged_rows = self._staged_rows(spark, keys, staged_stats)
             if not matched and staged_rows == 0:

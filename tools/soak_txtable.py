@@ -323,9 +323,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         if not t.exists():
             return
         mf = t.manifest()
-        if (mf.get("meta", {}).get("layout") or 2) < 2 and mf.get(
-            "partition_by"
-        ):
+        if t._layout_of(mf) < 2 and mf.get("partition_by"):
             return  # v1 path-partitioned sources reject by contract
         d = tempfile.mkdtemp(prefix="soakclone-")
         try:
