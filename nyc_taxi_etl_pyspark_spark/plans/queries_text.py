@@ -404,13 +404,15 @@ def _ann_train_key(sf_dir: str, kind: str) -> tuple:
     alone (reuse within a process; a regenerated remote fixture needs
     a fresh process, the documented limitation)."""
     import os
+    import re
 
-    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        return (kind, path, st.st_mtime_ns, st.st_size)
-    except OSError:
+    if re.match(r"^[a-z0-9]+://", sf_dir):
+        # remote object-store root: not os.stat-able — degraded
+        # identity by path only (the documented limitation)
         return (kind, sf_dir, "no-stat")
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(path)  # local root: a stat failure is a real error
+    return (kind, path, st.st_mtime_ns, st.st_size)
 
 
 def _cached_ivf_centroids(spark, e, sf_dir: str):

@@ -1068,23 +1068,44 @@ def _logical_rows(stats: dict, f: str) -> int | None:
 
 
 def _drop_empty_staged(
-    keys: list[str], stats: dict, have_other_files: bool
-) -> tuple[list[str], dict]:
+    keys: list[str], stats: dict, have_other_files: bool | None
+) -> tuple[list[str], dict, tuple[str, dict] | None]:
     """Filter 0-row files out of a commit's staged add-set: a 0-row
     file carries no min/max/bloom stats, so once committed it is a
     candidate for EVERY pruned read forever (one no-op scan task per
     stray per query). Empty input partitions and emptied rewrites
-    produce them routinely. One empty file is kept as the SCHEMA
-    ANCHOR only when nothing else would anchor the snapshot
-    (``have_other_files`` False and every staged file empty) — a
-    zero-file snapshot is unreadable. Dropped strays are vacuum
-    backlog."""
+    produce them routinely. A zero-file snapshot is unreadable, so one
+    empty file survives as the SCHEMA ANCHOR:
+
+    - ``have_other_files`` True: retained files anchor the schema —
+      every empty staged file drops;
+    - False: when everything staged is empty, ONE stays in ``keys``;
+    - None (DEFER): the anchor is never kept in ``keys``; it returns
+      as the third element for the caller to re-add iff its final
+      file set (which this helper cannot see) ends up empty —
+      ``commit``'s shape, where retained files are only known inside
+      the CAS loop.
+
+    Files with UNKNOWN row counts (no stats harvested) are treated as
+    non-empty — dropping data is never worth saving a scan task.
+    Dropped strays are vacuum backlog. Returns
+    ``(keys, stats, anchor)``; ``anchor`` is ``(key, stats_entry)``
+    or None."""
     nonempty = [k for k in keys if stats.get(k, {}).get("rows") != 0]
     if len(nonempty) == len(keys):
-        return keys, stats
-    if not nonempty and not have_other_files and keys:
-        nonempty = keys[:1]
-    return nonempty, {k: stats[k] for k in nonempty}
+        return keys, stats, None
+    anchor: tuple[str, dict] | None = None
+    if not nonempty and keys:
+        dropped = keys[0]
+        anchor = (dropped, stats.get(dropped, {}))
+        if have_other_files is False:
+            nonempty = [dropped]
+            anchor = None
+    return (
+        nonempty,
+        {k: stats[k] for k in nonempty if k in stats},
+        anchor,
+    )
 
 
 def _publish_one(
@@ -2811,26 +2832,15 @@ class TransactionalTable:
             bloom_by=bloom_by,
             layout=layout,
         )
-        # A frame with empty input partitions can stage 0-row part
-        # files; a 0-row file carries NO min/max/bloom stats, so it is
-        # a candidate for EVERY pruned read forever — one no-op scan
-        # task per stray per query. Drop empties here (strays are
-        # vacuum backlog), holding ONE back as a schema-anchor
-        # CANDIDATE: the CAS loop re-adds it only when the commit's
-        # FINAL file set (retained + staged) would otherwise be empty —
-        # a zero-file snapshot is unreadable, and an empty replace is
-        # the documented truncate idiom. An empty APPEND to a non-empty
-        # table must NOT accrete an anchor (the retained files carry
-        # the schema).
-        anchor: tuple[str, dict] | None = None
-        nonempty = [
-            k for k in keys if staged_stats.get(k, {}).get("rows") != 0
-        ]
-        if len(nonempty) != len(keys):
-            if not nonempty and keys:
-                anchor = (keys[0], staged_stats.get(keys[0], {}))
-            keys = nonempty
-            staged_stats = {k: staged_stats[k] for k in keys}
+        # Drop empty staged files in DEFER mode: the schema-anchor
+        # decision needs the commit's FINAL file set (retained +
+        # staged), which is only known inside the CAS loop below — an
+        # empty APPEND to a non-empty table must NOT accrete an anchor,
+        # while an empty replace (the documented truncate idiom) must
+        # keep one.
+        keys, staged_stats, anchor = _drop_empty_staged(
+            keys, staged_stats, None
+        )
         rows = self._staged_rows(df.sparkSession, keys, staged_stats)
         touched = {
             tuple(sorted(staged_stats[k]["partition"].items()))
@@ -2896,10 +2906,30 @@ class TransactionalTable:
                         "concurrent commit?); re-stage with the table's "
                         "layout."
                     )
-                files = list(prev["files"]) + keys
+                prev_files = list(prev["files"])
+                if keys:
+                    # real data arriving retires a truncate's 0-row
+                    # schema anchor — without this, the stats-less
+                    # anchor would ride every later snapshot as a
+                    # permanent no-op scan task (0 rows: dropping it
+                    # changes no result, no arithmetic)
+                    pstats = prev.get("stats", {})
+                    prev_files = [
+                        f
+                        for f in prev_files
+                        if pstats.get(f, {}).get("rows") != 0
+                    ]
+                files = prev_files + keys
                 total_rows = prev.get("rows", 0) + rows
                 # retained files keep their stats across the append
-                stats = {**prev.get("stats", {}), **staged_stats}
+                stats = {
+                    **{
+                        f: v
+                        for f, v in prev.get("stats", {}).items()
+                        if f in set(prev_files)
+                    },
+                    **staged_stats,
+                }
             elif mode == "replace_partitions" and prev is not None:
                 prev_stats = prev.get("stats", {})
                 # replace_partitions only OWNS files recording the
@@ -2937,6 +2967,13 @@ class TransactionalTable:
                     )
 
                 retained = [f for f in prev["files"] if not _in_touched(f)]
+                if keys:
+                    # same anchor retirement as the append branch
+                    retained = [
+                        f
+                        for f in retained
+                        if prev_stats.get(f, {}).get("rows") != 0
+                    ]
                 # LOGICAL rows: a touched file may carry a deletion
                 # vector, in which case its contribution to the
                 # manifest's rows total is footer rows minus dv.n —
@@ -3324,7 +3361,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-            keys, staged_stats = _drop_empty_staged(
+            keys, staged_stats, _ = _drop_empty_staged(
                 keys, staged_stats, bool(retained)
             )
             if self._put_manifest(
@@ -3414,7 +3451,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-            keys, staged_stats = _drop_empty_staged(
+            keys, staged_stats, _ = _drop_empty_staged(
                 keys, staged_stats, bool(retained)
             )
             if self._put_manifest(
@@ -4268,7 +4305,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-            keys, staged_stats = _drop_empty_staged(
+            keys, staged_stats, _ = _drop_empty_staged(
                 keys, staged_stats, bool(retained)
             )
             kept_rows = self._staged_rows(spark, keys, staged_stats)
@@ -4568,7 +4605,7 @@ class TransactionalTable:
                     ).get("cols"),
                     layout=self._layout_of(m),
                 )
-                staged_keys, staged_stats = _drop_empty_staged(
+                staged_keys, staged_stats, _ = _drop_empty_staged(
                     staged_keys, staged_stats, True  # DV retains files
                 )
         finally:
@@ -4799,7 +4836,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-        staged_keys, staged_stats = _drop_empty_staged(
+        staged_keys, staged_stats, _ = _drop_empty_staged(
             staged_keys, staged_stats, True  # DV route retains all files
         )
         staged_rows = self._staged_rows(spark, staged_keys, staged_stats)
@@ -4886,7 +4923,7 @@ class TransactionalTable:
             bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get("cols"),
             layout=self._layout_of(m),
         )
-        staged_keys, staged_stats = _drop_empty_staged(
+        staged_keys, staged_stats, _ = _drop_empty_staged(
             staged_keys, staged_stats, True  # DV route retains all files
         )
         staged_rows = self._staged_rows(spark, staged_keys, staged_stats)
@@ -4990,7 +5027,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-            keys, staged_stats = _drop_empty_staged(
+            keys, staged_stats, _ = _drop_empty_staged(
                 keys, staged_stats, bool(retained)
             )
             kept_rows = self._staged_rows(spark, keys, staged_stats)
@@ -5137,7 +5174,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-            keys, staged_stats = _drop_empty_staged(
+            keys, staged_stats, _ = _drop_empty_staged(
                 keys, staged_stats, bool(retained)
             )
             prev_stats = m.get("stats", {})
@@ -5451,7 +5488,7 @@ class TransactionalTable:
                 ),
                 layout=self._layout_of(m),
             )
-            keys, staged_stats = _drop_empty_staged(
+            keys, staged_stats, _ = _drop_empty_staged(
                 keys, staged_stats, bool(retained)
             )
             staged_rows = self._staged_rows(spark, keys, staged_stats)

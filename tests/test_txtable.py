@@ -5022,3 +5022,30 @@ def test_delete_all_on_partitioned_table_keeps_schema_anchor(spark, tmp_path):
         partition_by=["p"],
     )
     assert t2.read(spark).count() == 0 and len(t2.manifest()["files"]) == 1
+
+    # the anchor RETIRES when real data arrives (else it would ride
+    # every later snapshot as a stats-less no-op scan task), and an
+    # empty append to a non-empty table never accretes one
+    t2.commit(
+        spark.range(6).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+        ),
+        mode="append",
+        partition_by=["p"],
+    )
+    m2 = t2.manifest()
+    assert not [
+        f for f in m2["files"] if m2["stats"].get(f, {}).get("rows") == 0
+    ]
+    t2.commit(
+        spark.range(0).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+        ),
+        mode="append",
+        partition_by=["p"],
+    )
+    m2 = t2.manifest()
+    assert not [
+        f for f in m2["files"] if m2["stats"].get(f, {}).get("rows") == 0
+    ]
+    assert t2.read(spark).count() == 6 and t2.fsck()["ok"]
