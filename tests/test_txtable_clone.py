@@ -175,3 +175,54 @@ def test_clone_sql_route(spark, tmp_path):
     # DML routes against the registered clone name
     execute_dml(spark, "DELETE FROM cl WHERE id >= 90", {"cl": t})
     assert t.read(spark).count() == 90
+
+
+def test_clone_feeds_streaming_and_change_feed(spark, tmp_path):
+    """The streaming sources work over a clone like over any table:
+    txstream (startingversion past the clone snapshot) emits the
+    clone's OWN appends — reading appended files via absolute borrowed
+    keys never arises (appends are local), but the clone commit itself
+    must count as the append-at-v0 snapshot; changes() diffs the
+    clone's versions including foreign files."""
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    src = _src(spark, tmp_path, n=100)
+    root = str(tmp_path / "dst")
+    dst = TransactionalTable(root)
+    dst.clone_from(src)
+
+    # txstream FIRST (append-only contract — a later CoW delete would
+    # correctly kill it): the v0 clone snapshot (borrowed foreign
+    # files) streams as the initial append, local appends flow after
+    q = (
+        spark.readStream.format("txstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("clone_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n0 = spark.table("clone_stream").count()
+        assert n0 == 100  # the borrowed snapshot streamed
+        dst.commit(
+            spark.range(500, 503).select(
+                F.col("id"),
+                (F.col("id") % 10).alias("k"),
+                F.lit(0.0).alias("v"),
+            ),
+            mode="append",
+        )
+        q.processAllAvailable()
+        assert spark.table("clone_stream").count() == n0 + 3
+    finally:
+        q.stop()
+
+    # change feed across the clone's own mutation, old side = foreign
+    dst.delete_where(spark, "id < 10")  # v2 (after the v1 append)
+    ch = dst.changes(spark, ["id"], 1, 2)
+    assert {r["id"] for r in ch.collect()} == set(range(10))
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
