@@ -384,6 +384,7 @@ def merge_clauses_decomposed(
     key_cols: Sequence[str],
     clauses: Sequence[dict],
     carry_cols: Sequence[str],
+    broadcast_source: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full-form MERGE decomposed into its MERGE-ON-READ effects —
     identical clause semantics to :func:`merge_clauses`, different
@@ -432,11 +433,15 @@ def merge_clauses_decomposed(
         *[F.col(c).alias(f"__t_{c}") for c in tcols], *carry
     )
     s = updates.select(*[F.col(c).alias(f"__s_{c}") for c in scols])
-    # the source is a CDC batch — broadcast it so the candidate files
-    # never shuffle (the same shape _dv_merge's upsert path uses)
+    # ``broadcast_source`` (callers gate it on the source's estimated
+    # key count) hints the CDC-batch shape — candidate files never
+    # shuffle. A table-sized source must NOT be broadcast (executor
+    # OOM); the shuffle hash join keeps the same semantics at
+    # O(matched + source) cost.
+    s_side = F.broadcast(s) if broadcast_source else s
     on = [t[f"__t_{k}"].eqNullSafe(s[f"__s_{k}"]) for k in key_cols]
     pairs = t.join(
-        F.broadcast(s), on=on if len(on) > 1 else on[0], how="inner"
+        s_side, on=on if len(on) > 1 else on[0], how="inner"
     ).withColumn("__action", _group_case(groups["matched"], "keep", tcols, scols))
 
     touched = pairs.where(F.col("__action") != "keep").select(*carry)
@@ -463,8 +468,11 @@ def merge_clauses_decomposed(
     anti_on = [
         updates[k].eqNullSafe(mk[f"__mk_{k}"]) for k in key_cols
     ]
+    # matched keys are a subset of the source keys, so the same size
+    # gate governs this broadcast
+    mk_side = F.broadcast(mk) if broadcast_source else mk
     anti = updates.join(
-        F.broadcast(mk),
+        mk_side,
         on=anti_on if len(anti_on) > 1 else anti_on[0],
         how="left_anti",
     )

@@ -101,6 +101,12 @@ BLOOMS_DIR = "_blooms"
 DVS_DIR = "_dvs"  # deletion-vector sidecars (merge-on-read DELETE/UPDATE)
 DATA_DIR = "data"
 _V_WIDTH = 20  # zero-padded so lexicographic listing order == numeric order
+# Merge-on-read broadcasts its CDC-batch source so candidate files never
+# shuffle — but only while the batch is genuinely batch-sized. Above this
+# approx-distinct key count the source joins by shuffle instead (a 4M-key
+# "batch" is tens-to-hundreds of MB per executor copy; broadcasting it to
+# 1,000 executors is an OOM, not an optimization).
+_MERGE_BROADCAST_MAX_KEYS = 4_000_000
 
 # Layout v2 (write-at-final-keys) hive-partitions on SHADOW copies of
 # the partition columns (``__p_<col>=...`` path segments) so the data
@@ -2940,11 +2946,17 @@ class TransactionalTable:
                 # loudly until the table is migrated (optimize()), or
                 # the caller explicitly accepts the retain semantics.
                 scheme = set(partition_by or [])
+                # 0-row files are schema anchors (e.g. a truncate's
+                # empty replace staged flat) — they cannot logically
+                # belong to any replaced partition, so they are never
+                # stale-scheme (mirrors the append branch's anchor
+                # retirement)
                 stale = [
                     f
                     for f in prev["files"]
                     if set(prev_stats.get(f, {}).get("partition") or {})
                     != scheme
+                    and prev_stats.get(f, {}).get("rows") != 0
                 ]
                 if stale and not allow_stale_partition_scheme:
                     raise ValueError(
@@ -3916,14 +3928,25 @@ class TransactionalTable:
                 "layout": 2,
             }
         )
+        # pre-existing commits are checked ONCE, before the loop: inside
+        # the loop a version appearing means we LOST the version-0 CAS
+        # race (e.g. two concurrent clones), which must surface as
+        # CommitConflict, not as the misleading "already has committed
+        # versions" error
+        if self.latest_version() >= 0:
+            raise ValueError(
+                f"clone_from: {self.root} already has committed "
+                "versions — a shallow clone must be a table's FIRST "
+                "commit (replace the data through normal commits "
+                "instead)"
+            )
         for _ in range(max_retries):
             base_v = self.latest_version()
             if base_v >= 0:
-                raise ValueError(
-                    f"clone_from: {self.root} already has committed "
-                    "versions — a shallow clone must be a table's FIRST "
-                    "commit (replace the data through normal commits "
-                    "instead)"
+                raise CommitConflict(
+                    f"clone_from: lost the version-0 commit race on "
+                    f"{self.root} (another writer created the table "
+                    "concurrently)"
                 )
             if self._put_manifest(
                 base_v,
@@ -4403,28 +4426,58 @@ class TransactionalTable:
 
         if files and any(os.path.isabs(f) for f in files):
             spark = raw.sparkSession
+            # _metadata.file_path is a URI ("file:/abs/path" or
+            # "file:///abs/path", special characters percent-encoded);
+            # the storage keys are plain paths. Decoding the scan path
+            # with url_decode would corrupt literal '+' (URLDecoder
+            # form semantics), so instead the lookup map carries BOTH
+            # spellings of every file — the plain path and its
+            # percent-encoded URI form — and either matches.
+            pairs: list[tuple[str, str]] = []
+            for f in files:
+                plain = self.storage.url(f)
+                pairs.append((plain, f))
+                try:
+                    from pathlib import Path as _Path
+
+                    encoded = re.sub(
+                        "^file:(//)?", "", _Path(plain).as_uri()
+                    )
+                except (ValueError, OSError):
+                    encoded = plain
+                if encoded != plain:
+                    pairs.append((encoded, f))
             mapping = F.broadcast(
                 spark.createDataFrame(
-                    [(self.storage.url(f), f) for f in files],
-                    "__dv_path string, __dv_file string",
-                )
+                    pairs, "__dv_path string, __dv_file string"
+                ).dropDuplicates(["__dv_path"])
             )
-            # _metadata.file_path is a URI ("file:/abs/path" or
-            # "file:///abs/path"); the map holds plain paths —
-            # normalize by stripping the scheme (the path's own
-            # leading "/" survives either spelling)
             normalized = F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:(//)?", ""
             )
-            return (
-                raw.select(
-                    "*",
-                    normalized.alias("__dv_path"),
-                    F.col("_metadata.row_index").alias("__dv_pos"),
-                )
-                .join(mapping, "__dv_path", "inner")
-                .drop("__dv_path")
-            )
+            # LEFT join + raise_error guard, not an inner join: a scan
+            # path that matches neither spelling must FAIL the read
+            # loudly — an inner join would silently drop every row of
+            # that file from DV/clone reads (silent data loss).
+            keyed = raw.select(
+                "*",
+                normalized.alias("__dv_path"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ).join(mapping, "__dv_path", "left")
+            guard = F.when(
+                F.col("__dv_file").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "_with_dv_keys: scan path did not normalize"
+                            " to any known data file (refusing to"
+                            " silently drop its rows): "
+                        ),
+                        F.col("__dv_path"),
+                    )
+                ),
+            ).otherwise(F.col("__dv_file"))
+            return keyed.withColumn("__dv_file", guard).drop("__dv_path")
         return raw.select(
             "*",
             self._dv_key_col().alias("__dv_file"),
@@ -4728,6 +4781,7 @@ class TransactionalTable:
         key_cols: list[str],
         meta: dict | None,
         clauses: list[dict] | None = None,
+        broadcast_source: bool = True,
     ) -> dict | None:
         """One merge-on-read MERGE attempt against snapshot ``m``:
         soft-delete the matched target positions via a deletion-vector
@@ -4756,7 +4810,15 @@ class TransactionalTable:
 
         if clauses is not None:
             return self._dv_merge_clauses(
-                spark, base_v, m, affected, updates, key_cols, meta, clauses
+                spark,
+                base_v,
+                m,
+                affected,
+                updates,
+                key_cols,
+                meta,
+                clauses,
+                broadcast_source=broadcast_source,
             )
         schema_cols = list((m.get("schema") or {}).keys())
         if set(schema_cols) != set(updates.columns):
@@ -4775,11 +4837,14 @@ class TransactionalTable:
         total_deleted = 0
         if affected:
             keyed = self._affected_frame(spark, m, affected, keep_keys=True)
-            su = F.broadcast(
-                u.select(
-                    *[F.col(c).alias(f"__u_{c}") for c in schema_cols]
-                )
+            # broadcast only a small CDC batch (caller gates on the
+            # source's estimated key count); a table-sized source runs
+            # as a shuffle join instead of OOMing every executor
+            su = u.select(
+                *[F.col(c).alias(f"__u_{c}") for c in schema_cols]
             )
+            if broadcast_source:
+                su = F.broadcast(su)
             cond = None
             for k in key_cols:
                 c = keyed[k] == F.col(f"__u_{k}")
@@ -4810,8 +4875,11 @@ class TransactionalTable:
                     *[F.col(f"__u_{c}").alias(c) for c in schema_cols]
                 )
                 matched_keys = pairs.select(*key_cols).distinct()
+                if broadcast_source:
+                    # matched keys ⊆ source keys: same size gate
+                    matched_keys = F.broadcast(matched_keys)
                 inserts = u.join(
-                    F.broadcast(matched_keys),
+                    matched_keys,
                     on=list(key_cols),
                     how="left_anti",
                 ).select(*schema_cols)
@@ -4870,6 +4938,7 @@ class TransactionalTable:
         key_cols: list[str],
         meta: dict | None,
         clauses: list[dict],
+        broadcast_source: bool = True,
     ) -> dict | None:
         """Clause-form merge-on-read MERGE attempt: decompose the
         conditional WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED
@@ -4902,7 +4971,12 @@ class TransactionalTable:
                 .withColumn("__dv_pos", F.lit(None).cast("bigint"))
             )
         touched, appends = merge_clauses_decomposed(
-            keyed, updates, key_cols, clauses, ["__dv_file", "__dv_pos"]
+            keyed,
+            updates,
+            key_cols,
+            clauses,
+            ["__dv_file", "__dv_pos"],
+            broadcast_source=broadcast_source,
         )
         touched = touched.distinct()  # one DV mark per target row
         touched.persist()
@@ -5443,6 +5517,14 @@ class TransactionalTable:
                     key_cols,
                     meta,
                     clauses=clauses,
+                    # broadcast the CDC batch only while it is actually
+                    # batch-sized; a table-sized MERGE_ON_READ source
+                    # falls back to a shuffle join (still O(matched +
+                    # source)) instead of broadcasting the whole batch
+                    # to every executor
+                    broadcast_source=(
+                        n_src_keys <= _MERGE_BROADCAST_MAX_KEYS
+                    ),
                 )
                 if res is None:
                     continue  # commit race: retry from the new head
