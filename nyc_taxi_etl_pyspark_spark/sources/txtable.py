@@ -4391,18 +4391,44 @@ class TransactionalTable:
             if "dv" in stats.get(f, {})
         }
 
+    @staticmethod
+    def _decoded_file_path():
+        """``_metadata.file_path`` decoded back to a plain filesystem
+        path. The column is a URI — the scheme prefix varies
+        ("file:/abs" vs "file:///abs") and special characters are
+        percent-encoded (a table root containing a space scans as
+        ``%20``), while storage keys are plain paths. Literal ``+`` is
+        protected as ``%2B`` first because ``url_decode`` applies form
+        semantics (``+`` → space), which would corrupt paths containing
+        a real plus sign."""
+        from pyspark.sql import functions as F
+
+        return F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ),
+                r"\+",
+                "%2B",
+            )
+        )
+
     def _dv_key_col(self):
         """Expression rendering each scanned row's table-relative file
         KEY from ``_metadata.file_path``. File NAMES are not unique
         across hive partition directories (two partitions' task-0 files
         share a name), so the join key must be the path suffix under
-        the table's data root."""
+        the table's data root. The path is percent-DECODED before the
+        prefix strip — without that, a root (or partition value)
+        needing URI encoding never matched the plain-path needle,
+        producing a garbage key and a silently no-op'd deletion
+        vector."""
         from pyspark.sql import functions as F
 
         return F.concat(
             F.lit(DATA_DIR + "/"),
             F.substring_index(
-                F.col("_metadata.file_path"),
+                self._decoded_file_path(),
                 self.storage.url(DATA_DIR) + "/",
                 -1,
             ),
@@ -4426,35 +4452,16 @@ class TransactionalTable:
 
         if files and any(os.path.isabs(f) for f in files):
             spark = raw.sparkSession
-            # _metadata.file_path is a URI ("file:/abs/path" or
-            # "file:///abs/path", special characters percent-encoded);
-            # the storage keys are plain paths. Decoding the scan path
-            # with url_decode would corrupt literal '+' (URLDecoder
-            # form semantics), so instead the lookup map carries BOTH
-            # spellings of every file — the plain path and its
-            # percent-encoded URI form — and either matches.
-            pairs: list[tuple[str, str]] = []
-            for f in files:
-                plain = self.storage.url(f)
-                pairs.append((plain, f))
-                try:
-                    from pathlib import Path as _Path
-
-                    encoded = re.sub(
-                        "^file:(//)?", "", _Path(plain).as_uri()
-                    )
-                except (ValueError, OSError):
-                    encoded = plain
-                if encoded != plain:
-                    pairs.append((encoded, f))
+            # the lookup map holds plain paths; the scan side is
+            # percent-DECODED (see _decoded_file_path) so an encoded
+            # root/partition value cannot miss the map
             mapping = F.broadcast(
                 spark.createDataFrame(
-                    pairs, "__dv_path string, __dv_file string"
-                ).dropDuplicates(["__dv_path"])
+                    [(self.storage.url(f), f) for f in files],
+                    "__dv_path string, __dv_file string",
+                )
             )
-            normalized = F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            )
+            normalized = self._decoded_file_path()
             # LEFT join + raise_error guard, not an inner join: a scan
             # path that matches neither spelling must FAIL the read
             # loudly — an inner join would silently drop every row of
@@ -4704,6 +4711,16 @@ class TransactionalTable:
         reclaimed eagerly; vacuum's ``_dvs/`` sweep would also catch
         it after the writer grace)."""
         stats = m.get("stats", {})
+        # every sidecar key must name a file of the base snapshot —
+        # a mismatch (e.g. a scan path that failed to strip back to
+        # its storage key) would record deletions nothing ever reads,
+        # a silent DV no-op. Fail the commit loudly instead.
+        unknown = sorted(set(counts) - set(m["files"]))
+        if unknown:
+            raise ValueError(
+                f"{self.root}: deletion-vector keys do not match any "
+                f"snapshot file (scan-path keying bug?): {unknown[:3]}"
+            )
         override: dict[str, dict] = {}
         emptied: list[str] = []
         for f, n in counts.items():

@@ -5049,3 +5049,23 @@ def test_delete_all_on_partitioned_table_keeps_schema_anchor(spark, tmp_path):
         f for f in m2["files"] if m2["stats"].get(f, {}).get("rows") == 0
     ]
     assert t2.read(spark).count() == 6 and t2.fsck()["ok"]
+
+
+def test_replace_partitions_after_truncate_ignores_schema_anchor(
+    spark, tmp_path
+):
+    """advice r9: a truncate (empty replace) leaves one 0-row schema
+    anchor staged FLAT (partition={}); the stale-scheme guard must not
+    classify it as an old-scheme file — a 0-row file cannot logically
+    belong to any replaced partition."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(30).select(F.col("id"), (F.col("id") % 3).alias("p"))
+    t.commit(df, partition_by=["p"])
+    t.commit(df.limit(0), mode="replace", partition_by=["p"])  # truncate
+    patch = spark.range(5).select(
+        F.col("id"), F.lit(1).cast("long").alias("p")
+    )
+    t.commit(patch, mode="replace_partitions", partition_by=["p"])
+    assert t.read(spark).count() == 5
+    assert t.count() == 5
+    assert t.fsck()["ok"]

@@ -226,3 +226,50 @@ def test_clone_feeds_streaming_and_change_feed(spark, tmp_path):
     ch = dst.changes(spark, ["id"], 1, 2)
     assert {r["id"] for r in ch.collect()} == set(range(10))
     assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+
+
+def test_clone_dv_read_survives_percent_encoded_source_root(
+    spark, tmp_path
+):
+    """advice r9: the foreign-file DV key lookup matched
+    ``_metadata.file_path`` (a percent-encoded URI) against plain
+    storage paths with an INNER join, so a source root needing
+    encoding (here: a space) silently dropped EVERY row of the clone's
+    DV reads. The lookup now carries both spellings and fails loudly
+    on any unmatched path instead of dropping rows."""
+    src = TransactionalTable(str(tmp_path / "src dir" / "src"))
+    src.commit(
+        spark.range(200).select(
+            F.col("id"),
+            (F.col("id") % 10).alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+        ),
+        num_files=4,
+        cluster_by=["id"],
+    )
+    src.delete_where(spark, "id < 20", merge_on_read=True)
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    dst.clone_from(src)
+    got = sorted(r["id"] for r in dst.read(spark).collect())
+    assert got == list(range(20, 200))  # not silently empty
+    # clone-side DV DML over the percent-encoded borrowed files too
+    dst.delete_where(spark, "id >= 190", merge_on_read=True)
+    assert dst.read(spark).count() == 170
+    assert dst.fsck()["ok"]
+
+
+def test_clone_lost_version0_race_raises_commit_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """advice r9: losing the version-0 CAS race (two concurrent clones)
+    must surface as CommitConflict, not as the misleading
+    'already has committed versions' ValueError — that error is
+    reserved for a destination that was non-empty BEFORE the clone."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import CommitConflict
+
+    src = _src(spark, tmp_path)
+    dst = TransactionalTable(str(tmp_path / "dst"))
+    seq = iter([-1, 0])  # pre-check: empty; in-loop: a racer committed
+    monkeypatch.setattr(dst, "latest_version", lambda: next(seq))
+    with pytest.raises(CommitConflict, match="version-0 commit race"):
+        dst.clone_from(src)

@@ -1095,3 +1095,77 @@ def test_concurrent_dv_clause_merges_serialize(spark, tmp_path):
         else:
             assert got[i] == i * 2.0
     assert fresh.count() == 370 and fresh.fsck()["ok"]
+
+
+def test_dv_merge_shuffle_path_matches_broadcast_path(
+    spark, tmp_path, monkeypatch
+):
+    """advice r9: merge-on-read broadcast is SIZE-GATED — a source
+    above ``_MERGE_BROADCAST_MAX_KEYS`` distinct keys joins by shuffle
+    (a table-sized batch broadcast to every executor is an OOM, not an
+    optimization). Forcing the gate to 0 must flip both the upsert and
+    clause forms onto the shuffle path with identical results."""
+    import nyc_taxi_etl_pyspark_spark.sources.txtable as tx
+
+    src = spark.createDataFrame(
+        [(5, 5, 999.0), (120, 0, 888.0), (900, 0, 777.0)],
+        "id bigint, k bigint, v double",
+    )
+    clauses = [
+        {
+            "when": "matched",
+            "cond": None,
+            "action": "update",
+            "set": {"v": "s.v"},
+        },
+        {
+            "when": "not_matched",
+            "cond": None,
+            "action": "insert",
+            "values": "*",
+        },
+    ]
+    results = {}
+    for label in ("broadcast", "shuffle"):
+        if label == "shuffle":
+            monkeypatch.setattr(tx, "_MERGE_BROADCAST_MAX_KEYS", 0)
+        up = TransactionalTable(str(tmp_path / f"up_{label}"))
+        up.commit(_tenk(spark, 200), num_files=6, cluster_by=["id"])
+        up.merge(spark, src, ["id"], merge_on_read=True)
+        cl = TransactionalTable(str(tmp_path / f"cl_{label}"))
+        cl.commit(_tenk(spark, 200), num_files=6, cluster_by=["id"])
+        cl.merge(spark, src, ["id"], merge_on_read=True, clauses=clauses)
+        results[label] = (
+            sorted(map(tuple, up.read(spark).collect())),
+            sorted(map(tuple, cl.read(spark).collect())),
+        )
+        assert up.manifest()["meta"]["strategy"] == "merge-on-read"
+        assert cl.fsck()["ok"] and up.fsck()["ok"]
+    assert results["broadcast"] == results["shuffle"]
+    assert len(results["shuffle"][0]) == 201
+
+
+def test_dv_delete_on_partition_values_needing_uri_encoding(
+    spark, tmp_path
+):
+    """Companion to the encoded-root fix: a PARTITION VALUE whose
+    on-disk directory needs URI encoding (space) must still key its
+    deletion vector correctly — the scan path is percent-decoded
+    before the prefix strip, and _dv_finalize now fails loudly on any
+    key that matches no snapshot file instead of recording a DV
+    nothing ever reads."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(40).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, F.lit("a b"))
+            .otherwise(F.lit("c"))
+            .alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    res = t.delete_where(spark, "id < 10", merge_on_read=True)
+    assert res["rows_deleted"] == 10
+    assert t.read(spark).count() == 30
+    assert t.count() == 30
+    assert t.fsck()["ok"]
