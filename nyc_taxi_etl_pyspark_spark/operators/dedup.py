@@ -260,13 +260,30 @@ def lsh_band_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     sig_col: str = "minhash_sig",
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Band a (id, signature-array) frame and emit candidate pairs —
     the hash-family-agnostic half of ``minhash_lsh_dedup`` (xxhash64
     OPH signatures in production; the md5 twin for the oracle-checked
     tier). The bucket id hashes the band SLICE only to shrink the
     groupBy key; equality of slices is what pairs docs, so any
-    collision-free-enough hash yields identical pairs."""
+    collision-free-enough hash yields identical pairs.
+
+    GIANT-BUCKET CAP: buckets up to ``max_bucket`` members pair
+    exactly (all-pairs within the bucket, O(cap²) bounded); larger
+    buckets — mass-duplicated boilerplate, the single most common real
+    dedup input — emit only STAR edges (bucket-min, member), O(bucket)
+    rows with no per-task array at all. Star edges preserve connected
+    components exactly (every member reaches the bucket min), so the
+    dedup→CC→survivors chain is unchanged; only the raw candidate-PAIR
+    set for >cap buckets is reduced, which is the point — an uncapped
+    10k-duplicate bucket is one task holding a 10k-id array expanding
+    to 5×10⁷ pairs. Use :func:`lsh_capped_buckets` on the same
+    signature frame to account for which buckets were capped.
+    ``max_bucket=None`` disables the cap (exact pairs everywhere).
+    The bucket-size stats aggregate with map-side combine (count/min),
+    so even a 10M-member bucket never concentrates rows in one task;
+    the member⋈stats join is an equi-join AQE can skew-split."""
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -287,12 +304,50 @@ def lsh_band_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    buckets = (
+    if max_bucket is None:
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list(id_col).alias("__ids"))
+            .filter(F.size("__ids") > 1)
+        )
+        exact = buckets.select(
+            F.explode(_in_array_pairs()).alias("__p")
+        ).select("__p.id_a", "__p.id_b")
+        return (
+            exact.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_buckets"))
+        )
+    stats = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("__ids"))
-        .filter(F.size("__ids") > 1)
+        .agg(F.count("*").alias("__n"), F.min(id_col).alias("__min_id"))
+        .filter(F.col("__n") > 1)
     )
-    pair_structs = F.flatten(
+    member = banded.join(stats, ["band", "bucket"])
+    small = (
+        member.where(F.col("__n") <= max_bucket)
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__ids"))
+    )
+    exact = small.select(
+        F.explode(_in_array_pairs()).alias("__p")
+    ).select("__p.id_a", "__p.id_b")
+    star = member.where(
+        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min_id"))
+    ).select(
+        F.least(F.col("__min_id"), F.col(id_col)).alias("id_a"),
+        F.greatest(F.col("__min_id"), F.col(id_col)).alias("id_b"),
+    )
+    return (
+        exact.unionByName(star)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_buckets"))
+    )
+
+
+def _in_array_pairs():
+    """Unordered (id_a < id_b) pair structs from a bucket's ``__ids``
+    array — only ever evaluated on arrays bounded by ``max_bucket``."""
+    return F.flatten(
         F.transform(
             "__ids",
             lambda x, i: F.transform(
@@ -303,11 +358,45 @@ def lsh_band_pairs(
             ),
         )
     )
+
+
+def lsh_capped_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    sig_col: str = "minhash_sig",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Accounting twin of :func:`lsh_band_pairs`: one row per (band,
+    bucket) whose membership exceeded ``max_bucket`` — i.e. the
+    buckets whose candidate pairs were reduced to star edges. Empty
+    frame ⇒ the capped run's pair set is IDENTICAL to the uncapped
+    one. Run it when a dedup job must report what the cap dropped."""
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(sig_col, b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
     return (
-        buckets.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared_buckets"))
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
     )
 
 

@@ -38,10 +38,13 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared blocking key (nationkey) — the classic entity-resolution shape
     (block → compare → threshold) that token/hash dedup cannot express
     because a one-character typo changes every shingle. The block join
-    bounds the pair space to Σ_block |C_b|·|S_b| instead of |C|·|S|; the
-    small supplier side broadcasts, so the customer table never shuffles.
-    At 100 TB the same plan holds with any selective blocking key (zip,
-    sorted-neighborhood window, LSH bucket) feeding the equi-join.
+    bounds the pair space to Σ_block |C_b|·|S_b| instead of |C|·|S|.
+    The supplier side carries NO explicit broadcast hint — TPC-H
+    supplier is SF-proportional, so AQE's runtime size check decides:
+    broadcast while it is actually small, shuffle equi-join on the
+    blocking key once it is not. At 100 TB the same plan holds with
+    any selective blocking key (zip, sorted-neighborhood window, LSH
+    bucket) feeding the equi-join.
 
     The distance uses the THRESHOLDED ``levenshtein(l, r, 6)`` form:
     banded DP that abandons a pair the moment its distance provably
@@ -53,7 +56,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("c_name"), F.col("s_name"), 6)
     return (
         cust.join(
-            F.broadcast(supp),
+            supp,
             cust.c_nationkey == supp.s_nationkey,
         )
         .select(

@@ -839,8 +839,8 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic keyword-extraction /
     relevance-weighting projection. Plan shape chosen for 100 TB: the
-    document-frequency table is bounded by |vocab| so it BROADCASTS to
-    the (doc, term) TF table (no shuffle of the big side on token), the
+    document-frequency table joins UNHINTED (|vocab| is unbounded on
+    web text — AQE broadcasts it only while it is actually small), the
     corpus size joins as a broadcast 1-row scalar, and the final top-3
     is a per-doc window on the already-doc-partitioned result. Smoothed
     idf = ln((N+1)/(df+1)); ranking uses the raw double (both engines
@@ -859,8 +859,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), "token")
+    # NO explicit broadcast hint on the document-frequency table: its
+    # cardinality is |vocab|, which on raw web text is unbounded (10⁹+
+    # tokens) — a forced hint would defeat Spark's own size check and
+    # OOM the build side. Unhinted, AQE's runtime size check broadcasts
+    # it whenever it is actually small (it is at every bench SF) and
+    # falls back to a shuffle join when it is not.
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .withColumn("__score", score)
         .withColumn("__rn", F.row_number().over(w))
@@ -1397,8 +1403,11 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_tbl = tok.groupBy("__tok").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("doc_id").orderBy("__df", "__tok")
+    # df_tbl is |vocab|-sized (data-dependent, unbounded on web text):
+    # no explicit broadcast hint — AQE broadcasts it when actually
+    # small, shuffle-joins when not (see q_tfidf_top_terms)
     prefix = (
-        tok.join(F.broadcast(df_tbl), "__tok")
+        tok.join(df_tbl, "__tok")
         .withColumn("__rn", F.row_number().over(w))
         .where(
             F.col("__rn")

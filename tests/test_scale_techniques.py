@@ -1032,3 +1032,105 @@ def test_trained_codebooks_deterministic_and_shaped(spark, sf_dir):
     assert all(len(c) == dim // 8 for cb in b1 for c in cb)
     # per-subspace seeds differ: subspace codebooks are not clones
     assert b1[0] != b1[1]
+
+
+def test_lsh_bucket_cap_star_edges_preserve_components(spark):
+    """verdict r9 #2: a mass-duplicated corpus (10k copies of one doc)
+    lands every copy in ONE LSH bucket per band — uncapped, that is a
+    single task expanding a 10k-id array into 5×10⁷ pairs. Above
+    ``max_bucket`` the bucket emits only (bucket-min, member) STAR
+    edges: O(bucket) rows, same connected components, so the
+    dedup→CC→survivors chain is unchanged while the quadratic task is
+    gone. Below the cap pairing stays exact."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+        connected_components,
+        lsh_band_pairs,
+        lsh_capped_buckets,
+        minhash_signatures,
+    )
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.concat(F.lit("d"), F.format_string("%05d", "id")).alias("doc_id"),
+        F.lit(
+            "the same boilerplate page body repeated verbatim across "
+            "the whole crawl again and again"
+        ).alias("text"),
+    ).union(
+        spark.createDataFrame(
+            [("u1", "one unique document about gardens and rivers"),
+             ("u2", "another unique document regarding mountain trails")],
+            "doc_id string, text string",
+        )
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", 16, 3)
+    pairs = lsh_band_pairs(sigs, "doc_id", num_hashes=16, bands=4)
+    # star edges: the 10k-clone bucket contributes O(n) edges, all
+    # anchored at the bucket min — never O(n²)
+    n_pairs = pairs.count()
+    assert n_pairs <= 4 * (n + 2), n_pairs
+    assert pairs.where("id_a = 'd00000'").count() >= n - 1
+    # accounting twin reports exactly the capped buckets
+    capped = lsh_capped_buckets(sigs, "doc_id", num_hashes=16, bands=4)
+    assert capped.count() == 4  # one giant bucket per band
+    assert capped.agg(F.min("n_members")).first()[0] == n
+    # components identical to what exact pairing would produce: all
+    # 10k clones form ONE component rooted at the min id
+    comp = connected_components(pairs)
+    clone_comps = (
+        comp.where(F.col("node").startswith("d"))
+        .select("component")
+        .distinct()
+        .collect()
+    )
+    assert [r["component"] for r in clone_comps] == ["d00000"]
+
+
+def test_lsh_bucket_cap_is_pair_exact_below_cap(spark):
+    """Buckets at or below ``max_bucket`` must produce the identical
+    pair set as the uncapped path — the cap only changes >cap
+    buckets."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text", 32, 3)
+    capped = lsh_band_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+    uncapped = lsh_band_pairs(
+        sigs, "doc_id", num_hashes=32, bands=8, max_bucket=None
+    )
+    got = sorted(map(tuple, capped.collect()))
+    want = sorted(map(tuple, uncapped.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_vocab_joins_respect_spark_size_check(spark):
+    """verdict r9 #3: q_tfidf_top_terms / q_jaccard_prefix_filter no
+    longer FORCE-broadcast their |vocab|-sized document-frequency
+    tables — the explicit hint defeated Spark's own size check, and
+    |vocab| on raw web text is not broadcastable. With the hint gone,
+    setting autoBroadcastJoinThreshold=-1 (simulating "Spark judged it
+    too big") must plan the token join as a shuffle join; results are
+    oracle-unchanged (covered by test_oracle_parity)."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import get_query
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("q_tfidf_top_terms", "q_jaccard_prefix_filter"):
+            res = get_query(name).fn(spark, "/root/testdata/sf0.001")
+            res.collect()
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            assert (
+                "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            ), f"{name}: vocab join still forced to broadcast\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
