@@ -447,14 +447,18 @@ def pq_encode(
     billion-scale ANN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011).
 
-    All JVM-side: per subspace an unrolled argmin over K
-    ``aggregate(zip_with(...))`` squared-distance expressions —
-    a map-only pass, no shuffle, no Python. The plan is O(M·K)
-    expressions (static, independent of row count); encode cost per
-    row is M·K·(D/M) = K·D multiply-adds, the same class as one
-    brute-force cosine against K vectors. Ties break to the LOWEST
-    centroid id (array_sort on (dist, id) structs) so codes are
-    deterministic."""
+    All JVM-side: per subspace ONE ``transform`` over the codebook as
+    a single nested-array LITERAL, computing the K squared distances,
+    then ``array_position(array_min)`` as the argmin — a map-only
+    pass, no shuffle, no Python, and an O(M) expression tree (round
+    10: the previous form unrolled K ``aggregate(zip_with(...))``
+    expressions per subspace — O(M·K) = 256 nodes whose analysis +
+    codegen dominated the whole query wall at bench scale, 8.0 s →
+    0.14 s with byte-identical codes). Runtime cost per row is
+    unchanged: M·K·(D/M) = K·D multiply-adds, the same class as one
+    brute-force cosine against K vectors. ``array_position`` returns
+    the FIRST index holding the minimum, so ties still break to the
+    LOWEST centroid id and codes are deterministic."""
     d_sub = len(codebooks[0][0])
     # norm computed ONCE per row (not per element inside the divide)
     out = vectors.select(
@@ -480,25 +484,109 @@ def pq_encode(
     code_cols = []
     for m, cb in enumerate(codebooks):
         sub = F.slice(F.col("__nvec"), m * d_sub + 1, d_sub)
-        dists = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in centroid]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j, centroid in enumerate(cb)
-        ]
+        cb_lit = F.lit([[float(x) for x in c] for c in cb])
+        dists = F.transform(
+            cb_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
         code_cols.append(
-            F.array_sort(F.array(*dists))[0]["j"].alias(f"__code_{m}")
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"__code_{m}")
         )
     return out.select(id_col, vec_col, *code_cols)
+
+
+# Session-scoped codebook cache (round-9 verdict nit: the in-memory ANN
+# tiers re-fit M seeded k-means models on EVERY call — 24.6 s of the
+# 244 s preflight wall — even though the fit is deterministic in
+# (input, params)). Keyed on (Spark applicationId, the input frame's
+# ANALYZED plan, fit params): a new session, a different source path,
+# a different transformation chain, or different params all miss.
+# Caveat (documented): files mutated in place under an IDENTICAL plan
+# within one session serve the stale fit — call
+# clear_codebook_cache() after such a rewrite. The persisted-index
+# tiers don't use this (their codebooks ride the index manifest).
+_CODEBOOK_CACHE: dict = {}
+_CODEBOOK_CACHE_MAX = 32
+
+
+def clear_codebook_cache() -> None:
+    """Drop every session-cached ANN codebook fit."""
+    _CODEBOOK_CACHE.clear()
+
+
+def _session_cached_fit(vectors: DataFrame, params: tuple, fit):
+    """Memoize a deterministic codebook ``fit()`` on (session, input
+    plan, params). Falls back to fitting uncached if the plan identity
+    is unavailable (e.g. a connect-style frame without _jdf)."""
+    try:
+        ident = vectors._jdf.queryExecution().analyzed().toString()
+        key = (
+            vectors.sparkSession.sparkContext.applicationId,
+            ident,
+            params,
+        )
+    except Exception:
+        return fit()
+    if key not in _CODEBOOK_CACHE:
+        if len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+            _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+        _CODEBOOK_CACHE[key] = fit()
+    return _CODEBOOK_CACHE[key]
+
+
+def _kmeans_fit_numpy(X, k: int, seed: int, max_iter: int):
+    """Seeded k-means (k-means++ init, vectorized Lloyd's) over an
+    in-memory sample matrix — the codebook fitter for the bounded
+    4,096-row training samples. Driver-side on purpose: the sample is
+    bounded by design regardless of corpus size (the faiss convention —
+    train on a sample, encode distributed), so fitting it as numpy
+    array math costs milliseconds where M serial ``pyspark.ml`` fits
+    cost whole Spark jobs each (24.6 s of the round-9 preflight wall
+    for q_ann_pq's 8 subspace fits). Deterministic in (X, k, seed).
+    Empty clusters re-seed to the point farthest from its center."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    rng = np.random.RandomState(seed)
+    if n == 0:
+        raise ValueError("k-means fit on an empty sample")
+    if n <= k:
+        # fewer points than centers: every point is a center, the rest
+        # repeat deterministically
+        reps = -(-k // n)
+        return np.tile(X, (reps, 1))[:k].copy()
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[j:] = centers[0]
+            break
+        centers[j] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dists = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = dists.argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            mask = labels == j
+            if mask.any():
+                new[j] = X[mask].mean(axis=0)
+            else:
+                new[j] = X[dists.min(axis=1).argmax()]
+        if np.allclose(new, centers):
+            centers = new
+            break
+        centers = new
+    return centers
 
 
 def _codebook_train_sample(
@@ -528,8 +616,10 @@ def kmeans_centroids(
     train_n: int = 4096,
 ) -> DataFrame:
     """K-MEANS-FITTED IVF codebook (round-9: replaces the lowest-id
-    stand-in): fit seeded ``pyspark.ml`` KMeans — the same estimator
-    ``q_ml_kmeans_embeddings`` exercises — on the L2-NORMALIZED
+    stand-in): fit seeded k-means (k-means++ init + Lloyd's,
+    :func:`_kmeans_fit_numpy`, driver-side over the BOUNDED sample —
+    round 10 moved the fit off ``pyspark.ml``, whose per-fit Spark
+    jobs dominated the in-memory tier's wall) on the L2-NORMALIZED
     vectors of a bounded deterministic sample
     (:func:`_codebook_train_sample`) and return the fitted centers as
     the (centroid_id, centroid_vec) frame every IVF entry point takes.
@@ -537,23 +627,25 @@ def kmeans_centroids(
     (the metric the probes use), i.e. spherical k-means up to the
     center renormalization. Trained centroids track the data's actual
     density instead of whatever the first ``k`` ids happened to be —
-    the recall difference is measured in SCALE.md §Round 9."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    the recall difference is measured in SCALE.md §Round 9. The fit is
+    memoized per session on (input plan, params) — see
+    :func:`_session_cached_fit`."""
+    def _fit() -> list:
+        import numpy as np
 
-    sample = _codebook_train_sample(vectors, id_col, vec_col, train_n)
-    feats = sample.select(
-        array_to_vector(
-            F.transform(
-                F.col(vec_col),
-                lambda x: x.cast("double")
-                / F.greatest(l2_norm_col(F.col(vec_col)), F.lit(1e-12)),
-            )
-        ).alias("features")
+        sample = _codebook_train_sample(
+            vectors, id_col, vec_col, train_n
+        ).collect()  # bounded driver fetch: ≤ train_n rows by design
+        X = np.asarray([r[1] for r in sample], dtype=np.float64)
+        norms = np.maximum(
+            np.sqrt((X**2).sum(axis=1, keepdims=True)), 1e-12
+        )
+        centers = _kmeans_fit_numpy(X / norms, k, seed, max_iter)
+        return [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+
+    rows = _session_cached_fit(
+        vectors, ("kmeans", id_col, vec_col, k, seed, max_iter, train_n), _fit
     )
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
-    centers = model.clusterCenters()
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
     return vectors.sparkSession.createDataFrame(
         rows, "centroid_id int, centroid_vec array<double>"
     )
@@ -572,48 +664,49 @@ def pq_train_codebooks(
     """K-MEANS-FITTED per-subspace PQ codebooks (round-9: replaces the
     lowest-id stand-in, the Jégou PQ training recipe): L2-normalize,
     slice each training vector into ``m_subspaces`` contiguous
-    subvectors, and fit one seeded ``pyspark.ml`` KMeans per subspace
-    on the bounded deterministic sample
+    subvectors, and fit one seeded k-means per subspace
+    (:func:`_kmeans_fit_numpy`, driver-side over the bounded sample —
+    round 10: M serial ``pyspark.ml`` fits were 24.6 s of preflight
+    wall; the same fit as vectorized array math is milliseconds) on
+    the bounded deterministic sample
     (:func:`_codebook_train_sample` — the faiss convention: train on
-    ~10³–10⁶ points, encode the full corpus). The sample frame is
-    cached once and reused by all M fits. Output shape is identical to
+    ~10³–10⁶ points, encode the full corpus). The sample is collected
+    once and reused by all M fits. Output shape is identical to
     :func:`pq_seed_codebooks`, so persisted-index metadata, encode,
-    and ADC are unchanged."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    and ADC are unchanged. The fit is memoized per session on
+    (input plan, params) — see :func:`_session_cached_fit`."""
+    def _fit() -> list[list[list[float]]]:
+        import numpy as np
 
-    sample = _codebook_train_sample(vectors, id_col, vec_col, train_n)
-    norm = sample.select(
-        F.transform(
-            F.col(vec_col),
-            lambda x: x.cast("double")
-            / F.greatest(l2_norm_col(F.col(vec_col)), F.lit(1e-12)),
-        ).alias("__nvec")
-    )
-    dim = len(norm.select("__nvec").first()[0])
-    d_sub = dim // m_subspaces
-    assert d_sub * m_subspaces == dim, (dim, m_subspaces)
-    subs = norm.select(
-        *[
-            array_to_vector(
-                F.slice(F.col("__nvec"), m * d_sub + 1, d_sub)
-            ).alias(f"__sub_{m}")
+        sample = _codebook_train_sample(
+            vectors, id_col, vec_col, train_n
+        ).collect()  # bounded driver fetch: ≤ train_n rows by design
+        X = np.asarray([r[1] for r in sample], dtype=np.float64)
+        norms = np.maximum(
+            np.sqrt((X**2).sum(axis=1, keepdims=True)), 1e-12
+        )
+        Xn = X / norms
+        dim = Xn.shape[1]
+        d_sub = dim // m_subspaces
+        assert d_sub * m_subspaces == dim, (dim, m_subspaces)
+        return [
+            [
+                [float(x) for x in c]
+                for c in _kmeans_fit_numpy(
+                    Xn[:, m * d_sub : (m + 1) * d_sub],
+                    k_codes,
+                    seed + m,
+                    max_iter,
+                )
+            ]
             for m in range(m_subspaces)
         ]
+
+    return _session_cached_fit(
+        vectors,
+        ("pq", id_col, vec_col, m_subspaces, k_codes, seed, max_iter, train_n),
+        _fit,
     )
-    subs.persist()
-    try:
-        codebooks: list[list[list[float]]] = []
-        for m in range(m_subspaces):
-            model = KMeans(
-                k=k_codes, seed=seed + m, maxIter=max_iter, featuresCol=f"__sub_{m}"
-            ).fit(subs)
-            codebooks.append(
-                [[float(x) for x in c] for c in model.clusterCenters()]
-            )
-    finally:
-        subs.unpersist()
-    return codebooks
 
 
 def pq_seed_codebooks(
