@@ -542,10 +542,33 @@ def execute_dml(
         )
         return {"op": "update", "table": target, **res}
     if head == "INSERT":
-        m = re.match(rf"^INSERT\s+INTO\s+({_NAME})\s+(.+)$", s, re.I | re.S)
-        if m is None:
-            raise ValueError("INSERT shape: INSERT INTO <table> <query>")
-        target, q = m.group(1), m.group(2).strip()
+        # Delta's predicate overwrite: INSERT INTO t REPLACE WHERE
+        # <pred> <query> — atomically replace the matching region with
+        # the query's rows (txtable.replace_where). The predicate is
+        # the non-greedy span before the query's SELECT/VALUES/(.
+        replace_pred: str | None = None
+        rw = re.match(
+            rf"^INSERT\s+INTO\s+({_NAME})\s+REPLACE\s+WHERE\s+(.+?)\s+"
+            rf"((?:SELECT|VALUES|\().*)$",
+            s,
+            re.I | re.S,
+        )
+        if rw is not None:
+            target, replace_pred, q = (
+                rw.group(1),
+                rw.group(2).strip(),
+                rw.group(3).strip(),
+            )
+        else:
+            m = re.match(
+                rf"^INSERT\s+INTO\s+({_NAME})\s+(.+)$", s, re.I | re.S
+            )
+            if m is None:
+                raise ValueError(
+                    "INSERT shape: INSERT INTO <table> [REPLACE WHERE "
+                    "<pred>] <query>"
+                )
+            target, q = m.group(1), m.group(2).strip()
         t = _resolve_target(target, tables)
         df = spark.sql(q[1:-1] if q.startswith("(") and q.endswith(")") else q)
         cur = t.manifest()
@@ -592,6 +615,14 @@ def execute_dml(
                     f"not cover the table schema {tbl_cols} by name "
                     "or by position"
                 )
+        if replace_pred is not None:
+            res = t.replace_where(spark, df, replace_pred)
+            return {
+                "op": "replace_where",
+                "table": target,
+                "predicate": replace_pred,
+                **res,
+            }
         version = t.commit(
             df,
             mode="append",
@@ -601,29 +632,35 @@ def execute_dml(
     if head == "CREATE":
         mc = re.match(
             rf"^CREATE\s+TABLE\s+({_NAME})\s+LOCATION\s+'((?:[^']|'')+)'"
-            rf"\s+SHALLOW\s+CLONE\s+({_NAME})"
+            rf"\s+(SHALLOW|DEEP)\s+CLONE\s+({_NAME})"
             rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
             s,
             re.I,
         )
         if mc is not None:
-            # Delta's CREATE TABLE ... SHALLOW CLONE: an O(metadata)
-            # commit referencing the source snapshot's files in place
-            name, path, src_name, ver = (
+            # Delta's CREATE TABLE ... SHALLOW|DEEP CLONE: shallow is
+            # an O(metadata) commit referencing the source snapshot's
+            # files in place; deep copies them under the clone's root
+            # first (resume-safe), so the clone is self-contained
+            name, path, kind, src_name, ver = (
                 mc.group(1),
                 mc.group(2).replace("''", "'"),
-                mc.group(3),
+                mc.group(3).lower(),
                 mc.group(4),
+                mc.group(5),
             )
             src = _resolve_target(src_name, tables)
             t = TransactionalTable(path)
             version = t.clone_from(
-                src, version=int(ver) if ver is not None else None
+                src,
+                version=int(ver) if ver is not None else None,
+                deep=(kind == "deep"),
             )
             register_dml_target(name, t)
             t.create_view(spark, name)
             return {
                 "op": "clone",
+                "clone_kind": kind,
                 "table": name,
                 "path": path,
                 "source": src_name,
@@ -641,8 +678,8 @@ def execute_dml(
             raise ValueError(
                 "CREATE shape: CREATE TABLE <name> LOCATION '<path>' "
                 "[PARTITIONED BY (col, ...)] AS <query> | "
-                "CREATE TABLE <name> LOCATION '<path>' SHALLOW CLONE "
-                "<table> [VERSION AS OF <n>]"
+                "CREATE TABLE <name> LOCATION '<path>' SHALLOW|DEEP "
+                "CLONE <table> [VERSION AS OF <n>]"
             )
         name, path, pb, q = (
             m.group(1),
@@ -799,6 +836,43 @@ def execute_dml(
                 "properties": t.properties(),
                 "version": version,
             }
+        acm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+ADD\s+CONSTRAINT\s+"
+            rf"`?([A-Za-z_]\w*)`?\s+CHECK\s*\((.+)\)$",
+            s,
+            re.I | re.S,
+        )
+        if acm is not None:
+            # Delta's CHECK-constraint shape: sticky, validated against
+            # the existing snapshot, enforced fail-closed on every
+            # subsequent commit path (txtable.add_constraint)
+            t = _resolve_target(acm.group(1), tables)
+            version = t.add_constraint(
+                spark, acm.group(2), acm.group(3).strip()
+            )
+            return {
+                "op": "add_constraint",
+                "table": acm.group(1),
+                "name": acm.group(2),
+                "constraints": t.constraints(),
+                "version": version,
+            }
+        dcm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+DROP\s+CONSTRAINT\s+"
+            rf"`?([A-Za-z_]\w*)`?$",
+            s,
+            re.I,
+        )
+        if dcm is not None:
+            t = _resolve_target(dcm.group(1), tables)
+            version = t.drop_constraint(dcm.group(2))
+            return {
+                "op": "drop_constraint",
+                "table": dcm.group(1),
+                "name": dcm.group(2),
+                "constraints": t.constraints(),
+                "version": version,
+            }
         evm = re.match(
             rf"^ALTER\s+TABLE\s+({_NAME})\s+"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)|DROP\s+PARTITIONING)$",
@@ -853,7 +927,9 @@ def execute_dml(
                 "(col type, ...) | ALTER TABLE <table> ALTER COLUMN <c> "
                 "TYPE <t> | ALTER TABLE <table> SET TBLPROPERTIES "
                 "(k = v, ...) | ALTER TABLE <table> PARTITIONED BY "
-                "(col, ...) | ALTER TABLE <table> DROP PARTITIONING"
+                "(col, ...) | ALTER TABLE <table> DROP PARTITIONING | "
+                "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (expr) "
+                "| ALTER TABLE <table> DROP CONSTRAINT <name>"
             )
         t = _resolve_target(m.group(1), tables)
         columns: dict[str, str] = {}

@@ -124,6 +124,13 @@ class ExpectationViolation(ValueError):
     violating a declared expectation; nothing was committed."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows violating a table CHECK constraint
+    (``add_constraint``), or ``ADD CONSTRAINT`` found existing rows
+    violating the new predicate. Nothing was committed — constraints
+    are always fail-closed, on every commit path."""
+
+
 def evaluate_expectations(
     df: "DataFrame", expectations: dict[str, str]
 ) -> tuple:
@@ -2586,6 +2593,7 @@ class TransactionalTable:
             "layout",
             "properties",
             "widened",
+            "constraints",
         ):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
@@ -2750,6 +2758,12 @@ class TransactionalTable:
         """
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
+        # table CHECK constraints gate EVERY commit front door (plain
+        # commits, copy-on-write merge/update rewrites, streaming
+        # sinks, SQL INSERT/CTAS all land here); the deletion-vector
+        # append paths enforce separately before their own staging.
+        # Zero cost for tables with no constraints.
+        self._enforce_constraints(df)
         if mode == "append" and partition_by is None:
             # an append MUST stage in the table's physical layout: flat
             # files appended to a hive-partitioned table would carry no
@@ -3811,6 +3825,7 @@ class TransactionalTable:
         source: "TransactionalTable",
         version: int | None = None,
         max_retries: int = 5,
+        deep: bool = False,
     ) -> int:
         """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
         commit a snapshot of THIS table whose manifest references the
@@ -3839,7 +3854,23 @@ class TransactionalTable:
         (v1 path-partitioned files need basePath reconstruction, which
         cannot span two roots); cloning a clone is fine — already-
         absolute keys pass through. Requires an EMPTY destination (a
-        clone is a table's first commit, not a merge)."""
+        clone is a table's first commit, not a merge).
+
+        ``deep=True`` — DEEP CLONE (Delta's ``CREATE TABLE ... DEEP
+        CLONE``): every borrowed data file and bloom sidecar is COPIED
+        under the clone's own root before the single manifest commit,
+        so the clone is SELF-CONTAINED from version 0 — vacuuming the
+        source is harmless and ``fsck`` needs no source-lifetime
+        caveat. The copy is per-file independent with DETERMINISTIC
+        destination keys (a content-address of the source path), so a
+        crashed deep clone RESUMES: re-running skips every key already
+        present and only then commits (staged-then-commit — readers
+        never see a partial clone, because nothing references the
+        copies until the manifest lands). On the POSIX backend the
+        copy is a hard link when possible (zero bytes moved, the
+        link's refcount keeps the data alive across source vacuum); an
+        object-store backend would issue server-side copies, fanned
+        out per file."""
         src_v = source.latest_version() if version is None else version
         m = source.manifest(src_v)
         if m is None:
@@ -3858,6 +3889,31 @@ class TransactionalTable:
             return key if os.path.isabs(key) else source.storage.url(key)
 
         files = [_abs(f) for f in m["files"]]
+
+        # DEEP CLONE: copy every data file under the clone's own root
+        # FIRST, to deterministic content-addressed keys — re-running a
+        # crashed deep clone skips keys already present (resume), and
+        # nothing references a copy until the manifest commits below
+        # (staged-then-commit). The manifest then lists OWN relative
+        # keys, so reads, DV keying, and vacuum treat the clone as an
+        # ordinary self-contained table.
+        remap: dict[str, str] = {}
+        if deep:
+            import hashlib
+
+            for src_abs in files:
+                new_key = (
+                    f"{DATA_DIR}/"
+                    f"dc{hashlib.sha1(src_abs.encode()).hexdigest()}.parquet"
+                )
+                if not os.path.exists(self.storage.url(new_key)):
+                    self.storage.upload_file(src_abs, new_key)
+                remap[src_abs] = new_key
+            files = [remap[f] for f in files]
+
+        def _final(key: str) -> str:
+            a = _abs(key)
+            return remap.get(a, a)
 
         # DV sidecars address rows by the SOURCE's relative file keys;
         # the clone's manifest keys are absolute, so borrowed sidecars
@@ -3879,7 +3935,7 @@ class TransactionalTable:
             tbl = pa.table(
                 {
                     "file": pa.array(
-                        [_abs(x) for x in tbl.column("file").to_pylist()],
+                        [_final(x) for x in tbl.column("file").to_pylist()],
                         type=pa.string(),
                     ),
                     "pos": tbl.column("pos").combine_chunks(),
@@ -3900,12 +3956,25 @@ class TransactionalTable:
         for f, fs in (m.get("stats") or {}).items():
             fs = dict(fs)
             if fs.get("bloom_ref"):
-                fs["bloom_ref"] = _abs(fs["bloom_ref"])
+                bref = _abs(fs["bloom_ref"])
+                if deep:
+                    # blooms are tiny but referenced per file: copy them
+                    # too, same deterministic resume-safe keying
+                    import hashlib
+
+                    bkey = (
+                        f"{BLOOMS_DIR}/"
+                        f"dc{hashlib.sha1(bref.encode()).hexdigest()}"
+                    )
+                    if not os.path.exists(self.storage.url(bkey)):
+                        self.storage.upload_file(bref, bkey)
+                    bref = bkey
+                fs["bloom_ref"] = bref
             if fs.get("dv"):
                 dv = dict(fs["dv"])
                 dv["refs"] = [_clone_sidecar(r) for r in dv.get("refs", [])]
                 fs["dv"] = dv
-            stats[_abs(f)] = fs
+            stats[_final(f)] = fs
         # Carry every STICKY meta key EXCEPT "replay" (a streaming
         # sink's replay watermark is the SINK's identity — a clone
         # claiming it would make a resumed streaming job skip batches
@@ -3918,11 +3987,19 @@ class TransactionalTable:
             k: v
             for k, v in (m.get("meta") or {}).items()
             if k
-            in ("app", "clustering", "bloom_index", "properties", "widened")
+            in (
+                "app",
+                "clustering",
+                "bloom_index",
+                "properties",
+                "widened",
+                "constraints",
+            )
         }
         meta.update(
             {
                 "op": "clone",
+                "clone_kind": "deep" if deep else "shallow",
                 "clone_source": source.root,
                 "clone_version": src_v,
                 "layout": 2,
@@ -4099,6 +4176,140 @@ class TransactionalTable:
         v = self.latest_version() if version is None else version
         m = self.manifest(v) if v >= 0 else None
         return dict((m or {}).get("meta", {}).get("properties") or {})
+
+    # -- CHECK constraints ---------------------------------------------------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The table's CHECK constraints at ``version`` (current when
+        None): {name: SQL boolean predicate}. {} when none declared."""
+        v = self.latest_version() if version is None else version
+        m = self.manifest(v) if v >= 0 else None
+        return dict((m or {}).get("meta", {}).get("constraints") or {})
+
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        max_retries: int = 5,
+    ) -> int:
+        """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`` — a
+        STICKY table-level guarantee (Delta's CHECK-constraint shape):
+        from this commit on, EVERY path that lands rows (append,
+        replace, replace_partitions, UPDATE/MERGE copy-on-write and
+        merge-on-read appends, streaming sinks, the SQL front door)
+        rejects the whole write with :class:`ConstraintViolation` if
+        any row fails the predicate. Fail-closed like the engine's
+        expectations: NULL counts as a violation (``x > 0`` rejects
+        NULL x) — stricter than ANSI CHECK, which passes UNKNOWN.
+
+        Adding the constraint first VALIDATES the existing snapshot
+        (one counting aggregate, column-pruned); existing violations
+        reject the ALTER itself, so a committed constraint always
+        means "every live row satisfies this". The constraint rides
+        sticky manifest meta (clones carry it; time travel sees the
+        constraints of the version read). Metadata-only O(1) commit
+        after the validation scan."""
+        if not name or not name.isidentifier():
+            raise ValueError(
+                f"constraint name must be an identifier: {name!r}"
+            )
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            cons = dict(m.get("meta", {}).get("constraints") or {})
+            if name in cons:
+                raise ValueError(
+                    f"{self.root}: constraint {name!r} already exists "
+                    f"({cons[name]!r}); DROP it first"
+                )
+            # validate the predicate parses AND the current snapshot
+            # satisfies it — a committed constraint must be TRUE of
+            # every live row, not just future writes
+            self._enforce_constraints(
+                self.read(spark, base_v), {name: expr}, phase="add"
+            )
+            cons[name] = expr
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                m.get("schema"),
+                dict(m.get("stats", {})),
+                {"op": "add_constraint", "constraints": cons},
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"add_constraint lost {max_retries} commit races on {self.root}"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 5) -> int:
+        """``ALTER TABLE ... DROP CONSTRAINT name`` — metadata-only."""
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            cons = dict(m.get("meta", {}).get("constraints") or {})
+            if name not in cons:
+                raise ValueError(
+                    f"{self.root}: no constraint named {name!r} "
+                    f"(have {sorted(cons)})"
+                )
+            cons.pop(name)
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                m.get("schema"),
+                dict(m.get("stats", {})),
+                {"op": "drop_constraint", "constraints": cons},
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"drop_constraint lost {max_retries} commit races on {self.root}"
+        )
+
+    def _enforce_constraints(
+        self,
+        df: DataFrame,
+        cons: dict[str, str] | None = None,
+        phase: str = "write",
+    ) -> None:
+        """Gate ``df`` against CHECK constraints (``cons``, or the
+        table's current set): ONE counting aggregate (column-pruned to
+        the predicate columns, zero cost when no constraints exist);
+        any violation raises :class:`ConstraintViolation` before a
+        single byte is staged. Reuses the expectations evaluator, so
+        NULL-handling is identical to the EXPECT gate."""
+        if cons is None:
+            cons = self.constraints()
+        if not cons:
+            return
+        _, _, audit = evaluate_expectations(df, cons)
+        if audit["rows_failed"]:
+            verb = (
+                "existing rows violate the new constraint"
+                if phase == "add"
+                else "write rejected (constraint violation)"
+            )
+            raise ConstraintViolation(
+                f"{self.root}: {verb} — "
+                f"{audit['rows_failed']}/{audit['rows_seen']} rows fail "
+                f"{ {k: v for k, v in audit['violations'].items() if v} }"
+            )
 
     def vacuum(
         self,
@@ -4657,6 +4868,9 @@ class TransactionalTable:
                         for f in old.schema.fields
                     ]
                 )
+                self._enforce_constraints(
+                    updated, m.get("meta", {}).get("constraints")
+                )
                 staged_keys, staged_stats = self._stage(
                     updated,
                     partition_by=m.get("partition_by"),
@@ -4901,6 +5115,9 @@ class TransactionalTable:
                     how="left_anti",
                 ).select(*schema_cols)
                 appends = re_entered.unionByName(inserts)
+                self._enforce_constraints(
+                    appends, m.get("meta", {}).get("constraints")
+                )
                 staged_keys, staged_stats = self._stage(
                     appends,
                     partition_by=m.get("partition_by"),
@@ -4913,6 +5130,9 @@ class TransactionalTable:
                 pairs.unpersist()
         else:
             # no candidate file holds a source key: pure insert
+            self._enforce_constraints(
+                u, m.get("meta", {}).get("constraints")
+            )
             staged_keys, staged_stats = self._stage(
                 u,
                 partition_by=m.get("partition_by"),
@@ -5008,6 +5228,9 @@ class TransactionalTable:
             dv_key = self._upload_dv_sidecar(touched) if counts else None
         finally:
             touched.unpersist()
+        self._enforce_constraints(
+            appends, m.get("meta", {}).get("constraints")
+        )
         staged_keys, staged_stats = self._stage(
             appends,
             partition_by=m.get("partition_by"),
@@ -5147,6 +5370,149 @@ class TransactionalTable:
             f"delete_where lost {max_retries} commit races on {self.root}"
         )
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: str,
+        max_retries: int = 5,
+    ) -> dict:
+        """Predicate overwrite — Delta's ``INSERT INTO t REPLACE WHERE
+        <pred>`` / ``option("replaceWhere", ...)`` shape: atomically
+        DELETE every current row matching ``predicate`` and APPEND
+        ``df``, in ONE commit — a reader sees either the old region or
+        the new, never neither. The arbitrary-predicate generalization
+        of ``mode="replace_partitions"``.
+
+        Guards (both fail-closed, nothing committed):
+        - every replacement row must itself SATISFY the predicate
+          (Delta's default replaceWhere validation) — otherwise the op
+          would write rows outside the region it claims to own;
+        - table CHECK constraints apply as on any commit path.
+
+        File pruning is the same band/bloom-hint path as
+        ``delete_where``: only files the predicate's conjuncts cannot
+        exclude are rewritten (their non-matching rows re-staged);
+        every other file is retained byte-identical. Correctness never
+        depends on pruning — the residual row filter decides, with SQL
+        three-valued logic (NULL-evaluating rows are KEPT). Returns
+        {version, files_rewritten, files_retained, rows_deleted,
+        rows_appended}."""
+        from pyspark.sql import functions as F
+
+        if not predicate or not predicate.strip():
+            raise ValueError(
+                "replace_where: empty predicate would replace every row; "
+                "use mode='replace' for a full overwrite"
+            )
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        n_outside = df.where(~pred).limit(1).count()
+        if n_outside:
+            raise ValueError(
+                f"replace_where: replacement rows do not satisfy the "
+                f"predicate {predicate!r} — the op would write outside "
+                "the region it replaces (Delta replaceWhere validation)"
+            )
+        bands, eqs = _sql_predicate_prune_hints(predicate)
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to replace in {self.root} (no committed "
+                    "version); use commit() to create the table"
+                )
+            self._enforce_constraints(
+                df, m.get("meta", {}).get("constraints")
+            )
+            schema_cols = list((m.get("schema") or {}).keys())
+            if set(schema_cols) != set(df.columns):
+                raise ValueError(
+                    f"replace_where: schema mismatch table={schema_cols} "
+                    f"df={df.columns}"
+                )
+            m_schema = m.get("schema") or {}
+            new_rows_df = df.select(
+                *[F.col(c).cast(m_schema[c]).alias(c) for c in schema_cols]
+            )
+            affected = prune_files(
+                m, bands or None, eqs or None,
+                bloom_loader=self._bloom_sidecar,
+            )
+            retained = [f for f in m["files"] if f not in set(affected)]
+            prev_stats = m.get("stats", {})
+            survivors_keys: list[str] = []
+            survivors_stats: dict[str, dict] = {}
+            affected_rows = 0
+            if affected:
+                sub = self._affected_frame(spark, m, affected)
+                if all("rows" in prev_stats.get(f, {}) for f in affected):
+                    affected_rows = sum(
+                        _logical_rows(prev_stats, f) for f in affected
+                    )
+                else:
+                    affected_rows = sub.count()
+                survivors_keys, survivors_stats = self._stage(
+                    sub.where(~pred),
+                    partition_by=m.get("partition_by"),
+                    bloom_by=(
+                        m.get("meta", {}).get("bloom_index") or {}
+                    ).get("cols"),
+                    layout=self._layout_of(m),
+                )
+            staged_keys, staged_stats = self._stage(
+                new_rows_df,
+                partition_by=m.get("partition_by"),
+                bloom_by=(m.get("meta", {}).get("bloom_index") or {}).get(
+                    "cols"
+                ),
+                layout=self._layout_of(m),
+            )
+            all_keys = survivors_keys + staged_keys
+            all_stats = {**survivors_stats, **staged_stats}
+            all_keys, all_stats, _ = _drop_empty_staged(
+                all_keys, all_stats, bool(retained)
+            )
+            kept_rows = self._staged_rows(
+                spark,
+                [k for k in all_keys if k in set(survivors_keys)],
+                all_stats,
+            )
+            appended = self._staged_rows(
+                spark,
+                [k for k in all_keys if k in set(staged_keys)],
+                all_stats,
+            )
+            deleted = affected_rows - kept_rows
+            if self._put_manifest(
+                base_v,
+                retained + all_keys,
+                max(0, m.get("rows", 0) - deleted + appended),
+                m.get("schema"),
+                {
+                    **{f: prev_stats[f] for f in retained if f in prev_stats},
+                    **all_stats,
+                },
+                {
+                    "op": "replace_where",
+                    "predicate": predicate,
+                    "source_version": base_v,
+                },
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+            ):
+                return {
+                    "version": base_v + 1,
+                    "files_rewritten": len(affected),
+                    "files_retained": len(retained),
+                    "rows_deleted": deleted,
+                    "rows_appended": appended,
+                }
+        raise CommitConflict(
+            f"replace_where lost {max_retries} commit races on {self.root}"
+        )
+
     def update_where(
         self,
         spark: SparkSession,
@@ -5256,6 +5622,9 @@ class TransactionalTable:
                     )
                     for f in df.schema.fields
                 ]
+            )
+            self._enforce_constraints(
+                updated, m.get("meta", {}).get("constraints")
             )
             keys, staged_stats = self._stage(
                 updated,
@@ -5579,6 +5948,9 @@ class TransactionalTable:
                 merged = merge_upsert(
                     base_subset, updates, key_cols, latest_by=latest_by
                 )
+            self._enforce_constraints(
+                merged, m.get("meta", {}).get("constraints")
+            )
             keys, staged_stats = self._stage(
                 merged,
                 partition_by=pb,

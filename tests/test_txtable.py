@@ -5069,3 +5069,273 @@ def test_replace_partitions_after_truncate_ignores_schema_anchor(
     assert t.read(spark).count() == 5
     assert t.count() == 5
     assert t.fsck()["ok"]
+
+
+def _constrained_table(spark, tmp_path, name="tc"):
+    t = TransactionalTable(str(tmp_path / name))
+    t.commit(
+        spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 10).alias("k"),
+            (F.col("id") * 2.0 + 1.0).alias("v"),  # v > 0 everywhere
+        ),
+        num_files=4,
+        cluster_by=["id"],
+    )
+    t.add_constraint(spark, "v_positive", "v > 0")
+    return t
+
+
+def test_check_constraint_add_validates_and_gates_every_write(
+    spark, tmp_path
+):
+    """verdict r9 #5: ALTER TABLE ADD CONSTRAINT ... CHECK is a STICKY
+    always-on guarantee — validated against the existing snapshot at
+    ADD time, then enforced fail-closed on append, UPDATE (both
+    copy-on-write and deletion-vector), and MERGE (both forms). A
+    rejected write commits NOTHING."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = _constrained_table(spark, tmp_path)
+    assert t.constraints() == {"v_positive": "v > 0"}
+    v0 = t.latest_version()
+
+    # adding a constraint the data violates is itself rejected
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint(spark, "impossible", "v > 1000")
+    # duplicate name rejected
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "v_positive", "v > 0")
+
+    bad = spark.createDataFrame(
+        [(500, 0, -1.0), (501, 1, 5.0)], "id bigint, k bigint, v double"
+    )
+    good = spark.createDataFrame(
+        [(502, 2, 7.0)], "id bigint, k bigint, v double"
+    )
+    with pytest.raises(ConstraintViolation, match="v_positive"):
+        t.commit(bad, mode="append")
+    assert t.latest_version() == v0  # nothing committed
+    t.commit(good, mode="append")
+    assert t.read(spark).count() == 101
+
+    # UPDATE: copy-on-write and merge-on-read both reject
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, {"v": "-v"}, "k = 3")
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, {"v": "-v"}, "k = 3", merge_on_read=True)
+    # NULL fails closed (x > 0 is not TRUE for NULL)
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, {"v": "NULL"}, "k = 4")
+
+    # MERGE: violating source rows reject both forms
+    src = spark.createDataFrame(
+        [(5, 5, -9.0)], "id bigint, k bigint, v double"
+    )
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark, src, ["id"])
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark, src, ["id"], merge_on_read=True)
+    head = t.latest_version()
+
+    # valid mutations still flow on every path
+    t.update_where(spark, {"v": "v + 1"}, "k = 3", merge_on_read=True)
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(5, 5, 9.0)], "id bigint, k bigint, v double"
+        ),
+        ["id"],
+        merge_on_read=True,
+    )
+    assert t.latest_version() == head + 2
+    assert t.fsck()["ok"]
+
+
+def test_check_constraint_drop_sticky_and_clone(spark, tmp_path):
+    """Constraints are sticky across maintenance (optimize) and carry
+    to clones; DROP CONSTRAINT re-opens the gate."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = _constrained_table(spark, tmp_path)
+    t.optimize(spark, target_rows_per_file=1000)
+    assert t.constraints() == {"v_positive": "v > 0"}  # survived optimize
+
+    dst = TransactionalTable(str(tmp_path / "tc_clone"))
+    dst.clone_from(t)
+    assert dst.constraints() == {"v_positive": "v > 0"}
+    bad = spark.createDataFrame(
+        [(900, 0, -3.0)], "id bigint, k bigint, v double"
+    )
+    with pytest.raises(ConstraintViolation):
+        dst.commit(bad, mode="append")
+
+    t.drop_constraint("v_positive")
+    assert t.constraints() == {}
+    t.commit(bad, mode="append")  # gate re-opened
+    assert t.read(spark).where("v < 0").count() == 1
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("v_positive")
+
+
+def test_check_constraint_sql_route(spark, tmp_path):
+    """ADD/DROP CONSTRAINT via the SQL front door, and a violating SQL
+    UPDATE rejected by the sticky constraint."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = TransactionalTable(str(tmp_path / "tsql"))
+    t.commit(
+        spark.range(50).select(F.col("id"), (F.col("id") + 1.0).alias("v"))
+    )
+    r = execute_dml(
+        spark,
+        "ALTER TABLE tsql ADD CONSTRAINT v_pos CHECK (v > 0)",
+        tables={"tsql": t},
+    )
+    assert r["op"] == "add_constraint"
+    assert r["constraints"] == {"v_pos": "v > 0"}
+    with pytest.raises(ConstraintViolation):
+        execute_dml(
+            spark, "UPDATE tsql SET v = -1 WHERE id < 5", tables={"tsql": t}
+        )
+    r = execute_dml(
+        spark, "ALTER TABLE tsql DROP CONSTRAINT v_pos", tables={"tsql": t}
+    )
+    assert r["constraints"] == {}
+    execute_dml(
+        spark, "UPDATE tsql SET v = -1 WHERE id < 5", tables={"tsql": t}
+    )
+    assert t.read(spark).where("v = -1").count() == 5
+
+
+def test_replace_where_atomic_predicate_overwrite(spark, tmp_path):
+    """verdict r9 #7 — REPLACE WHERE (Delta's predicate overwrite):
+    delete-matching + append-new in ONE commit, band-pruned like
+    delete_where, with Delta's validation that every replacement row
+    satisfies the predicate."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 10).alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        num_files=5,
+        cluster_by=["id"],
+    )
+    files0 = set(t.manifest()["files"])
+    v0 = t.latest_version()
+
+    new = spark.createDataFrame(
+        [(200, 3, -1.0), (201, 3, -2.0)], "id bigint, k bigint, v double"
+    )
+    res = t.replace_where(spark, new, "k = 3")
+    assert res["version"] == v0 + 1  # ONE commit
+    assert res["rows_deleted"] == 10 and res["rows_appended"] == 2
+    cur = t.read(spark)
+    assert cur.count() == 92
+    assert sorted(r["id"] for r in cur.where("k = 3").collect()) == [200, 201]
+    assert cur.where("k = 4").count() == 10  # untouched region intact
+    # band pruning: id-clustered files outside the k hint... k is not
+    # banded here, so all files are candidates — but retained files of
+    # a PRUNABLE predicate stay byte-identical:
+    res2 = t.replace_where(
+        spark,
+        spark.createDataFrame([(5, 5, 5.0)], "id bigint, k bigint, v double"),
+        "id BETWEEN 0 AND 9",
+    )
+    m = t.manifest()
+    # files covering id>=20 slices are retained from the previous
+    # snapshot (pruned by the id band), not rewritten
+    assert res2["files_retained"] > 0
+    assert t.read(spark).where("id < 10").count() == 1
+
+    # validation: replacement rows outside the predicate reject whole
+    head = t.latest_version()
+    with pytest.raises(ValueError, match="outside the region"):
+        t.replace_where(
+            spark,
+            spark.createDataFrame(
+                [(300, 9, 1.0)], "id bigint, k bigint, v double"
+            ),
+            "k = 2",
+        )
+    assert t.latest_version() == head
+    # time travel: the pre-replace snapshot unchanged
+    assert t.read(spark, v0).count() == 100
+    assert t.count() == t.read(spark).count()
+    assert t.fsck()["ok"]
+
+
+def test_replace_where_sql_route_constraints_and_concurrency(
+    spark, tmp_path
+):
+    """INSERT INTO t REPLACE WHERE <pred> SELECT ... routes through
+    the SQL front door; CHECK constraints gate the replacement rows;
+    a concurrent commit between read and publish retries cleanly."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(50).select(
+            F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") + 1.0).alias("v")
+        )
+    )
+    r = execute_dml(
+        spark,
+        "INSERT INTO t REPLACE WHERE k = 2 "
+        "SELECT CAST(900 AS BIGINT) AS id, CAST(2 AS BIGINT) AS k, "
+        "CAST(9.0 AS DOUBLE) AS v",
+        tables={"t": t},
+    )
+    assert r["op"] == "replace_where" and r["rows_deleted"] == 10
+    assert t.read(spark).where("k = 2").count() == 1
+
+    t.add_constraint(spark, "v_pos", "v > 0")
+    with pytest.raises(ConstraintViolation):
+        t.replace_where(
+            spark,
+            spark.createDataFrame(
+                [(901, 2, -5.0)], "id bigint, k bigint, v double"
+            ),
+            "k = 2",
+        )
+
+    # concurrency: another writer lands between manifest read and CAS
+    real_put = t._put_manifest
+    raced = {"done": False}
+
+    def racing_put(base_v, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            t.commit(
+                spark.createDataFrame(
+                    [(950, 4, 1.0)], "id bigint, k bigint, v double"
+                ),
+                mode="append",
+            )
+        return real_put(base_v, *a, **kw)
+
+    t._put_manifest = racing_put
+    try:
+        res = t.replace_where(
+            spark,
+            spark.createDataFrame(
+                [(902, 2, 2.0)], "id bigint, k bigint, v double"
+            ),
+            "k = 2",
+        )
+    finally:
+        t._put_manifest = real_put
+    cur = t.read(spark)
+    assert {r["id"] for r in cur.where("k = 2").collect()} == {902}
+    assert cur.where("id = 950").count() == 1  # racer's append survives
+    assert t.count() == cur.count() and t.fsck()["ok"]

@@ -273,3 +273,124 @@ def test_clone_lost_version0_race_raises_commit_conflict(
     monkeypatch.setattr(dst, "latest_version", lambda: next(seq))
     with pytest.raises(CommitConflict, match="version-0 commit race"):
         dst.clone_from(src)
+
+
+def test_deep_clone_is_self_contained_vs_source_vacuum(spark, tmp_path):
+    """verdict r9 #6 — DEEP CLONE: borrowed files are COPIED under the
+    clone's root at creation, so vacuuming (even deleting) the source
+    leaves the clone fully readable — where the shallow clone's
+    documented caveat fails loudly."""
+    import shutil
+
+    src = _src(spark, tmp_path)
+    src.delete_where(spark, "id < 50", merge_on_read=True)  # DV carried
+    dst = TransactionalTable(str(tmp_path / "deep"))
+    v = dst.clone_from(src, deep=True)
+    assert v == 0
+    m = dst.manifest()
+    assert m["meta"]["clone_kind"] == "deep"
+    assert all(not os.path.isabs(f) for f in m["files"])  # own keys
+    assert len(dst.storage.list("data")) == len(m["files"])
+    want = sorted(map(tuple, src.read(spark).collect()))
+    assert sorted(map(tuple, dst.read(spark).collect())) == want
+    assert dst.count() == 950
+    assert dst.fsck()["ok"]
+    # obliterate the source entirely: the deep clone must not notice
+    shutil.rmtree(src.root)
+    assert sorted(map(tuple, dst.read(spark).collect())) == want
+    assert dst.fsck()["ok"]
+    # bloom pruning still works off the COPIED sidecars
+    assert dst.read(spark, equals={"id": 500}).count() == 1
+    # and the clone stays a normal table: DML + optimize + vacuum
+    dst.delete_where(spark, "id >= 900", merge_on_read=True)
+    assert dst.read(spark).count() == 850
+    dst.optimize(spark, target_rows_per_file=1000)
+    dst.vacuum(retain_versions=1, unreferenced_grace_s=0)
+    assert dst.read(spark).count() == 850 and dst.fsck()["ok"]
+
+
+def test_deep_clone_resumes_after_partial_copy(spark, tmp_path):
+    """A crashed deep clone re-runs to completion: destination keys are
+    deterministic, already-copied files are skipped (not re-copied),
+    and no manifest exists until the copy set is complete."""
+    src = _src(spark, tmp_path)
+    dst = TransactionalTable(str(tmp_path / "deep"))
+
+    real_upload = dst.storage.upload_file
+    calls = {"n": 0}
+
+    def failing_upload(local_path, key):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die mid-copy on the third file
+            raise RuntimeError("simulated crash mid deep-clone copy")
+        return real_upload(local_path, key)
+
+    dst.storage.upload_file = failing_upload
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dst.clone_from(src, deep=True)
+    dst.storage.upload_file = real_upload
+    assert dst.latest_version() == -1  # staged-then-commit: no manifest
+    copied_before = set(dst.storage.list("data"))
+    assert len(copied_before) == 2
+
+    uploads = {"n": 0}
+
+    def counting_upload(local_path, key):
+        uploads["n"] += 1
+        return real_upload(local_path, key)
+
+    dst.storage.upload_file = counting_upload
+    try:
+        v = dst.clone_from(src, deep=True)
+    finally:
+        dst.storage.upload_file = real_upload
+    assert v == 0
+    # resume copied ONLY the missing data files plus the (distinct)
+    # bloom sidecars the crash never reached
+    m = dst.manifest()
+    n_blooms = len(
+        {
+            fs["bloom_ref"]
+            for fs in m["stats"].values()
+            if fs.get("bloom_ref")
+        }
+    )
+    assert uploads["n"] == (len(m["files"]) - 2) + n_blooms
+    assert copied_before <= set(dst.storage.list("data"))
+    assert dst.read(spark).count() == 1000 and dst.fsck()["ok"]
+
+
+def test_deep_clone_sql_route_and_shallow_caveat_still_loud(
+    spark, tmp_path
+):
+    """CREATE TABLE ... DEEP CLONE through the SQL front door; the
+    SHALLOW route keeps its documented source-vacuum caveat (fsck
+    flags the breakage loudly, reads fail)."""
+    import shutil
+
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    src = _src(spark, tmp_path)
+    deep_path = str(tmp_path / "deep_sql")
+    r = execute_dml(
+        spark,
+        f"CREATE TABLE deep_sql LOCATION '{deep_path}' DEEP CLONE src0",
+        tables={"src0": src},
+    )
+    assert r["op"] == "clone" and r["clone_kind"] == "deep"
+    deep = TransactionalTable(deep_path)
+    assert deep.read(spark).count() == 1000
+
+    shallow_path = str(tmp_path / "shallow_sql")
+    r2 = execute_dml(
+        spark,
+        f"CREATE TABLE shallow_sql LOCATION '{shallow_path}' "
+        "SHALLOW CLONE src0",
+        tables={"src0": src},
+    )
+    assert r2["clone_kind"] == "shallow"
+    shallow = TransactionalTable(shallow_path)
+    shutil.rmtree(src.root)  # source gone
+    assert deep.read(spark).count() == 1000  # deep unaffected
+    f = shallow.fsck()
+    assert not f["ok"] and f.get("missing_files")  # loud, not silent

@@ -387,6 +387,61 @@ def soak(spark, seed: int, n_ops: int) -> int:
             not t.storage.supports_direct_write
         )
 
+    def do_replace_where():
+        # REPLACE WHERE (round 10): atomically swap the v-band region
+        # for a fresh batch whose rows satisfy the predicate
+        if not t.exists() or not model:
+            return
+        lo = rng.randint(-500, 400)
+        hi = lo + rng.randint(0, 200)
+        d = {
+            rng.randint(2000, 2900): rng.randint(lo, hi)
+            for _ in range(rng.randint(1, 5))
+        }
+        d = {k: v for k, v in d.items() if k not in model}
+        if not d:
+            return
+        t.replace_where(
+            spark, widen(frame(d)), f"v BETWEEN {lo} AND {hi}"
+        )
+        for k in [k for k, v in model.items() if lo <= v <= hi]:
+            del model[k]
+        model.update(d)
+
+    def do_add_constraint():
+        # CHECK constraint (round 10): sticky always-true predicate so
+        # the rest of the op mix keeps flowing, then a violating PROBE
+        # append that must reject WHOLE and leave version/model
+        # untouched — the fail-closed contract under every interleaving
+        from pyspark.sql import functions as F
+
+        from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+            ConstraintViolation,
+        )
+
+        if not t.exists():
+            return
+        if "v_not_null" not in t.constraints():
+            t.add_constraint(spark, "v_not_null", "v IS NOT NULL")
+        head = t.latest_version()
+        sample = t.read(spark).limit(1)
+        if sample.count() == 0:
+            return
+        bad = sample.withColumn("v", F.lit(None).cast(vtype[0]))
+        try:
+            t.commit(bad, mode="append")
+        except ConstraintViolation:
+            pass
+        else:
+            raise AssertionError(
+                (seed, "CHECK constraint accepted a violating append")
+            )
+        assert t.latest_version() == head, (seed, "rejected append committed")
+
+    def do_drop_constraint():
+        if t.exists() and "v_not_null" in t.constraints():
+            t.drop_constraint("v_not_null")
+
     ops = [
         do_replace,
         do_append,
@@ -410,6 +465,9 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_dv_compact,
         do_alter_partitioning,
         do_flip_layout_capability,
+        do_add_constraint,
+        do_drop_constraint,
+        do_replace_where,
     ]
     do_replace()
     checks = 0
