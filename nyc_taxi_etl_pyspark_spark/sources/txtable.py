@@ -2081,6 +2081,8 @@ class TransactionalTable:
             "n_partitions": len(part_vals) or None,
             "clustering": meta.get("clustering"),
             "bloom_index": meta.get("bloom_index"),
+            "properties": meta.get("properties") or {},
+            "constraints": meta.get("constraints") or {},
             "mixed_schemas": bool(m.get("mixed_schemas")),
             "schema": m.get("schema"),
             "n_versions_retained": len(self.versions()),
