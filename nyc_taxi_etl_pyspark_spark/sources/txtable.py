@@ -4209,9 +4209,25 @@ class TransactionalTable:
         (one counting aggregate, column-pruned); existing violations
         reject the ALTER itself, so a committed constraint always
         means "every live row satisfies this". The constraint rides
-        sticky manifest meta (clones carry it; time travel sees the
-        constraints of the version read). Metadata-only O(1) commit
-        after the validation scan."""
+        sticky manifest meta: clones carry it, time travel sees the
+        constraints of the version read, and RESTORE keeps the
+        CURRENT head's constraints (the engine's documented
+        restore-sticky rule — data goes back in time, active
+        guardrails do not; diverges from Delta's metadata-restore on
+        purpose, because silently dropping a data contract during a
+        rollback is the fail-open direction). NOTE: a restore to a
+        version whose data violates a later-added constraint succeeds
+        (restore stages no rows); the next WRITE's full-frame check
+        does not re-scan old files, so re-validate with
+        ``_enforce_constraints(t.read(spark))`` after such a restore
+        if the contract must hold. Metadata-only O(1) commit after
+        the validation scan.
+
+        Enforcement is check-then-stage (same trade as
+        ``commit_with_expectations``: the gate must decide before any
+        byte lands), so a NON-DETERMINISTIC input frame — ``rand()``
+        without a seed — could stage rows the check never saw; commit
+        deterministic frames, as every engine path does."""
         if not name or not name.isidentifier():
             raise ValueError(
                 f"constraint name must be an identifier: {name!r}"

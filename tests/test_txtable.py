@@ -5339,3 +5339,30 @@ def test_replace_where_sql_route_constraints_and_concurrency(
     assert {r["id"] for r in cur.where("k = 2").collect()} == {902}
     assert cur.where("id = 950").count() == 1  # racer's append survives
     assert t.count() == cur.count() and t.fsck()["ok"]
+
+
+def test_check_constraint_survives_restore(spark, tmp_path):
+    """RESTORE keeps the CURRENT head's constraints (the engine's
+    restore-sticky rule: data goes back in time, active guardrails do
+    not) — a rollback must not silently drop the data contract."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = _constrained_table(spark, tmp_path)  # v0 data, v1 constraint
+    t.commit(
+        spark.createDataFrame(
+            [(700, 0, 1.0)], "id bigint, k bigint, v double"
+        ),
+        mode="append",
+    )
+    t.restore(0)  # data back to v0 — constraint added at v1 persists
+    assert t.constraints() == {"v_positive": "v > 0"}
+    with pytest.raises(ConstraintViolation):
+        t.commit(
+            spark.createDataFrame(
+                [(701, 0, -1.0)], "id bigint, k bigint, v double"
+            ),
+            mode="append",
+        )
+    assert t.read(spark).count() == 100 and t.fsck()["ok"]
