@@ -273,17 +273,21 @@ def lsh_band_pairs(
     exactly (all-pairs within the bucket, O(cap²) bounded); larger
     buckets — mass-duplicated boilerplate, the single most common real
     dedup input — emit only STAR edges (bucket-min, member), O(bucket)
-    rows with no per-task array at all. Star edges preserve connected
-    components exactly (every member reaches the bucket min), so the
-    dedup→CC→survivors chain is unchanged; only the raw candidate-PAIR
-    set for >cap buckets is reduced, which is the point — an uncapped
-    10k-duplicate bucket is one task holding a 10k-id array expanding
-    to 5×10⁷ pairs. Use :func:`lsh_capped_buckets` on the same
+    output rows. Star edges preserve connected components exactly
+    (every member reaches the bucket min), so the dedup→CC→survivors
+    chain is unchanged; only the raw candidate-PAIR set for >cap
+    buckets is reduced, which is the point — an uncapped
+    10k-duplicate bucket expands to 5×10⁷ pairs in one task. The
+    branch is a ``when(size ≤ cap, all-pairs, star)`` EXPRESSION over
+    the same single collect_list aggregation the uncapped path uses —
+    zero extra shuffles/joins (a stats-join variant measured +1.3 s
+    fixed overhead per call at bench scale). Residual exposure: the
+    giant bucket's id ARRAY still materializes in one aggregation
+    buffer — O(bucket) memory, linear (≈200 MB at 10M string ids,
+    spill-backed ObjectHashAggregate), vs the O(bucket²) expansion
+    this cap removes. Use :func:`lsh_capped_buckets` on the same
     signature frame to account for which buckets were capped.
-    ``max_bucket=None`` disables the cap (exact pairs everywhere).
-    The bucket-size stats aggregate with map-side combine (count/min),
-    so even a 10M-member bucket never concentrates rows in one task;
-    the member⋈stats join is an equi-join AQE can skew-split."""
+    ``max_bucket=None`` disables the cap (exact pairs everywhere)."""
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -304,41 +308,40 @@ def lsh_band_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    if max_bucket is None:
-        buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.collect_list(id_col).alias("__ids"))
-            .filter(F.size("__ids") > 1)
-        )
-        exact = buckets.select(
-            F.explode(_in_array_pairs()).alias("__p")
-        ).select("__p.id_a", "__p.id_b")
-        return (
-            exact.groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_shared_buckets"))
-        )
-    stats = (
+    buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.count("*").alias("__n"), F.min(id_col).alias("__min_id"))
-        .filter(F.col("__n") > 1)
-    )
-    member = banded.join(stats, ["band", "bucket"])
-    small = (
-        member.where(F.col("__n") <= max_bucket)
-        .groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
-    exact = small.select(
-        F.explode(_in_array_pairs()).alias("__p")
-    ).select("__p.id_a", "__p.id_b")
-    star = member.where(
-        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__min_id"))
-    ).select(
-        F.least(F.col("__min_id"), F.col(id_col)).alias("id_a"),
-        F.greatest(F.col("__min_id"), F.col(id_col)).alias("id_b"),
-    )
+    if max_bucket is None:
+        pair_structs = _in_array_pairs()
+    else:
+        # star edges for >cap buckets: every member pairs with the
+        # bucket MIN only — O(bucket) structs instead of O(bucket²).
+        # The min binds as a LAMBDA VARIABLE via a 1-element outer
+        # transform (HOF lambdas inline argument expressions per
+        # element — a bare array_min here would re-scan the whole
+        # array per member, O(bucket²) again through the back door).
+        # ids are unique within a bucket (one row per doc per band),
+        # so filtering ONE min occurrence is exact.
+        star_structs = F.flatten(
+            F.transform(
+                F.array(F.array_min("__ids")),
+                lambda mn: F.transform(
+                    F.filter("__ids", lambda y: y != mn),
+                    lambda y: F.struct(
+                        F.least(mn, y).alias("id_a"),
+                        F.greatest(mn, y).alias("id_b"),
+                    ),
+                ),
+            )
+        )
+        pair_structs = F.when(
+            F.size("__ids") <= F.lit(max_bucket), _in_array_pairs()
+        ).otherwise(star_structs)
     return (
-        exact.unionByName(star)
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_buckets"))
     )
