@@ -2067,6 +2067,64 @@ def q_tx_clone_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_rename_drop_column",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice + 1e-9, 4) AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 70000000,
+           round(o_totalprice * 2 + 1e-9, 4) AS price
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_tx_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME / DROP COLUMN via column mapping (round 10 —
+    ``txtable.rename_column``/``drop_column`` through the SQL front
+    door, Delta's name-mapping mode): both are METADATA-ONLY commits
+    (the physical parquet name never changes). The fixture commits
+    orders, RENAMES ``o_totalprice`` → ``price``, APPENDS a derived
+    batch under the NEW name (staged back to the physical name, so
+    old and new files share one page schema), then DROPS
+    ``o_orderstatus``. The read must show exactly (o_orderkey, price)
+    with values from both sides of the rename; the oracle replays
+    declaratively. Dropped-name tombstones, pruning/DML/clone/restore/
+    streaming behavior across renames are pinned in
+    tests/test_txtable_columns.py."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txrencol", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_orderkey"], bloom_by=["o_orderkey"])
+        execute_dml(
+            spark,
+            "ALTER TABLE t RENAME COLUMN o_totalprice TO price",
+            tables={"t": t},
+        )
+        t.commit(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + 70000000).alias("o_orderkey"),
+                F.col("o_orderstatus"),
+                (F.col("o_totalprice") * 2).alias("price"),
+            ),
+            mode="append",
+        )
+        execute_dml(
+            spark,
+            "ALTER TABLE t DROP COLUMN o_orderstatus",
+            tables={"t": t},
+        )
+    return t.read(spark).select(
+        "o_orderkey", stable_round(F.col("price"), 4).alias("price")
+    )
+
+
+@query(
     "q_tx_sql_alter_widen",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

@@ -71,16 +71,24 @@ from nyc_taxi_etl_pyspark_spark.sources.txstream import (
 )
 
 
-def _canon_arrow_table(path: str, schema_items: list, part_vals: dict):
+def _canon_arrow_table(
+    path: str, schema_items: list, part_vals: dict, phys_to_log=None
+):
     """One data file as an arrow table in DECLARED column order:
     partition columns rebuilt from manifest values, evolution gaps
     NULL-filled — the txstream emission contract, plus a ``__pos``
     column carrying each row's physical position (parquet row order),
-    which is what deletion-vector sidecars address."""
+    which is what deletion-vector sidecars address. ``phys_to_log``
+    (column mapping, RENAME COLUMN) renames page columns to their
+    logical names before the declared-order projection."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
+    if phys_to_log:
+        table = table.rename_columns(
+            [phys_to_log.get(c, c) for c in table.column_names]
+        )
     n = table.num_rows
     arrays, names = [], []
     for name, type_str in schema_items:
@@ -228,6 +236,16 @@ class TxTableCdfReader(DataSourceStreamReader):
             raise ValueError(
                 f"txcdf: key column(s) {missing} not in the table schema"
             )
+        # column mapping (RENAME COLUMN): pages store PHYSICAL names;
+        # resolve once — physical names are immutable, so the map is
+        # valid for every version the stream will ever read
+        mh = self._table().manifest() or {}
+        self.phys_to_log = {
+            p: l
+            for l, p in (
+                mh.get("meta", {}).get("column_mapping") or {}
+            ).items()
+        }
 
     def _table(self):
         from nyc_taxi_etl_pyspark_spark.sources.txtable import (
@@ -351,6 +369,7 @@ class TxTableCdfReader(DataSourceStreamReader):
                                 self.schema_fields,
                                 self.key_cols,
                                 ref_urls,
+                                self.phys_to_log,
                             )
                         )
                     )
@@ -375,13 +394,16 @@ class TxTableCdfReader(DataSourceStreamReader):
             schema_items,
             key_cols,
             ref_urls,
+            phys_to_log,
         ) = partition.value
         ref_url = dict(ref_urls)
 
         def side_table(specs):
             tables = []
             for mode, url, file_key, part_vals, refs in specs:
-                tbl = _canon_arrow_table(url, schema_items, part_vals)
+                tbl = _canon_arrow_table(
+                    url, schema_items, part_vals, phys_to_log
+                )
                 if mode == "full":
                     if refs:
                         dead = _sidecar_positions(

@@ -836,6 +836,39 @@ def execute_dml(
                 "properties": t.properties(),
                 "version": version,
             }
+        rcm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+RENAME\s+COLUMN\s+"
+            rf"`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?$",
+            s,
+            re.I,
+        )
+        if rcm is not None:
+            # Delta's column-mapping rename: metadata-only, physical
+            # page names unchanged (txtable.rename_column)
+            t = _resolve_target(rcm.group(1), tables)
+            version = t.rename_column(rcm.group(2), rcm.group(3))
+            return {
+                "op": "rename_column",
+                "table": rcm.group(1),
+                "from": rcm.group(2),
+                "to": rcm.group(3),
+                "version": version,
+            }
+        dclm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+DROP\s+COLUMN\s+"
+            rf"`?([A-Za-z_]\w*)`?$",
+            s,
+            re.I,
+        )
+        if dclm is not None:
+            t = _resolve_target(dclm.group(1), tables)
+            version = t.drop_column(dclm.group(2))
+            return {
+                "op": "drop_column",
+                "table": dclm.group(1),
+                "column": dclm.group(2),
+                "version": version,
+            }
         acm = re.match(
             rf"^ALTER\s+TABLE\s+({_NAME})\s+ADD\s+CONSTRAINT\s+"
             rf"`?([A-Za-z_]\w*)`?\s+CHECK\s*\((.+)\)$",
@@ -929,7 +962,9 @@ def execute_dml(
                 "(k = v, ...) | ALTER TABLE <table> PARTITIONED BY "
                 "(col, ...) | ALTER TABLE <table> DROP PARTITIONING | "
                 "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (expr) "
-                "| ALTER TABLE <table> DROP CONSTRAINT <name>"
+                "| ALTER TABLE <table> DROP CONSTRAINT <name> | "
+                "ALTER TABLE <table> RENAME COLUMN <a> TO <b> | "
+                "ALTER TABLE <table> DROP COLUMN <c>"
             )
         t = _resolve_target(m.group(1), tables)
         columns: dict[str, str] = {}

@@ -275,6 +275,16 @@ class TxTableStreamReader(DataSourceStreamReader):
                     f"txstream: no committed schema at {self.path}"
                 )
             self.schema_fields = list(m["schema"].items())
+        # column mapping (RENAME COLUMN): pages store PHYSICAL names;
+        # resolved once — physical names are immutable, so the map is
+        # valid for every version this stream will ever admit
+        mh = self._table().manifest() or {}
+        self.phys_to_log = {
+            p: l
+            for l, p in (
+                mh.get("meta", {}).get("column_mapping") or {}
+            ).items()
+        }
 
     def _table(self):
         from nyc_taxi_etl_pyspark_spark.sources.txtable import (
@@ -511,7 +521,12 @@ class TxTableStreamReader(DataSourceStreamReader):
                 part_vals = stats.get(key, {}).get("partition", {})
                 parts.append(
                     InputPartition(
-                        (t.storage.url(key), self.schema_fields, part_vals)
+                        (
+                            t.storage.url(key),
+                            self.schema_fields,
+                            part_vals,
+                            self.phys_to_log,
+                        )
                     )
                 )
             prev = m
@@ -528,8 +543,14 @@ class TxTableStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        path, schema_items, part_vals = partition.value
+        path, schema_items, part_vals, phys_to_log = partition.value
         table = pq.read_table(path)
+        if phys_to_log:
+            # column mapping: page columns renamed to logical before
+            # the declared-order projection
+            table = table.rename_columns(
+                [phys_to_log.get(c, c) for c in table.column_names]
+            )
         n = table.num_rows
         arrays, fallback = [], False
         for name, type_str in schema_items:

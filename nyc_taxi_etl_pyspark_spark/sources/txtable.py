@@ -1869,7 +1869,7 @@ class TransactionalTable:
                 raw = self._strip_dv(
                     spark, self._with_dv_keys(raw, files), dv_map
                 )
-            df = _reconcile_schema(raw, m)
+            df = _reconcile_schema(self._to_logical(raw, m), m)
         if where or partitions or equals:
             from pyspark.sql import functions as F
 
@@ -1956,7 +1956,60 @@ class TransactionalTable:
                 )
             return self._empty_frame(reader, m1, anchor[0])
         with _no_listing_job(spark, len(new_files)):
-            return reader.parquet(*[self.storage.url(f) for f in new_files])
+            return self._to_logical(
+                reader.parquet(*[self.storage.url(f) for f in new_files]),
+                m1,
+            )
+
+    def _column_mapping(self, m: dict | None = None) -> dict[str, str]:
+        """COLUMN MAPPING (Delta's name-mapping mode, round 10):
+        {logical name: physical name} for every column whose manifest
+        name differs from the name stored in the parquet pages.
+        RENAME COLUMN is metadata-only because the PHYSICAL name never
+        changes — old and new files alike store the original name; the
+        manifest (schema, per-file stats, partition_by, bloom columns)
+        speaks LOGICAL names throughout, and the mapping is applied
+        only at the two physical boundaries: scan exit
+        (:meth:`_to_logical`) and stage entry (:meth:`_stage`).
+        Empty for every table that never renamed — the identity path
+        adds zero work and zero plan nodes."""
+        if m is None:
+            m = self.manifest()
+        return dict((m or {}).get("meta", {}).get("column_mapping") or {})
+
+    def _dropped_columns(self, m: dict | None = None) -> set[str]:
+        """PHYSICAL names of every column ever dropped (DROP COLUMN is
+        metadata-only; old files still carry the pages). Tombstoned so
+        (a) scans project them away, (b) ``add_columns`` refuses to
+        re-use the name — re-adding would resurrect stale values from
+        pre-drop files."""
+        if m is None:
+            m = self.manifest()
+        return set((m or {}).get("meta", {}).get("dropped_columns") or [])
+
+    def _to_logical(self, df: DataFrame, m: dict) -> DataFrame:
+        """Project a PHYSICAL scan frame to the snapshot's LOGICAL
+        column names: renamed columns aliased, dropped columns
+        projected away, everything else (including ``__dv_*`` carry
+        columns) passed through. No-op (frame returned untouched) when
+        the snapshot has no mapping and no tombstones — the
+        overwhelmingly common path."""
+        mapping = self._column_mapping(m)
+        dropped = self._dropped_columns(m)
+        if not mapping and not dropped:
+            return df
+        from pyspark.sql import functions as F
+
+        phys_to_log = {p: l for l, p in mapping.items()}
+        cols = []
+        for c in df.columns:
+            if c in phys_to_log:
+                cols.append(F.col(f"`{c}`").alias(phys_to_log[c]))
+            elif c in dropped:
+                continue
+            else:
+                cols.append(F.col(f"`{c}`"))
+        return df.select(*cols)
 
     def _schema_reader(self, reader, m: dict):
         """Reader schema handling for a mixed-physical-schema snapshot.
@@ -1972,9 +2025,14 @@ class TransactionalTable:
         if not m.get("mixed_schemas"):
             return reader
         if m.get("meta", {}).get("widened"):
+            # the explicit reader schema must name the PHYSICAL columns
+            # (what the pages store); renamed columns logicalize after
+            # the scan (_to_logical)
+            mapping = self._column_mapping(m)
             return reader.schema(
                 ", ".join(
-                    f"`{c}` {t}" for c, t in (m.get("schema") or {}).items()
+                    f"`{mapping.get(c, c)}` {t}"
+                    for c, t in (m.get("schema") or {}).items()
                 )
             )
         return reader.option("mergeSchema", "true")
@@ -1991,7 +2049,10 @@ class TransactionalTable:
         anchor's columns first, exactly what a mergeSchema read of the
         full file set produces)."""
         return _reconcile_schema(
-            reader.parquet(self.storage.url(anchor_key)).limit(0), m
+            self._to_logical(
+                reader.parquet(self.storage.url(anchor_key)).limit(0), m
+            ),
+            m,
         )
 
     def create_view(
@@ -2083,6 +2144,8 @@ class TransactionalTable:
             "bloom_index": meta.get("bloom_index"),
             "properties": meta.get("properties") or {},
             "constraints": meta.get("constraints") or {},
+            "column_mapping": meta.get("column_mapping") or {},
+            "dropped_columns": meta.get("dropped_columns") or [],
             "mixed_schemas": bool(m.get("mixed_schemas")),
             "schema": m.get("schema"),
             "n_versions_retained": len(self.versions()),
@@ -2223,6 +2286,20 @@ class TransactionalTable:
         the feed idempotently keyed on (key, to_version)."""
         from pyspark.sql import functions as F
 
+        m_lo = self.manifest(from_version)
+        m_hi = self.manifest(to_version if to_version is not None
+                             else self.latest_version())
+        if (
+            self._column_mapping(m_lo) != self._column_mapping(m_hi)
+            or self._dropped_columns(m_lo) != self._dropped_columns(m_hi)
+        ):
+            raise ValueError(
+                f"{self.root}: changes() window v{from_version}→"
+                f"{'head' if to_version is None else f'v{to_version}'} "
+                "crosses a RENAME/DROP COLUMN commit — the keyed diff "
+                "would compare differently-named columns. Consume the "
+                "feed up to the rename, then restart from it."
+            )
         old = self.read(spark, from_version)
         new = self.read(spark, to_version)  # None → latest
         # schema may have widened between the snapshots (ALTER TABLE
@@ -2352,6 +2429,28 @@ class TransactionalTable:
         reaches ``distributed_publish_min_files`` — no per-file work
         serializes on the driver; small commits keep the cheaper
         driver-side loop."""
+        # COLUMN MAPPING boundary (see _column_mapping): the frame
+        # arrives with LOGICAL names; files always store PHYSICAL
+        # names, so renamed columns translate here and the harvested
+        # stats translate back before they enter the manifest.
+        # Identity (no mapping) adds nothing. A logical name never
+        # collides with another column's physical name
+        # (rename_column enforces it), so the empty-partitioned
+        # re-stage recursion below is idempotent under this select.
+        __mapping = self._column_mapping()
+        if __mapping:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(f"`{c}`").alias(__mapping.get(c, c))
+                    for c in df.columns
+                ]
+            )
+            if partition_by:
+                partition_by = [__mapping.get(c, c) for c in partition_by]
+            if bloom_by:
+                bloom_by = [__mapping.get(c, c) for c in bloom_by]
         tasks: list[tuple[str | None, str, dict]] = []
         staging = None
         # layout v2 is a FILE FORMAT (pages keep partition columns;
@@ -2467,6 +2566,25 @@ class TransactionalTable:
                 }
             keys = [key for _, key, _ in tasks]
             stats = {k: s for k, s in stats.items() if s}
+            if __mapping:
+                # manifest speaks LOGICAL: translate harvested footer
+                # stats, partition values, and bloom keys back
+                __inv = {p: l for l, p in __mapping.items()}
+                for fs in stats.values():
+                    if "cols" in fs:
+                        fs["cols"] = {
+                            __inv.get(c, c): v for c, v in fs["cols"].items()
+                        }
+                    if "partition" in fs:
+                        fs["partition"] = {
+                            __inv.get(c, c): v
+                            for c, v in fs["partition"].items()
+                        }
+                    if "bloom" in fs:
+                        fs["bloom"] = {
+                            __inv.get(c, c): v
+                            for c, v in fs["bloom"].items()
+                        }
             # Bloom payloads (~1.7 KB/file/col) do NOT ride the
             # manifest: they go to ONE per-commit sidecar object and
             # each file's stats keep only the ref — manifests and
@@ -2596,6 +2714,8 @@ class TransactionalTable:
             "properties",
             "widened",
             "constraints",
+            "column_mapping",
+            "dropped_columns",
         ):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
@@ -3665,6 +3785,48 @@ class TransactionalTable:
                 "restored_version": version,
                 "layout": self._layout_of(target),
             }
+            # column identity (mapping + drop tombstones) travels with
+            # the restored SCHEMA and FILES, like layout — carrying the
+            # head's mapping over the target's schema would logicalize
+            # scans to names the restored schema doesn't declare
+            t_meta = target.get("meta", {})
+            meta["column_mapping"] = dict(
+                t_meta.get("column_mapping") or {}
+            )
+            meta["dropped_columns"] = list(
+                t_meta.get("dropped_columns") or []
+            )
+            # CHECK constraints carry from the HEAD (active guardrails
+            # survive a rollback), EXCEPT constraints referencing a
+            # column the restored schema does not declare — carrying
+            # those would make every later write fail on an
+            # unresolvable predicate. Dropped names are recorded in
+            # the restore's meta for the audit trail.
+            head_cons = (prev or {}).get("meta", {}).get(
+                "constraints"
+            ) or {}
+            if head_cons:
+                head_schema = set((prev or {}).get("schema") or {})
+                t_schema = set(target.get("schema") or {})
+                kept: dict[str, str] = {}
+                dropped_cons: list[str] = []
+                for cname, expr in head_cons.items():
+                    refs = {
+                        c
+                        for c in head_schema
+                        if re.search(
+                            rf"(?<![\w.`]){re.escape(c)}(?![\w`])", expr
+                        )
+                    }
+                    if refs <= t_schema:
+                        kept[cname] = expr
+                    else:
+                        dropped_cons.append(cname)
+                meta["constraints"] = kept
+                if dropped_cons:
+                    meta["constraints_dropped_on_restore"] = sorted(
+                        dropped_cons
+                    )
             # per-file stats are NOT immutable by key anymore: a
             # deletion-vector commit edits a retained file's entry in
             # place, so restoring across one must explicitly re-assert
@@ -3739,6 +3901,25 @@ class TransactionalTable:
                 raise ValueError(
                     f"add_columns: column(s) {clash} already exist in "
                     f"{self.root}"
+                )
+            # column-mapping guards: a new LOGICAL name must not equal
+            # a dropped column's PHYSICAL name (old files still carry
+            # those pages — re-using the name would resurrect stale
+            # values) nor any renamed column's physical name (the
+            # stage-side rename would collide two columns in one file)
+            blocked = sorted(
+                set(columns)
+                & (
+                    self._dropped_columns(m)
+                    | set(self._column_mapping(m).values())
+                )
+            )
+            if blocked:
+                raise ValueError(
+                    f"add_columns: name(s) {blocked} are retired physical "
+                    f"column names in {self.root} (previously dropped or "
+                    "the pre-rename name of a renamed column); pick a "
+                    "different name"
                 )
             schema.update(columns)
             if self._put_manifest(
@@ -3996,6 +4177,8 @@ class TransactionalTable:
                 "properties",
                 "widened",
                 "constraints",
+                "column_mapping",
+                "dropped_columns",
             )
         }
         meta.update(
@@ -4298,6 +4481,229 @@ class TransactionalTable:
                 return base_v + 1
         raise CommitConflict(
             f"drop_constraint lost {max_retries} commit races on {self.root}"
+        )
+
+    # -- column mapping (RENAME / DROP COLUMN) -----------------------------
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 5
+    ) -> int:
+        """``ALTER TABLE ... RENAME COLUMN old TO new`` — METADATA-ONLY
+        (Delta's column-mapping rename): no file is rewritten because
+        the PHYSICAL column name never changes; the commit rewrites the
+        manifest's logical names (schema, per-file min/max and
+        partition-value stats, partition_by, clustering and bloom
+        declarations) and records {new: physical} in the sticky
+        ``column_mapping``, which scans and stages translate at the
+        parquet boundary (:meth:`_to_logical` / :meth:`_stage`).
+
+        Invariants enforced here: the new name must be a fresh
+        identifier that collides with NO other column's logical OR
+        physical name (keeps the stage-side rename collision-free and
+        the boundary select idempotent), and columns referenced by a
+        CHECK constraint cannot be renamed (drop the constraint, rename,
+        re-add under the new name — the Delta restriction). Pre-rename
+        bloom sidecars stay keyed by the old name, so bloom
+        point-pruning resumes for files staged after the rename;
+        min/max band pruning is rewritten here and keeps working for
+        every file. Time travel reads each version under its own
+        names; ``changes()`` refuses to diff across a rename."""
+        if not new or not new.isidentifier():
+            raise ValueError(f"rename_column: invalid new name {new!r}")
+        if new.startswith(_SHADOW_PREFIX):
+            raise ValueError(
+                f"rename_column: names may not start with "
+                f"{_SHADOW_PREFIX!r}: {new!r}"
+            )
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            schema = dict(m.get("schema") or {})
+            if old not in schema:
+                raise ValueError(
+                    f"rename_column: no column {old!r} in {self.root} "
+                    f"(have {sorted(schema)})"
+                )
+            if new in schema:
+                raise ValueError(
+                    f"rename_column: {new!r} already exists in {self.root}"
+                )
+            mapping = self._column_mapping(m)
+            phys_of = {c: mapping.get(c, c) for c in schema}
+            own_phys = phys_of.pop(old)
+            if new in set(phys_of.values()) | self._dropped_columns(m):
+                raise ValueError(
+                    f"rename_column: {new!r} collides with another "
+                    "column's physical name or a dropped column's "
+                    f"tombstone in {self.root}; pick a different name"
+                )
+            for cname, expr in (
+                m.get("meta", {}).get("constraints") or {}
+            ).items():
+                if re.search(rf"(?<![\w.`]){re.escape(old)}(?![\w`])", expr):
+                    raise ValueError(
+                        f"rename_column: column {old!r} is referenced by "
+                        f"CHECK constraint {cname!r} ({expr!r}) — drop "
+                        "the constraint, rename, and re-add it"
+                    )
+            mapping.pop(old, None)
+            if new != own_phys:
+                mapping[new] = own_phys
+            new_schema = {
+                (new if c == old else c): t for c, t in schema.items()
+            }
+            stats = {}
+            override = {}
+            for f, fs in (m.get("stats") or {}).items():
+                changed = False
+                fs = dict(fs)
+                if "cols" in fs and old in fs["cols"]:
+                    fs["cols"] = {
+                        (new if c == old else c): v
+                        for c, v in fs["cols"].items()
+                    }
+                    changed = True
+                if "partition" in fs and old in fs["partition"]:
+                    fs["partition"] = {
+                        (new if c == old else c): v
+                        for c, v in fs["partition"].items()
+                    }
+                    changed = True
+                stats[f] = fs
+                if changed:
+                    # delta records only carry ADDED files' stats;
+                    # retained files' rewritten entries must ride the
+                    # override channel (the DV-commit shape)
+                    override[f] = fs
+            meta = {
+                "op": "rename_column",
+                "from": old,
+                "to": new,
+                "column_mapping": mapping,
+            }
+            for key in ("clustering", "bloom_index"):
+                decl = m.get("meta", {}).get(key)
+                if decl and old in (decl.get("cols") or []):
+                    decl = dict(decl)
+                    decl["cols"] = [
+                        new if c == old else c for c in decl["cols"]
+                    ]
+                    meta[key] = decl
+            pb = m.get("partition_by")
+            if pb and old in pb:
+                pb = [new if c == old else c for c in pb]
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                new_schema,
+                stats,
+                meta,
+                pb,
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+                stats_override=override,
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"rename_column lost {max_retries} commit races on {self.root}"
+        )
+
+    def drop_column(self, col: str, max_retries: int = 5) -> int:
+        """``ALTER TABLE ... DROP COLUMN`` — METADATA-ONLY: the column
+        leaves the manifest schema and every file's stats; old files
+        keep the pages (scans project them away via the sticky
+        ``dropped_columns`` tombstone) until a rewrite re-stages them
+        without it. The PHYSICAL name is tombstoned forever:
+        ``add_columns`` refuses to re-use it, because a new column
+        under the same name would resurrect stale pre-drop values from
+        unrewritten files. Partition and clustering columns and
+        columns referenced by CHECK constraints cannot be dropped
+        (evolve those declarations first); the last column cannot be
+        dropped."""
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            schema = dict(m.get("schema") or {})
+            if col not in schema:
+                raise ValueError(
+                    f"drop_column: no column {col!r} in {self.root} "
+                    f"(have {sorted(schema)})"
+                )
+            if len(schema) == 1:
+                raise ValueError(
+                    f"drop_column: {col!r} is the only column of "
+                    f"{self.root}"
+                )
+            if col in (m.get("partition_by") or []):
+                raise ValueError(
+                    f"drop_column: {col!r} is a partition column of "
+                    f"{self.root} — alter_partitioning first"
+                )
+            clustering = m.get("meta", {}).get("clustering") or {}
+            if col in (clustering.get("cols") or []):
+                raise ValueError(
+                    f"drop_column: {col!r} is a declared clustering "
+                    f"column of {self.root} — re-cluster first"
+                )
+            for cname, expr in (
+                m.get("meta", {}).get("constraints") or {}
+            ).items():
+                if re.search(rf"(?<![\w.`]){re.escape(col)}(?![\w`])", expr):
+                    raise ValueError(
+                        f"drop_column: column {col!r} is referenced by "
+                        f"CHECK constraint {cname!r} ({expr!r}) — drop "
+                        "the constraint first"
+                    )
+            mapping = self._column_mapping(m)
+            phys = mapping.pop(col, col)
+            dropped = sorted(self._dropped_columns(m) | {phys})
+            schema.pop(col)
+            stats = {}
+            override = {}
+            for f, fs in (m.get("stats") or {}).items():
+                fs = dict(fs)
+                if "cols" in fs and col in fs["cols"]:
+                    fs["cols"] = {
+                        c: v for c, v in fs["cols"].items() if c != col
+                    }
+                    override[f] = fs  # retained-file stats ride override
+                stats[f] = fs
+            meta = {
+                "op": "drop_column",
+                "dropped": col,
+                "column_mapping": mapping,
+                "dropped_columns": dropped,
+            }
+            bloom = m.get("meta", {}).get("bloom_index")
+            if bloom and col in (bloom.get("cols") or []):
+                cols_left = [c for c in bloom["cols"] if c != col]
+                meta["bloom_index"] = (
+                    {**bloom, "cols": cols_left} if cols_left else None
+                )
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                schema,
+                stats,
+                meta,
+                m.get("partition_by"),
+                m,
+                mixed_schemas=bool(m.get("mixed_schemas")),
+                stats_override=override,
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"drop_column lost {max_retries} commit races on {self.root}"
         )
 
     def _enforce_constraints(
@@ -4777,7 +5183,7 @@ class TransactionalTable:
             raw = self._with_dv_keys(raw, files)
         if dv_map:
             raw = self._strip_dv(spark, raw, dv_map, drop=not keep_keys)
-        return _reconcile_schema(raw, m)
+        return _reconcile_schema(self._to_logical(raw, m), m)
 
     def _upload_dv_sidecar(self, hits: DataFrame) -> str:
         """Write the (``__dv_file``, ``__dv_pos``) pairs of ``hits`` as
@@ -4840,7 +5246,9 @@ class TransactionalTable:
         reader = self._schema_reader(reader, m)
         with _no_listing_job(spark, len(affected)):
             raw = reader.parquet(*[self.storage.url(f) for f in affected])
-        keyed = _reconcile_schema(self._with_dv_keys(raw, affected), m)
+        keyed = _reconcile_schema(
+            self._to_logical(self._with_dv_keys(raw, affected), m), m
+        )
         prev_dvs = self._dv_map(m, affected)
         if prev_dvs:
             # only LIVE rows can be deleted again — scanning raw files

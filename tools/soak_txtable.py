@@ -63,7 +63,8 @@ def soak(spark, seed: int, n_ops: int) -> int:
 
     def frame(d):
         return spark.createDataFrame(
-            [(k, v) for k, v in sorted(d.items())], f"k int, v {vtype[0]}"
+            [(k, v) for k, v in sorted(d.items())],
+            f"k int, {vname[0]} {vtype[0]}",
         )
 
     def widen(df):
@@ -90,7 +91,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
             frame(d),
             num_files=rng.randint(1, 4),
             bloom_by=["k"] if rng.random() < 0.5 else None,
-            cluster_by=["v"] if rng.random() < 0.3 else None,
+            cluster_by=[vname[0]] if rng.random() < 0.3 else None,
             # ~1/4 of replaces write the LEGACY layout, so version
             # histories mix v1 and v2 snapshots and restore/appends
             # must follow each manifest's own flag
@@ -130,7 +131,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
             return
         lo = rng.randint(-500, 500)
         hi = lo + rng.randint(0, 300)
-        t.delete(spark, [("v", lo, hi)])
+        t.delete(spark, [(vname[0], lo, hi)])
         for k in [k for k, v in model.items() if lo <= v <= hi]:
             del model[k]
 
@@ -152,6 +153,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         model.update(history[v])
         extra[:] = list(extra_history[v])  # schema went back in time too
         vtype[0] = vtype_history[v]
+        vname[0] = vname_history[v]  # column names travel with schema
 
     def do_vacuum():
         t.vacuum(retain_versions=4, unreferenced_grace_s=0)
@@ -171,8 +173,8 @@ def soak(spark, seed: int, n_ops: int) -> int:
         hi = lo + rng.randint(0, 300)
         execute_dml(
             spark,
-            f"UPDATE {dml_name} SET v = v + 7 "
-            f"WHERE v BETWEEN {lo} AND {hi}",
+            f"UPDATE {dml_name} SET {vname[0]} = {vname[0]} + 7 "
+            f"WHERE {vname[0]} BETWEEN {lo} AND {hi}",
         )
         for k in [k for k, v in model.items() if lo <= v <= hi]:
             model[k] += 7
@@ -184,7 +186,9 @@ def soak(spark, seed: int, n_ops: int) -> int:
         lo = rng.randint(-500, 500)
         hi = lo + rng.randint(0, 300)
         execute_dml(
-            spark, f"DELETE FROM {dml_name} WHERE v BETWEEN {lo} AND {hi}"
+            spark,
+            f"DELETE FROM {dml_name} "
+            f"WHERE {vname[0]} BETWEEN {lo} AND {hi}",
         )
         for k in [k for k, v in model.items() if lo <= v <= hi]:
             del model[k]
@@ -216,12 +220,13 @@ def soak(spark, seed: int, n_ops: int) -> int:
             spark,
             f"MERGE INTO {dml_name} AS t USING {dml_name}_cl AS s "
             f"ON t.k = s.k "
-            f"WHEN MATCHED AND s.v < -300 THEN DELETE "
-            f"WHEN MATCHED THEN UPDATE SET v = s.v + 1 "
-            f"WHEN NOT MATCHED AND s.v % 2 = 0 THEN "
-            f"INSERT (k, v) VALUES (s.k, s.v) "
-            f"WHEN NOT MATCHED BY SOURCE AND t.v > 400 THEN "
-            f"UPDATE SET v = t.v - 1000",
+            f"WHEN MATCHED AND s.{vname[0]} < -300 THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET "
+            f"{vname[0]} = s.{vname[0]} + 1 "
+            f"WHEN NOT MATCHED AND s.{vname[0]} % 2 = 0 THEN "
+            f"INSERT (k, {vname[0]}) VALUES (s.k, s.{vname[0]}) "
+            f"WHEN NOT MATCHED BY SOURCE AND t.{vname[0]} > 400 THEN "
+            f"UPDATE SET {vname[0]} = t.{vname[0]} - 1000",
         )
         for k in [k for k in model if k not in d and model[k] > 400]:
             model[k] -= 1000
@@ -255,8 +260,8 @@ def soak(spark, seed: int, n_ops: int) -> int:
         hi = lo + rng.randint(0, 300)
         res = t.update_where(
             spark,
-            {"v": "v + 13"},
-            f"v BETWEEN {lo} AND {hi}",
+            {vname[0]: f"{vname[0]} + 13"},
+            f"{vname[0]} BETWEEN {lo} AND {hi}",
             merge_on_read=True,
         )
         assert res["files_rewritten"] == 0, res
@@ -291,11 +296,12 @@ def soak(spark, seed: int, n_ops: int) -> int:
             widen(frame(d)),
             ["k"],
             clauses=[
-                {"when": "matched", "cond": "s.v < -300",
+                {"when": "matched", "cond": f"s.{vname[0]} < -300",
                  "action": "delete"},
                 {"when": "matched", "cond": None, "action": "update",
-                 "set": {"v": "s.v + 1"}},
-                {"when": "not_matched", "cond": "s.v % 2 = 0",
+                 "set": {vname[0]: f"s.{vname[0]} + 1"}},
+                {"when": "not_matched",
+                 "cond": f"s.{vname[0]} % 2 = 0",
                  "action": "insert", "values": "*"},
             ],
             merge_on_read=True,
@@ -329,13 +335,15 @@ def soak(spark, seed: int, n_ops: int) -> int:
         try:
             c = TransactionalTable(os.path.join(d, "c"))
             c.clone_from(t)
-            got = {r["k"]: r["v"] for r in c.read(spark).collect()}
+            got = {r["k"]: r[vname[0]] for r in c.read(spark).collect()}
             assert got == model, ("clone content", got, model)
             assert c.count() == len(model)
             if model:
                 c.delete_where(spark, f"k = {sorted(model)[0]}")
                 c.vacuum(retain_versions=1, unreferenced_grace_s=0)
-            src_again = {r["k"]: r["v"] for r in t.read(spark).collect()}
+            src_again = {
+                r["k"]: r[vname[0]] for r in t.read(spark).collect()
+            }
             assert src_again == model, ("clone mutated source",)
             assert t.fsck()["ok"], "clone vacuum touched source files"
         finally:
@@ -357,7 +365,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         # files on scan
         if not t.exists() or vtype[0] != "int":
             return
-        t.alter_column_type(spark, "v", "bigint")
+        t.alter_column_type(spark, vname[0], "bigint")
         vtype[0] = "bigint"
 
     def do_alter_partitioning():
@@ -387,6 +395,27 @@ def soak(spark, seed: int, n_ops: int) -> int:
             not t.storage.supports_direct_write
         )
 
+    # column mapping state: the model's "v" column may currently be
+    # RENAMED on the table; write frames and SQL text must follow.
+    # vname[0] is the CURRENT logical name of the v column.
+    vname = ["v"]
+    vname_history: list[str] = []
+
+    def do_rename_v():
+        # RENAME COLUMN: metadata-only; every later op speaks the new
+        # name (frame(), SQL text, predicates). Constraint references
+        # block renames, so drop the soak constraint first if present.
+        if not t.exists():
+            return
+        if "v_not_null" in t.constraints():
+            t.drop_constraint("v_not_null")
+        new_name = "v" if vname[0] != "v" else "val"
+        try:
+            t.rename_column(vname[0], new_name)
+        except ValueError:
+            return  # e.g. tombstone collision after a restore
+        vname[0] = new_name
+
     def do_replace_where():
         # REPLACE WHERE (round 10): atomically swap the v-band region
         # for a fresh batch whose rows satisfy the predicate
@@ -402,7 +431,9 @@ def soak(spark, seed: int, n_ops: int) -> int:
         if not d:
             return
         t.replace_where(
-            spark, widen(frame(d)), f"v BETWEEN {lo} AND {hi}"
+            spark,
+            widen(frame(d)),
+            f"{vname[0]} BETWEEN {lo} AND {hi}",
         )
         for k in [k for k, v in model.items() if lo <= v <= hi]:
             del model[k]
@@ -422,12 +453,14 @@ def soak(spark, seed: int, n_ops: int) -> int:
         if not t.exists():
             return
         if "v_not_null" not in t.constraints():
-            t.add_constraint(spark, "v_not_null", "v IS NOT NULL")
+            t.add_constraint(
+                spark, "v_not_null", f"{vname[0]} IS NOT NULL"
+            )
         head = t.latest_version()
         sample = t.read(spark).limit(1)
         if sample.count() == 0:
             return
-        bad = sample.withColumn("v", F.lit(None).cast(vtype[0]))
+        bad = sample.withColumn(vname[0], F.lit(None).cast(vtype[0]))
         try:
             t.commit(bad, mode="append")
         except ConstraintViolation:
@@ -468,6 +501,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
         do_add_constraint,
         do_drop_constraint,
         do_replace_where,
+        do_rename_v,
     ]
     do_replace()
     checks = 0
@@ -477,6 +511,7 @@ def soak(spark, seed: int, n_ops: int) -> int:
             history.append(dict(model))
             extra_history.append(list(extra))
             vtype_history.append(vtype[0])
+            vname_history.append(vname[0])
 
     fill_history()
     for i in range(n_ops):
@@ -485,12 +520,12 @@ def soak(spark, seed: int, n_ops: int) -> int:
         fill_history()
         if not t.exists():
             continue
-        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        got = {r["k"]: r[vname[0]] for r in t.read(spark).collect()}
         assert got == model, (seed, i, op.__name__, got, model)
         assert t.count() == len(model), (seed, i, op.__name__)
         band = {
-            r["k"]: r["v"]
-            for r in t.read(spark, where=[("v", -100, 100)]).collect()
+            r["k"]: r[vname[0]]
+            for r in t.read(spark, where=[(vname[0], -100, 100)]).collect()
         }
         assert band == {k: v for k, v in model.items() if -100 <= v <= 100}, (
             seed,
@@ -500,7 +535,10 @@ def soak(spark, seed: int, n_ops: int) -> int:
         )
         if model:
             k0 = rng.choice(sorted(model))
-            pt = [r["v"] for r in t.read(spark, equals={"k": k0}).collect()]
+            pt = [
+                r[vname[0]]
+                for r in t.read(spark, equals={"k": k0}).collect()
+            ]
             assert pt == [model[k0]], (seed, i, op.__name__, "point", k0)
         f = t.fsck()
         assert f["ok"], (seed, i, op.__name__, f)
