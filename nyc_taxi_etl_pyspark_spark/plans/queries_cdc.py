@@ -2125,6 +2125,78 @@ def q_tx_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tx_generated_column",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice,
+           round(o_totalprice * 0.1 + 1e-9, 4) AS tax
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 90000000,
+           round(o_totalprice * 3 + 1e-9, 4) AS o_totalprice,
+           round(o_totalprice * 3 * 0.1 + 1e-9, 4) AS tax
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def q_tx_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (round 10 —
+    ``txtable.add_generated_column`` via the SQL front door's ``ALTER
+    TABLE ... ADD COLUMN tax double GENERATED ALWAYS AS (expr)``): a
+    schema-only commit. PRE-ALTER rows compute the expression at read
+    (``coalesce(physical, expr)`` — exact because every write is gated
+    on physical == expr), an APPEND omitting the column derives it at
+    write, and a violating append (wrong explicit value) rejects
+    whole — asserted in-body. The oracle replays both row populations
+    declaratively with the identical expression; UPDATE re-derivation,
+    restore/clone travel, and the rename/drop guards are pinned in
+    tests/test_txtable_columns.py."""
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+        TransactionalTable,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = fixture_scratch_dir("spark_graft_txgencol", sf_dir)
+    t = TransactionalTable(root)
+    if not t.exists():
+        t.commit(o, cluster_by=["o_orderkey"])
+        execute_dml(
+            spark,
+            "ALTER TABLE t ADD COLUMN tax double GENERATED ALWAYS AS "
+            "(o_totalprice * 0.1)",
+            tables={"t": t},
+        )
+        t.commit(  # derived at write (column omitted)
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+                (F.col("o_totalprice") * 3).alias("o_totalprice"),
+            ),
+            mode="append",
+        )
+        bad = spark.createDataFrame(
+            [(999999999, 10.0, 77.0)],
+            "o_orderkey bigint, o_totalprice double, tax double",
+        )
+        try:
+            t.commit(bad, mode="append")
+        except ConstraintViolation:
+            pass
+        else:  # pragma: no cover - the gate failing IS the bug
+            raise RuntimeError(
+                "generated-column gate accepted a violating append"
+            )
+    return t.read(spark).select(
+        "o_orderkey",
+        stable_round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        stable_round(F.col("tax"), 4).alias("tax"),
+    )
+
+
+@query(
     "q_tx_sql_alter_widen",
     oracle="""
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

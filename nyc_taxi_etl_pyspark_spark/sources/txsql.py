@@ -573,6 +573,16 @@ def execute_dml(
         df = spark.sql(q[1:-1] if q.startswith("(") and q.endswith(")") else q)
         cur = t.manifest()
         schema = (cur or {}).get("schema")
+        # GENERATED ALWAYS AS: an INSERT omitting a generated column
+        # derives it here, so by-name matching sees full coverage (the
+        # write gate still verifies equality if the query supplied it)
+        gen = (cur or {}).get("meta", {}).get("generated_columns") or {}
+        if gen and schema:
+            from pyspark.sql import functions as F
+
+            for g, e in gen.items():
+                if g not in df.columns and g in schema:
+                    df = df.withColumn(g, F.expr(e).cast(schema[g]))
         if schema:
             # standard INSERT semantics: the query's columns are
             # matched BY NAME when every table column appears, else BY
@@ -834,6 +844,28 @@ def execute_dml(
                 "op": "set_properties",
                 "table": pm.group(1),
                 "properties": t.properties(),
+                "version": version,
+            }
+        gcm = re.match(
+            rf"^ALTER\s+TABLE\s+({_NAME})\s+ADD\s+COLUMN\s+"
+            rf"`?([A-Za-z_]\w*)`?\s+([A-Za-z_]\w*(?:\s*\([\d\s,]*\))?)\s+"
+            rf"GENERATED\s+ALWAYS\s+AS\s*\((.+)\)$",
+            s,
+            re.I | re.S,
+        )
+        if gcm is not None:
+            t = _resolve_target(gcm.group(1), tables)
+            version = t.add_generated_column(
+                spark,
+                gcm.group(2),
+                gcm.group(3).strip(),
+                gcm.group(4).strip(),
+            )
+            return {
+                "op": "add_generated_column",
+                "table": gcm.group(1),
+                "column": gcm.group(2),
+                "expr": gcm.group(4).strip(),
                 "version": version,
             }
         rcm = re.match(

@@ -1869,7 +1869,9 @@ class TransactionalTable:
                 raw = self._strip_dv(
                     spark, self._with_dv_keys(raw, files), dv_map
                 )
-            df = _reconcile_schema(self._to_logical(raw, m), m)
+            df = self._with_generated(
+                _reconcile_schema(self._to_logical(raw, m), m), m
+            )
         if where or partitions or equals:
             from pyspark.sql import functions as F
 
@@ -1987,6 +1989,93 @@ class TransactionalTable:
             m = self.manifest()
         return set((m or {}).get("meta", {}).get("dropped_columns") or [])
 
+    def generated_columns(self, m: dict | None = None) -> dict[str, str]:
+        """GENERATED ALWAYS AS columns: {name: SQL expression}. The
+        invariant every write path enforces fail-closed: a physically
+        written value ALWAYS equals the expression over its row. That
+        invariant is what makes the read-side ``coalesce(col, expr)``
+        EXACT on mixed files (pre-ALTER files lack the pages → NULL →
+        the expression; post-ALTER files carry values the gate proved
+        equal to it)."""
+        if m is None:
+            m = self.manifest()
+        return dict(
+            (m or {}).get("meta", {}).get("generated_columns") or {}
+        )
+
+    def _with_generated(self, df: DataFrame, m: dict) -> DataFrame:
+        """Read-side materialization of generated columns:
+        ``coalesce(physical, expr)`` per generated column — exact under
+        the write-gate invariant (see :meth:`generated_columns`).
+        No-op when the table declares none."""
+        gen = self.generated_columns(m)
+        if not gen:
+            return df
+        from pyspark.sql import functions as F
+
+        schema = m.get("schema") or {}
+        for g, e in gen.items():
+            if g in df.columns:
+                df = df.withColumn(
+                    g,
+                    F.coalesce(
+                        F.col(g), F.expr(e).cast(schema.get(g, "string"))
+                    ),
+                )
+        return df
+
+    def _derive_generated(self, df: DataFrame, m: dict | None) -> DataFrame:
+        """Write-side derivation: a frame omitting a generated column
+        gets it computed (Delta's GENERATED ALWAYS AS write behavior);
+        a frame supplying it is checked for equality by
+        :meth:`_enforce_constraints` (via the implicit constraints in
+        :meth:`_write_gates`)."""
+        gen = self.generated_columns(m)
+        if not gen:
+            return df
+        from pyspark.sql import functions as F
+
+        schema = (m or {}).get("schema") or {}
+        for g, e in gen.items():
+            if g not in df.columns:
+                df = df.withColumn(
+                    g, F.expr(e).cast(schema.get(g, "string"))
+                )
+        return df
+
+    def _rederive_generated(
+        self, df: DataFrame, m: dict | None, skip: set[str] | frozenset = frozenset()
+    ) -> DataFrame:
+        """UPDATE-path recomputation (the Delta behavior): generated
+        columns the statement did NOT explicitly assign are
+        re-derived from the post-assignment row, so updating a base
+        column cannot strand a stale generated value; explicitly
+        assigned generated columns keep the user's value and face the
+        equality gate instead."""
+        gen = self.generated_columns(m)
+        if not gen:
+            return df
+        from pyspark.sql import functions as F
+
+        schema = (m or {}).get("schema") or {}
+        for g, e in gen.items():
+            if g in df.columns and g not in skip:
+                df = df.withColumn(
+                    g, F.expr(e).cast(schema.get(g, "string"))
+                )
+        return df
+
+    def _write_gates(self, m: dict | None) -> dict[str, str]:
+        """The full fail-closed predicate set for a write: declared
+        CHECK constraints plus one NULL-safe equality per generated
+        column (``g <=> (expr)`` — true/false, never unknown, so the
+        expectations evaluator needs no special casing)."""
+        meta = (m or {}).get("meta", {}) if m else {}
+        gates = dict(meta.get("constraints") or {})
+        for g, e in (meta.get("generated_columns") or {}).items():
+            gates[f"__generated_{g}"] = f"`{g}` <=> ({e})"
+        return gates
+
     def _to_logical(self, df: DataFrame, m: dict) -> DataFrame:
         """Project a PHYSICAL scan frame to the snapshot's LOGICAL
         column names: renamed columns aliased, dropped columns
@@ -2048,9 +2137,13 @@ class TransactionalTable:
         footer misses is appended as a typed NULL literal (order: the
         anchor's columns first, exactly what a mergeSchema read of the
         full file set produces)."""
-        return _reconcile_schema(
-            self._to_logical(
-                reader.parquet(self.storage.url(anchor_key)).limit(0), m
+        return self._with_generated(
+            _reconcile_schema(
+                self._to_logical(
+                    reader.parquet(self.storage.url(anchor_key)).limit(0),
+                    m,
+                ),
+                m,
             ),
             m,
         )
@@ -2146,6 +2239,7 @@ class TransactionalTable:
             "constraints": meta.get("constraints") or {},
             "column_mapping": meta.get("column_mapping") or {},
             "dropped_columns": meta.get("dropped_columns") or [],
+            "generated_columns": meta.get("generated_columns") or {},
             "mixed_schemas": bool(m.get("mixed_schemas")),
             "schema": m.get("schema"),
             "n_versions_retained": len(self.versions()),
@@ -2716,6 +2810,7 @@ class TransactionalTable:
             "constraints",
             "column_mapping",
             "dropped_columns",
+            "generated_columns",
         ):
             if sticky not in meta and prev is not None:
                 carried = prev.get("meta", {}).get(sticky)
@@ -2880,12 +2975,16 @@ class TransactionalTable:
         """
         if mode == "replace_partitions" and not partition_by:
             raise ValueError("replace_partitions requires partition_by")
-        # table CHECK constraints gate EVERY commit front door (plain
-        # commits, copy-on-write merge/update rewrites, streaming
-        # sinks, SQL INSERT/CTAS all land here); the deletion-vector
-        # append paths enforce separately before their own staging.
-        # Zero cost for tables with no constraints.
-        self._enforce_constraints(df)
+        # table CHECK constraints + generated-column equality gate
+        # EVERY commit front door (plain commits, copy-on-write
+        # merge/update rewrites, streaming sinks, SQL INSERT/CTAS all
+        # land here); the deletion-vector append paths enforce
+        # separately before their own staging. A frame omitting a
+        # GENERATED column gets it derived here (Delta's GENERATED
+        # ALWAYS AS write behavior). Zero cost for plain tables.
+        __m_gate = self.manifest()
+        df = self._derive_generated(df, __m_gate)
+        self._enforce_constraints(df, self._write_gates(__m_gate))
         if mode == "append" and partition_by is None:
             # an append MUST stage in the table's physical layout: flat
             # files appended to a hive-partitioned table would carry no
@@ -3796,6 +3895,9 @@ class TransactionalTable:
             meta["dropped_columns"] = list(
                 t_meta.get("dropped_columns") or []
             )
+            meta["generated_columns"] = dict(
+                t_meta.get("generated_columns") or {}
+            )
             # CHECK constraints carry from the HEAD (active guardrails
             # survive a rollback), EXCEPT constraints referencing a
             # column the restored schema does not declare — carrying
@@ -4179,6 +4281,7 @@ class TransactionalTable:
                 "constraints",
                 "column_mapping",
                 "dropped_columns",
+                "generated_columns",
             )
         }
         meta.update(
@@ -4550,6 +4653,16 @@ class TransactionalTable:
                         f"CHECK constraint {cname!r} ({expr!r}) — drop "
                         "the constraint, rename, and re-add it"
                     )
+            gen = self.generated_columns(m)
+            for gname, gexpr in gen.items():
+                if gname != old and re.search(
+                    rf"(?<![\w.`]){re.escape(old)}(?![\w`])", gexpr
+                ):
+                    raise ValueError(
+                        f"rename_column: column {old!r} is referenced by "
+                        f"generated column {gname!r} ({gexpr!r}) — drop "
+                        "the generated column first"
+                    )
             mapping.pop(old, None)
             if new != own_phys:
                 mapping[new] = own_phys
@@ -4585,6 +4698,10 @@ class TransactionalTable:
                 "to": new,
                 "column_mapping": mapping,
             }
+            if old in gen:
+                meta["generated_columns"] = {
+                    (new if g == old else g): e for g, e in gen.items()
+                }
             for key in ("clustering", "bloom_index"):
                 decl = m.get("meta", {}).get(key)
                 if decl and old in (decl.get("cols") or []):
@@ -4663,6 +4780,16 @@ class TransactionalTable:
                         f"CHECK constraint {cname!r} ({expr!r}) — drop "
                         "the constraint first"
                     )
+            gen = self.generated_columns(m)
+            for gname, gexpr in gen.items():
+                if gname != col and re.search(
+                    rf"(?<![\w.`]){re.escape(col)}(?![\w`])", gexpr
+                ):
+                    raise ValueError(
+                        f"drop_column: column {col!r} is referenced by "
+                        f"generated column {gname!r} ({gexpr!r}) — drop "
+                        "the generated column first"
+                    )
             mapping = self._column_mapping(m)
             phys = mapping.pop(col, col)
             dropped = sorted(self._dropped_columns(m) | {phys})
@@ -4683,6 +4810,10 @@ class TransactionalTable:
                 "column_mapping": mapping,
                 "dropped_columns": dropped,
             }
+            if col in gen:
+                meta["generated_columns"] = {
+                    g: e for g, e in gen.items() if g != col
+                }
             bloom = m.get("meta", {}).get("bloom_index")
             if bloom and col in (bloom.get("cols") or []):
                 cols_left = [c for c in bloom["cols"] if c != col]
@@ -4704,6 +4835,88 @@ class TransactionalTable:
                 return base_v + 1
         raise CommitConflict(
             f"drop_column lost {max_retries} commit races on {self.root}"
+        )
+
+    def add_generated_column(
+        self,
+        spark: SparkSession,
+        name: str,
+        type_str: str,
+        expr: str,
+        max_retries: int = 5,
+    ) -> int:
+        """``ALTER TABLE ... ADD COLUMN name type GENERATED ALWAYS AS
+        (expr)`` — a SCHEMA-ONLY commit (goes BEYOND Delta, which only
+        allows generated columns at table creation): existing rows
+        surface the computed expression at read time
+        (``coalesce(physical, expr)`` — exact because the write gate
+        enforces physical == expr fail-closed on every path), writes
+        omitting the column derive it, writes supplying it are checked
+        for NULL-safe equality and rejected whole on any mismatch, and
+        copy-on-write rewrites materialize it physically as files
+        re-stage (so stats/pruning progressively cover it). The
+        expression may reference any NON-generated column of the
+        current schema."""
+        if not name or not name.isidentifier():
+            raise ValueError(
+                f"add_generated_column: invalid name {name!r}"
+            )
+        # eager validation: type parses, expression parses and
+        # references only existing non-generated columns
+        spark.createDataFrame([], f"`{name}` {type_str}")
+        for _ in range(max_retries):
+            base_v = self.latest_version()
+            m = self.manifest(base_v)
+            if m is None:
+                raise FileNotFoundError(
+                    f"nothing to alter in {self.root} (no committed version)"
+                )
+            schema = dict(m.get("schema") or {})
+            if name in schema:
+                raise ValueError(
+                    f"add_generated_column: {name!r} already exists in "
+                    f"{self.root}"
+                )
+            blocked = {name} & (
+                self._dropped_columns(m)
+                | set(self._column_mapping(m).values())
+            )
+            if blocked:
+                raise ValueError(
+                    f"add_generated_column: {name!r} is a retired "
+                    f"physical column name in {self.root}"
+                )
+            gen = self.generated_columns(m)
+            for g in gen:
+                if re.search(rf"(?<![\w.`]){re.escape(g)}(?![\w`])", expr):
+                    raise ValueError(
+                        f"add_generated_column: expression references "
+                        f"generated column {g!r} — chain generation is "
+                        "not supported (inline the expression)"
+                    )
+            # the expression must evaluate against the current schema
+            self.read(spark, base_v).limit(0).selectExpr(expr)
+            gen[name] = expr
+            schema[name] = type_str
+            if self._put_manifest(
+                base_v,
+                list(m["files"]),
+                m.get("rows", 0),
+                schema,
+                dict(m.get("stats", {})),
+                {
+                    "op": "add_generated_column",
+                    "added": name,
+                    "generated_columns": gen,
+                },
+                m.get("partition_by"),
+                m,
+                mixed_schemas=True,
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"add_generated_column lost {max_retries} commit races on "
+            f"{self.root}"
         )
 
     def _enforce_constraints(
@@ -5183,7 +5396,9 @@ class TransactionalTable:
             raw = self._with_dv_keys(raw, files)
         if dv_map:
             raw = self._strip_dv(spark, raw, dv_map, drop=not keep_keys)
-        return _reconcile_schema(self._to_logical(raw, m), m)
+        return self._with_generated(
+            _reconcile_schema(self._to_logical(raw, m), m), m
+        )
 
     def _upload_dv_sidecar(self, hits: DataFrame) -> str:
         """Write the (``__dv_file``, ``__dv_pos``) pairs of ``hits`` as
@@ -5246,8 +5461,11 @@ class TransactionalTable:
         reader = self._schema_reader(reader, m)
         with _no_listing_job(spark, len(affected)):
             raw = reader.parquet(*[self.storage.url(f) for f in affected])
-        keyed = _reconcile_schema(
-            self._to_logical(self._with_dv_keys(raw, affected), m), m
+        keyed = self._with_generated(
+            _reconcile_schema(
+                self._to_logical(self._with_dv_keys(raw, affected), m), m
+            ),
+            m,
         )
         prev_dvs = self._dv_map(m, affected)
         if prev_dvs:
@@ -5294,8 +5512,11 @@ class TransactionalTable:
                         for f in old.schema.fields
                     ]
                 )
+                updated = self._rederive_generated(
+                    updated, m, skip=set(assignments)
+                )
                 self._enforce_constraints(
-                    updated, m.get("meta", {}).get("constraints")
+                    updated, self._write_gates(m)
                 )
                 staged_keys, staged_stats = self._stage(
                     updated,
@@ -5542,7 +5763,7 @@ class TransactionalTable:
                 ).select(*schema_cols)
                 appends = re_entered.unionByName(inserts)
                 self._enforce_constraints(
-                    appends, m.get("meta", {}).get("constraints")
+                    appends, self._write_gates(m)
                 )
                 staged_keys, staged_stats = self._stage(
                     appends,
@@ -5557,7 +5778,7 @@ class TransactionalTable:
         else:
             # no candidate file holds a source key: pure insert
             self._enforce_constraints(
-                u, m.get("meta", {}).get("constraints")
+                u, self._write_gates(m)
             )
             staged_keys, staged_stats = self._stage(
                 u,
@@ -5655,7 +5876,7 @@ class TransactionalTable:
         finally:
             touched.unpersist()
         self._enforce_constraints(
-            appends, m.get("meta", {}).get("constraints")
+            appends, self._write_gates(m)
         )
         staged_keys, staged_stats = self._stage(
             appends,
@@ -6049,8 +6270,11 @@ class TransactionalTable:
                     for f in df.schema.fields
                 ]
             )
+            updated = self._rederive_generated(
+                updated, m, skip=set(assignments)
+            )
             self._enforce_constraints(
-                updated, m.get("meta", {}).get("constraints")
+                updated, self._write_gates(m)
             )
             keys, staged_stats = self._stage(
                 updated,
@@ -6375,7 +6599,7 @@ class TransactionalTable:
                     base_subset, updates, key_cols, latest_by=latest_by
                 )
             self._enforce_constraints(
-                merged, m.get("meta", {}).get("constraints")
+                merged, self._write_gates(m)
             )
             keys, staged_stats = self._stage(
                 merged,

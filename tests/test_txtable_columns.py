@@ -281,3 +281,102 @@ def test_rename_sql_routes(spark, tmp_path):
     assert t.read(spark).columns == ["id", "p"]
     d = t.describe()
     assert d["dropped_columns"] == ["v"] and d["column_mapping"] == {}
+
+
+def test_generated_column_lifecycle(spark, tmp_path):
+    """GENERATED ALWAYS AS (round 10, beyond Delta's creation-time
+    restriction): added by ALTER as a schema-only commit. Existing
+    rows compute the expression at read (coalesce(physical, expr) —
+    exact because the write gate enforces physical == expr
+    fail-closed), writes omitting the column derive it, writes
+    supplying a WRONG value reject whole, and rewrites materialize it
+    physically."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = _tbl(spark, tmp_path)
+    r = execute_dml(
+        spark,
+        "ALTER TABLE t ADD COLUMN tax double GENERATED ALWAYS AS "
+        "(v * 0.1)",
+        tables={"t": t},
+    )
+    assert r["op"] == "add_generated_column"
+    # pre-ALTER rows compute at read
+    df = t.read(spark)
+    assert df.where("abs(tax - v * 0.1) > 1e-9").count() == 0
+    assert df.where("tax IS NULL").count() == 0
+    # append OMITTING the column derives it (API and SQL routes)
+    t.commit(
+        spark.createDataFrame(
+            [(600, 0, 30.0)], "id bigint, p bigint, v double"
+        ),
+        mode="append",
+    )
+    assert t.read(spark).where("id = 600").first()["tax"] == 3.0
+    execute_dml(
+        spark,
+        "INSERT INTO t SELECT CAST(601 AS BIGINT) AS id, "
+        "CAST(0 AS BIGINT) AS p, CAST(50.0 AS DOUBLE) AS v",
+        tables={"t": t},
+    )
+    assert t.read(spark).where("id = 601").first()["tax"] == 5.0
+    # supplying a CORRECT value passes; a WRONG one rejects whole
+    t.commit(
+        spark.createDataFrame(
+            [(602, 0, 10.0, 1.0)],
+            "id bigint, p bigint, v double, tax double",
+        ),
+        mode="append",
+    )
+    head = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="__generated_tax"):
+        t.commit(
+            spark.createDataFrame(
+                [(603, 0, 10.0, 99.0)],
+                "id bigint, p bigint, v double, tax double",
+            ),
+            mode="append",
+        )
+    assert t.latest_version() == head
+    # DML: updating a BASE column RE-DERIVES unassigned generated
+    # columns from the post-assignment row (the Delta behavior) —
+    # both copy-on-write and deletion-vector forms
+    t.update_where(spark, {"v": "v * 2"}, "id = 600")
+    assert t.read(spark).where("id = 600").first()["tax"] == 6.0
+    t.update_where(spark, {"v": "v + 40"}, "id = 600", merge_on_read=True)
+    assert t.read(spark).where("id = 600").first()["tax"] == 10.0
+    # an EXPLICITLY assigned generated value faces the equality gate
+    with pytest.raises(ConstraintViolation, match="__generated_tax"):
+        t.update_where(spark, {"tax": "42.0"}, "id = 600")
+    # optimize materializes generated values physically; reads agree
+    t.optimize(spark, target_rows_per_file=1000)
+    df = t.read(spark)
+    assert df.where("abs(tax - v * 0.1) > 1e-9").count() == 0
+    # guards: can't rename/drop the base column under a generation
+    with pytest.raises(ValueError, match="generated column"):
+        t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="generated column"):
+        t.drop_column("v")
+    # dropping the GENERATED column itself clears the rule
+    t.drop_column("tax")
+    assert t.generated_columns() == {}
+    t.rename_column("v", "value")  # now allowed
+    assert t.read(spark).columns == ["id", "p", "value"]
+    assert t.describe()["generated_columns"] == {}
+    assert t.fsck()["ok"]
+
+
+def test_generated_column_restore_and_clone(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    v_pre = t.latest_version()
+    t.add_generated_column(spark, "tax", "double", "v * 0.5")
+    sh = TransactionalTable(str(tmp_path / "sh"))
+    sh.clone_from(t)
+    assert sh.generated_columns() == {"tax": "v * 0.5"}
+    assert sh.read(spark).where("tax IS NULL").count() == 0
+    t.restore(v_pre)  # generation travels with the schema
+    assert t.generated_columns() == {}
+    assert t.read(spark).columns == ["id", "p", "v"]
