@@ -96,72 +96,76 @@ def _load_all_modules() -> None:
 # is WHICH 50 queries receive the external hard check first; no query
 # ever leaves the registry, the oracle map, or the full preflight.
 #
-# Round 10 window (derived by tools/rotation_plan.py; provenance
-# committed as ROTATION_r10.json): 50 oracle-bearing queries that have
-# never appeared in any CORRECTNESS_r01..r09 sample, highest-risk
-# first — iterative/fixed-point shapes, the dedup md5 twins, the
-# corpus-prep and text suites, embeddings, sketches, and the riskiest
-# window frames. After this round 61 of 243 remain never-attested
-# (47 oracle-bearing + 14 rows-only); round 11's window closes them.
+# Round 11 window (derived by tools/rotation_plan.py; provenance
+# committed as ROTATION_r11.json): the 5 round-10 DML queries lead
+# (they were registered after the r10 window froze and carry only
+# self-attestation), followed by the remaining never-attested
+# oracle-bearing queries in registration order. 52 oracle-bearing
+# queries have never appeared in any CORRECTNESS_r01..r10 sample;
+# this window takes 50, leaving 2 oracle-bearing
+# (q_window_distribution, q_window_first_last) + 14 rows-only for r12.
 _ATTESTATION_FRONT: list[str] = [
-    # iterative / fixed-point (connected components, PageRank-style)
-    "q_dedup_clusters",
-    "q_textrank_keywords",
-    "q_triangle_count",
-    "q_dedup_survivors",
-    # dedup oracle twins + similarity joins
-    "q_dedup_lsh_md5",
-    "q_jaccard_prefix_filter",
-    "q_dedup_minhash_md5",
-    "q_dedup_simhash_md5",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_incremental",
-    "q_knn_per_vector",
-    "q_topk_cosine_pandas",
-    # corpus-prep pipeline
-    "q_corpus_prep",
-    "q_contamination_ngram",
-    "q_duplicate_spans",
-    "q_sequence_packing",
-    "q_mixture_sample",
-    "q_curriculum_buckets",
-    "q_ngram_novelty",
-    "q_bpe_pair_freq",
-    # text analysis
-    "q_tfidf_top_terms",
-    "q_token_cooccurrence",
-    "q_text_heavy_hitters",
-    "q_bm25_score",
-    "q_lang_id",
-    "q_lang_stats",
-    "q_quality_filter",
-    "q_token_count",
-    "q_token_count_regex",
-    "q_doc_fingerprint",
-    "q_doc_fingerprint_rolling",
-    "q_text_tokenstats",
-    "q_pii_scan",
-    "q_text_scrub",
-    "q_text_repetition",
-    "q_vocab_overlap",
-    "q_udtf_chunks",
-    # embeddings
-    "q_embedding_stats",
-    "q_embedding_centroids",
-    "q_embedding_quantize",
-    # sketches / sampling
-    "q_cm_sketch",
-    "q_weighted_sample",
-    "q_weighted_sample_per_group",
-    # window frames most likely to diverge from ANSI semantics
-    "q_window_range_frame",
-    "q_window_ewma",
-    "q_window_zscore",
-    "q_sessionize",
-    # events
-    "q_funnel",
-    "q_gaps_islands",
+    # round-10 DML surface — newest code, only self-attested so far
+    "q_tx_constraints",
+    "q_tx_replace_where",
+    "q_tx_clone_deep",
+    "q_tx_rename_drop_column",
+    "q_tx_generated_column",
+    # scans / extraction
+    "q_string_extract",
+    "q_scan_text",
+    "q_json_field_profile",
+    "q_scan_pyds",
+    "q_variant_extract",
+    # temporal / events
+    "q_time_gapfill",
+    "q_retention_cohorts",
+    "q_event_transitions",
+    "q_interval_concurrency",
+    "q_user_growth",
+    # join extensions
+    "q_join_theta_count",
+    "q_join_asof_tolerance",
+    "q_join_bucketed",
+    "q_join_null_safe",
+    # pandas-backed grouped ops
+    "q_grouped_ols_pandas",
+    "q_pandas_grouped_agg",
+    # SQL front door (subquery shapes)
+    "q_sql_pricing_topk",
+    "q_sql_exists_subquery",
+    "q_sql_scalar_subquery",
+    "q_sql_cte_topn",
+    "q_sql_lateral_topn",
+    # misc relational
+    "q_unpivot",
+    "q_try_arith",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_distinct",
+    "q_array_explode",
+    # multimodal plumbing
+    "q_frame_sample",
+    "q_multimodal_resize",
+    # profiling / statistics
+    "q_record_linkage_snb",
+    "q_skew_profile",
+    "q_mad_outliers",
+    "q_gini_concentration",
+    "q_entropy_balance",
+    "q_benford_profile",
+    "q_chi2_independence",
+    # streaming-shaped batch windows
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_session_window",
+    # analytic windows
+    "q_window_rank",
+    "q_window_lag",
+    "q_window_rolling",
+    "q_window_running_sum",
+    "q_window_topk_per_group",
 ]
 
 
