@@ -230,10 +230,19 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     scheme: str = "kmin",
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the k-hash signature into
     ``bands`` groups of k/bands rows, bucket on (band_id, band_hash), and
     emit distinct candidate pairs that share ≥1 bucket.
+
+    This PRODUCTION front door caps giant buckets by default
+    (``max_bucket=64``: larger buckets emit star edges only — see
+    :func:`lsh_band_pairs`, which itself defaults to EXACT pairing);
+    components and the dedup→CC→survivors chain are unchanged, only
+    the raw pair set for mass-duplicated boilerplate shrinks from
+    O(bucket²) to O(bucket). Pass ``max_bucket=None`` for exact
+    all-pairs semantics.
 
     Scale shape: explode is ``bands``×|docs| rows; pairs are generated
     per (band, bucket) group via collect_list + in-array combination —
@@ -251,7 +260,10 @@ def minhash_lsh_dedup(
     """
     sig_fn = {"kmin": minhash_signatures, "oph": minhash_signatures_oph}[scheme]
     sigs = sig_fn(df, id_col, text_col, num_hashes, shingle_n)
-    return lsh_band_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    return lsh_band_pairs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands,
+        max_bucket=max_bucket,
+    )
 
 
 def lsh_band_pairs(
@@ -260,7 +272,7 @@ def lsh_band_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     sig_col: str = "minhash_sig",
-    max_bucket: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band a (id, signature-array) frame and emit candidate pairs —
     the hash-family-agnostic half of ``minhash_lsh_dedup`` (xxhash64
@@ -269,25 +281,32 @@ def lsh_band_pairs(
     groupBy key; equality of slices is what pairs docs, so any
     collision-free-enough hash yields identical pairs.
 
-    GIANT-BUCKET CAP: buckets up to ``max_bucket`` members pair
-    exactly (all-pairs within the bucket, O(cap²) bounded); larger
-    buckets — mass-duplicated boilerplate, the single most common real
-    dedup input — emit only STAR edges (bucket-min, member), O(bucket)
-    output rows. Star edges preserve connected components exactly
-    (every member reaches the bucket min), so the dedup→CC→survivors
-    chain is unchanged; only the raw candidate-PAIR set for >cap
-    buckets is reduced, which is the point — an uncapped
-    10k-duplicate bucket expands to 5×10⁷ pairs in one task. The
-    branch is a ``when(size ≤ cap, all-pairs, star)`` EXPRESSION over
-    the same single collect_list aggregation the uncapped path uses —
-    zero extra shuffles/joins (a stats-join variant measured +1.3 s
-    fixed overhead per call at bench scale). Residual exposure: the
-    giant bucket's id ARRAY still materializes in one aggregation
-    buffer — O(bucket) memory, linear (≈200 MB at 10M string ids,
-    spill-backed ObjectHashAggregate), vs the O(bucket²) expansion
-    this cap removes. Use :func:`lsh_capped_buckets` on the same
-    signature frame to account for which buckets were capped.
-    ``max_bucket=None`` disables the cap (exact pairs everywhere)."""
+    DEFAULT IS EXACT: every bucket pairs all-pairs, so the emitted
+    (id_a, id_b, n_shared_buckets) set matches the documented/oracle
+    all-pairs semantics at any scale — a silent cap here would make
+    the oracle-checked twins diverge the moment test data grows a
+    >cap bucket.
+
+    GIANT-BUCKET CAP (OPT-IN, ``max_bucket=64`` via the production
+    front door ``minhash_lsh_dedup``): buckets up to ``max_bucket``
+    members pair exactly (all-pairs within the bucket, O(cap²)
+    bounded); larger buckets — mass-duplicated boilerplate, the single
+    most common real dedup input — emit only STAR edges (bucket-min,
+    member), O(bucket) output rows. Star edges preserve connected
+    components exactly (every member reaches the bucket min), so the
+    dedup→CC→survivors chain is unchanged; only the raw candidate-PAIR
+    set (and the ``n_shared_buckets`` counts) for >cap buckets is
+    reduced, which is the point — an uncapped 10k-duplicate bucket
+    expands to 5×10⁷ pairs in one task. The branch is a ``when(size ≤
+    cap, all-pairs, star)`` EXPRESSION over the same single
+    collect_list aggregation the uncapped path uses — zero extra
+    shuffles/joins (a stats-join variant measured +1.3 s fixed
+    overhead per call at bench scale). Residual exposure: the giant
+    bucket's id ARRAY still materializes in one aggregation buffer —
+    O(bucket) memory, linear (≈200 MB at 10M string ids, spill-backed
+    ObjectHashAggregate), vs the O(bucket²) expansion the cap removes.
+    Use :func:`lsh_capped_buckets` on the same signature frame to
+    account for which buckets a capped run reduced."""
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),

@@ -106,6 +106,65 @@ def _find_top_level_kw(text: str, kw: str) -> int:
     return next(_scan_top_level(text, kw.upper()), -1)
 
 
+def _split_replace_where(rest: str) -> tuple[str, str] | None:
+    """Split ``<predicate> <query>`` (the text after ``REPLACE
+    WHERE``) at the query boundary, parenthesis-aware — a naive
+    ``(.+?)\\s+(SELECT|VALUES|\\()`` split breaks on predicates
+    containing an IN-list or subquery (``x IN (1,2) SELECT ...``
+    would mis-split at the '('). Rules:
+
+    - a TOP-LEVEL ``SELECT``/``VALUES`` keyword always starts the
+      query (inside a predicate those can only occur within subquery
+      parens, i.e. at depth >= 1);
+    - a top-level ``(`` whose content begins with ``SELECT``/
+      ``VALUES`` starts a parenthesized query UNLESS the preceding
+      token binds it to the predicate (``IN``/``EXISTS``/``ANY``/
+      ``ALL``/``SOME`` or a comparison/arithmetic operator, e.g.
+      ``x = (SELECT max(id) ...)``).
+
+    Returns ``(predicate, query)`` or ``None`` when no query boundary
+    is found (caller raises the shape error)."""
+    cands = [i for i in _scan_top_level(rest, "SELECT")]
+    cands += [i for i in _scan_top_level(rest, "VALUES")]
+    n = len(rest)
+    depth = 0
+    in_str = False
+    i = 0
+    while i < n:
+        ch = rest[i]
+        if in_str:
+            if ch == "'":
+                in_str = i + 1 < n and rest[i + 1] == "'"
+                if in_str:
+                    i += 1
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            if depth == 0:
+                inner = rest[i + 1 :].lstrip()
+                if re.match(r"(?:SELECT|VALUES)\b", inner, re.I):
+                    before = rest[:i].rstrip()
+                    wm = re.search(r"([A-Za-z_]\w*)$", before)
+                    bound_kw = wm and wm.group(1).upper() in (
+                        "IN", "EXISTS", "ANY", "ALL", "SOME",
+                    )
+                    bound_op = bool(before) and before[-1] in "=<>!+-*/%,~^|&"
+                    if not bound_kw and not bound_op:
+                        cands.append(i)
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    starts = [c for c in cands if c > 0]
+    if not starts:
+        return None
+    q = min(starts)
+    pred = rest[:q].strip()
+    if not pred:
+        return None
+    return pred, rest[q:].strip()
+
+
 def _strip_alias(text: str, alias: str | None) -> str:
     """Remove ``alias.`` qualifiers outside string literals, so
     predicates/assignments written against ``UPDATE t AS a`` resolve
@@ -544,21 +603,24 @@ def execute_dml(
     if head == "INSERT":
         # Delta's predicate overwrite: INSERT INTO t REPLACE WHERE
         # <pred> <query> — atomically replace the matching region with
-        # the query's rows (txtable.replace_where). The predicate is
-        # the non-greedy span before the query's SELECT/VALUES/(.
+        # the query's rows (txtable.replace_where). The predicate/query
+        # boundary is found parenthesis-aware (_split_replace_where) so
+        # predicates with IN-lists or subqueries split correctly.
         replace_pred: str | None = None
         rw = re.match(
-            rf"^INSERT\s+INTO\s+({_NAME})\s+REPLACE\s+WHERE\s+(.+?)\s+"
-            rf"((?:SELECT|VALUES|\().*)$",
+            rf"^INSERT\s+INTO\s+({_NAME})\s+REPLACE\s+WHERE\s+(.+)$",
             s,
             re.I | re.S,
         )
         if rw is not None:
-            target, replace_pred, q = (
-                rw.group(1),
-                rw.group(2).strip(),
-                rw.group(3).strip(),
-            )
+            split = _split_replace_where(rw.group(2))
+            if split is None:
+                raise ValueError(
+                    "INSERT ... REPLACE WHERE shape: could not find the "
+                    "query boundary — expected REPLACE WHERE <predicate> "
+                    "followed by SELECT/VALUES/(<query>) at top level"
+                )
+            target, (replace_pred, q) = rw.group(1), split
         else:
             m = re.match(
                 rf"^INSERT\s+INTO\s+({_NAME})\s+(.+)$", s, re.I | re.S

@@ -258,16 +258,30 @@ class LocalStorage:
 
     def upload_file(self, local_path: str, key: str) -> None:
         """Publish a locally-staged file at ``key``. Local backend: hard
-        link when possible (zero-copy), else copy. Cloud backends PUT the
-        object — atomic by the store's contract. Either way the key name
-        is unique and unreferenced until a manifest names it, so partial
-        visibility cannot affect readers."""
+        link when possible (zero-copy), else copy-to-temp + atomic
+        ``os.replace`` — the key must never exist partially written,
+        because resume-style callers (deep clone) treat an EXISTING key
+        as already-published and skip it; a bare ``copyfile`` crashed
+        mid-copy would leave a truncated file a re-run silently keeps.
+        Cloud backends PUT the object — atomic by the store's contract.
+        Either way the key name is unique and unreferenced until a
+        manifest names it, so partial visibility cannot affect
+        readers."""
         dest = self.url(key)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         try:
             os.link(local_path, dest)
         except OSError:
-            shutil.copyfile(local_path, dest)
+            tmp = f"{dest}.__tmp_{os.getpid()}"
+            try:
+                shutil.copyfile(local_path, tmp)
+                os.replace(tmp, dest)
+            finally:
+                if os.path.exists(tmp):
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
 
     def prune_write_artifacts(self, prefix: str) -> None:
         """Remove a Spark write's non-data sidecars (``_SUCCESS``,
@@ -2984,7 +2998,8 @@ class TransactionalTable:
         # ALWAYS AS write behavior). Zero cost for plain tables.
         __m_gate = self.manifest()
         df = self._derive_generated(df, __m_gate)
-        self._enforce_constraints(df, self._write_gates(__m_gate))
+        __gates_checked = self._write_gates(__m_gate)
+        self._enforce_constraints(df, __gates_checked)
         if mode == "append" and partition_by is None:
             # an append MUST stage in the table's physical layout: flat
             # files appended to a hive-partitioned table would carry no
@@ -3096,6 +3111,20 @@ class TransactionalTable:
                     f"is at v{base_v}; re-read and retry"
                 )
             prev = self.manifest(base_v) if base_v >= 0 else None
+            if prev is not None:
+                # Re-gate against the RACE WINNER's constraint set: a
+                # concurrent ADD CONSTRAINT / generated-column change
+                # landing between the front-door gate above and this
+                # (possibly retried) CAS attempt would otherwise let a
+                # violating batch publish on top of the new base — the
+                # symmetric race to add_constraint's snapshot
+                # validation. Zero cost on the common path (dict
+                # equality short-circuits; no Spark job unless the
+                # gate set actually changed).
+                __prev_gates = self._write_gates(prev)
+                if __prev_gates != __gates_checked:
+                    self._enforce_constraints(df, __prev_gates)
+                    __gates_checked = __prev_gates
             m_schema, evolved = schema, False
             if mode in ("append", "replace_partitions") and prev is not None:
                 # schema guard INSIDE the CAS loop: a rebase after a lost
@@ -6069,17 +6098,23 @@ class TransactionalTable:
                     f"nothing to replace in {self.root} (no committed "
                     "version); use commit() to create the table"
                 )
-            self._enforce_constraints(
-                df, m.get("meta", {}).get("constraints")
-            )
+            # Mirror commit(): derive omitted GENERATED ALWAYS AS
+            # columns, then gate on the FULL write-gate set (declared
+            # CHECKs + one physical<=>expr equality per generated
+            # column) — not just plain constraints. Without the
+            # equality gate a frame supplying a wrong generated value
+            # would commit and break the read-side
+            # coalesce(physical, expr) exactness invariant.
+            gated_df = self._derive_generated(df, m)
+            self._enforce_constraints(gated_df, self._write_gates(m))
             schema_cols = list((m.get("schema") or {}).keys())
-            if set(schema_cols) != set(df.columns):
+            if set(schema_cols) != set(gated_df.columns):
                 raise ValueError(
                     f"replace_where: schema mismatch table={schema_cols} "
-                    f"df={df.columns}"
+                    f"df={gated_df.columns}"
                 )
             m_schema = m.get("schema") or {}
-            new_rows_df = df.select(
+            new_rows_df = gated_df.select(
                 *[F.col(c).cast(m_schema[c]).alias(c) for c in schema_cols]
             )
             affected = prune_files(

@@ -1066,7 +1066,9 @@ def test_lsh_bucket_cap_star_edges_preserve_components(spark):
         )
     )
     sigs = minhash_signatures(docs, "doc_id", "text", 16, 3)
-    pairs = lsh_band_pairs(sigs, "doc_id", num_hashes=16, bands=4)
+    pairs = lsh_band_pairs(
+        sigs, "doc_id", num_hashes=16, bands=4, max_bucket=64
+    )
     # star edges: the 10k-clone bucket contributes O(n) edges, all
     # anchored at the bucket min — never O(n²)
     n_pairs = pairs.count()
@@ -1103,7 +1105,9 @@ def test_lsh_bucket_cap_is_pair_exact_below_cap(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).select("doc_id", "text")
     sigs = minhash_signatures(docs, "doc_id", "text", 32, 3)
-    capped = lsh_band_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+    capped = lsh_band_pairs(
+        sigs, "doc_id", num_hashes=32, bands=8, max_bucket=64
+    )
     uncapped = lsh_band_pairs(
         sigs, "doc_id", num_hashes=32, bands=8, max_bucket=None
     )

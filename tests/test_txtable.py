@@ -5341,6 +5341,114 @@ def test_replace_where_sql_route_constraints_and_concurrency(
     assert t.count() == cur.count() and t.fsck()["ok"]
 
 
+def test_replace_where_in_list_predicate_sql(spark, tmp_path):
+    """advice r10 — the REPLACE WHERE predicate/query boundary is
+    parenthesis-aware: predicates containing an IN-list or a scalar
+    subquery must split at the QUERY's SELECT/VALUES, not at the
+    first '(' inside the predicate."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import execute_dml
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(30).select(
+            F.col("id"), (F.col("id") % 3).alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+    )
+    r = execute_dml(
+        spark,
+        "INSERT INTO t REPLACE WHERE k IN (0, 1) "
+        "SELECT CAST(900 AS BIGINT) AS id, CAST(0 AS BIGINT) AS k, "
+        "CAST(9.0 AS DOUBLE) AS v",
+        tables={"t": t},
+    )
+    assert r["op"] == "replace_where" and r["rows_deleted"] == 20
+    cur = t.read(spark)
+    assert cur.count() == 11 and cur.where("k IN (0, 1)").count() == 1
+    # VALUES query after an IN-list predicate splits correctly too
+    r2 = execute_dml(
+        spark,
+        "INSERT INTO t REPLACE WHERE k IN (0) VALUES "
+        "(CAST(901 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE))",
+        tables={"t": t},
+    )
+    assert r2["rows_appended"] == 1
+    assert {x["id"] for x in t.read(spark).where("k = 0").collect()} == {901}
+
+
+def test_commit_regates_constraints_added_by_race_winner(spark, tmp_path):
+    """advice r10 — commit() gates constraints once at entry; if a
+    concurrent ADD CONSTRAINT lands before the CAS attempt, the commit
+    must RE-GATE against the race winner's constraint set instead of
+    publishing a violating batch on top of it."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(10).select(F.col("id"), (F.col("id") + 1.0).alias("v"))
+    )
+    # interleave: the constraint lands AFTER commit()'s front-door
+    # gate (which runs before staging) but BEFORE the CAS loop reads
+    # the base manifest — exactly the race the re-gate closes.
+    real_stage = t._stage
+    raced = {"done": False}
+
+    def racing_stage(*a, **kw):
+        keys, stats = real_stage(*a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = TransactionalTable(t.root)
+            t2.add_constraint(spark, "v_small", "v < 1000")
+        return keys, stats
+
+    t._stage = racing_stage
+    try:
+        with pytest.raises(ConstraintViolation, match="v_small"):
+            t.commit(
+                spark.createDataFrame([(99, 5000.0)], "id bigint, v double"),
+                mode="append",
+            )
+    finally:
+        t._stage = real_stage
+    # nothing published; the constraint holds on the head snapshot
+    assert t.read(spark).where("v >= 1000").count() == 0
+    assert "v_small" in t.constraints()
+    assert t.fsck()["ok"]
+
+
+def test_upload_file_copy_path_is_atomic(spark, tmp_path, monkeypatch):
+    """advice r10 — the copy fallback in upload_file publishes via
+    temp + os.replace: a pre-existing (e.g. truncated, crash-left)
+    destination is atomically replaced with complete bytes and no
+    temp artifact survives — what makes deep-clone's skip-if-exists
+    resume safe."""
+    import os as _os
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import LocalStorage
+
+    st = LocalStorage(str(tmp_path / "store"))
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"complete-content-" * 100)
+
+    def no_link(*a, **kw):
+        raise OSError("cross-device")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    # crash-left truncated destination from a previous attempt
+    dest = st.url("data/part-0.bin")
+    _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+    with open(dest, "wb") as f:
+        f.write(b"trunc")
+    st.upload_file(str(src), "data/part-0.bin")
+    with open(dest, "rb") as f:
+        assert f.read() == src.read_bytes()
+    leftovers = [
+        n for n in _os.listdir(_os.path.dirname(dest)) if "__tmp" in n
+    ]
+    assert leftovers == []
+
+
 def test_check_constraint_survives_restore(spark, tmp_path):
     """RESTORE keeps the CURRENT head's constraints (the engine's
     restore-sticky rule: data goes back in time, active guardrails do

@@ -369,6 +369,55 @@ def test_generated_column_lifecycle(spark, tmp_path):
     assert t.fsck()["ok"]
 
 
+def test_replace_where_derives_and_gates_generated_columns(
+    spark, tmp_path
+):
+    """advice r10 — replace_where must mirror commit()'s write gate:
+    a frame OMITTING a GENERATED ALWAYS AS column derives it; a frame
+    supplying a WRONG generated value rejects whole (else the
+    physical == expr invariant behind the read-side
+    coalesce(physical, expr) breaks silently)."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        ConstraintViolation,
+    )
+
+    t = _tbl(spark, tmp_path)
+    t.add_generated_column(spark, "tax", "double", "v * 0.1")
+    # omit the generated column: derived, not schema-mismatch
+    res = t.replace_where(
+        spark,
+        spark.createDataFrame(
+            [(700, 1, 20.0)], "id bigint, p bigint, v double"
+        ),
+        "p = 1",
+    )
+    assert res["rows_appended"] == 1
+    assert t.read(spark).where("id = 700").first()["tax"] == 2.0
+    # wrong supplied value: fail-closed, nothing committed
+    head = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="__generated_tax"):
+        t.replace_where(
+            spark,
+            spark.createDataFrame(
+                [(701, 1, 20.0, 99.0)],
+                "id bigint, p bigint, v double, tax double",
+            ),
+            "p = 1",
+        )
+    assert t.latest_version() == head
+    # correct supplied value passes the equality gate
+    t.replace_where(
+        spark,
+        spark.createDataFrame(
+            [(702, 1, 30.0, 3.0)],
+            "id bigint, p bigint, v double, tax double",
+        ),
+        "p = 1",
+    )
+    assert {r["id"] for r in t.read(spark).where("p = 1").collect()} == {702}
+    assert t.fsck()["ok"]
+
+
 def test_generated_column_restore_and_clone(spark, tmp_path):
     t = _tbl(spark, tmp_path)
     v_pre = t.latest_version()
