@@ -37,13 +37,23 @@ PAYMENT_LOOKUP_ROWS = [
 ]
 
 
+# The reference's coarse NYC box (transformations.py:20-29, STRICT
+# inequalities) — the default. The tighter city-proper box below is a
+# documented alternative for callers who want to drop airport-fringe /
+# GPS-drift coordinates the reference keeps.
+NYC_REFERENCE_BBOX = (-75.0, -72.0, 40.0, 42.0)
+NYC_TIGHT_BBOX = (-74.3, -73.7, 40.5, 41.0)
+
+
 @dataclass(frozen=True)
 class TaxiETLConfig:
     """Column names + bounds of the reference pipeline, parameterized.
 
     Defaults mirror ``src/features/transformations.py`` exactly: NYC
-    bounding box (lines 20-29), 1-180 min duration (line 18), 0-120 km/h
-    speed band (line 38)."""
+    bounding box ``(-75, -72, 40, 42)`` with STRICT bounds (lines
+    20-29), 1-180 min duration (line 18), 0-120 km/h speed band
+    (line 38). ``bbox=NYC_TIGHT_BBOX`` is the documented tighter
+    alternative (keeps fewer rows than the reference default)."""
 
     pickup_ts: str = "tpep_pickup_datetime"
     dropoff_ts: str = "tpep_dropoff_datetime"
@@ -56,7 +66,7 @@ class TaxiETLConfig:
     )
     lon_cols: tuple[str, ...] = ("pickup_longitude", "dropoff_longitude")
     lat_cols: tuple[str, ...] = ("pickup_latitude", "dropoff_latitude")
-    bbox: tuple[float, float, float, float] = (-74.3, -73.7, 40.5, 41.0)
+    bbox: tuple[float, float, float, float] = NYC_REFERENCE_BBOX
     duration_bounds: tuple[float, float] = (1.0, 180.0)
     speed_bounds: tuple[float, float] = (0.0, 120.0)
     lookup_key: str = "payment_type"
@@ -94,14 +104,16 @@ def filter_bbox(
     lat_cols: tuple[str, ...],
     bbox: tuple[float, float, float, float],
 ) -> DataFrame:
-    """transformations.py:20-29 — geographic bounding-box filter."""
+    """transformations.py:20-29 — geographic bounding-box filter.
+    STRICT bounds (``>`` / ``<``), matching the reference exactly —
+    a point sitting on the box edge is dropped there too."""
     lon_min, lon_max, lat_min, lat_max = bbox
     pred = None
     for c in lon_cols:
-        p = F.col(c).between(lon_min, lon_max)
+        p = (F.col(c) > lon_min) & (F.col(c) < lon_max)
         pred = p if pred is None else pred & p
     for c in lat_cols:
-        pred = pred & F.col(c).between(lat_min, lat_max)
+        pred = pred & (F.col(c) > lat_min) & (F.col(c) < lat_max)
     return df.filter(pred)
 
 

@@ -52,7 +52,10 @@ def synth_taxi(spark):
     )
 
 
-ORACLE_SQL = """
+# bbox bounds are STRICT (> / <), mirroring the reference
+# transformations.py:20-29; the template is instantiated for both the
+# reference-default box and the documented tight box.
+ORACLE_SQL_TEMPLATE = """
 WITH dim(payment_type, payment_desc) AS (
   VALUES (1,'Credit card'),(2,'Cash'),(3,'No charge'),
          (4,'Dispute'),(5,'Unknown'),(6,'Voided trip')
@@ -67,10 +70,10 @@ WITH dim(payment_type, payment_desc) AS (
   WHERE trip_distance > 0 AND fare_amount > 0 AND total_amount > 0
     AND passenger_count > 0
     AND trip_duration_min BETWEEN 1 AND 180
-    AND pickup_longitude BETWEEN -74.3 AND -73.7
-    AND dropoff_longitude BETWEEN -74.3 AND -73.7
-    AND pickup_latitude BETWEEN 40.5 AND 41.0
-    AND dropoff_latitude BETWEEN 40.5 AND 41.0
+    AND pickup_longitude > {lon_min} AND pickup_longitude < {lon_max}
+    AND dropoff_longitude > {lon_min} AND dropoff_longitude < {lon_max}
+    AND pickup_latitude > {lat_min} AND pickup_latitude < {lat_max}
+    AND dropoff_latitude > {lat_min} AND dropoff_latitude < {lat_max}
 ), speed AS (
   SELECT * FROM clean WHERE avg_speed_kmh BETWEEN 0 AND 120
 )
@@ -86,9 +89,26 @@ ORDER BY 1, 2
 """
 
 
-def test_pipeline_matches_duckdb(spark):
+@pytest.mark.parametrize("bbox_name", ["reference_default", "tight"])
+def test_pipeline_matches_duckdb(spark, bbox_name):
+    """Composition-level differential vs DuckDB, run twice: once with
+    the DEFAULT config (which must equal the reference's coarse
+    strict-bounds box — advice r10: a silently tighter default kept
+    fewer rows than the reference pipeline) and once with the
+    documented tight box, which actually discriminates on this
+    synthetic data."""
+    from nyc_taxi_etl_pyspark_spark.etl import (
+        NYC_REFERENCE_BBOX,
+        NYC_TIGHT_BBOX,
+    )
+
     raw = synth_taxi(spark)
-    clean = clean_and_transform(spark, raw)
+    if bbox_name == "reference_default":
+        cfg = TaxiETLConfig()
+        assert cfg.bbox == NYC_REFERENCE_BBOX == (-75.0, -72.0, 40.0, 42.0)
+    else:
+        cfg = TaxiETLConfig(bbox=NYC_TIGHT_BBOX)
+    clean = clean_and_transform(spark, raw, cfg)
     agg = trips_by_hour(clean)
 
     got = {
@@ -101,14 +121,25 @@ def test_pipeline_matches_duckdb(spark):
         for r in agg.collect()
     }
 
+    lon_min, lon_max, lat_min, lat_max = cfg.bbox
     con = duckdb.connect()
     con.register("taxi", raw.toPandas())
     want = {
         (r[0], r[1]): (r[2], r[3], r[4], r[5])
-        for r in con.execute(ORACLE_SQL).fetchall()
+        for r in con.execute(
+            ORACLE_SQL_TEMPLATE.format(
+                lon_min=lon_min, lon_max=lon_max,
+                lat_min=lat_min, lat_max=lat_max,
+            )
+        ).fetchall()
     }
     assert got == want
     assert len(got) > 10  # the synthetic data produces a real spread
+    if bbox_name == "tight":
+        # the tight box must really be tighter than the reference
+        # default on this data, or the second case proves nothing
+        ref_n = clean_and_transform(spark, raw, TaxiETLConfig()).count()
+        assert clean.count() < ref_n
 
 
 def test_pipeline_invariants(spark):
