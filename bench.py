@@ -102,6 +102,10 @@ HEADLINE = [
     # door (two snapshot-pinned aggregates in one statement) — tracks
     # view re-pin + manifest resolution cost on the read path.
     "q_tx_sql_time_travel",
+    # round-11 addition: the composed IVF×PQ persisted ANN probe — the
+    # 100 TB retrieval shape (cell-partition pruning + code-column
+    # scan + bloom point-read re-rank) tracked round-over-round.
+    "q_ann_ivfpq_persisted",
 ]
 
 

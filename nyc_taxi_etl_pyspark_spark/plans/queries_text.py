@@ -497,6 +497,77 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_ivfpq_trained(e, sf_dir: str) -> tuple:
+    """The memoized composed IVF×PQ quantizer (16 coarse cells +
+    M=8/K=64 residual codebooks) for a fixture — trained once per
+    embeddings-file identity."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivfpq_train,
+    )
+
+    ck = _ann_train_key(sf_dir, "ivfpq16x8x64")
+    if ck not in _ANN_TRAIN_CACHE:
+        _ANN_TRAIN_CACHE[ck] = ivfpq_train(e, "vec_id", "embedding")
+    return _ANN_TRAIN_CACHE[ck]
+
+
+def _cached_ivfpq_encoded(spark, e, sf_dir: str, trained: tuple):
+    """The encoded (id, vec, centroid_id, codes) DataFrame for a
+    fixture, cached per (session, embeddings-file identity): building
+    the encode EXPRESSION tree costs ~3 s of pure py4j/plan
+    construction (8 K=64 argmin HOFs) — a real deployment encodes once
+    and serves many probes (what the persisted tier does physically);
+    this memo restores that shape for the in-memory tier. Plans are
+    session-bound, so the key carries the applicationId."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivfpq_encode,
+    )
+
+    ck = (
+        _ann_train_key(sf_dir, "ivfpq_enc"),
+        spark.sparkContext.applicationId,
+    )
+    if ck not in _ANN_TRAIN_CACHE:
+        _ANN_TRAIN_CACHE[ck] = ivfpq_encode(
+            e, trained[0], trained[1], "vec_id", "embedding"
+        )
+    return _ANN_TRAIN_CACHE[ck]
+
+
+@query("q_ann_ivfpq", oracle=None)  # approximate by construction => rows-only
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF×PQ approximate top-k (the faiss ``IVFPQ``/IVFADC
+    shape — round-11, closing the round-10 verdict's missing 100 TB
+    retrieval tier): coarse cell pruning AND 8-byte residual codes in
+    ONE plan. Train: 16 coarse k-means cells + per-subspace codebooks
+    fitted on RESIDUALS (vector − assigned centroid — smaller variance
+    than raw vectors, so the same code budget quantizes tighter);
+    encode: map-only nested-literal argmins, zero shuffle; probe: rank
+    cells driver-side, scan ONLY the probed cells pricing each row by
+    8 ADC table lookups, exact-re-rank the k·refine shortlist.
+    Measured recall@10 at sf0.1 (isotropic fixtures — cell pruning's
+    WORST case): 0.83 probing 8/16 cells, vs 0.705 for flat trained
+    PQ scanning everything (SCALE.md §Round 11 has the full
+    recall/probe curve). Approximate ⇒ rows-only; recall floor +
+    python-replay encode equality in tests/test_scale_techniques.py;
+    probe==memory parity in tests/test_txtable.py."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivfpq_topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    trained = _cached_ivfpq_trained(e, sf_dir)
+    return ivfpq_topk_cosine(
+        e,
+        _query_vec(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        trained=trained,
+        encoded=_cached_ivfpq_encoded(spark, e, sf_dir, trained),
+    )
+
+
 _LANG_ID_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang AS labeled_lang,
@@ -1180,6 +1251,52 @@ def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             codebooks=_cached_pq_codebooks(e, sf_dir),
         )
     return pq_index_probe(
+        spark,
+        t,
+        _query_vec(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+
+
+@query("q_ann_ivfpq_persisted", oracle=None)  # approximate => rows-only
+def q_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF×PQ index PERSISTED
+    (``build_ivfpq_index``/``ivfpq_index_probe``): rows are
+    (id, embedding, centroid_id, 8 residual codes), hive-partitioned
+    by coarse cell and bloom-indexed on ``vec_id``; the quantizer
+    rides the manifest meta. A probe (a) plans driver-side with zero
+    Spark jobs, (b) reads ONLY the probed cells' partitions (manifest
+    partition pruning — unprobed cells' files never listed or
+    opened) projecting ONLY the code columns (embedding bytes
+    unread), and (c) point-reads just the k·refine shortlist rows
+    for the exact re-rank. The full 100 TB lakehouse ANN shape: scan
+    bytes cut by BOTH n_probe/n_cells (IVF) and codes-vs-floats (PQ)
+    — neither flat persisted tier delivers both. Equality with the
+    in-memory ``ivfpq_topk_cosine`` over the identical quantizer
+    asserted in tests/test_txtable.py; approximate ⇒ rows-only."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_probe,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = fixture_scratch_dir(
+        "spark_graft_ivfpqindex", sf_dir, anchor="embeddings.parquet"
+    )
+    t = TransactionalTable(root)
+    if not t.exists():
+        build_ivfpq_index(
+            t,
+            e,
+            id_col="vec_id",
+            vec_col="embedding",
+            trained=_cached_ivfpq_trained(e, sf_dir),
+        )
+    return ivfpq_index_probe(
         spark,
         t,
         _query_vec(spark, sf_dir),

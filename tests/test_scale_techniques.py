@@ -964,6 +964,152 @@ def test_pq_codes_are_scale_invariant(spark, sf_dir):
     )
 
 
+def test_ivfpq_recall_floor_self_hit_and_python_replay(spark, sf_dir):
+    """Composed IVF×PQ (q_ann_ivfpq, round 11): (a) the re-ranked
+    probe must clear a recall floor against the exact top-10 and
+    always recover the query vector itself (its own cell is always
+    the nearest, its residual code the cheapest); (b) the Spark-side
+    cell assignment + residual encode must EQUAL a pure-numpy replay
+    on a sample — both argmins are deterministic integers, so
+    equality is exact, no tolerance."""
+    import numpy as np
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    q = all_queries()
+    exact = {r["vec_id"] for r in q["q_topk_cosine"](spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in q["q_ann_ivfpq"](spark, sf_dir).collect()}
+    assert 0 in approx  # the query vector itself always survives
+    assert len(exact & approx) / len(exact) >= 0.5, (exact, approx)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, books = ivfpq_train(e, "vec_id", "embedding")
+    sample = e.where("vec_id < 20")
+    got = {
+        r["vec_id"]: (
+            r["centroid_id"],
+            [r[f"__code_{m}"] for m in range(8)],
+        )
+        for r in ivfpq_encode(
+            sample, cents, books, "vec_id", "embedding"
+        ).collect()
+    }
+    C = np.array([v for _, v in sorted(cents)])
+    B = np.array(books)
+    d_sub = B.shape[2]
+    for r in sample.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        nv = v / max(np.sqrt((v**2).sum()), 1e-12)
+        cd = ((C - nv) ** 2).sum(axis=1)
+        cid = int(cd.argmin())  # numpy argmin = first min = lowest id
+        resid = nv - C[cid]
+        codes = [
+            int(
+                (
+                    (resid[m * d_sub : (m + 1) * d_sub] - B[m]) ** 2
+                ).sum(axis=1).argmin()
+            )
+            for m in range(8)
+        ]
+        assert got[r["vec_id"]] == (cid, codes), (
+            r["vec_id"], got[r["vec_id"]], (cid, codes),
+        )
+
+
+def test_ivfpq_codes_are_scale_invariant(spark, sf_dir):
+    """IVF×PQ encoding runs on L2-NORMALIZED vectors, so scaling an
+    embedding must change neither its coarse cell nor its residual
+    codes."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where("vec_id < 40")
+    cents, books = ivfpq_train(e, "vec_id", "embedding")
+    base = ivfpq_encode(e, cents, books, "vec_id", "embedding")
+    scaled = ivfpq_encode(
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x * 7.5).alias("embedding"),
+        ),
+        cents,
+        books,
+        "vec_id",
+        "embedding",
+    )
+    cols = ["vec_id", "centroid_id"] + [f"__code_{m}" for m in range(8)]
+    assert sorted(map(tuple, base.select(*cols).collect())) == sorted(
+        map(tuple, scaled.select(*cols).collect())
+    )
+
+
+def test_ivfpq_persisted_probe_equals_in_memory_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVF×PQ probe must return EXACTLY the in-memory
+    ivfpq_topk_cosine result over the identical trained quantizer, and
+    its ADC scan must touch ONLY the probed cells' partitions (manifest
+    partition pruning) while never reading the embedding column
+    (parquet column pruning) — both prunings together are the point of
+    the composed tier."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        _ivfpq_probe_plan,
+        build_ivfpq_index,
+        ivfpq_index_probe,
+        ivfpq_topk_cosine,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where("vec_id = 0").select(
+        F.col("embedding").alias("query_embedding")
+    )
+    t = TransactionalTable(str(tmp_path / "ivfpqidx"))
+    build_ivfpq_index(t, e, id_col="vec_id", vec_col="embedding")
+    got = ivfpq_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=10
+    )
+    # identical quantizer on both sides, straight off the manifest
+    meta = t.manifest()["meta"]["app"]["ivfpq"]
+    trained = (
+        [(int(c), v) for c, v in meta["centroids"].items()],
+        meta["codebooks"],
+    )
+    want = ivfpq_topk_cosine(
+        e, q, id_col="vec_id", vec_col="embedding", k=10, trained=trained
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # partition pruning: the ADC scan's file set is the probed cells'
+    m = t.manifest()
+    cells, _tables = _ivfpq_probe_plan(q, trained[0], trained[1], 8)
+    pruned = t.read(
+        spark,
+        version=m["version"],
+        partitions={"centroid_id": [str(c) for c in cells]},
+    )
+    seen_cells = {
+        r["centroid_id"]
+        for r in pruned.select("centroid_id").distinct().collect()
+    }
+    assert seen_cells <= set(cells) and seen_cells
+    full = t.read(spark, version=m["version"])
+    n_cells_total = full.select("centroid_id").distinct().count()
+    assert n_cells_total > len(seen_cells)  # pruning really pruned
+    # column pruning: embedding absent from the code-column scan plan
+    scan = pruned.select(
+        "vec_id", "centroid_id", *[f"__code_{i}" for i in range(8)]
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan, plan[:2000]
+
+
 def test_pq_persisted_probe_equals_in_memory(spark, sf_dir, tmp_path):
     """The persisted PQ index probe must return EXACTLY the in-memory
     pq_topk_cosine result over identical codebooks (same shortlist,

@@ -44,6 +44,9 @@ def main() -> int:
     from nyc_taxi_etl_pyspark_spark.operators.similarity import (
         brute_force_topk_cosine,
         ivf_topk_cosine,
+        ivfpq_encode,
+        ivfpq_topk_cosine,
+        ivfpq_train,
         kmeans_centroids,
         pq_seed_codebooks,
         pq_topk_cosine,
@@ -75,12 +78,19 @@ def main() -> int:
     trained_cents = kmeans_centroids(e, "vec_id", "embedding", k=16)
     standin_books = pq_seed_codebooks(e, "vec_id", "embedding")
     trained_books = pq_train_codebooks(e, "vec_id", "embedding")
+    ivfpq_trained = ivfpq_train(e, "vec_id", "embedding")
+    # encode ONCE (a deployment encodes once, probes many times)
+    ivfpq_enc = ivfpq_encode(
+        e, ivfpq_trained[0], ivfpq_trained[1], "vec_id", "embedding"
+    ).persist()
+    ivfpq_enc.count()
 
     def ids(df) -> set:
         return {r[0] for r in df.collect()}
 
     sums = {"ivf_standin": 0.0, "ivf_trained": 0.0,
-            "pq_standin": 0.0, "pq_trained": 0.0}
+            "pq_standin": 0.0, "pq_trained": 0.0,
+            "ivfpq_composed": 0.0}
     for qid in query_ids:
         q = e.filter(F.col("vec_id") == qid).select(
             F.col("embedding").alias("query_embedding")
@@ -104,6 +114,10 @@ def main() -> int:
             "pq_trained": pq_topk_cosine(
                 e, q, "vec_id", "embedding", k=args.k,
                 codebooks=trained_books,
+            ),
+            "ivfpq_composed": ivfpq_topk_cosine(
+                e, q, "vec_id", "embedding", k=args.k,
+                trained=ivfpq_trained, encoded=ivfpq_enc,
             ),
         }
         for name, df in variants.items():
