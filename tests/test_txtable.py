@@ -5341,6 +5341,126 @@ def test_replace_where_sql_route_constraints_and_concurrency(
     assert t.count() == cur.count() and t.fsck()["ok"]
 
 
+def test_sharded_checkpoint_roundtrip_and_pruned_planning(spark, tmp_path):
+    """verdict r10 #3 — manifest scaling past ~10⁵ files: checkpoints
+    shard into a manifest-list root + per-shard columnar objects, and
+    a PREDICATED read plans from root + matched shards + deltas
+    (O(shards touched)) instead of materializing O(live files). Full
+    materialization (no predicate) must reconstruct the identical
+    snapshot from all shards."""
+    import os
+
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=8
+    )
+    t.commit(
+        spark.range(500).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        cluster_by=["id"],
+        num_files=20,
+    )
+    t.commit(
+        spark.range(500, 1000).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        mode="append",
+        cluster_by=["id"],
+        num_files=20,
+    )
+    cps = sorted(os.listdir(tmp_path / "t" / "_checkpoints"))
+    assert any(c.endswith(".root.json") for c in cps)
+    assert sum(1 for c in cps if ".shard-" in c) == 5  # 40 files / 8
+
+    # full materialization from shards == the writer's cached snapshot
+    fresh = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    m_writer, m_fresh = t.manifest(), fresh.manifest()
+    assert m_fresh["files"] == m_writer["files"]
+    assert m_fresh["rows"] == m_writer["rows"] == 1000
+    assert m_fresh["stats"] == m_writer["stats"]
+
+    # predicated planning on a cold handle: pruned view, shard subset
+    cold = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    shard_reads = {"n": 0}
+    real_read = cold.storage.read
+
+    def counting_read(key):
+        if ".shard-" in key:
+            shard_reads["n"] += 1
+        return real_read(key)
+
+    cold.storage.read = counting_read
+    pm = cold._planning_manifest(None, [("id", 510, 520)], None, None)
+    assert pm.get("pruned_view") and len(pm["files"]) < 40
+    assert 1 <= shard_reads["n"] < 5  # matched shards only, never all
+    got = sorted(
+        r["id"] for r in cold.read(spark, where=[("id", 510, 520)]).collect()
+    )
+    assert got == list(range(510, 521))
+
+    # all shards excluded: empty frame with the table schema
+    cold2 = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    df = cold2.read(spark, where=[("id", 5000, 6000)])
+    assert df.count() == 0 and set(df.columns) == {"id", "k", "v"}
+
+    # a delta on top of the sharded base composes into the pruned view
+    w = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=100, checkpoint_shard_files=8
+    )
+    w.commit(
+        spark.createDataFrame([(2000, 1, 2.0)], "id bigint, k bigint, v double"),
+        mode="append",
+    )
+    cold3 = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    got = sorted(
+        r["id"] for r in cold3.read(spark, where=[("id", 1990, 2100)]).collect()
+    )
+    assert got == [2000]
+    assert cold3.count() == 1001 and cold3.fsck()["ok"]
+
+
+def test_sharded_checkpoint_partition_envelopes(spark, tmp_path):
+    """Partition-value envelopes in the shard root: a partitions={...}
+    read on a cold handle loads only the shards whose recorded
+    partition-value sets intersect the query — and stays EXACT (same
+    rows as the unsharded read)."""
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=6
+    )
+    df = spark.range(400).select(
+        F.col("id"), (F.col("id") % 8).alias("p"), (F.col("id") * 1.0).alias("v")
+    )
+    t.commit(df, partition_by=["p"], num_files=3)
+    t.commit(
+        spark.range(400, 500).select(
+            F.col("id"), (F.col("id") % 8).alias("p"), (F.col("id") * 1.0).alias("v")
+        ),
+        mode="append",
+        partition_by=["p"],
+    )
+    cold = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=6)
+    shard_reads = {"n": 0}
+    real_read = cold.storage.read
+
+    def counting_read(key):
+        if ".shard-" in key:
+            shard_reads["n"] += 1
+        return real_read(key)
+
+    cold.storage.read = counting_read
+    got = sorted(
+        r["id"] for r in cold.read(spark, partitions={"p": [3]}).collect()
+    )
+    want = sorted(i for i in range(500) if i % 8 == 3)
+    assert got == want
+    n_shards = sum(
+        1
+        for c in __import__("os").listdir(tmp_path / "t" / "_checkpoints")
+        if ".shard-" in c
+    )
+    assert 1 <= shard_reads["n"] < n_shards
+
+
 def test_replace_where_in_list_predicate_sql(spark, tmp_path):
     """advice r10 — the REPLACE WHERE predicate/query boundary is
     parenthesis-aware: predicates containing an IN-list or a scalar
