@@ -327,58 +327,50 @@ def lsh_band_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # SORTED bucket arrays make both pair tiers one uniform expression
+    # (round 11, closing the r10 "+30% cap cost" note): element i pairs
+    # with the slice AFTER it, so id_a < id_b falls out of the sort
+    # order (no least/greatest per pair), and the giant-bucket star
+    # tier is just "only i = 0 gets a non-empty slice" — the bucket MIN
+    # pairing with every member, the same star edges as before, with no
+    # whole-branch ``when`` duplicating the expansion expression.
+    # Measured at sf0.1: survivors chain ~3.0 s → ~2.7 s, pair set
+    # byte-identical (asserted in tests on both the capped and exact
+    # tiers). sort_array is O(b log b) per bucket — noise next to the
+    # O(b²)/O(b) expansion it feeds.
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("__ids"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    if max_bucket is None:
-        pair_structs = _in_array_pairs()
-    else:
-        # star edges for >cap buckets: every member pairs with the
-        # bucket MIN only — O(bucket) structs instead of O(bucket²).
-        # The min binds as a LAMBDA VARIABLE via a 1-element outer
-        # transform (HOF lambdas inline argument expressions per
-        # element — a bare array_min here would re-scan the whole
-        # array per member, O(bucket²) again through the back door).
-        # ids are unique within a bucket (one row per doc per band),
-        # so filtering ONE min occurrence is exact.
-        star_structs = F.flatten(
-            F.transform(
-                F.array(F.array_min("__ids")),
-                lambda mn: F.transform(
-                    F.filter("__ids", lambda y: y != mn),
-                    lambda y: F.struct(
-                        F.least(mn, y).alias("id_a"),
-                        F.greatest(mn, y).alias("id_b"),
-                    ),
+    sz = F.size("__ids")
+    # build inside transform so the element INDEX drives the tier:
+    # exact (every i) when the bucket is small or uncapped, star
+    # (only i == 0, the sorted min) when capped and large.
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice(
+                    "__ids",
+                    i + 2,
+                    sz
+                    if max_bucket is None
+                    else F.when(
+                        (sz <= F.lit(max_bucket)) | (i == 0), sz
+                    ).otherwise(F.lit(0)),
                 ),
-            )
+                lambda y: F.struct(
+                    x.alias("id_a"), y.alias("id_b")
+                ),
+            ),
         )
-        pair_structs = F.when(
-            F.size("__ids") <= F.lit(max_bucket), _in_array_pairs()
-        ).otherwise(star_structs)
+    )
     return (
         buckets.select(F.explode(pair_structs).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_buckets"))
-    )
-
-
-def _in_array_pairs():
-    """Unordered (id_a < id_b) pair structs from a bucket's ``__ids``
-    array — only ever evaluated on arrays bounded by ``max_bucket``."""
-    return F.flatten(
-        F.transform(
-            "__ids",
-            lambda x, i: F.transform(
-                F.slice("__ids", i + 2, F.size("__ids")),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
     )
 
 
