@@ -48,6 +48,10 @@ def soak(spark, seed: int, n_ops: int) -> int:
     t = TransactionalTable(os.path.join(root, "t"))
     t.checkpoint_interval = 3
     t.distributed_publish_min_files = 1
+    # pin the sharded-checkpoint threshold tiny so reconstruction
+    # constantly crosses manifest-list roots + per-shard objects
+    # (round 11) — the default 10⁵ would never shard at soak sizes
+    t.checkpoint_shard_files = 4
     model: dict[int, int] = {}
     history: list[dict[int, int]] = []
     # ALTERed (schema-only) columns currently declared on the table;
