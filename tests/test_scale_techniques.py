@@ -1048,6 +1048,126 @@ def test_ivfpq_codes_are_scale_invariant(spark, sf_dir):
     )
 
 
+def test_ivfpq_recall_floor_at_sf01(spark):
+    """The round-10 verdict's shipped-floor criterion: IVF×PQ with the
+    registered defaults (K=64, n_probe=8/16 cells, refine=16) must
+    clear recall@10 ≥ 0.8 vs exact cosine at sf0.1, averaged over 20
+    hash-drawn query vectors. Encoding runs through the REAL Spark
+    path (``ivfpq_encode``, collected once); probe + re-rank replay
+    the exact engine math in numpy — replay equality is itself tested
+    (test_ivfpq_recall_floor_self_hit_and_python_replay), and this
+    keeps 20-query recall measurement O(seconds), not 200 Spark jobs.
+    Isotropic random fixtures are cell pruning's worst case, so this
+    floor is conservative for real clustered embeddings."""
+    import numpy as np
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents, books = ivfpq_train(e, "vec_id", "embedding")
+    enc_rows = ivfpq_encode(e, cents, books, "vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in enc_rows]
+    V = np.array([r["embedding"] for r in enc_rows], dtype=np.float64)
+    cid = np.array([r["centroid_id"] for r in enc_rows])
+    codes = np.array(
+        [[r[f"__code_{m}"] for m in range(8)] for r in enc_rows]
+    )
+    C = np.array([v for _, v in sorted(cents)])
+    B = np.array(books)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    d_sub = B.shape[2]
+    pos = {v: i for i, v in enumerate(ids)}
+    qids = [
+        r["vec_id"]
+        for r in e.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(20)
+        .collect()
+    ]
+    n_probe, refine, k = 8, 16, 10
+    total = 0.0
+    for qid in qids:
+        q = Vn[pos[qid]]
+        sims = np.round(Vn @ q, 4)
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        exact = {ids[i] for i in order[:k]}
+        cell_d = ((C - q) ** 2).sum(axis=1)
+        probe = set(
+            sorted(range(len(C)), key=lambda c: (cell_d[c], c))[:n_probe]
+        )
+        adc = np.full(len(ids), np.inf)
+        for c in probe:
+            sel = cid == c
+            r = q - C[c]
+            T = np.array(
+                [
+                    [
+                        ((r[m * d_sub : (m + 1) * d_sub] - B[m, j]) ** 2).sum()
+                        for j in range(B.shape[1])
+                    ]
+                    for m in range(8)
+                ]
+            )
+            adc[sel] = T[np.arange(8)[:, None], codes[sel].T].sum(axis=0)
+        cand = [i for i in range(len(ids)) if np.isfinite(adc[i])]
+        sl = sorted(cand, key=lambda i: (adc[i], ids[i]))[: k * refine]
+        rer = sorted(sl, key=lambda i: (-sims[i], ids[i]))[:k]
+        total += len({ids[i] for i in rer} & exact) / k
+    recall = total / len(qids)
+    assert recall >= 0.8, f"IVFPQ recall@10 {recall:.3f} below floor at sf0.1"
+
+
+def test_ivfpq_index_append_maintenance(spark, sf_dir, tmp_path):
+    """Index maintenance falls out of the table protocol: new vectors
+    ENCODE with the manifest's quantizer and append into their cells;
+    a post-append probe sees them (snapshot-pinned, partition-pruned)
+    and equals the in-memory result over the grown corpus."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_index_probe,
+        ivfpq_topk_cosine,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where("vec_id < 150")
+    extra = e.where("vec_id >= 150 AND vec_id < 200")
+    t = TransactionalTable(str(tmp_path / "idx"))
+    build_ivfpq_index(t, base, id_col="vec_id", vec_col="embedding")
+    meta = t.manifest()["meta"]["app"]["ivfpq"]
+    trained = (
+        [(int(c), v) for c, v in meta["centroids"].items()],
+        meta["codebooks"],
+    )
+    # append: encode the new batch with the MANIFEST quantizer
+    t.commit(
+        ivfpq_encode(extra, trained[0], trained[1], "vec_id", "embedding"),
+        mode="append",
+    )
+    q = e.where("vec_id = 160").select(
+        F.col("embedding").alias("query_embedding")
+    )
+    got = ivfpq_index_probe(
+        spark, t, q, id_col="vec_id", vec_col="embedding", k=5
+    )
+    want = ivfpq_topk_cosine(
+        e.where("vec_id < 200"), q, id_col="vec_id", vec_col="embedding",
+        k=5, trained=trained,
+    )
+    got_rows = [tuple(r) for r in got.collect()]
+    assert got_rows == [tuple(r) for r in want.collect()]
+    # the appended query vector itself is findable (it lives in a cell)
+    assert got_rows[0][0] == 160
+    assert t.fsck()["ok"]
+
+
 def test_ivfpq_persisted_probe_equals_in_memory_and_prunes(
     spark, sf_dir, tmp_path
 ):
