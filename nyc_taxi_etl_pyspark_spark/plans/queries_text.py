@@ -568,6 +568,140 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IDCG@10 lookup by relevant-count n (0..10): Σ_{i=1..min(n,10)}
+# 1/log2(i+1), precomputed in Python and inlined as the SAME decimal
+# literals into both the Spark plan and the DuckDB oracle, so the NDCG
+# denominator is bit-identical across engines.
+_IDCG_AT_10 = [
+    0.0, 1.0, 1.6309297536, 2.1309297536, 2.5616063116, 2.9484591189,
+    3.304666306, 3.6379996393, 3.9534645161, 4.2544945118, 4.5435593381,
+]
+
+_RETRIEVAL_EVAL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.qid, q.ql, e.vec_id, e.label,
+         round(list_cosine_similarity(e.embedding, q.qe) + 1e-9, 4) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY sim DESC, vec_id
+  ) AS rnk FROM scored
+),
+nrel AS (
+  SELECT qid, count(*) AS n_rel FROM scored WHERE label = ql GROUP BY qid
+),
+ag AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         sum(CASE WHEN label = ql THEN 1.0/log2(rnk + 1) ELSE 0 END) AS dcg,
+         min(CASE WHEN label = ql THEN rnk END) AS first_rel
+  FROM ranked WHERE rnk <= 10 GROUP BY qid
+)
+SELECT ag.qid AS query_id,
+       CAST(nrel.n_rel AS BIGINT) AS n_rel,
+       ag.hits,
+       round(ag.hits/10.0 + 1e-9, 4) AS precision_at_k,
+       round(ag.hits * 1.0 / nrel.n_rel + 1e-9, 4) AS recall_at_k,
+       round(coalesce(1.0/ag.first_rel, 0.0) + 1e-9, 4) AS mrr,
+       round(ag.dcg / list_extract(
+         {_IDCG_AT_10}, least(nrel.n_rel, 10) + 1
+       ) + 1e-9, 4) AS ndcg_at_k
+FROM ag JOIN nrel USING (qid)
+ORDER BY query_id
+"""
+
+
+@query("q_retrieval_eval", oracle=_RETRIEVAL_EVAL_ORACLE)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness (round 11): exact top-10
+    cosine ranking per query vector, graded against label-match
+    relevance — precision@10, recall@10, MRR@10, NDCG@10 per query.
+    The eval tier every retrieval/ANN deployment needs next to its
+    index (this is what produced SCALE.md's recall tables, as a
+    first-class oracle-checked operator).
+
+    Plan shape: the 5-row query side broadcasts into a map-side
+    scored scan (no all-pairs — corpus × |queries| rows), one window
+    rank per query partition, two small aggregates. |queries| is the
+    knob: at 100 TB you evaluate hundreds of queries, each a
+    broadcast-scan, never a corpus self-join. NDCG's IDCG denominator
+    is a Python-precomputed literal table shared verbatim with the
+    DuckDB oracle, so the hash check is exact."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_etl_pyspark_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "ql",
+            "vec_id",
+            "label",
+            stable_round(
+                cosine_similarity_col(F.col("embedding"), F.col("qe")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    rel = F.col("label") == F.col("ql")
+    nrel = (
+        scored.where(rel)
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("n_rel"))
+    )
+    ag = (
+        ranked.where(F.col("rnk") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("hits"),
+            F.sum(
+                F.when(rel, F.lit(1.0) / F.log2(F.col("rnk") + 1)).otherwise(
+                    0.0
+                )
+            ).alias("dcg"),
+            F.min(F.when(rel, F.col("rnk"))).alias("first_rel"),
+        )
+    )
+    idcg = F.element_at(
+        F.lit(_IDCG_AT_10), F.least(F.col("n_rel"), F.lit(10)).cast("int") + 1
+    )
+    return (
+        ag.join(nrel, on="qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel",
+            "hits",
+            stable_round(F.col("hits") / 10.0, 4).alias("precision_at_k"),
+            stable_round(
+                F.col("hits") * F.lit(1.0) / F.col("n_rel"), 4
+            ).alias("recall_at_k"),
+            stable_round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 4
+            ).alias("mrr"),
+            stable_round(F.col("dcg") / idcg, 4).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _LANG_ID_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang AS labeled_lang,

@@ -5353,7 +5353,11 @@ class TransactionalTable:
                 if not dry_run:
                     self.storage.delete(_manifest_key(v))
                 removed_manifests += 1
-        for key in self.storage.list(CHECKPOINTS_DIR):
+        ckpt_keys = self.storage.list(CHECKPOINTS_DIR)
+        roots_present = {
+            _version_of(k) for k in ckpt_keys if k.endswith(".root.json")
+        }
+        for key in ckpt_keys:
             # checkpoints of expired versions are dead weight (readers
             # resolve versions from _commits, never from here). The
             # writer-grace window also applies: a concurrent commit may
@@ -5361,8 +5365,15 @@ class TransactionalTable:
             # keep-set snapshot — deleting it would only cost the next
             # reader a few extra delta reads (checkpoints are derived,
             # never required), but the grace check avoids the waste.
+            # ORPHAN shards — a sharded-checkpoint writer crashed after
+            # some shards but before the root (the root is written
+            # LAST, so no reader ever references them) — are garbage
+            # even for retained versions, under the same grace.
+            orphan_shard = (
+                ".shard-" in key and _version_of(key) not in roots_present
+            )
             if (
-                _version_of(key) not in keep
+                (_version_of(key) not in keep or orphan_shard)
                 and self.storage.age_seconds(key) >= unreferenced_grace_s
             ):
                 if not dry_run:

@@ -5419,6 +5419,48 @@ def test_sharded_checkpoint_roundtrip_and_pruned_planning(spark, tmp_path):
     assert cold3.count() == 1001 and cold3.fsck()["ok"]
 
 
+def test_vacuum_reclaims_orphan_checkpoint_shards(spark, tmp_path):
+    """A sharded-checkpoint writer crashing after some shards but
+    before the root leaves orphans no reader ever references (the
+    root is written last); vacuum reclaims them under the writer
+    grace while leaving complete sharded checkpoints intact."""
+    import os
+    import time as _time
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _checkpoint_shard_key,
+    )
+
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=8
+    )
+    t.commit(
+        spark.range(300).select(F.col("id"), (F.col("id") * 1.0).alias("v")),
+        cluster_by=["id"],
+        num_files=20,
+    )
+    t.commit(
+        spark.range(300, 600).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ),
+        mode="append",
+        cluster_by=["id"],
+        num_files=20,
+    )
+    # fabricate a crashed writer: shards for a version with NO root
+    orphan = _checkpoint_shard_key(t.latest_version() + 50, 0)
+    t.storage.put_if_absent(orphan, b"partial")
+    _time.sleep(0.01)
+    t.vacuum(retain_versions=10, unreferenced_grace_s=0.0)
+    names = sorted(os.listdir(tmp_path / "t" / "_checkpoints"))
+    assert not any(f"{t.latest_version() + 50:020d}" in n for n in names)
+    # the COMPLETE sharded checkpoint survives and still resolves
+    assert any(n.endswith(".root.json") for n in names)
+    assert any(".shard-" in n for n in names)
+    fresh = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    assert fresh.count() == 600 and fresh.fsck()["ok"]
+
+
 def test_sharded_checkpoint_partition_envelopes(spark, tmp_path):
     """Partition-value envelopes in the shard root: a partitions={...}
     read on a cold handle loads only the shards whose recorded
