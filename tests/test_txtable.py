@@ -5419,6 +5419,116 @@ def test_sharded_checkpoint_roundtrip_and_pruned_planning(spark, tmp_path):
     assert cold3.count() == 1001 and cold3.fsck()["ok"]
 
 
+def test_sharded_checkpoint_on_object_store_sim(spark, tmp_path):
+    """Sharded checkpoints use only put_if_absent / read / list —
+    never rename — so the whole write/resolve/prune cycle must hold on
+    object-store semantics (ObjectStoreSimStorage, whose rename is
+    deliberately non-atomic and never called by the protocol)."""
+    root = str(tmp_path / "t")
+    t = TransactionalTable(
+        root,
+        storage=ObjectStoreSimStorage(root),
+        checkpoint_interval=1,
+        checkpoint_shard_files=8,
+    )
+    t.commit(
+        spark.range(300).select(F.col("id"), (F.col("id") * 1.0).alias("v")),
+        cluster_by=["id"],
+        num_files=20,
+    )
+    t.commit(
+        spark.range(300, 600).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ),
+        mode="append",
+        cluster_by=["id"],
+        num_files=20,
+    )
+    assert any(
+        k.endswith(".root.json") for k in t.storage.list("_checkpoints")
+    )
+    cold = TransactionalTable(
+        root, storage=ObjectStoreSimStorage(root), checkpoint_shard_files=8
+    )
+    pm = cold._planning_manifest(None, [("id", 100, 110)], None, None)
+    assert pm.get("pruned_view") and len(pm["files"]) < 40
+    got = sorted(
+        r["id"] for r in cold.read(spark, where=[("id", 100, 110)]).collect()
+    )
+    assert got == list(range(100, 111))
+    assert cold.count() == 600 and cold.fsck()["ok"]
+
+
+def test_shard_envelope_pruning_is_superset_safe():
+    """Property: for ANY file-stats population and ANY band/equality/
+    partition predicate, a shard whose envelope excludes it must
+    contain NO file that per-file ``prune_files`` would keep — shard
+    pruning can only ever remove provably-dead shards (the superset
+    guarantee the pruned planning path rests on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _shard_envelope,
+        _shard_may_match,
+        prune_files,
+    )
+
+    file_stat = st.fixed_dictionaries(
+        {},
+        optional={
+            "rows": st.integers(0, 100),
+            "cols": st.fixed_dictionaries(
+                {},
+                optional={
+                    "a": st.tuples(
+                        st.integers(-50, 50), st.integers(0, 60)
+                    ).map(lambda t: [min(t), max(t)]),
+                    "b": st.tuples(
+                        st.integers(-5, 5), st.integers(-5, 5)
+                    ).map(lambda t: [min(t), max(t)]),
+                },
+            ),
+            "partition": st.fixed_dictionaries(
+                {}, optional={"p": st.integers(0, 3)}
+            ),
+        },
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        stats_list=st.lists(file_stat, min_size=1, max_size=12),
+        lo=st.one_of(st.none(), st.integers(-60, 70)),
+        hi=st.one_of(st.none(), st.integers(-60, 70)),
+        eq_vals=st.one_of(
+            st.none(), st.lists(st.integers(-60, 70), min_size=1, max_size=3)
+        ),
+        part_vals=st.one_of(
+            st.none(), st.lists(st.integers(0, 4), min_size=1, max_size=2)
+        ),
+    )
+    def check(stats_list, lo, hi, eq_vals, part_vals):
+        files = [f"data/f{i}.parquet" for i in range(len(stats_list))]
+        stats = dict(zip(files, stats_list))
+        env = _shard_envelope(files, stats)
+        bands = [("a", lo, hi)] if (lo is not None or hi is not None) else []
+        eq = [("a", eq_vals)] if eq_vals is not None else []
+        partitions = {"p": part_vals} if part_vals is not None else None
+        manifest = {"files": files, "stats": stats}
+        kept = set(prune_files(manifest, bands or None, eq or None))
+        if partitions:
+            kept = {
+                f
+                for f in kept
+                if "p" not in (stats[f].get("partition") or {})
+                or stats[f]["partition"]["p"] in part_vals
+            }
+        if not _shard_may_match(env, bands, eq, partitions):
+            assert not kept, (env, bands, eq, partitions, kept)
+
+    check()
+
+
 def test_vacuum_reclaims_orphan_checkpoint_shards(spark, tmp_path):
     """A sharded-checkpoint writer crashing after some shards but
     before the root leaves orphans no reader ever references (the
