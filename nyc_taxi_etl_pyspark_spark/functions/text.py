@@ -98,3 +98,83 @@ def fingerprint_md5(text: Column) -> Column:
     the exact-dedup / provenance key for a 100 TB corpus."""
     normalized = F.concat_ws(" ", tokens_col(text))
     return F.md5(normalized.cast("binary"))
+
+
+def hash_embedding(
+    df,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+):
+    """Feature-hashing text embedder (the "hashing trick", Weinberger
+    et al. 2009): every token lands in bucket ``int(md5(t)[8th hex
+    digit], 16) % dim`` with a ±1 sign from the 9th digit; per-doc
+    bucket sums are L2-normalized into a dense ``array<double>``. The
+    deterministic, vocabulary-free text→vector bridge: its output
+    column is exactly what the similarity tier consumes
+    (``brute_force_topk_cosine`` / IVF×PQ), so a corpus can be
+    embedded and ANN-indexed entirely in-engine with zero Python in
+    the row path and one (id, dim) shuffle. md5-derived buckets make
+    the whole map DuckDB-reproducible (oracle-checked as
+    ``q_text_hash_embed``); integer bucket sums keep the norm exact
+    in double regardless of aggregation order, so normalized values
+    agree across engines at any parallelism. ``dim`` ≤ 16 uses one
+    hex digit; the production form at larger dims swaps the digit
+    extraction for ``xxhash64(t) % dim`` (same plan shape).
+
+    Returns (id_col, embedding array<double>), one row per input row
+    with a non-empty token set; rounding at 4 decimals rides INSIDE
+    the normalize so downstream rankings are partition-order-proof."""
+    if not 1 <= dim <= 16:
+        raise ValueError("hash_embedding: dim must be in [1, 16]")
+    from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
+    )
+    h = F.md5(F.col("__t"))
+    bucket = (
+        F.conv(F.substring(h, 8, 1), 16, 10).cast("int") % F.lit(dim)
+    ).alias("__dim")
+    sign = (
+        F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("__s")
+    )
+    per = (
+        toks.select(id_col, bucket, sign)
+        .groupBy(id_col, "__dim")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    m = per.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__dim", "__v"))
+        ).alias("__m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    out = m.select(F.col(id_col), raw.alias("__raw")).select(
+        F.col(id_col),
+        F.col("__raw"),
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    "__raw", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            F.lit(1e-12),
+        ).alias("__n"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.transform(
+            "__raw", lambda x: stable_round(x / F.col("__n"), 4)
+        ).alias("embedding"),
+    )

@@ -568,6 +568,72 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_EMBED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (position(substr(md5(t), 8, 1) IN '0123456789abcdef') - 1) % 16
+           AS dim,
+         CASE WHEN (position(substr(md5(t), 9, 1) IN '0123456789abcdef')
+                    - 1) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+per AS (
+  SELECT doc_id, dim, CAST(sum(s) AS DOUBLE) AS v
+  FROM h GROUP BY doc_id, dim
+),
+grid AS (
+  SELECT d.doc_id, g.dim
+  FROM (SELECT DISTINCT doc_id FROM per) d,
+       (SELECT unnest(generate_series(0, 15)) AS dim) g
+),
+dense AS (
+  SELECT grid.doc_id, grid.dim, coalesce(per.v, 0.0) AS v
+  FROM grid LEFT JOIN per ON grid.doc_id = per.doc_id
+                         AND grid.dim = per.dim
+),
+norms AS (
+  SELECT doc_id, greatest(sqrt(sum(v * v)), 1e-12) AS nrm
+  FROM dense GROUP BY doc_id
+)
+SELECT dense.doc_id,
+       CAST(dense.dim AS INT) AS dim,
+       round(dense.v / norms.nrm + 1e-9, 4) AS value
+FROM dense JOIN norms ON dense.doc_id = norms.doc_id
+ORDER BY dense.doc_id, dim
+"""
+
+
+@query("q_text_hash_embed", oracle=_HASH_EMBED_ORACLE)
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedder (round 11 — the hashing trick):
+    every token lands in one of 16 md5-derived buckets with a ±1
+    sign; per-doc bucket sums L2-normalize into a dense
+    ``array<double>`` — the deterministic, vocabulary-free
+    text→vector bridge whose output column is exactly what the
+    similarity tier consumes, so a corpus embeds and ANN-indexes
+    entirely in-engine (``functions/text.py::hash_embedding``). One
+    (doc, dim) shuffle + one per-doc map build, zero Python in the
+    row path; integer bucket sums make the norm EXACT in double at
+    any aggregation order, so the DuckDB hash check proves the whole
+    map token→bucket→sign→sum→normalize across engines. Registered in
+    LONG form (doc_id, dim, value) — the oracle harness hashes scalar
+    cells; the array form for the similarity tier is the function's
+    native output (posexploded here)."""
+    from nyc_taxi_etl_pyspark_spark.functions.text import hash_embedding
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = hash_embedding(d, "doc_id", "text", dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    ).orderBy("doc_id", "dim")
+
+
 # IDCG@10 lookup by relevant-count n (0..10): Σ_{i=1..min(n,10)}
 # 1/log2(i+1), precomputed in Python and inlined as the SAME decimal
 # literals into both the Spark plan and the DuckDB oracle, so the NDCG
