@@ -1123,6 +1123,47 @@ def test_ivfpq_recall_floor_at_sf01(spark):
     assert recall >= 0.8, f"IVFPQ recall@10 {recall:.3f} below floor at sf0.1"
 
 
+def test_corpus_embeds_and_ann_indexes_in_engine(spark, sf_dir, tmp_path):
+    """Composition: raw documents → hash-trick embedding
+    (functions/text.py::hash_embedding) → persisted IVF×PQ index →
+    probe — the whole text→vector→ANN pipeline in-engine, no external
+    embedder. The probe's top hit for a document's own vector is a
+    vector with identical embedding (itself, or an exact-duplicate
+    doc — the fixture contains near/exact duplicates by design, and
+    cosine of identical vectors ties at 1.0 with lowest-id break)."""
+    from nyc_taxi_etl_pyspark_spark.functions.text import hash_embedding
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_probe,
+        ivfpq_train,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = hash_embedding(d, "doc_id", "text", dim=16)
+    trained = ivfpq_train(
+        emb, "doc_id", "embedding", n_cells=4, m_subspaces=8, k_codes=16
+    )
+    t = TransactionalTable(str(tmp_path / "corpusidx"))
+    build_ivfpq_index(
+        t, emb, id_col="doc_id", vec_col="embedding", trained=trained
+    )
+    probe_doc = emb.orderBy("doc_id").limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(probe_doc["embedding"],)], "query_embedding array<double>"
+    )
+    top = ivfpq_index_probe(
+        spark, t, q, id_col="doc_id", vec_col="embedding", k=3,
+        n_probe=2, refine=8,
+    ).collect()
+    assert len(top) == 3
+    assert top[0]["cosine_sim"] == 1.0  # its own (or identical) vector
+    hit = {r["doc_id"]: r["embedding"] for r in emb.where(
+        F.col("doc_id") == top[0]["doc_id"]
+    ).collect()}
+    assert hit[top[0]["doc_id"]] == list(probe_doc["embedding"])
+
+
 def test_ivfpq_arrow_encode_matches_expr_and_probes(
     spark, sf_dir, tmp_path
 ):
