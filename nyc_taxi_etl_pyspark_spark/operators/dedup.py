@@ -425,83 +425,112 @@ def connected_components(
     duplicate cluster". Returns (node, component) where ``component`` is
     the MIN node id in the component (deterministic, engine-neutral).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (one join + one
-    hash-aggregate shuffle per round), until a fixpoint. Rounds needed =
-    graph diameter; near-dup graphs are overwhelmingly tiny cliques
-    (diameter ≤ 2-3), so this converges in a handful of rounds even at
-    corpus scale. ``localCheckpoint`` truncates the growing lineage each
-    round — at cluster scale switch to ``checkpoint()`` with a reliable
-    checkpoint dir so a lost executor can't force a full recompute.
+    Alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) alternations on ANY graph shape, vs O(diameter) for plain
+    min-label propagation. Near-dup graphs are overwhelmingly tiny
+    cliques (either converges in 2-3 rounds), but a 100 TB corpus with
+    one chain-shaped cluster (template documents that each near-match
+    only their neighbors) would stall a diameter-bound loop for
+    hundreds of driver-paced rounds; star contraction bounds it at
+    ~log₂(n). Each round is two join+aggregate shuffles over the
+    CURRENT edge set, which only contracts toward the star forest:
+
+    - large-star: every node u links each strictly-GREATER neighbor to
+      ``m(u) = min(Γ(u) ∪ {u})`` — long tails fold onto local minima;
+    - small-star: on the (greater → smaller) edge list, every node u
+      links its not-greater neighbors (and itself) to its minimum —
+      local stars re-root on their smallest member.
+
+    The fixpoint is a star forest rooted at each component's MIN node,
+    which is exactly the (node, component) contract the DuckDB
+    recursive-CTE oracle for ``q_dedup_clusters`` checks — the oracle
+    pins the fixpoint, not the schedule. ``localCheckpoint`` truncates
+    lineage each round — at cluster scale switch to ``checkpoint()``
+    with a reliable checkpoint dir so a lost executor can't force a
+    full recompute.
     """
-    # Materialize the edge list ONCE: ``edges`` is typically the tail of
-    # the whole minhash→LSH pipeline, and every propagation round joins
-    # it — without this, round k re-runs signature hashing and banding
-    # k times over (measured: the survivors query drops ~3× end-to-end).
-    bidir = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+    # Canonicalize ONCE to (greater, smaller) pairs and materialize:
+    # ``edges`` is typically the tail of the whole minhash→LSH
+    # pipeline, and every star round joins it — without this, round k
+    # re-runs signature hashing and banding k times over (measured:
+    # the survivors query drops ~3× end-to-end). Self-loops carry no
+    # connectivity; nulls can't be ranked.
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.greatest(a, b).alias("__a"), F.least(a, b).alias("__b")
         )
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    # Checkpoints in the loop are LAZY: the convergence aggregate is the
-    # one materializing action per round, and the checkpoint piggybacks
-    # on it — eager=True would run every round's plan twice (measured
-    # ~2× on the CC phase; job round-trips dominate on small graphs and
-    # the extra pass is pure waste on big ones).
-    labels = (
-        bidir.select(F.col("__s").alias("node"))
+    # Every endpoint, remembered up front: edges CONTRACT to the star
+    # forest, where roots appear only on the right — the label pass at
+    # the end must still emit (root, root).
+    nodes = (
+        e.select(F.col("__a").alias("node"))
+        .unionByName(e.select(F.col("__b").alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    # Convergence check: per-node labels are MINs, so they only ever
-    # decrease — the label sum is strictly monotone until the fixpoint.
-    # Comparing sums costs one agg over the already-checkpointed labels,
-    # replacing a join + count job per round (measured ~1.6× on the
-    # clusters query end-to-end).
-    # Non-numeric node ids fall back to a changed-rows join check; the
-    # sum path needs numeric labels to be monotone (and ANSI mode makes
-    # sum() over strings an error, so decide from the schema).
-    from pyspark.sql.types import NumericType
-
-    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
-    # Sum on a widened DECIMAL(38,0): hash-derived 64-bit node ids can
-    # overflow a LongType sum (ANSI mode throws; non-ANSI wraps, with a
-    # remote chance of a false convergence signal).
-    _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    # No up-front sum job: the first round is never the fixpoint on a
-    # non-trivial graph, so convergence only compares from round 1 on —
-    # one fewer Spark job, and round 0's aggregate materializes (and
-    # checkpoints) the initial labels as a side effect.
-    prev_sum, have_prev = None, False
+    n_prev = None
     for _ in range(max_iter):
-        cand = bidir.join(labels, bidir["__s"] == labels["node"]).select(
-            F.col("__d").alias("node"), F.col("component")
+        # LARGE-STAR over the undirected neighborhood. Output edges
+        # (v, m(u)) for v > u keep the canonical greater→smaller form
+        # (v > u ≥ m(u)), so no re-canonicalization shuffle is needed.
+        nbrs = e.unionByName(
+            e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
         )
-        new_labels = (
-            labels.unionByName(cand)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        mins = nbrs.groupBy("__a").agg(F.min("__b").alias("__mn"))
+        mins = mins.select(
+            "__a", F.least("__mn", "__a").alias("__m")
+        )
+        ls = (
+            nbrs.join(mins, "__a")
+            .where(F.col("__b") > F.col("__a"))
+            .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
+            .distinct()
+        )
+        # SMALL-STAR on the (greater → smaller) list: per node, every
+        # incident smaller neighbor AND the node itself re-link to the
+        # minimum (already < every __a on this side).
+        sm = ls.groupBy("__a").agg(F.min("__b").alias("__m"))
+        j = ls.join(sm, "__a")
+        e_new = (
+            j.where(F.col("__b") != F.col("__m"))
+            .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
+            .unionByName(
+                j.select(F.col("__a"), F.col("__m").alias("__b"))
+            )
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        if numeric_ids:
-            new_sum = new_labels.agg(_label_sum).first()[0]
-            converged = have_prev and new_sum == prev_sum
-            prev_sum, have_prev = new_sum, True
-        else:
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-                == 0
-            )
-        labels = new_labels
-        if converged:
+        # Convergence = edge-set fixpoint (the star forest maps to
+        # itself under both ops). The count job doubles as the
+        # checkpoint materializer; the exact one-sided set check runs
+        # only when counts already agree (distinct sets of equal size
+        # with an empty difference are equal) — near-fixpoint rounds
+        # only, never the contracting ones.
+        n_new = e_new.count()
+        if n_new == n_prev and (
+            e_new.exceptAll(e).limit(1).count() == 0
+        ):
+            e = e_new
             break
-    return labels
+        e, n_prev = e_new, n_new
+    # At the fixpoint each non-root appears exactly once; the min-agg
+    # only matters if max_iter truncated a pathological graph early
+    # (best-effort labels, same contract as the propagation loop had).
+    comp = (
+        e.select(F.col("__a").alias("node"), F.col("__b").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    roots = nodes.join(
+        comp.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return comp.unionByName(roots)
 
 
 def dedup_survivors(

@@ -96,76 +96,71 @@ def _load_all_modules() -> None:
 # is WHICH 50 queries receive the external hard check first; no query
 # ever leaves the registry, the oracle map, or the full preflight.
 #
-# Round 11 window (derived by tools/rotation_plan.py; provenance
-# committed as ROTATION_r11.json): the 5 round-10 DML queries lead
-# (they were registered after the r10 window froze and carry only
-# self-attestation), followed by the remaining never-attested
-# oracle-bearing queries in registration order. 52 oracle-bearing
-# queries have never appeared in any CORRECTNESS_r01..r10 sample;
-# this window takes 50, leaving 2 oracle-bearing
-# (q_window_distribution, q_window_first_last) + 14 rows-only for r12.
+# Round 12 window (derived by tools/rotation_plan.py; provenance
+# committed as ROTATION_r12.json): this window CLOSES the attestation
+# ledger — all 20 queries never sampled in CORRECTNESS_r01..r11 lead
+# (4 oracle-bearing first, then the 16 rows-only stragglers, whose
+# driver check is rows>0 but whose local pins — recall floors, replay
+# equality, batch parity — already ran every preflight). The remaining
+# 30 slots RE-attest the longest-unsampled oracle-bearing queries
+# (first attested in r01) so external coverage stays fresh. If this
+# window passes, every registered query carries ≥1 external
+# attestation.
 _ATTESTATION_FRONT: list[str] = [
-    # round-10 DML surface — newest code, only self-attested so far
-    "q_tx_constraints",
-    "q_tx_replace_where",
-    "q_tx_clone_deep",
-    "q_tx_rename_drop_column",
-    "q_tx_generated_column",
-    # scans / extraction
-    "q_string_extract",
-    "q_scan_text",
-    "q_json_field_profile",
-    "q_scan_pyds",
-    "q_variant_extract",
-    # temporal / events
-    "q_time_gapfill",
-    "q_retention_cohorts",
-    "q_event_transitions",
-    "q_interval_concurrency",
-    "q_user_growth",
-    # join extensions
-    "q_join_theta_count",
-    "q_join_asof_tolerance",
-    "q_join_bucketed",
-    "q_join_null_safe",
-    # pandas-backed grouped ops
-    "q_grouped_ols_pandas",
-    "q_pandas_grouped_agg",
-    # SQL front door (subquery shapes)
-    "q_sql_pricing_topk",
-    "q_sql_exists_subquery",
-    "q_sql_scalar_subquery",
-    "q_sql_cte_topn",
-    "q_sql_lateral_topn",
-    # misc relational
-    "q_unpivot",
-    "q_try_arith",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_distinct",
-    "q_array_explode",
-    # multimodal plumbing
-    "q_frame_sample",
-    "q_multimodal_resize",
-    # profiling / statistics
-    "q_record_linkage_snb",
-    "q_skew_profile",
-    "q_mad_outliers",
-    "q_gini_concentration",
-    "q_entropy_balance",
-    "q_benford_profile",
-    "q_chi2_independence",
-    # streaming-shaped batch windows
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_session_window",
-    # analytic windows
-    "q_window_rank",
-    "q_window_lag",
-    "q_window_rolling",
-    "q_window_running_sum",
-    "q_window_topk_per_group",
+    # never-attested, oracle-bearing (registered after the r11 freeze)
+    "q_text_hash_embed",
+    "q_retrieval_eval",
+    "q_window_distribution",
+    "q_window_first_last",
+    # never-attested, rows-only by design (RNG / sketch / ML fit /
+    # recall-floor-pinned ANN) — driver records rows>0 for these
+    "q_bpe_train",
+    "q_bpe_fertility",
+    "q_ml_kmeans_embeddings",
+    "q_ml_cv_select",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_similarity_join_lsh",
+    "q_ann_ivf",
+    "q_ann_pq",
+    "q_ann_ivfpq",
+    "q_dedup_minhash_survivors",
+    "q_ann_ivf_persisted",
+    "q_ann_pq_persisted",
+    "q_ann_ivfpq_persisted",
+    "q_hll_error",
+    "q_streaming_sessionize",
+    # re-attestation: oldest external checks (r01), registration order
+    "q_agg_by_hour",
+    "q_count",
+    "q_agg_sum_min_max_stddev",
+    "q_agg_percentile",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_orderby",
+    "q_limit",
+    "q_topk",
+    "q_hash_sample",
+    "q_agg_grouping_sets",
+    "q_pivot",
+    "q_agg_corr",
+    "q_scan_parquet",
+    "q_project",
+    "q_cast_epoch",
+    "q_derive_arith",
+    "q_derive_ratio",
+    "q_filter_sqlstring",
+    "q_filter_between",
+    "q_filter_bbox",
+    "q_dropna",
+    "q_date_parts",
+    "q_math_round",
+    "q_string_funcs",
+    "q_like_filter",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_binary_meta",
 ]
 
 

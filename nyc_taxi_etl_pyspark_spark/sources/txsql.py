@@ -122,10 +122,25 @@ def _split_replace_where(rest: str) -> tuple[str, str] | None:
       ``ALL``/``SOME`` or a comparison/arithmetic operator, e.g.
       ``x = (SELECT max(id) ...)``).
 
+    - a candidate keyword must BEGIN a plausible query: ``VALUES``
+      followed by ``(`` (a row constructor), ``SELECT`` not followed
+      by a comparison operator — so a predicate referencing a column
+      named ``values`` (``... AND values > 3 SELECT ...``) doesn't
+      mis-split at the column reference.
+
     Returns ``(predicate, query)`` or ``None`` when no query boundary
     is found (caller raises the shape error)."""
-    cands = [i for i in _scan_top_level(rest, "SELECT")]
-    cands += [i for i in _scan_top_level(rest, "VALUES")]
+
+    def _plausible(i: int, kw: str) -> bool:
+        nxt = rest[i + len(kw):].lstrip()
+        if not nxt:
+            return False
+        if kw == "VALUES":
+            return nxt[0] == "("
+        return nxt[0] not in "=<>!"  # 'select >= 3' is a predicate term
+
+    cands = [i for i in _scan_top_level(rest, "SELECT") if _plausible(i, "SELECT")]
+    cands += [i for i in _scan_top_level(rest, "VALUES") if _plausible(i, "VALUES")]
     n = len(rest)
     depth = 0
     in_str = False

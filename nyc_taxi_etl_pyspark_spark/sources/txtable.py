@@ -1272,8 +1272,19 @@ def _checkpoint_root_key(version: int) -> str:
     return f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}.root.json"
 
 
-def _checkpoint_shard_key(version: int, i: int) -> str:
-    return f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}.shard-{i:05d}.parquet"
+def _checkpoint_shard_key(version: int, i: int, size: int | None = None) -> str:
+    """Shard object key. ``size`` (the writer's checkpoint_shard_files)
+    is embedded in the key so two writers of the same immutable version
+    configured with DIFFERENT shard sizes publish to disjoint key sets —
+    a surviving root can only ever resolve shards sliced the way its
+    own envelope list describes. ``size=None`` renders the legacy
+    (pre-layout-identity) key for reading old roots."""
+    if size is None:
+        return f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}.shard-{i:05d}.parquet"
+    return (
+        f"{CHECKPOINTS_DIR}/v{version:0{_V_WIDTH}d}"
+        f".s{size}.shard-{i:05d}.parquet"
+    )
 
 
 # Cap on the per-column distinct-partition-value set recorded in a
@@ -1356,15 +1367,33 @@ def _shard_may_match(
     bands: list[tuple] | None,
     eq: list[tuple] | None,
     partitions: dict | None,
+    temporal: set[str] | None = None,
 ) -> bool:
     """Can any file in a shard survive the given predicates? Mirrors
     ``prune_files``' semantics one level up: exclusion only, missing
-    envelope data keeps the shard."""
+    envelope data keeps the shard. ``temporal`` is the schema-derived
+    timestamp/date column set: probe bounds arrive Spark-trimmed
+    ('...00:00:00.5') while envelope bands round-trip JSON padded
+    ('...00:00:00.500000'), so both sides must pass through
+    ``_canon_temporal_cmp`` before the lexicographic compare — exactly
+    as ``prune_files`` does per-file — or an equal-instant probe
+    wrongly excludes the whole shard."""
+    temporal = temporal or set()
     ebands = env.get("bands") or {}
+
+    def _rng(col):
+        r = ebands.get(col)
+        if r is None or col not in temporal:
+            return r
+        return (_canon_temporal_cmp(r[0]), _canon_temporal_cmp(r[1]))
+
     for col, lo, hi in bands or []:
-        rng = ebands.get(col)
+        rng = _rng(col)
         if rng is None:
             continue
+        if col in temporal:
+            lo = _canon_temporal_cmp(lo) if lo is not None else None
+            hi = _canon_temporal_cmp(hi) if hi is not None else None
         try:
             if lo is not None and rng[1] < lo:
                 return False
@@ -1373,7 +1402,7 @@ def _shard_may_match(
         except TypeError:
             continue
     for col, vals in eq or []:
-        rng = ebands.get(col)
+        rng = _rng(col)
         if rng is None:
             continue
         vs = [
@@ -1385,6 +1414,8 @@ def _shard_may_match(
         ]
         if not vs:
             continue
+        if col in temporal:
+            vs = [_canon_temporal_cmp(v) for v in vs]
         try:
             if all(v < rng[0] or v > rng[1] for v in vs):
                 return False
@@ -1708,17 +1739,29 @@ class TransactionalTable:
         default is every shard (full snapshot). None if any requested
         shard is missing/undecodable (caller falls back)."""
         header = root.get("header") or {}
-        n = len(root.get("shards") or [])
+        envs = root.get("shards") or []
+        n = len(envs)
         idx = list(range(n)) if shard_idx is None else sorted(shard_idx)
+        size = root.get("shard_size")  # None on legacy roots
         files: list[str] = []
         stats: dict[str, dict] = {}
         for i in idx:
             try:
-                data = self.storage.read(_checkpoint_shard_key(version, i))
+                data = self.storage.read(
+                    _checkpoint_shard_key(version, i, size)
+                )
             except OSError:
                 return None
             part = _decode_checkpoint_parquet(data)
             if part is None:
+                return None
+            # layout-identity check: a shard whose file count disagrees
+            # with the root envelope's n_files was sliced by a writer
+            # with a different shard size (legacy keys lack the size
+            # namespace) — reconstructing from it would duplicate or
+            # drop files silently. Fall back to the delta chain.
+            want = (envs[i] or {}).get("n_files")
+            if want is not None and len(part["files"]) != want:
                 return None
             files.extend(part["files"])
             stats.update(part.get("stats", {}))
@@ -1762,15 +1805,21 @@ class TransactionalTable:
                     ok = False
                     break
                 self.storage.put_if_absent(
-                    _checkpoint_shard_key(full["version"], i // size), data
+                    _checkpoint_shard_key(full["version"], i // size, size),
+                    data,
                 )
                 shards.append(_shard_envelope(sl, stats))
             if ok:
                 # any_file: one live key for consumers needing a schema
-                # anchor (empty-prune reads) without loading a shard
+                # anchor (empty-prune reads) without loading a shard.
+                # shard_size pins the layout identity: readers compose
+                # shard keys from THIS root's size, so a different-size
+                # writer's shards (or a crashed writer's leftovers) can
+                # never be stitched under this envelope list.
                 root = {
                     "header": header,
                     "shards": shards,
+                    "shard_size": size,
                     "any_file": files[0],
                 }
                 self.storage.put_if_absent(
@@ -1951,10 +2000,22 @@ class TransactionalTable:
             root = self._read_json(_checkpoint_root_key(cur))
             if root is not None and root.get("shards"):
                 envs = root["shards"]
+                # schema-gated temporal set, mirroring prune_files: the
+                # root header carries the same schema field a manifest
+                # does, so envelope-vs-probe compares for timestamp/date
+                # columns canonicalize both sides
+                temporal = {
+                    c
+                    for c, t in (
+                        (root.get("header") or {}).get("schema") or {}
+                    ).items()
+                    if isinstance(t, str)
+                    and (t.startswith("timestamp") or t == "date")
+                }
                 matched = [
                     i
                     for i, env in enumerate(envs)
-                    if _shard_may_match(env, bands, eq, partitions)
+                    if _shard_may_match(env, bands, eq, partitions, temporal)
                 ]
                 if len(matched) == len(envs):
                     return self.manifest(version)  # nothing saved
@@ -2141,13 +2202,29 @@ class TransactionalTable:
             if m.get("pruned_view") and m.get("any_file"):
                 # every shard excluded by envelope: empty frame with
                 # the table's schema, anchored on a live file key
-                reader = spark.read
-                if self._path_partitioned(m):
-                    reader = reader.option(
-                        "basePath", self.storage.url(DATA_DIR)
-                    )
-                reader = self._schema_reader(reader, m)
-                return self._empty_frame(reader, m, m["any_file"])
+                try:
+                    reader = spark.read
+                    if self._path_partitioned(m):
+                        reader = reader.option(
+                            "basePath", self.storage.url(DATA_DIR)
+                        )
+                    reader = self._schema_reader(reader, m)
+                    return self._empty_frame(reader, m, m["any_file"])
+                except Exception:
+                    # the checkpoint's anchor file may have been
+                    # removed by a later delta AND physically vacuumed
+                    # while the root survives its grace window — a
+                    # derived artifact must never fail a valid read, so
+                    # re-plan from the authoritative full manifest
+                    # (whose files, if any, flow through the normal
+                    # prune/empty handling below)
+                    m = self.manifest(version)
+                    if m is None:
+                        raise FileNotFoundError(
+                            "no committed version in transactional "
+                            f"table {self.root}"
+                        ) from None
+        if not m["files"]:
             raise FileNotFoundError(
                 f"snapshot v{m['version']} of {self.root} lists no files "
                 "(empty commit) — no schema to reconstruct a frame from"

@@ -135,3 +135,25 @@ def test_travel_rewrite_resolves_the_pinned_snapshot(
         spark, "SELECT count(*) AS n FROM txprop_tt"
     ).first().n
     assert (n0, n1) == (5, 16)
+
+
+def test_split_replace_where_values_named_column():
+    """advice r11 (low) — a predicate referencing a column literally
+    named ``values`` must not be mistaken for the query boundary: the
+    query-start candidate must BEGIN a plausible query (VALUES
+    followed by a row constructor '(', SELECT not followed by a
+    comparison operator)."""
+    from nyc_taxi_etl_pyspark_spark.sources.txsql import _split_replace_where
+
+    pred, q = _split_replace_where("a = 1 AND values > 3 SELECT * FROM s")
+    assert pred == "a = 1 AND values > 3"
+    assert q == "SELECT * FROM s"
+    # genuine VALUES rowset query still splits at the constructor
+    pred, q = _split_replace_where("a = 1 VALUES (1, 2), (3, 4)")
+    assert pred == "a = 1" and q == "VALUES (1, 2), (3, 4)"
+    # a column named select used with a comparison stays predicate-side
+    pred, q = _split_replace_where("a = 1 AND select >= 3 SELECT * FROM s")
+    assert pred == "a = 1 AND select >= 3"
+    assert q == "SELECT * FROM s"
+    # no plausible query at all → None (caller raises the shape error)
+    assert _split_replace_where("a = 1 AND values > 3") is None

@@ -5746,3 +5746,171 @@ def test_check_constraint_survives_restore(spark, tmp_path):
             mode="append",
         )
     assert t.read(spark).count() == 100 and t.fsck()["ok"]
+
+
+def test_shard_may_match_canonicalizes_temporal_bounds():
+    """advice r11 (high) — shard-envelope pruning must compare
+    timestamp probes and envelope bands through the SAME temporal
+    canonicalization ``prune_files`` uses: a Spark-trimmed fractional
+    probe ('...00.5') or a 'T'-separated probe against a JSON-padded
+    stat band ('...00.500000') denotes the same instant, and raw
+    lexicographic compare would wrongly exclude the whole shard."""
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import _shard_may_match
+
+    env = {
+        "bands": {
+            "ts": [
+                "2024-01-01 00:00:00.500000",
+                "2024-01-01 00:00:02.500000",
+            ]
+        }
+    }
+    temporal = {"ts"}
+    trimmed = "2024-01-01 00:00:00.5"
+    # point probe at the exact band min, trimmed: must keep the shard
+    assert _shard_may_match(env, [("ts", trimmed, trimmed)], None, None, temporal)
+    # 'T'-separated ISO form of the same instant
+    t_sep = "2024-01-01T00:00:00.5"
+    assert _shard_may_match(env, [("ts", t_sep, t_sep)], None, None, temporal)
+    # equality probe in the trimmed form
+    assert _shard_may_match(env, None, [("ts", [trimmed])], None, temporal)
+    # a probe genuinely below the band still excludes
+    lo = "2024-01-01 00:00:00.4"
+    assert not _shard_may_match(env, [("ts", lo, lo)], None, None, temporal)
+    # schema gate: a STRING column named like a timestamp keeps exact
+    # raw ordering (no canonicalization) — '...0.5' < '...0.500000'
+    assert not _shard_may_match(
+        env, [("ts", trimmed, trimmed)], None, None, set()
+    )
+
+
+def test_sharded_checkpoint_temporal_probe_end_to_end(spark, tmp_path):
+    """End-to-end reproduction of the advice r11 high item: a
+    timestamp-banded predicated read on a sharded-checkpoint table,
+    probing with the Spark-trimmed string form, must return the
+    matching rows (before the fix the shard whose band min carries a
+    padded fraction was wrongly excluded and the row silently lost)."""
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=4
+    )
+    # ts = 00:00:00.5 + id seconds → every file's band min/max carry a
+    # .5 fraction (padded to .500000 in the recorded stats)
+    df = spark.range(64).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00.5' + make_interval(0,0,0,0,0,0,id)"
+        ).alias("ts"),
+    )
+    t.commit(df, cluster_by=["id"], num_files=16)
+    t.commit(
+        spark.range(64, 66).select(
+            F.col("id"),
+            F.expr(
+                "timestamp'2024-01-01 00:10:00.5' + make_interval(0,0,0,0,0,0,id)"
+            ).alias("ts"),
+        ),
+        mode="append",
+    )
+    import os as _os
+
+    cps = _os.listdir(tmp_path / "t" / "_checkpoints")
+    assert any(c.endswith(".root.json") for c in cps)  # sharded base
+    cold = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=4)
+    probe = "2024-01-01 00:00:00.5"  # Spark-trimmed point probe
+    pm = cold._planning_manifest(None, [("ts", probe, probe)], None, None)
+    assert pm is not None and pm["files"], "matching shard wrongly excluded"
+    got = cold.read(spark, where=[("ts", probe, probe)]).collect()
+    assert [r["id"] for r in got] == [0]
+
+
+def test_sharded_checkpoint_layout_identity(spark, tmp_path):
+    """advice r11 (medium) — the shard size is part of the object KEY
+    and pinned in the root, so differently-configured writers of the
+    same version publish disjoint key sets; and a shard whose decoded
+    file count disagrees with the root envelope is rejected (reader
+    falls back to the delta chain) instead of stitching a corrupt
+    snapshot."""
+    import os as _os
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _decode_checkpoint_parquet,
+        _encode_checkpoint_parquet,
+    )
+
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=8
+    )
+    t.commit(_snapshot_df(spark, 0, rows=200), cluster_by=["id"], num_files=16)
+    t.commit(
+        _snapshot_df(spark, 1, rows=200).withColumn(
+            "id", F.col("id") + 200
+        ),
+        mode="append",
+        cluster_by=["id"],
+        num_files=16,
+    )
+    ckdir = tmp_path / "t" / "_checkpoints"
+    names = sorted(_os.listdir(ckdir))
+    shard_names = [n for n in names if ".shard-" in n]
+    assert shard_names and all(".s8.shard-" in n for n in shard_names)
+    root_name = next(n for n in names if n.endswith(".root.json"))
+    root = json.loads((ckdir / root_name).read_text())
+    assert root["shard_size"] == 8
+
+    # a cold reader configured with a DIFFERENT shard size resolves the
+    # snapshot identically — the ROOT's recorded size drives key
+    # composition, never the reader's local config
+    cold = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=64)
+    assert cold.manifest()["files"] == t.manifest()["files"]
+
+    # corrupt shard 0 with a wrong-slicing shard (what a pre-fix
+    # different-size writer could leave): count mismatch vs the root
+    # envelope → sharded read rejected, snapshot rebuilt from the log
+    shard0 = ckdir / shard_names[0]
+    part = _decode_checkpoint_parquet(shard0.read_bytes())
+    bad = dict(part)
+    bad["files"] = part["files"][:3]
+    bad["stats"] = {f: part["stats"][f] for f in bad["files"]}
+    shard0.write_bytes(_encode_checkpoint_parquet(bad))
+    cold2 = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    m2 = cold2.manifest()
+    assert m2["files"] == t.manifest()["files"]  # delta-chain fallback
+    got = cold2.read(spark, where=[("id", 0, 5)]).collect()
+    assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4, 5]
+
+
+def test_empty_prune_read_survives_vacuumed_anchor(spark, tmp_path):
+    """advice r11 (low) — an all-shards-excluded read anchors its
+    empty frame's schema on the checkpoint root's any_file; when a
+    later delta removed that file and vacuum physically deleted it
+    (the root survives its grace window), the read must fall back to
+    the full manifest's normal empty handling, not raise."""
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=4
+    )
+    t.commit(_snapshot_df(spark, 0, rows=64), cluster_by=["id"], num_files=16)
+    t.commit(
+        _snapshot_df(spark, 1, rows=64).withColumn("id", F.col("id") + 64),
+        mode="append",
+        cluster_by=["id"],
+        num_files=16,
+    )
+    import os as _os
+
+    ckdir = tmp_path / "t" / "_checkpoints"
+    root_name = next(
+        n for n in sorted(_os.listdir(ckdir)) if n.endswith(".root.json")
+    )
+    root = json.loads((ckdir / root_name).read_text())
+    anchor = root["any_file"]
+    band = t.manifest()["stats"][anchor]["cols"]["id"]
+    # a delta on top of the sharded base removes the anchor file whole
+    w = TransactionalTable(str(tmp_path / "t"), checkpoint_interval=1000)
+    w.delete(spark, where=[("id", band[0], band[1])])
+    assert anchor not in w.manifest()["files"]
+    # simulated raced vacuum: the anchor's bytes are gone, root remains
+    w.storage.delete(anchor)
+    cold = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=4)
+    df = cold.read(spark, where=[("id", 50000, 60000)])
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "v", "x"}
