@@ -38,6 +38,14 @@ def pagerank(
     dangling mass is dropped, not redistributed, so ranks are comparable
     within a run rather than a strict probability distribution).
     """
+    # Materialize the edge list ONCE (round 12): ``edges`` is typically
+    # the tail of an expensive derivation (for TextRank: tokenize →
+    # distinct → df-prune → doc self-join), and it is consumed by deg,
+    # nodes, n_nodes AND every iteration's contribs join — without
+    # this, the derivation re-executes ~(3 + iterations) times and the
+    # plan tree snowballs (measured on q_textrank_keywords at sf0.01:
+    # ~2,400 stages and 15.4 s warm → 34 stages and ~1.4 s).
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("token"))

