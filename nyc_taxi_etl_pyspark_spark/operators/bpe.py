@@ -60,8 +60,16 @@ def train_bpe(
     iteration: count adjacent symbol pairs weighted by word frequency,
     pick the (count DESC, left, right) argmax, rewrite the vocab."""
     spark = df.sparkSession
-    vocab = word_counts(df, text_col).select(
-        _initial_symbols(F.col("word")).alias("syms"), "count"
+    # Materialize the initial vocab ONCE (round 12, the pagerank /
+    # connected-components discipline): every merge step's argmax
+    # collect would otherwise re-execute the corpus tokenize + groupBy
+    # from scratch — step k re-pays the corpus scan k times over.
+    # After this, every step is bounded by |vocab|, independent of
+    # corpus size.
+    vocab = (
+        word_counts(df, text_col)
+        .select(_initial_symbols(F.col("word")).alias("syms"), "count")
+        .localCheckpoint(eager=True)
     )
     merges: list[dict] = []
     for step in range(n_merges):
@@ -105,10 +113,13 @@ def train_bpe(
             F.regexp_replace(F.col("syms"), pat, repl).alias("syms"),
             "count",
         )
-        # lineage grows by one projection per merge; checkpoint-free is
-        # fine for tens of merges (each step is a single regexp over a
-        # |vocab|-row frame). For thousands of merges, localCheckpoint
-        # every ~50 steps (the connected-components discipline).
+        # lineage grows by one regexp projection per merge and each
+        # step's collect replays the stack from the last checkpoint —
+        # truncate every 10 merges so total regexp work stays O(merges
+        # · |vocab|), not O(merges² · |vocab|). Lazy: the next step's
+        # aggregate materializes it.
+        if (step + 1) % 10 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
     return merges
 
 

@@ -1506,6 +1506,76 @@ def ivfpq_index_probe(
     )
 
 
+def ivfpq_index_append(
+    spark,
+    table,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Append new vectors to a persisted IVF×PQ index WITHOUT
+    re-training: encode them with the CURRENT manifest quantizer
+    (coarse centroids + residual codebooks off the ``app`` meta — the
+    append is one arrow bulk-encode + one partitioned append commit,
+    never a corpus-wide job). This is the cheap maintenance path; its
+    cost is quantizer DRIFT — appended vectors quantize against cells
+    and codebooks fitted before they existed, so recall on the
+    appended region decays as the append fraction grows. The measured
+    drift curve (25% appended under stale codebooks) is pinned in
+    tests and ANN_RECALL_r{N}.json; the documented re-train trigger is
+    :func:`ivfpq_index_retrain` once appends since the last training
+    commit exceed ~25% of the indexed corpus."""
+    m = table.manifest()
+    meta = m["meta"]["app"]["ivfpq"]
+    centroids = [(int(c), v) for c, v in meta["centroids"].items()]
+    codebooks = meta["codebooks"]
+    encoded = ivfpq_encode(
+        new_vectors, centroids, codebooks, id_col, vec_col,
+        backend="arrow",
+    )
+    # the quantizer rides the STICKY "app" meta — appends carry it
+    # forward automatically, so probes planned after this commit still
+    # read the same centroids/codebooks the codes were made with
+    return table.commit(
+        encoded,
+        mode="append",
+        partition_by=["centroid_id"],
+        bloom_by=[id_col],
+    )
+
+
+def ivfpq_index_retrain(
+    spark,
+    table,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    k_codes: int = 64,
+) -> int:
+    """RE-TRAIN a persisted IVF×PQ index in place: read the indexed
+    (id, vector) rows back, fit a fresh quantizer on the corpus AS IT
+    NOW IS, re-encode, and commit as a FULL REPLACE — the index-table
+    analog of ``OPTIMIZE``'s rewrite (one atomic commit; concurrent
+    probes keep reading the pre-replace snapshot, time travel still
+    reproduces stale-codebook probes). Trigger this when the appended
+    fraction since the last training commit is large enough that the
+    measured drift (see :func:`ivfpq_index_append`) is no longer
+    acceptable — the committed drift artifact puts 25% appends at a
+    few recall points, so ~25% is a sane default trigger."""
+    vectors = table.read(spark).select(id_col, vec_col)
+    return build_ivfpq_index(
+        table,
+        vectors,
+        id_col,
+        vec_col,
+        n_cells,
+        m_subspaces,
+        k_codes,
+        backend="arrow",
+    )
+
+
 def build_pq_index(
     table,
     vectors: DataFrame,

@@ -1625,3 +1625,69 @@ def test_ivfpq_auto_route_to_persisted_tier(spark, sf_dir, tmp_path):
     ).collect()
     assert [(r["vec_id"],) for r in again] == [(r["vec_id"],) for r in mem]
     assert not _os.path.exists(str(tmp_path / "never_used"))
+
+
+def test_ivfpq_append_drift_and_retrain(spark, tmp_path):
+    """verdict r11 #5 — the append-maintenance DRIFT case: 25% new
+    vectors appended under STALE codebooks (quantizer fitted before
+    they existed, via ``ivfpq_index_append``) must still probe sanely
+    (recall floor), and ``ivfpq_index_retrain`` — the documented
+    re-train trigger, a full-replace commit like OPTIMIZE — must
+    restore recall to at least the drifted level on a freshly-fitted
+    quantizer. Exact per-round numbers are committed in
+    ANN_RECALL_r{N}.json; this test pins the floors."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        brute_force_topk_cosine,
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_probe,
+        ivfpq_index_retrain,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = e.where("vec_id < 1600")
+    extra = e.where("vec_id >= 1600")  # 400 = 25% of the indexed 1600
+    t = TransactionalTable(str(tmp_path / "idx"))
+    build_ivfpq_index(
+        t, base, id_col="vec_id", vec_col="embedding", backend="arrow"
+    )
+    v_trained = t.latest_version()
+    ivfpq_index_append(spark, t, extra, "vec_id", "embedding")
+    assert t.count() == 2000
+
+    qids = [3, 411, 902, 1337, 1700, 1955]  # mixed old/new regions
+
+    def recall_at10(version=None) -> float:
+        tot = 0.0
+        for qid in qids:
+            q = e.where(f"vec_id = {qid}").select(
+                F.col("embedding").alias("query_embedding")
+            )
+            exact = {
+                r[0]
+                for r in brute_force_topk_cosine(
+                    e, q, "vec_id", "embedding", k=10
+                ).collect()
+            }
+            got = {
+                r[0]
+                for r in ivfpq_index_probe(
+                    spark, t, q, id_col="vec_id", vec_col="embedding", k=10
+                ).collect()
+            }
+            tot += len(exact & got) / len(exact)
+        return tot / len(qids)
+
+    drifted = recall_at10()
+    assert drifted >= 0.5, f"stale-codebook recall collapsed: {drifted}"
+    # re-train: full-replace commit; history (stale-codebook probes)
+    # stays time-travelable
+    ivfpq_index_retrain(spark, t, "vec_id", "embedding")
+    retrained = recall_at10()
+    assert retrained >= drifted - 0.05, (drifted, retrained)
+    assert retrained >= 0.7, f"retrained recall too low: {retrained}"
+    assert t.count() == 2000 and t.fsck()["ok"]
+    assert t.latest_version() > v_trained
