@@ -1192,20 +1192,20 @@ def _ivfpq_adc_dist_col(
 
 def _corpus_identity(vectors: DataFrame) -> tuple | None:
     """A memoization key for 'the same corpus within this session':
-    the sorted backing-file list for scan-rooted frames (the common
-    case — an embeddings table read off parquet), else Catalyst's
-    semantic plan hash. ``None`` (unidentifiable) disables memoization
-    only, never correctness."""
+    Catalyst's semantic PLAN hash first — it distinguishes two frames
+    over the same parquet files that differ by a filter/projection,
+    which a backing-file list cannot — with the sorted input-file list
+    folded in as a collision guard for scan-rooted frames. ``None``
+    (unidentifiable) disables memoization only, never correctness."""
     try:
-        files = tuple(sorted(vectors.inputFiles()))
-        if files:
-            return ("files",) + files
-    except Exception:
-        pass
-    try:
-        return ("semhash", vectors.semanticHash())
+        ident: tuple = ("semhash", vectors.semanticHash())
     except Exception:
         return None
+    try:
+        ident += tuple(sorted(vectors.inputFiles()))
+    except Exception:
+        pass
+    return ident
 
 
 # session-scoped auto-route memo: key -> ("table", TransactionalTable)
