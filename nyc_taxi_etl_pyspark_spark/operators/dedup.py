@@ -457,20 +457,26 @@ def connected_components(
     # the survivors query drops ~3× end-to-end). Self-loops carry no
     # connectivity; nulls can't be ranked.
     a, b = F.col(src), F.col(dst)
-    e = (
-        edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
-        .select(
-            F.greatest(a, b).alias("__a"), F.least(a, b).alias("__b")
-        )
+    raw = edges.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("__a"), b.alias("__b")
+    )
+    # Every endpoint, remembered up front — BEFORE self-loop removal,
+    # so a node appearing only as (x, x) still labels (x, x); and
+    # because edges CONTRACT to the star forest, where roots appear
+    # only on the right, the label pass at the end must still emit
+    # (root, root).
+    nodes = (
+        raw.select(F.col("__a").alias("node"))
+        .unionByName(raw.select(F.col("__b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Every endpoint, remembered up front: edges CONTRACT to the star
-    # forest, where roots appear only on the right — the label pass at
-    # the end must still emit (root, root).
-    nodes = (
-        e.select(F.col("__a").alias("node"))
-        .unionByName(e.select(F.col("__b").alias("node")))
+    e = (
+        raw.filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.greatest("__a", "__b").alias("__a"),
+            F.least("__a", "__b").alias("__b"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -238,6 +238,16 @@ def test_connected_components_chain_clique_isolated(spark):
     }
     assert sgot == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
 
+    # a node appearing ONLY as a self-loop still labels itself
+    looped = spark.createDataFrame(
+        [(7, 7), (1, 2)], "id_a int, id_b int"
+    )
+    lgot = {
+        (r["node"], r["component"])
+        for r in connected_components(looped).collect()
+    }
+    assert lgot == {(7, 7), (1, 1), (2, 1)}
+
     docs = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99)], "doc_id int"
     )
