@@ -106,6 +106,11 @@ HEADLINE = [
     # 100 TB retrieval shape (cell-partition pruning + code-column
     # scan + bloom point-read re-rank) tracked round-over-round.
     "q_ann_ivfpq_persisted",
+    # round-12 addition: the iterative-graph tier (TextRank = 3
+    # PageRank rounds over the df-pruned co-occurrence graph) — tracks
+    # the materialize-once loop discipline round-over-round (was
+    # ~2,400 stages / 15 s before the round-12 fix, ~34 stages after).
+    "q_textrank_keywords",
 ]
 
 

@@ -43,6 +43,10 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("ann-recall")
         .config("spark.sql.shuffle.partitions", "8")
+        # ~240 probes' worth of literal-laden ADC plans accumulate in
+        # the driver JVM over a full sweep; the 1g default heap OOMs
+        # partway through the drift section
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

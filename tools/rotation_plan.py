@@ -49,10 +49,16 @@ def main() -> int:
     )
     # suggestion: keep current-front names that are STILL unattested
     # (the driver may not have run yet this round), then fill with the
-    # remaining never-attested oracle queries in registration order
+    # remaining never-attested oracle queries in registration order,
+    # then (once the oracle-bearing tail is short — the ledger-closing
+    # endgame) the never-attested rows-only queries: their driver check
+    # is weaker (rows>0) but one external attestation each still beats
+    # none
     suggest = cur_unattested + [
         n for n in never_oracle if n not in set(cur_unattested)
     ]
+    if len(suggest) < 50:
+        suggest += [n for n in never_rows_only if n not in set(suggest)]
     print("\nsuggested next _ATTESTATION_FRONT (≤50):")
     for n in suggest[:50]:
         print(f'    "{n}",')
