@@ -457,30 +457,31 @@ def connected_components(
     # the survivors query drops ~3× end-to-end). Self-loops carry no
     # connectivity; nulls can't be ranked.
     a, b = F.col(src), F.col(dst)
-    raw = edges.filter(a.isNotNull() & b.isNotNull()).select(
-        a.alias("__a"), b.alias("__b")
-    )
-    # Every endpoint, remembered up front — BEFORE self-loop removal,
-    # so a node appearing only as (x, x) still labels (x, x); and
-    # because edges CONTRACT to the star forest, where roots appear
-    # only on the right, the label pass at the end must still emit
-    # (root, root).
-    nodes = (
-        raw.select(F.col("__a").alias("node"))
-        .unionByName(raw.select(F.col("__b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        raw.filter(F.col("__a") != F.col("__b"))
+    # ONE eager checkpoint for the whole derivation (self-loops kept
+    # here so a node appearing only as (x, x) still labels (x, x)):
+    # everything downstream — the node set, the working edge set, and
+    # every star round — reads these checkpointed partitions, so the
+    # expensive upstream (typically the minhash→LSH candidate tail)
+    # executes exactly once.
+    canon = (
+        edges.filter(a.isNotNull() & b.isNotNull())
         .select(
-            F.greatest("__a", "__b").alias("__a"),
-            F.least("__a", "__b").alias("__b"),
+            F.greatest(a, b).alias("__a"), F.least(a, b).alias("__b")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Every endpoint, remembered up front: edges CONTRACT to the star
+    # forest, where roots appear only on the right — the label pass at
+    # the end must still emit (root, root). Lazy: reads the checkpoint.
+    nodes = (
+        canon.select(F.col("__a").alias("node"))
+        .unionByName(canon.select(F.col("__b").alias("node")))
+        .distinct()
+    )
+    e = canon.filter(F.col("__a") != F.col("__b"))
     n_prev = None
+    converged = False
     for _ in range(max_iter):
         # LARGE-STAR over the undirected neighborhood. Output edges
         # (v, m(u)) for v > u keep the canonical greater→smaller form
@@ -523,16 +524,20 @@ def connected_components(
             e_new.exceptAll(e).limit(1).count() == 0
         ):
             e = e_new
+            converged = True
             break
         e, n_prev = e_new, n_new
-    # At the fixpoint each non-root appears exactly once; the min-agg
-    # only matters if max_iter truncated a pathological graph early
-    # (best-effort labels, same contract as the propagation loop had).
-    comp = (
-        e.select(F.col("__a").alias("node"), F.col("__b").alias("component"))
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
+    comp = e.select(
+        F.col("__a").alias("node"), F.col("__b").alias("component")
     )
+    if not converged:
+        # only if max_iter truncated a pathological graph early can a
+        # node still carry several candidate labels (best-effort, same
+        # contract as the propagation loop had); at the fixpoint each
+        # non-root appears exactly once and the extra shuffle is waste
+        comp = comp.groupBy("node").agg(
+            F.min("component").alias("component")
+        )
     roots = nodes.join(
         comp.select("node"), "node", "left_anti"
     ).withColumn("component", F.col("node"))
