@@ -290,3 +290,92 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_users", F.sum("n_new").over(w).cast("bigint")
         )
     )
+
+
+_PAGERANK_EVENT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT prev_type AS src, event_type AS dst
+  FROM seq WHERE prev_type IS NOT NULL
+),
+nodes AS (SELECT src AS token FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+pr0 AS (SELECT token, 1.0 / nn.n_nodes AS pr FROM nodes CROSS JOIN nn),
+m1 AS (
+  SELECT e.dst AS token, sum(p.pr / d.deg) AS mass
+  FROM edges e JOIN pr0 p ON e.src = p.token JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT nodes.token,
+         (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m1.mass, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m1 ON nodes.token = m1.token
+),
+m2 AS (
+  SELECT e.dst AS token, sum(p.pr / d.deg) AS mass
+  FROM edges e JOIN pr1 p ON e.src = p.token JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT nodes.token,
+         (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m2.mass, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m2 ON nodes.token = m2.token
+),
+m3 AS (
+  SELECT e.dst AS token, sum(p.pr / d.deg) AS mass
+  FROM edges e JOIN pr2 p ON e.src = p.token JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr3 AS (
+  SELECT nodes.token,
+         (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m3.mass, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m3 ON nodes.token = m3.token
+)
+SELECT pr3.token AS event_type,
+       coalesce(deg.deg, 0) AS out_degree,
+       round(pr3.pr + 1e-9, 6) AS pr
+FROM pr3 LEFT JOIN deg ON pr3.token = deg.src
+"""
+
+
+@query("q_pagerank_event_graph", oracle=_PAGERANK_EVENT_ORACLE)
+def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED event-type transition graph (round
+    12): which states of the user journey are most central under random
+    traversal of observed transitions — the flow-centrality complement
+    to q_event_transitions' first-order probabilities (TextRank is the
+    same operator over the undirected token co-occurrence graph; this
+    exercises ``operators/graph.py::pagerank`` on a second domain and
+    on directed semantics — sinks receive rank but emit no mass). The
+    edge derivation is one user-partitioned window pass; the graph
+    itself is |event_type|²-bounded, so the three PageRank iterations
+    run over a tiny, checkpointed edge list regardless of corpus size.
+    The oracle unrolls the identical three damped iterations as chained
+    CTEs, damping spelled (1.0 - 0.85) in both engines."""
+    from nyc_taxi_etl_pyspark_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("token").alias("event_type"),
+        F.col("deg").alias("out_degree"),
+        stable_round(F.col("pr"), 6).alias("pr"),
+    )

@@ -101,10 +101,12 @@ def _load_all_modules() -> None:
 # ledger — all 20 queries never sampled in CORRECTNESS_r01..r11 lead
 # (4 oracle-bearing first, then the 16 rows-only stragglers, whose
 # driver check is rows>0 but whose local pins — recall floors, replay
-# equality, batch parity — already ran every preflight). The remaining
-# 30 slots RE-attest the longest-unsampled oracle-bearing queries
-# (first attested in r01) so external coverage stays fresh. If this
-# window passes, every registered query carries ≥1 external
+# equality, batch parity — already ran every preflight), then the one
+# query registered mid-round-12 (q_pagerank_event_graph — sampled
+# immediately so it never joins the never-attested tail). The
+# remaining 29 slots RE-attest the longest-unsampled oracle-bearing
+# queries (first attested in r01) so external coverage stays fresh.
+# If this window passes, every registered query carries ≥1 external
 # attestation.
 _ATTESTATION_FRONT: list[str] = [
     # never-attested, oracle-bearing (registered after the r11 freeze)
@@ -130,6 +132,9 @@ _ATTESTATION_FRONT: list[str] = [
     "q_ann_ivfpq_persisted",
     "q_hll_error",
     "q_streaming_sessionize",
+    # registered in round 12 (after the window derivation) — sampled
+    # immediately so it never joins the never-attested tail
+    "q_pagerank_event_graph",
     # re-attestation: oldest external checks (r01), registration order
     "q_agg_by_hour",
     "q_count",
@@ -160,7 +165,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_like_filter",
     "q_json_extract",
     "q_array_funcs",
-    "q_binary_meta",
 ]
 
 
