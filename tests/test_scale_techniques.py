@@ -1701,3 +1701,42 @@ def test_ivfpq_append_drift_and_retrain(spark, tmp_path):
     assert retrained >= 0.7, f"retrained recall too low: {retrained}"
     assert t.count() == 2000 and t.fsck()["ok"]
     assert t.latest_version() > v_trained
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    """Pin ``operators/graph.py::pagerank`` against a step-by-step
+    pure-Python replay on a DIRECTED graph with a sink (no out-edges:
+    receives rank, emits no mass — the documented dangling-node
+    simplification) and an isolated two-cycle. Three damped
+    iterations, exact to float tolerance."""
+    from nyc_taxi_etl_pyspark_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"),  # c is a sink
+        ("x", "y"), ("y", "x"),              # separate 2-cycle
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["token"]: (r["deg"], r["pr"])
+        for r in pagerank(df, iterations=3, damping=0.85).collect()
+    }
+
+    # pure-python replay of the exact same schedule
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    deg = {n: len(v) for n, v in out.items()}
+    n = len(nodes)
+    pr = {t: 1.0 / n for t in nodes}
+    for _ in range(3):
+        mass = {t: 0.0 for t in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                mass[d] += pr[s] / deg[s]
+        pr = {t: (1.0 - 0.85) / n + 0.85 * mass[t] for t in nodes}
+
+    assert set(got) == set(nodes)
+    for t in nodes:
+        assert got[t][0] == deg.get(t, 0), t
+        assert abs(got[t][1] - pr[t]) < 1e-9, (t, got[t][1], pr[t])
