@@ -25,12 +25,21 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    weight: str | None = None,
 ) -> DataFrame:
-    """Unweighted PageRank over a directed edge list ``(src, dst)``.
+    """PageRank over a directed edge list ``(src, dst)``.
 
     Returns one row per node: (token, deg, pr). Deterministic up to
     float summation order — callers round ``pr`` before hashing.
     For an undirected graph, pass both edge directions.
+
+    ``weight=None`` (default) is the classic unweighted walk: ``deg``
+    is the out-edge COUNT and each out-edge receives pr/deg mass.
+    ``weight="col"`` makes the walk proportional to edge weights
+    (e.g. observed transition counts): ``deg`` becomes the out-weight
+    SUM (double) and each edge carries pr·w/Σw — frequent paths
+    dominate, as a Markov-chain stationary-measure approximation
+    should.
 
     The node set is src ∪ dst, so sink nodes (incoming edges only)
     receive rank like any other node; their out-degree is 0 and they
@@ -45,8 +54,16 @@ def pagerank(
     # this, the derivation re-executes ~(3 + iterations) times and the
     # plan tree snowballs (measured on q_textrank_keywords at sf0.01:
     # ~2,400 stages and 15.4 s warm → 34 stages and ~1.4 s).
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if weight is None:
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        edge_mass = F.col("pr") / F.col("deg")
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight).cast("double").alias("__w")
+        ).localCheckpoint(eager=True)
+        deg = edges.groupBy("src").agg(F.sum("__w").alias("deg"))
+        edge_mass = F.col("pr") * F.col("__w") / F.col("deg")
     nodes = (
         edges.select(F.col("src").alias("token"))
         .union(edges.select(F.col("dst").alias("token")))
@@ -61,7 +78,7 @@ def pagerank(
             edges.join(ranks, edges["src"] == ranks["token"])
             .join(deg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            .agg(F.sum(edge_mass).alias("mass"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(n_nodes))

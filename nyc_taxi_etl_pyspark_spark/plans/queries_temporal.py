@@ -379,3 +379,91 @@ def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("out_degree"),
         stable_round(F.col("pr"), 6).alias("pr"),
     )
+
+
+_PAGERANK_WEIGHTED_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+nodes AS (SELECT src AS token FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+pr0 AS (SELECT token, 1.0 / nn.n_nodes AS pr FROM nodes CROSS JOIN nn),
+m1 AS (
+  SELECT e.dst AS token, sum(p.pr * e.w / d.wdeg) AS mass
+  FROM edges e JOIN pr0 p ON e.src = p.token JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT nodes.token,
+         (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m1.mass, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m1 ON nodes.token = m1.token
+),
+m2 AS (
+  SELECT e.dst AS token, sum(p.pr * e.w / d.wdeg) AS mass
+  FROM edges e JOIN pr1 p ON e.src = p.token JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT nodes.token,
+         (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m2.mass, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m2 ON nodes.token = m2.token
+),
+m3 AS (
+  SELECT e.dst AS token, sum(p.pr * e.w / d.wdeg) AS mass
+  FROM edges e JOIN pr2 p ON e.src = p.token JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+pr3 AS (
+  SELECT nodes.token,
+         (1.0 - 0.85) / nn.n_nodes + 0.85 * coalesce(m3.mass, 0.0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN m3 ON nodes.token = m3.token
+)
+SELECT pr3.token AS event_type,
+       round(coalesce(deg.wdeg, 0.0) + 1e-9, 4) AS out_weight,
+       round(pr3.pr + 1e-9, 6) AS pr
+FROM pr3 LEFT JOIN deg ON pr3.token = deg.src
+"""
+
+
+@query("q_pagerank_weighted_transitions", oracle=_PAGERANK_WEIGHTED_ORACLE)
+def q_pagerank_weighted_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED PageRank over the event-type transition graph (round
+    12): the random walk follows observed transition FREQUENCIES
+    (edge weight = pair count, mass pr·w/Σw per out-edge) — the
+    Markov-chain flow-centrality that q_pagerank_event_graph's
+    unweighted walk approximates when all transitions are equally
+    likely. Same |event_type|²-bounded, checkpointed edge list; the
+    oracle unrolls the identical three damped weighted iterations."""
+    from nyc_taxi_etl_pyspark_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85, weight="w")
+    return pr.select(
+        F.col("token").alias("event_type"),
+        stable_round(F.col("deg"), 4).alias("out_weight"),
+        stable_round(F.col("pr"), 6).alias("pr"),
+    )

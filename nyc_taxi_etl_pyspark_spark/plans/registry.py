@@ -101,10 +101,11 @@ def _load_all_modules() -> None:
 # ledger — all 20 queries never sampled in CORRECTNESS_r01..r11 lead
 # (4 oracle-bearing first, then the 16 rows-only stragglers, whose
 # driver check is rows>0 but whose local pins — recall floors, replay
-# equality, batch parity — already ran every preflight), then the one
-# query registered mid-round-12 (q_pagerank_event_graph — sampled
-# immediately so it never joins the never-attested tail). The
-# remaining 29 slots RE-attest the longest-unsampled oracle-bearing
+# equality, batch parity — already ran every preflight), then the two
+# queries registered mid-round-12 (q_pagerank_event_graph,
+# q_pagerank_weighted_transitions — sampled immediately so they
+# never join the never-attested tail). The
+# remaining 28 slots RE-attest the longest-unsampled oracle-bearing
 # queries (first attested in r01) so external coverage stays fresh.
 # If this window passes, every registered query carries ≥1 external
 # attestation.
@@ -135,6 +136,7 @@ _ATTESTATION_FRONT: list[str] = [
     # registered in round 12 (after the window derivation) — sampled
     # immediately so it never joins the never-attested tail
     "q_pagerank_event_graph",
+    "q_pagerank_weighted_transitions",
     # re-attestation: oldest external checks (r01), registration order
     "q_agg_by_hour",
     "q_count",
@@ -164,7 +166,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_string_funcs",
     "q_like_filter",
     "q_json_extract",
-    "q_array_funcs",
 ]
 
 
