@@ -1316,3 +1316,73 @@ def test_txcdf_first_dv_delete_shards_from_new_side_estimate(spark, tmp_path):
     assert len(rows) == 250
     assert {row[-2] for row in rows} == {"delete"}
     assert {row[0] for row in rows} == set(range(250))
+
+
+def test_streaming_ann_ingest_appends_into_persisted_index(
+    spark, sf_dir, tmp_path
+):
+    """Streaming ANN ingestion (round 12): a vector stream appends into
+    the persisted IVF×PQ index via ``ivfpq_index_append`` inside
+    foreachBatch — each micro-batch encodes with the MANIFEST quantizer
+    (map-only Arrow encode) and lands as a partitioned append commit,
+    so a probe issued after the stream drains sees the new vectors
+    without any re-train or rebuild. This is the online-ingest shape of
+    the ANN maintenance contract (drift governed by the committed
+    25%-append curve; re-train via ivfpq_index_retrain)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_probe,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_total = e.count()
+    base = e.where("vec_id < 300")
+    fresh = e.where("vec_id >= 300")
+    t = TransactionalTable(str(tmp_path / "ann"))
+    build_ivfpq_index(
+        t, base, id_col="vec_id", vec_col="embedding", backend="arrow"
+    )
+    n_base = t.count()
+
+    # the "arriving vectors" log: several files so the stream takes
+    # multiple micro-batches
+    src = str(tmp_path / "incoming")
+    fresh.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(batch_df, batch_id):
+        if batch_df.take(1):
+            ivfpq_index_append(spark, t, batch_df, "vec_id", "embedding")
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert t.count() == n_total and n_total > n_base
+    assert t.fsck()["ok"]
+    # a streamed-in vector is findable: self-hit at rank 1
+    probe_id = 310
+    qv = e.where(f"vec_id = {probe_id}").select(
+        F.col("embedding").alias("query_embedding")
+    )
+    top = ivfpq_index_probe(
+        spark, t, qv, id_col="vec_id", vec_col="embedding", k=5
+    ).collect()
+    assert top[0]["vec_id"] == probe_id
