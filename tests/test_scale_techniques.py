@@ -1740,3 +1740,64 @@ def test_pagerank_matches_pure_python_replay(spark):
     for t in nodes:
         assert got[t][0] == deg.get(t, 0), t
         assert abs(got[t][1] - pr[t]) < 1e-9, (t, got[t][1], pr[t])
+
+
+def test_ivfpq_probe_respects_row_level_delete(spark, sf_dir, tmp_path):
+    """GDPR-shaped composition (round 12): a row-level DELETE against
+    the persisted IVF×PQ index (both copy-on-write and merge-on-read
+    deletion-vector forms) must make the vector unreachable from every
+    probe path — the ADC shortlist scan AND the bloom point-read
+    re-rank — while time travel still reproduces the pre-delete probe
+    (the snapshot-pinned contract)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_probe,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    t = TransactionalTable(str(tmp_path / "ann"))
+    build_ivfpq_index(
+        t, e, id_col="vec_id", vec_col="embedding", backend="arrow"
+    )
+    v0 = t.latest_version()
+    target = 7
+    qv = e.where(f"vec_id = {target}").select(
+        F.col("embedding").alias("query_embedding")
+    )
+    before = ivfpq_index_probe(
+        spark, t, qv, id_col="vec_id", vec_col="embedding", k=5
+    ).collect()
+    assert before[0]["vec_id"] == target  # self-hit pre-delete
+
+    # copy-on-write delete of the probed vector
+    res = t.delete_where(spark, f"vec_id = {target}")
+    assert res["rows_deleted"] == 1
+    after = ivfpq_index_probe(
+        spark, t, qv, id_col="vec_id", vec_col="embedding", k=5
+    ).collect()
+    assert all(r["vec_id"] != target for r in after) and len(after) == 5
+
+    # merge-on-read (deletion-vector) delete of another vector
+    target2 = int(after[0]["vec_id"])
+    qv2 = e.where(f"vec_id = {target2}").select(
+        F.col("embedding").alias("query_embedding")
+    )
+    res2 = t.delete_where(
+        spark, f"vec_id = {target2}", merge_on_read=True
+    )
+    assert res2["rows_deleted"] == 1
+    after2 = ivfpq_index_probe(
+        spark, t, qv2, id_col="vec_id", vec_col="embedding", k=5
+    ).collect()
+    assert all(r["vec_id"] != target2 for r in after2)
+
+    # history: the pre-delete snapshot still self-hits under the pinned
+    # version read (manifest quantizer + files of v0)
+    assert t.read(spark, version=v0).where(
+        f"vec_id = {target}"
+    ).count() == 1
