@@ -5914,3 +5914,45 @@ def test_empty_prune_read_survives_vacuumed_anchor(spark, tmp_path):
     df = cold.read(spark, where=[("id", 50000, 60000)])
     assert df.count() == 0
     assert set(df.columns) == {"id", "v", "x"}
+
+
+def test_sharded_checkpoint_legacy_layout_still_reads(spark, tmp_path):
+    """Upgrade path for the round-12 layout-identity change: a sharded
+    checkpoint written BEFORE shard keys carried the size namespace
+    (legacy ``.shard-NNNNN`` keys, root without ``shard_size``) must
+    still materialize and prune on a current reader."""
+    import os as _os
+
+    t = TransactionalTable(
+        str(tmp_path / "t"), checkpoint_interval=1, checkpoint_shard_files=8
+    )
+    t.commit(_snapshot_df(spark, 0, rows=200), cluster_by=["id"], num_files=16)
+    t.commit(
+        _snapshot_df(spark, 1, rows=200).withColumn("id", F.col("id") + 200),
+        mode="append",
+        cluster_by=["id"],
+        num_files=16,
+    )
+    ckdir = tmp_path / "t" / "_checkpoints"
+    # rewrite the modern layout into the legacy one
+    for n in sorted(_os.listdir(ckdir)):
+        if ".s8.shard-" in n:
+            _os.rename(ckdir / n, ckdir / n.replace(".s8.shard-", ".shard-"))
+    root_name = next(
+        n for n in _os.listdir(ckdir) if n.endswith(".root.json")
+    )
+    root = json.loads((ckdir / root_name).read_text())
+    root.pop("shard_size", None)
+    (ckdir / root_name).write_text(json.dumps(root, sort_keys=True))
+
+    cold = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    m = cold.manifest()
+    assert m["files"] == t.manifest()["files"]
+    got = sorted(
+        r["id"] for r in cold.read(spark, where=[("id", 5, 9)]).collect()
+    )
+    assert got == [5, 6, 7, 8, 9]
+    # pruned planning still walks the legacy shards
+    cold2 = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
+    pm = cold2._planning_manifest(None, [("id", 5, 9)], None, None)
+    assert pm is not None and pm["files"]
