@@ -15,6 +15,7 @@ character offsets in the frame-sampling oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nyc_taxi_etl_pyspark_spark.operators.multimodal import (
     attach_payload,
@@ -110,3 +111,68 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer math on the pseudo-raster, oracle-checked exactly."""
     d = load_table(spark, sf_dir, "documents")
     return resize_media(attach_payload(d, "text", "image"))
+
+
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file source (round 12 — SURVEY §2.1 extension): Spark's
+    built-in ``format("binaryFile")`` reader, the ingestion entry point
+    for raw image/audio/document blobs (one row per file: path,
+    length, content bytes) that the multimodal operators consume. The
+    first 100 documents' texts are written once per session as
+    UTF-8 ``doc_<id>.bin`` objects; the scan reads them back and must
+    round-trip content byte-exactly — the oracle recomputes byte
+    length and md5 from the source table, so a hash match proves the
+    file write → binaryFile read path preserves every byte. At 100 TB
+    this source lands one task per file (or per file-region for
+    splittable formats); filters on path/length push into the file
+    listing, and the content column is only materialized for rows that
+    survive them."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import normalize_uri
+
+    key = spark.sparkContext.applicationId + normalize_uri(sf_dir)
+    bin_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bin_{abs(hash(key))}",
+    )
+    if not os.path.isdir(bin_dir):
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()  # bounded: 100 rows by construction
+        )
+        tmp = bin_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for r in rows:
+            with open(
+                os.path.join(tmp, f"doc_{r['doc_id']}.bin"), "wb"
+            ) as f:
+                f.write(r["text"].encode("utf-8"))
+        try:
+            os.rename(tmp, bin_dir)
+        except OSError:  # concurrent builder won the rename
+            pass
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(bin_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length(F.col("content")).cast("long").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )

@@ -101,11 +101,11 @@ def _load_all_modules() -> None:
 # ledger — all 20 queries never sampled in CORRECTNESS_r01..r11 lead
 # (4 oracle-bearing first, then the 16 rows-only stragglers, whose
 # driver check is rows>0 but whose local pins — recall floors, replay
-# equality, batch parity — already ran every preflight), then the two
+# equality, batch parity — already ran every preflight), then the three
 # queries registered mid-round-12 (q_pagerank_event_graph,
-# q_pagerank_weighted_transitions — sampled immediately so they
-# never join the never-attested tail). The
-# remaining 28 slots RE-attest the longest-unsampled oracle-bearing
+# q_pagerank_weighted_transitions, q_scan_binaryfile — sampled
+# immediately so they never join the never-attested tail). The
+# remaining 27 slots RE-attest the longest-unsampled oracle-bearing
 # queries (first attested in r01) so external coverage stays fresh.
 # If this window passes, every registered query carries ≥1 external
 # attestation.
@@ -137,6 +137,7 @@ _ATTESTATION_FRONT: list[str] = [
     # immediately so it never joins the never-attested tail
     "q_pagerank_event_graph",
     "q_pagerank_weighted_transitions",
+    "q_scan_binaryfile",
     # re-attestation: oldest external checks (r01), registration order
     "q_agg_by_hour",
     "q_count",
@@ -165,7 +166,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_math_round",
     "q_string_funcs",
     "q_like_filter",
-    "q_json_extract",
 ]
 
 
