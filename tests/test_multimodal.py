@@ -176,3 +176,34 @@ def test_no_shuffle_in_decode_plan(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_binaryfile_scan_pushes_length_filter(spark, sf_dir):
+    """The binaryFile ingestion source must push path/length predicates
+    into the scan (PushedFilters on the BINARYFILE relation), so a
+    size- or name-gated blob sweep at 100 TB lists-and-skips instead
+    of materializing every file's content — the plan-level evidence
+    behind q_scan_binaryfile's docstring claim."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    # materialize the scratch blob dir via the registered query
+    df = all_queries()["q_scan_binaryfile"](spark, sf_dir)
+    assert df.count() == 100
+    bin_dir = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_bin_*"))
+    )[0]
+    scan = (
+        spark.read.format("binaryFile")
+        .load(bin_dir)
+        .where(F.col("length") < 200)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(length), LessThan(length,200)]" in plan
+    # and the filter is correct: only sub-200-byte blobs surface
+    assert scan.where(F.col("length") >= 200).count() == 0
