@@ -27,6 +27,30 @@ from nyc_taxi_etl_pyspark_spark.plans.registry import query
 from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
 
 
+def binaryfile_scratch_dir(sf_dir: str) -> str:
+    """Deterministic scratch location for the binaryFile fixture blobs
+    derived from ``sf_dir``'s first 100 documents. Content-stable
+    digest (sha1), NOT Python ``hash()`` — string hashing is
+    PYTHONHASHSEED-salted per process, which made every driver process
+    mint (and orphan) a fresh ~100-file /tmp directory (round-12
+    advice). One dir per sf_dir, reused across processes: the fixture
+    content is a pure function of the source table, so sharing is
+    safe, and the atomic ``os.rename`` publish below keeps concurrent
+    builders correct."""
+    import hashlib
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_pyspark_spark.sources.paths import normalize_uri
+
+    digest = hashlib.sha1(
+        normalize_uri(sf_dir).encode("utf-8")
+    ).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bin_{digest}"
+    )
+
+
 @query(
     "q_multimodal_decode",
     oracle="""
@@ -137,15 +161,8 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing, and the content column is only materialized for rows that
     survive them."""
     import os
-    import tempfile
 
-    from nyc_taxi_etl_pyspark_spark.sources.paths import normalize_uri
-
-    key = spark.sparkContext.applicationId + normalize_uri(sf_dir)
-    bin_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_bin_{abs(hash(key))}",
-    )
+    bin_dir = binaryfile_scratch_dir(sf_dir)
     if not os.path.isdir(bin_dir):
         rows = (
             load_table(spark, sf_dir, "documents")
@@ -153,7 +170,13 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text")
             .collect()  # bounded: 100 rows by construction
         )
-        tmp = bin_dir + ".tmp"
+        import shutil
+        import uuid
+
+        # per-builder staging dir (uuid): two processes racing on the
+        # shared digest-named dir never collide mid-write; exactly one
+        # rename wins and the loser GCs its staging
+        tmp = f"{bin_dir}.tmp-{uuid.uuid4().hex}"
         os.makedirs(tmp, exist_ok=True)
         for r in rows:
             with open(
@@ -163,7 +186,7 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, bin_dir)
         except OSError:  # concurrent builder won the rename
-            pass
+            shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

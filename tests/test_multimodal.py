@@ -184,20 +184,22 @@ def test_binaryfile_scan_pushes_length_filter(spark, sf_dir):
     size- or name-gated blob sweep at 100 TB lists-and-skips instead
     of materializing every file's content — the plan-level evidence
     behind q_scan_binaryfile's docstring claim."""
-    import glob
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
+    from nyc_taxi_etl_pyspark_spark.plans.queries_multimodal import (
+        binaryfile_scratch_dir,
+    )
     from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
 
     # materialize the scratch blob dir via the registered query
     df = all_queries()["q_scan_binaryfile"](spark, sf_dir)
     assert df.count() == 100
-    bin_dir = sorted(
-        glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_bin_*"))
-    )[0]
+    # dir location is a stable digest of sf_dir — derived, not globbed,
+    # so a stale dir from another run can never be picked up
+    bin_dir = binaryfile_scratch_dir(sf_dir)
+    assert os.path.isdir(bin_dir)
     scan = (
         spark.read.format("binaryFile")
         .load(bin_dir)

