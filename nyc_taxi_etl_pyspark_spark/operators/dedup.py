@@ -563,6 +563,96 @@ def dedup_survivors(
     )
 
 
+def semantic_cells(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to a SEMANTIC CELL: argmin squared-L2
+    distance to ``n_cells`` md5-derived random anchors (the
+    cross-engine-derivable stand-in for a k-means coarse quantizer —
+    a random-anchor Voronoi partition is exactly k-means' init step,
+    and the anchors re-derive in any engine with md5(), same
+    discipline as ``md5_rp_planes``). Map-only: one wide codegen'd
+    projection of n_cells HOF folds, no shuffle; ties break to the
+    LOWEST anchor index (first position of the min — deterministic
+    and engine-neutral on bit-identical doubles)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        md5_rp_planes,
+    )
+
+    anchors = md5_rp_planes(n_cells, dim, prefix="cell")
+    vd = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vd,
+                    F.array(*[F.lit(float(x)) for x in anchors[c]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(n_cells)
+        ]
+    )
+    return vectors.withColumn(
+        cell_col,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    threshold: float = 0.3,
+    return_pairs: bool = False,
+) -> DataFrame:
+    """SemDeDup-shaped EMBEDDING near-dedup (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster the embedding space, call pairs
+    duplicates only WITHIN a cluster): :func:`semantic_cells` partitions
+    the corpus into ``n_cells`` Voronoi cells (map-only), within-cell
+    pairs above the cosine ``threshold`` become edges
+    (``cosine_pairs_within_group`` — the pair space is Σ|cell|², never
+    N²), and the standard chain resolves them: O(log n) star-contraction
+    components → min-id survivors (``dedup_survivors``). Returns the
+    surviving rows of ``vectors`` plus their ``cell``; with
+    ``return_pairs=True``, the intermediate edge list (id_a, id_b,
+    block=cell, cosine_sim).
+
+    At 100 TB: ``n_cells`` scales with the corpus (SemDeDup uses ~10⁵
+    k-means clusters for LAION-scale; here anchors are md5-derived so a
+    DuckDB oracle replays the whole pipeline) — per-cell pair cost is
+    (N/n_cells)² · n_cells = N²/n_cells, so cells sized to ~10³-10⁴
+    vectors keep the blocked join linear-ish in N while the cell
+    assignment itself stays one map-only pass."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        cosine_pairs_within_group,
+    )
+
+    with_cell = semantic_cells(
+        vectors, vec_col, dim, n_cells, cell_col="__cell"
+    )
+    pairs = cosine_pairs_within_group(
+        with_cell,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="__cell",
+        threshold=threshold,
+    )
+    if return_pairs:
+        return pairs
+    return dedup_survivors(
+        with_cell.withColumnRenamed("__cell", "cell"), pairs, id_col
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -99,6 +99,135 @@ def cosine_pairs_within_group(
     )
 
 
+def md5_rp_planes(
+    n_planes: int, dim: int, prefix: str = "rp"
+) -> list[list[float]]:
+    """A deterministic, CROSS-ENGINE-derivable random-projection family
+    (the sign-random-projection LSH of Charikar STOC'02): component i
+    (1-based) of plane p is ``int(md5(f"rp|{p}|{i}")[:8], 16) /
+    2^31 - 1`` — uniform in [-1, 1), exactly representable arithmetic
+    (32-bit int → double is exact), and re-derivable in any engine
+    with an md5() (the same discipline as the md5 minhash/simhash
+    twins). Computed driver-side once: n_planes × dim tiny hashes,
+    shipped to executors as plan literals."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{prefix}|{p}|{i}".encode()).hexdigest()[:8],
+                16,
+            )
+            / 2147483648.0
+            - 1
+            for i in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def rp_lsh_similarity_join(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Unblocked cosine similarity join via BANDED sign-random-projection
+    LSH over the md5-derived plane family (:func:`md5_rp_planes`) —
+    the oracle-checkable twin of ``approx_similarity_join_lsh`` (whose
+    Spark-ML BRP hash family no other engine can re-derive). Signature
+    bit j of band b is ``sign(v · plane[b·k+j])``; vectors sharing any
+    band's k-bit bucket become candidates; candidates are deduped
+    across bands and exact-cosine re-checked against ``threshold``.
+
+    Plan shape: ONE wide projection computes all n_bands·k dots
+    (codegen'd HOF folds over plan-literal planes — no shuffle), an
+    explode to (id, band, bucket), one self-join shuffled on
+    (band, bucket), pair dedup, exact re-rank. Pair space is bounded
+    by per-bucket occupancy (isotropic expectation N²·2^-k per band) —
+    at corpus scale, raise ``bits_per_band`` to keep buckets sparse
+    and ``n_bands`` to buy recall; precision is exact (the threshold
+    re-check), recall is the standard 1-(1-s^k)^B curve. ``dim`` must
+    be given at plan time (planes are literals); real deployments read
+    it off table metadata."""
+    planes = md5_rp_planes(n_bands * bits_per_band, dim)
+
+    def plane_lit(p: int):
+        return F.array(*[F.lit(float(x)) for x in planes[p]])
+
+    buckets = [
+        sum(
+            [
+                F.when(
+                    dot_col(F.col(vec_col), plane_lit(b * bits_per_band + j))
+                    > 0,
+                    F.lit(1 << j).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(bits_per_band)
+            ],
+            F.lit(0).cast("long"),
+        ).alias(f"__bkt{b}")
+        for b in range(n_bands)
+    ]
+    base = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_col(F.col(vec_col)).alias("__n"),
+        *buckets,
+    )
+    sigs = base.select(
+        id_col,
+        vec_col,
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"__bkt{b}").alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__s"),
+    ).select(
+        id_col, vec_col, "__n", F.col("__s.band"), F.col("__s.bucket")
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__v_a"),
+        F.col("__n").alias("__n_a"),
+        "band",
+        "bucket",
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__v_b"),
+        F.col("__n").alias("__n_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in >1 band appears once: vectors/norms are
+        # functions of the id, so dropDuplicates on the id pair is safe
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    denom = F.col("__n_a") * F.col("__n_b")
+    sim = stable_round(
+        F.when(denom != 0, dot_col(F.col("__v_a"), F.col("__v_b")) / denom),
+        4,
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def knn_within_group(
     vectors: DataFrame,
     id_col: str,

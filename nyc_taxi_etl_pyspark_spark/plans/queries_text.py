@@ -371,6 +371,79 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_semantic",
+    oracle="""
+    WITH RECURSIVE anchors AS (
+      SELECT list(r ORDER BY c) AS a FROM (
+        SELECT c,
+               [list_reduce(list_transform(
+                    [substr(md5('cell|' || c || '|' || i), j, 1)
+                     for j in generate_series(1, 8)],
+                  ch -> CAST(position(ch IN '0123456789abcdef') AS BIGINT) - 1),
+                  (x, y) -> x * 16 + y) / 2147483648.0 - 1
+                for i in generate_series(1, 64)] AS r
+        FROM (SELECT unnest(generate_series(0, 7)) AS c))
+    ),
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, label, v,
+             list_position(dists, list_min(dists)) - 1 AS cell
+      FROM (
+        SELECT vec_id, label, v,
+               list_transform(an.a, r ->
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> (v[i] - r[i]) * (v[i] - r[i])),
+                   (x, y) -> x + y)) AS dists
+        FROM e, anchors an)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node
+    ),
+    comp AS (
+      SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT c.vec_id, c.label, c.cell
+    FROM cells c LEFT JOIN comp ON c.vec_id = comp.node
+    WHERE comp.component IS NULL OR comp.component = c.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup, the SemDeDup composition (round-12 verdict #7):
+    partition the embedding space into 8 md5-derived Voronoi cells
+    (``semantic_cells`` — map-only argmin over cross-engine-derivable
+    anchors), call within-cell pairs with cosine ≥ 0.3 duplicates,
+    resolve through the standard chain (star-contraction components →
+    min-id survivors). The DuckDB oracle replays EVERY stage — anchor
+    derivation, the left-to-right squared-L2 folds, first-min cell
+    tie-break, within-cell pair generation, the rounded cosine gate,
+    and the component fixpoint (recursive CTE) — so the hash match
+    proves the whole pipeline. Pair space is Σ|cell|² ≈ N²/n_cells,
+    never all-pairs; at LAION scale n_cells grows to ~10⁵ (see
+    operators/dedup.py::semantic_dedup's scale note)."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", dim=64,
+        n_cells=8, threshold=0.3,
+    ).select("vec_id", "label", "cell")
+
+
 @query("q_similarity_join_lsh", oracle=None)  # approximate (LSH recall) => rows-only
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked all-pairs cosine ≥ 0.3 via Spark ML
@@ -385,6 +458,77 @@ def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         cosine_threshold=0.3,
         num_hash_tables=6,
+    )
+
+
+@query(
+    "q_similarity_join_md5",
+    oracle="""
+    WITH planes AS (
+      SELECT p,
+             [list_reduce(list_transform(
+                  [substr(md5('rp|' || p || '|' || i), c, 1)
+                   for c in generate_series(1, 8)],
+                c -> CAST(position(c IN '0123456789abcdef') AS BIGINT) - 1),
+                (a, x) -> a * 16 + x) / 2147483648.0 - 1
+              for i in generate_series(1, 64)] AS r
+      FROM (SELECT unnest(generate_series(0, 31)) AS p)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             list_reduce(list_transform(generate_series(1, 64),
+                 i -> e.v[i] * pl.r[i]), (a, x) -> a + x) AS dot
+      FROM e, planes pl
+    ),
+    sig AS (
+      SELECT vec_id, p // 8 AS band,
+             sum(CASE WHEN dot > 0
+                 THEN CAST(pow(2, p % 8) AS BIGINT) ELSE 0 END) AS bucket
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.v, eb.v) + 1e-9, 4) AS cosine_sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                JOIN e eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v) + 1e-9, 4) >= 0.2
+    """,
+)
+def q_similarity_join_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE random-projection LSH similarity join (round-12
+    verdict #4 — the last dedup-family member without a hash-proven
+    sibling): banded sign-random-projection over the md5-derived plane
+    family (``md5_rp_planes`` — plane p, component i =
+    md5('rp|p|i')[:8] as uint32, mapped to [-1,1); both engines
+    re-derive it exactly, like the md5 minhash/simhash twins). 32
+    planes = 4 bands × 8 bits; candidates share a band bucket, are
+    deduped across bands, and exact-cosine re-checked at ≥ 0.2.
+    DuckDB replays the WHOLE pipeline — plane derivation, the
+    left-to-right dot folds (bit-identical order to the engine's
+    ``dot_col``), sign thresholds, bucket assembly, the banded
+    self-join, pair dedup, and the rounded exact re-check — so a hash
+    match proves every stage against an independent implementation.
+    The production tier (q_similarity_join_lsh, Spark ML BRP) keeps
+    recall floors + property tests since its hash family has no
+    cross-engine twin."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        rp_lsh_similarity_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_similarity_join(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        n_bands=4,
+        bits_per_band=8,
+        threshold=0.2,
     )
 
 

@@ -96,76 +96,67 @@ def _load_all_modules() -> None:
 # is WHICH 50 queries receive the external hard check first; no query
 # ever leaves the registry, the oracle map, or the full preflight.
 #
-# Round 12 window (derived by tools/rotation_plan.py; provenance
-# committed as ROTATION_r12.json): this window CLOSES the attestation
-# ledger — all 20 queries never sampled in CORRECTNESS_r01..r11 lead
-# (4 oracle-bearing first, then the 16 rows-only stragglers, whose
-# driver check is rows>0 but whose local pins — recall floors, replay
-# equality, batch parity — already ran every preflight), then the three
-# queries registered mid-round-12 (q_pagerank_event_graph,
-# q_pagerank_weighted_transitions, q_scan_binaryfile — sampled
-# immediately so they never join the never-attested tail). The
-# remaining 27 slots RE-attest the longest-unsampled oracle-bearing
-# queries (first attested in r01) so external coverage stays fresh.
-# If this window passes, every registered query carries ≥1 external
-# attestation.
+# Round 13 window (derived by tools/rotation_plan.py; provenance
+# committed as ROTATION_r13.json): the attestation ledger CLOSED in r12
+# (all queries carry >=1 external attestation), so the policy shifts --
+# as the registry promised -- from coverage to bounded STALENESS:
+# never-attested queries lead (this round: the two round-13
+# registrations, q_dedup_semantic and q_similarity_join_md5, both
+# oracle-bearing), then every other query ordered by last-attested
+# round ASCENDING (oldest external check first: 13 from r01, 6 from
+# r03, then the r08 tail), registration-order tie-break. A 50-slot
+# window over 257 queries bounds staleness at ~5 rounds.
 _ATTESTATION_FRONT: list[str] = [
-    # never-attested, oracle-bearing (registered after the r11 freeze)
-    "q_text_hash_embed",
-    "q_retrieval_eval",
-    "q_window_distribution",
-    "q_window_first_last",
-    # never-attested, rows-only by design (RNG / sketch / ML fit /
-    # recall-floor-pinned ANN) — driver records rows>0 for these
-    "q_bpe_train",
-    "q_bpe_fertility",
-    "q_ml_kmeans_embeddings",
-    "q_ml_cv_select",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_similarity_join_lsh",
-    "q_ann_ivf",
-    "q_ann_pq",
-    "q_ann_ivfpq",
-    "q_dedup_minhash_survivors",
-    "q_ann_ivf_persisted",
-    "q_ann_pq_persisted",
-    "q_ann_ivfpq_persisted",
-    "q_hll_error",
-    "q_streaming_sessionize",
-    # registered in round 12 (after the window derivation) — sampled
-    # immediately so it never joins the never-attested tail
-    "q_pagerank_event_graph",
-    "q_pagerank_weighted_transitions",
-    "q_scan_binaryfile",
-    # re-attestation: oldest external checks (r01), registration order
-    "q_agg_by_hour",
-    "q_count",
-    "q_agg_sum_min_max_stddev",
-    "q_agg_percentile",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_orderby",
-    "q_limit",
-    "q_topk",
-    "q_hash_sample",
-    "q_agg_grouping_sets",
-    "q_pivot",
-    "q_agg_corr",
-    "q_scan_parquet",
-    "q_project",
-    "q_cast_epoch",
-    "q_derive_arith",
-    "q_derive_ratio",
-    "q_filter_sqlstring",
-    "q_filter_between",
-    "q_filter_bbox",
-    "q_dropna",
-    "q_date_parts",
-    "q_math_round",
-    "q_string_funcs",
-    "q_like_filter",
+    "q_dedup_semantic",
+    "q_similarity_join_md5",
+    "q_scan_orc",
+    "q_map_funcs",
+    "q_join_broadcast_lookup",
+    "q_join_inner",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_snowflake",
+    "q_join_range",
+    "q_join_asof",
+    "q_join_salted",
+    "q_join_full_outer",
+    "q_ml_train_predict",
+    "q_multimodal_decode",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_binary_meta",
+    "q_etl_pipeline",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_agg_approx_percentile",
+    "q_agg_approx_distinct",
+    "q_sample",
+    "q_stratified_sample",
+    "q_agg_histogram",
+    "q_agg_distinct_twophase",
+    "q_time_rollup_multigrain",
+    "q_agg_equidepth_histogram",
+    "q_data_quality_audit",
+    "q_agg_argminmax",
+    "q_agg_salted",
+    "q_sample_fixed_per_group",
+    "q_column_profile",
+    "q_winsorize",
+    "q_agg_regression",
+    "q_merge_upsert",
+    "q_tx_table_merge",
+    "q_incremental_agg",
+    "q_tx_expectations",
+    "q_incremental_join_view",
+    "q_mv_join_refresh",
+    "q_mv_agg_refresh",
+    "q_tx_change_feed",
+    "q_tx_time_travel",
+    "q_tx_partition_pruned_read",
+    "q_tx_stats_skipping_read",
+    "q_tx_zorder_read",
+    "q_tx_schema_evolution",
+    "q_tx_bloom_point_read",
 ]
 
 
@@ -205,9 +196,11 @@ def attestation_rotation() -> dict:
     return {
         "front": list(_ATTESTATION_FRONT),
         "criteria": (
-            "oracle-bearing queries never sampled in any prior "
-            "CORRECTNESS_r*.json, highest-risk first; derivation: "
-            "tools/rotation_plan.py; provenance: ROTATION_r{N}.json"
+            "never-attested queries first (oracle-bearing before "
+            "rows-only), then last-attested round ascending (oldest "
+            "external check first) — the post-ledger-closing staleness "
+            "bound; derivation: tools/rotation_plan.py; provenance: "
+            "ROTATION_r{N}.json"
         ),
         "rest_order": "registration order",
     }
