@@ -152,8 +152,8 @@ def main() -> int:
         from nyc_taxi_etl_pyspark_spark.operators.similarity import (
             build_ivfpq_index,
             ivfpq_index_append,
+            ivfpq_index_maintain,
             ivfpq_index_probe,
-            ivfpq_index_retrain,
         )
         from nyc_taxi_etl_pyspark_spark.sources.txtable import (
             TransactionalTable,
@@ -189,17 +189,31 @@ def main() -> int:
             return round(tot / len(query_ids), 4)
 
         drifted = probe_recall()
-        ivfpq_index_retrain(spark, t, "vec_id", "embedding")
+        # the WIRED trigger (round-13): maintain measures the appended
+        # fraction from manifest metadata alone and must fire the
+        # retrain itself at >= 25% appended — no operator in the loop
+        report = ivfpq_index_maintain(spark, t, "vec_id", "embedding")
         retrained = probe_recall()
         out["drift_25pct_append"] = {
             "base_rows": base.count(),
             "appended_rows": extra.count(),
             "recall_stale_codebooks": drifted,
             "recall_after_retrain": retrained,
-            "retrain_trigger": "appends since last training commit "
-            ">= ~25% of indexed corpus (ivfpq_index_retrain, full "
-            "replace, history time-travelable)",
+            "maintain_fired": report["retrained"],
+            "maintain_append_fraction": round(
+                report["append_fraction"], 4
+            ),
+            "retrain_trigger": "ivfpq_index_maintain (wired r13): "
+            "appends since last training commit >= 25% of indexed "
+            "corpus -> automatic full-replace retrain, shape preserved "
+            "from manifest meta, history time-travelable",
         }
+        if not report["retrained"]:
+            print(
+                "GATE FAIL: maintain did not fire past 25% appends",
+                file=sys.stderr,
+            )
+            return 1
 
     print(json.dumps(out))
     return 0

@@ -226,6 +226,17 @@ def main() -> int:
             "cpus": cpus,
         }
         print(json.dumps(out))
+        # PER-ROUND GATE (round-13 verdict #3): this tool is re-run each
+        # round and its line committed as ETL_REFSCALE_r{N}.json; a row
+        # count drifting off the reference's exact post-clean count means
+        # the ETL semantics changed — fail loudly, don't record quietly.
+        if out["rows_post_clean"] != out["target_rows_post_clean"]:
+            print(
+                f"GATE FAIL: rows_post_clean {out['rows_post_clean']} != "
+                f"target {out['target_rows_post_clean']}",
+                file=sys.stderr,
+            )
+            return 1
         return 0
     finally:
         if args.workdir is None:
