@@ -228,6 +228,74 @@ def rp_lsh_similarity_join(
     )
 
 
+def ivf_md5_topk_cosine(
+    vectors: DataFrame,
+    query_vec: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k over md5-derived Voronoi cells — the
+    ORACLE-CHECKABLE ANN tier (every other ANN tier's quantizer is
+    k-means-fitted and engine-specific, so they carry recall floors
+    instead of hash proofs; this one's coarse quantizer is the same
+    cross-engine anchor family as ``semantic_cells``, so an external
+    engine can replay the ENTIRE probe — cell assignment, query-to-cell
+    ranking, the pruned scan, and the exact re-rank — and must match
+    hash-exactly).
+
+    Plan: cell assignment is the map-only argmin of
+    :func:`nyc_taxi_etl_pyspark_spark.operators.dedup.semantic_cells`;
+    the probe broadcast-crosses the 1-row query, keeps rows whose
+    cell's query-distance is within the ``n_probe``-th smallest
+    (no driver collect — the ranking is a per-row expression over
+    literal anchors), and exact-cosines only the surviving
+    n_probe/n_cells of the corpus. At 100 TB the cell column is a
+    partition key and the keep-predicate prunes partitions; semantics
+    stay identical."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_cells
+
+    anchors = md5_rp_planes(n_cells, dim, prefix="cell")
+    with_cell = semantic_cells(
+        vectors, vec_col, dim, n_cells, cell_col="__cell"
+    )
+    qv = F.col("query_embedding").cast("array<double>")
+    qdists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(float(x)) for x in anchors[c]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(n_cells)
+        ]
+    )
+    cand = (
+        with_cell.crossJoin(F.broadcast(query_vec))
+        .withColumn("__qd", qdists)
+        .filter(
+            F.element_at(F.col("__qd"), F.col("__cell") + 1)
+            <= F.element_at(F.array_sort(F.col("__qd")), n_probe)
+        )
+    )
+    sim = stable_round(
+        cosine_similarity_col(F.col(vec_col), F.col("query_embedding")),
+        4,
+    ).alias("cosine_sim")
+    return (
+        cand.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_within_group(
     vectors: DataFrame,
     id_col: str,

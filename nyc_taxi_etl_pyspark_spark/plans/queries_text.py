@@ -444,6 +444,71 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "cell")
 
 
+@query(
+    "q_ann_ivf_md5",
+    oracle="""
+    WITH anchors AS (
+      SELECT list(r ORDER BY c) AS a FROM (
+        SELECT c,
+               [list_reduce(list_transform(
+                    [substr(md5('cell|' || c || '|' || i), j, 1)
+                     for j in generate_series(1, 8)],
+                  ch -> CAST(position(ch IN '0123456789abcdef') AS BIGINT) - 1),
+                  (x, y) -> x * 16 + y) / 2147483648.0 - 1
+                for i in generate_series(1, 64)] AS r
+        FROM (SELECT unnest(generate_series(0, 7)) AS c))
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    cells AS (
+      SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell
+      FROM (
+        SELECT vec_id, v,
+               list_transform(an.a, r ->
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> (v[i] - r[i]) * (v[i] - r[i])),
+                   (x, y) -> x + y)) AS dists
+        FROM e, anchors an)
+    ),
+    qd AS (
+      SELECT list_transform(an.a, r ->
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> (qv[i] - r[i]) * (qv[i] - r[i])),
+                 (x, y) -> x + y)) AS qdists
+      FROM q, anchors an
+    )
+    SELECT c.vec_id,
+           round(list_cosine_similarity(c.v, q.qv) + 1e-9, 4) AS cosine_sim
+    FROM cells c, q, qd
+    WHERE qd.qdists[c.cell + 1] <= list_sort(qd.qdists)[2]
+    ORDER BY cosine_sim DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ORACLE-CHECKED ANN tier (round 13): IVF top-10 cosine
+    probing 2 of 8 md5-derived Voronoi cells
+    (``operators/similarity.py::ivf_md5_topk_cosine``). Every other
+    ANN tier quantizes with engine-fitted k-means and so carries
+    recall floors + replay tests instead of hash proofs; here the
+    coarse quantizer is the cross-engine ``semantic_cells`` anchor
+    family, so DuckDB replays the WHOLE probe — per-vector cell
+    argmin, query-to-cell distance ranking, the n_probe keep
+    predicate, and the exact re-rank — and the value hash must match.
+    No driver collect: the probe ranking is a per-row expression over
+    plan-literal anchors behind a 1-row broadcast cross join."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivf_md5_topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_md5_topk_cosine(
+        e, _query_vec(spark, sf_dir), id_col="vec_id",
+        vec_col="embedding", dim=64, k=10, n_cells=8, n_probe=2,
+    )
+
+
 @query("q_similarity_join_lsh", oracle=None)  # approximate (LSH recall) => rows-only
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked all-pairs cosine ≥ 0.3 via Spark ML

@@ -100,14 +100,15 @@ def _load_all_modules() -> None:
 # committed as ROTATION_r13.json): the attestation ledger CLOSED in r12
 # (all queries carry >=1 external attestation), so the policy shifts --
 # as the registry promised -- from coverage to bounded STALENESS:
-# never-attested queries lead (this round: the two round-13
-# registrations, q_dedup_semantic and q_similarity_join_md5, both
-# oracle-bearing), then every other query ordered by last-attested
+# never-attested queries lead (this round: the three round-13
+# registrations — q_dedup_semantic, q_similarity_join_md5,
+# q_ann_ivf_md5 — all oracle-bearing), then every other query ordered by last-attested
 # round ASCENDING (oldest external check first: 13 from r01, 6 from
 # r03, then the r08 tail), registration-order tie-break. A 50-slot
-# window over 257 queries bounds staleness at ~5 rounds.
+# window over 258 queries bounds staleness at ~5 rounds.
 _ATTESTATION_FRONT: list[str] = [
     "q_dedup_semantic",
+    "q_ann_ivf_md5",
     "q_similarity_join_md5",
     "q_scan_orc",
     "q_map_funcs",
@@ -156,7 +157,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_tx_stats_skipping_read",
     "q_tx_zorder_read",
     "q_tx_schema_evolution",
-    "q_tx_bloom_point_read",
 ]
 
 
