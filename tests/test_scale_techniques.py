@@ -1798,6 +1798,73 @@ def test_ivfpq_maintain_auto_retrains_past_threshold(spark, tmp_path):
     assert rep2["trained_rows"] == 2000
 
 
+def test_semantic_cells_map_only(spark, sf_dir):
+    """The SemDeDup cell assignment must be MAP-ONLY — one wide
+    codegen'd projection of argmin folds over plan-literal anchors, no
+    Exchange: at 100 TB the cell column is computed in the same pass
+    that scans the vectors, never a shuffle of its own."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        semantic_cells(e, "embedding", dim=64, n_cells=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ivf_md5_probe_no_collect_no_cartesian(spark, sf_dir):
+    """q_ann_ivf_md5's probe must be collect-free and cartesian-free:
+    the query side enters as a 1-row BROADCAST (nested-loop on a 1-row
+    build side is the intended shape, not a CartesianProduct), and the
+    keep-predicate prunes to the probed cells before the exact
+    re-rank."""
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+
+    df = all_queries()["q_ann_ivf_md5"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    got = df.collect()
+    assert len(got) == 10
+    # probed-cell recall sanity: vec_id=0 (the query itself) must be
+    # its own nearest neighbor — it always lands in a probed cell
+    # (its cell is the argmin cell, distance rank 1)
+    assert got[0]["vec_id"] == 0 and got[0]["cosine_sim"] == 1.0
+
+
+def test_rp_lsh_planes_cross_engine_exact(spark):
+    """md5_rp_planes must be exactly re-derivable: plane components are
+    32-bit-int/2^31 - 1 (exactly representable doubles), and the same
+    derivation in DuckDB SQL yields bit-identical values — the property
+    the q_similarity_join_md5 / q_dedup_semantic / q_ann_ivf_md5
+    oracles all stand on."""
+    import duckdb
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        md5_rp_planes,
+    )
+
+    planes = md5_rp_planes(2, 5, prefix="cell")
+    got = duckdb.connect().execute(
+        """
+        SELECT p, i,
+               list_reduce(list_transform(
+                   [substr(md5('cell|' || p || '|' || i), j, 1)
+                    for j in generate_series(1, 8)],
+                 ch -> CAST(position(ch IN '0123456789abcdef') AS BIGINT) - 1),
+                 (x, y) -> x * 16 + y) / 2147483648.0 - 1 AS r
+        FROM (SELECT unnest(generate_series(0, 1)) AS p),
+             (SELECT unnest(generate_series(1, 5)) AS i)
+        ORDER BY p, i
+        """
+    ).fetchall()
+    for p, i, r in got:
+        assert planes[p][i - 1] == r  # EXACT equality, not approx
+
+
 def test_pagerank_matches_pure_python_replay(spark):
     """Pin ``operators/graph.py::pagerank`` against a step-by-step
     pure-Python replay on a DIRECTED graph with a sink (no out-edges:
