@@ -657,6 +657,117 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_semdedup_oracle() -> str:
+    """Declarative replay of run_streaming_semantic_dedup's admission
+    rule: three unrolled batch stages (b = vec_id % 3). Per batch: a
+    recursive-CTE component pass over within-batch within-cell cosine
+    pairs picks the batch survivors (min-id per component, matching
+    the engine's star-contraction), then a NOT-EXISTS history check
+    drops survivors with a ≥0.3 same-cell neighbor among the union of
+    earlier admissions. The md5-anchor cell derivation is shared with
+    q_dedup_semantic's oracle."""
+    head = """
+    WITH RECURSIVE anchors AS (
+      SELECT list(r ORDER BY c) AS a FROM (
+        SELECT c,
+               [list_reduce(list_transform(
+                    [substr(md5('cell|' || c || '|' || i), j, 1)
+                     for j in generate_series(1, 8)],
+                  ch -> CAST(position(ch IN '0123456789abcdef') AS BIGINT) - 1),
+                  (x, y) -> x * 16 + y) / 2147483648.0 - 1
+                for i in generate_series(1, 64)] AS r
+        FROM (SELECT unnest(generate_series(0, 7)) AS c))
+    ),
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             vec_id % 3 AS b
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, label, v, b,
+             list_position(dists, list_min(dists)) - 1 AS cell
+      FROM (
+        SELECT vec_id, label, v, b,
+               list_transform(an.a, r ->
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> (v[i] - r[i]) * (v[i] - r[i])),
+                   (x, y) -> x + y)) AS dists
+        FROM e, anchors an)
+    )"""
+    stage = """,
+    pairs{b} AS (
+      SELECT p.vec_id AS id_a, q.vec_id AS id_b
+      FROM cells p JOIN cells q
+        ON p.cell = q.cell AND p.vec_id < q.vec_id
+      WHERE p.b = {b} AND q.b = {b}
+        AND round(list_cosine_similarity(p.v, q.v) + 1e-9, 4) >= 0.3
+    ),
+    edges{b} AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs{b}
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs{b}
+    ),
+    reach{b}(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges{b}
+      UNION
+      SELECT g.dst, r.lbl FROM reach{b} r JOIN edges{b} g ON g.src = r.node
+    ),
+    comp{b} AS (
+      SELECT node, min(lbl) AS component FROM reach{b} GROUP BY node
+    ),
+    surv{b} AS (
+      SELECT c.vec_id, c.label, c.cell, c.v
+      FROM cells c LEFT JOIN comp{b} ON c.vec_id = comp{b}.node
+      WHERE c.b = {b}
+        AND (comp{b}.component IS NULL OR comp{b}.component = c.vec_id)
+    ),
+    adm{b} AS (
+      SELECT s.* FROM surv{b} s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({prior}) a
+        WHERE a.cell = s.cell
+          AND round(list_cosine_similarity(a.v, s.v) + 1e-9, 4) >= 0.3
+      )
+    )"""
+    priors = {
+        0: "SELECT * FROM surv0 WHERE 1=0",  # no history for batch 0
+        1: "SELECT * FROM adm0",
+        2: "SELECT * FROM adm0 UNION ALL SELECT * FROM adm1",
+    }
+    body = head + "".join(
+        stage.format(b=b, prior=priors[b]) for b in range(3)
+    )
+    return body + """
+    SELECT vec_id, label, cell FROM adm0
+    UNION ALL SELECT vec_id, label, cell FROM adm1
+    UNION ALL SELECT vec_id, label, cell FROM adm2
+    """
+
+
+@query("q_streaming_semantic_dedup", oracle=_streaming_semdedup_oracle())
+def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup end-to-end (round 13 — the embedding-space
+    complement to q_streaming_corpus_dedup): bronze vector commits →
+    commit-log streaming source → per-micro-batch cell assignment +
+    within-batch component survivors + same-cell cosine history check
+    against the admitted table (which doubles as the cell-keyed vector
+    index) → append the novel vectors. Self-idempotent under
+    redelivery (a replayed vector meets itself at cosine 1.0);
+    batch-deterministic (driver drains per commit), so the DuckDB
+    oracle replays the whole admission history declaratively — three
+    unrolled batch stages, each a recursive-CTE component pass plus a
+    NOT-EXISTS check against earlier admissions. Exempt from the
+    collect guard like every q_streaming_* query: the streaming run
+    executes during plan construction."""
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_semantic_dedup,
+    )
+
+    return run_streaming_semantic_dedup(
+        spark, sf_dir, query_name="q_streaming_semantic_dedup"
+    )
+
+
 @query(
     "q_bm25_score",
     oracle=f"""

@@ -100,13 +100,15 @@ def _load_all_modules() -> None:
 # committed as ROTATION_r13.json): the attestation ledger CLOSED in r12
 # (all queries carry >=1 external attestation), so the policy shifts --
 # as the registry promised -- from coverage to bounded STALENESS:
-# never-attested queries lead (this round: the three round-13
+# never-attested queries lead (this round: the four round-13
 # registrations — q_dedup_semantic, q_similarity_join_md5,
-# q_ann_ivf_md5 — all oracle-bearing), then every other query ordered by last-attested
+# q_ann_ivf_md5, q_streaming_semantic_dedup — all oracle-bearing),
+# then every other query ordered by last-attested
 # round ASCENDING (oldest external check first: 13 from r01, 6 from
 # r03, then the r08 tail), registration-order tie-break. A 50-slot
-# window over 258 queries bounds staleness at ~5 rounds.
+# window over 259 queries bounds staleness at ~5 rounds.
 _ATTESTATION_FRONT: list[str] = [
+    "q_streaming_semantic_dedup",
     "q_dedup_semantic",
     "q_ann_ivf_md5",
     "q_similarity_join_md5",
@@ -156,7 +158,6 @@ _ATTESTATION_FRONT: list[str] = [
     "q_tx_partition_pruned_read",
     "q_tx_stats_skipping_read",
     "q_tx_zorder_read",
-    "q_tx_schema_evolution",
 ]
 
 

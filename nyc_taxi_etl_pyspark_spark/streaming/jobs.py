@@ -995,6 +995,122 @@ def run_streaming_corpus_dedup(
     return index.read(spark).select("doc_id", "fprint")
 
 
+def run_streaming_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_semantic_dedup",
+) -> DataFrame:
+    """STREAMING SemDeDup — the embedding-space complement to
+    :func:`run_streaming_corpus_dedup`'s exact-fingerprint front door:
+    vectors land in a BRONZE commit-log table in three append commits,
+    a ``txstream`` query tails the log, and each micro-batch
+
+    1. assigns md5-anchor Voronoi CELLS (``semantic_cells`` — map-only,
+       the same cross-engine quantizer q_dedup_semantic uses),
+    2. resolves WITHIN-BATCH near-dups through the standard chain
+       (within-cell cosine ≥ 0.3 pairs → star-contraction components →
+       min-id survivors, i.e. ``semantic_dedup`` applied to the batch),
+    3. drops batch survivors that have a cosine-≥0.3 neighbor among the
+       ADMITTED vectors of the SAME cell (the history check joins on
+       the cell key, so its pair space is batch×|admitted|/n_cells —
+       in production this exact check upgrades to an ANN probe of the
+       admitted index; cells keep it bounded either way), and
+    4. appends the novel (vec_id, embedding, cell, label) rows back —
+       the admitted table doubles as the cell-keyed vector index.
+
+    Self-idempotent under redelivery (a replayed vector meets ITSELF
+    in the index at cosine 1.0 and is dropped — no replay marker), and
+    batch-deterministic (the driver drains per bronze commit, so
+    admission is "first batch wins, then the within-batch component
+    minimum"), which makes the whole run declaratively replayable by
+    the q_streaming_semantic_dedup oracle: three unrolled batch stages,
+    each a recursive-CTE component pass plus a NOT-EXISTS history
+    check against the union of earlier admissions."""
+    from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+    from nyc_taxi_etl_pyspark_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_dedup
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import (
+        register_python_sources,
+    )
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        TransactionalTable,
+    )
+
+    ensure_session_conf(spark)
+    register_python_sources(spark)
+    base = fixture_scratch_dir(
+        "spark_graft_semdedup", sf_dir, anchor="embeddings.parquet"
+    )
+    bronze = TransactionalTable(base + "/bronze")
+    index = TransactionalTable(base + "/admitted")
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        surv = semantic_dedup(
+            batch_df.select("vec_id", "embedding", "label"),
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=64,
+            n_cells=8,
+            threshold=0.3,
+        ).select("vec_id", "embedding", "label", "cell")
+        if index.exists():
+            adm = index.read(spark).select(
+                F.col("embedding").alias("__avec"), "cell"
+            )
+            clash = (
+                surv.join(adm, "cell")
+                .where(
+                    stable_round(
+                        cosine_similarity_col(
+                            F.col("embedding"), F.col("__avec")
+                        ),
+                        4,
+                    )
+                    >= 0.3
+                )
+                .select("vec_id")
+                .distinct()
+            )
+            novel = surv.join(clash, "vec_id", "left_anti")
+            index.commit(novel, mode="append")
+        else:
+            index.commit(surv)
+
+    def batch_vecs(i: int) -> DataFrame:
+        return vecs.where(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+
+    if not bronze.exists():
+        bronze.commit(batch_vecs(0), num_files=2)
+    stream = (
+        spark.readStream.format("txstream")
+        .option("path", base + "/bronze")
+        .load()
+    )
+    q = (
+        stream.writeStream.queryName(query_name)
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", base + "/ckpt")
+        .start()
+    )
+    try:
+        for i in range(3):
+            if bronze.latest_version() < i:
+                bronze.commit(batch_vecs(i), mode="append", num_files=2)
+            # drain after every commit: micro-batch boundaries == commit
+            # versions, which is what pins the admission order
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return index.read(spark).select("vec_id", "label", "cell")
+
+
 def run_streaming_silver_agg(
     spark: SparkSession,
     sf_dir: str,

@@ -1386,3 +1386,76 @@ def test_streaming_ann_ingest_appends_into_persisted_index(
         spark, t, qv, id_col="vec_id", vec_col="embedding", k=5
     ).collect()
     assert top[0]["vec_id"] == probe_id
+
+
+def test_streaming_semantic_dedup_replay_is_idempotent(spark, tmp_path, sf_dir):
+    """Streaming SemDeDup needs no replay marker either — but for a
+    subtler reason than the exact-fingerprint pipeline: a replayed
+    vector is dropped because it meets ITSELF in the admitted index at
+    cosine 1.0 (the same-cell history check), so a worst-case full
+    re-tail of bronze under a fresh checkpoint admits nothing and the
+    index rows are unchanged."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
+    from nyc_taxi_etl_pyspark_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_dedup
+    from nyc_taxi_etl_pyspark_spark.sources.paths import fixture_scratch_dir
+    from nyc_taxi_etl_pyspark_spark.sources.pyds import register_python_sources
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import TransactionalTable
+    from nyc_taxi_etl_pyspark_spark.streaming.jobs import (
+        run_streaming_semantic_dedup,
+    )
+
+    out1 = run_streaming_semantic_dedup(spark, sf_dir)
+    rows1 = set(map(tuple, out1.collect()))
+    assert rows1
+
+    base = fixture_scratch_dir(
+        "spark_graft_semdedup", sf_dir, anchor="embeddings.parquet"
+    )
+    index = TransactionalTable(base + "/admitted")
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("txstream")
+        .option("path", base + "/bronze")
+        .load()
+    )
+
+    def apply_batch(batch_df, batch_id):
+        surv = semantic_dedup(
+            batch_df.select("vec_id", "embedding", "label"),
+            id_col="vec_id", vec_col="embedding", dim=64,
+            n_cells=8, threshold=0.3,
+        ).select("vec_id", "embedding", "label", "cell")
+        adm = index.read(spark).select(
+            F.col("embedding").alias("__avec"), "cell"
+        )
+        clash = (
+            surv.join(adm, "cell")
+            .where(
+                stable_round(
+                    cosine_similarity_col(F.col("embedding"), F.col("__avec")),
+                    4,
+                ) >= 0.3
+            )
+            .select("vec_id").distinct()
+        )
+        index.commit(surv.join(clash, "vec_id", "left_anti"), mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "sem_replay_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows2 = set(
+        map(tuple, index.read(spark).select("vec_id", "label", "cell").collect())
+    )
+    assert rows2 == rows1  # full redelivery admitted nothing new
