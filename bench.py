@@ -111,6 +111,12 @@ HEADLINE = [
     # the materialize-once loop discipline round-over-round (was
     # ~2,400 stages / 15 s before the round-12 fix, ~34 stages after).
     "q_textrank_keywords",
+    # round-13 additions: the oracle-checked similarity/dedup tiers —
+    # SemDeDup (cell-blocked pair space + star-CC + survivors), the
+    # banded sign-RP similarity join, and the md5-cell IVF ANN probe.
+    "q_dedup_semantic",
+    "q_similarity_join_md5",
+    "q_ann_ivf_md5",
 ]
 
 

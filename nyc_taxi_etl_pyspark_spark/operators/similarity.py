@@ -69,10 +69,85 @@ def cosine_pairs_within_group(
     vec_col: str,
     block_col: str,
     threshold: float = 0.9,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold within each ``block_col`` group
     (embedding near-dup detection). Pair space is quadratic per block
-    only; at corpus scale the block is an LSH bucket or IVF cell."""
+    only; at corpus scale the block is an LSH bucket or IVF cell.
+
+    ``backend="arrow"`` (default, round 13): one ``applyInPandas`` task
+    per block computes the block's similarity matrix as CHUNKED numpy
+    matmuls over L2-normalized vectors and emits only the pairs at or
+    above the (stable-rounded) threshold. The round-12 ``"hof"``
+    formulation — self-join on the block key, one HOF dot per pair —
+    materialized the full quadratic ROW expansion through a shuffle
+    whose task count AQE sizes from the (tiny) join INPUT bytes: at sf1
+    the 25M-pair stage ran as two straggler tasks at ~3% cluster
+    utilization and 1 KB of vector payload per pair (measured; the
+    scale probe sat >9 min in it). The matmul does the same arithmetic
+    at memory bandwidth with no pair-row materialization — the
+    surviving pairs ARE the output. Row-chunking (1024-row strips
+    against the whole block) bounds task memory at ~8·1024·|block|
+    bytes regardless of block size; parallelism is the block count,
+    which is the quantity that scales with the corpus (cells/buckets
+    grow with N — the SemDeDup/LSH contract documented on the
+    callers). Float detail: numpy sums in a different order than the
+    HOF fold, so raw cosines can differ in the last ulps — both
+    backends and the DuckDB oracles round(+1e-9, 4) before the
+    threshold and the output, the engine-wide discipline that absorbs
+    exactly this. ``backend="hof"`` keeps the pure-JVM plan for
+    HOF-only environments."""
+    if backend == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        blk_t = vectors.schema[block_col].dataType.simpleString()
+        out_schema = (
+            f"id_a {id_t}, id_b {id_t}, block {blk_t}, cosine_sim double"
+        )
+        thr = float(threshold)
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].to_numpy()
+            blk = pdf[block_col].iloc[0]
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(v, axis=1)
+            ok = norms != 0  # zero vectors have no cosine (NULL in SQL)
+            ids, v, norms = ids[ok], v[ok], norms[ok]
+            out_a, out_b, out_s = [], [], []
+            if len(ids) > 1:
+                vn = v / norms[:, None]
+                for lo in range(0, len(ids) - 1, 1024):
+                    hi = min(lo + 1024, len(ids))
+                    sims = np.round(vn[lo:hi] @ vn.T + 1e-9, 4)
+                    for i in range(lo, hi):
+                        row = sims[i - lo, i + 1 :]
+                        keep = np.nonzero(row >= thr)[0] + i + 1
+                        if keep.size:
+                            out_a.append(np.full(keep.size, ids[i]))
+                            out_b.append(ids[keep])
+                            out_s.append(row[keep - i - 1])
+            if not out_a:
+                return pd.DataFrame(
+                    {"id_a": ids[:0], "id_b": ids[:0],
+                     "block": pdf[block_col].iloc[:0],
+                     "cosine_sim": np.array([], dtype=np.float64)}
+                )
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "block": blk,
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+        return vectors.groupBy(block_col).applyInPandas(
+            block_pairs, out_schema
+        )
+
     a = vectors.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("__blk"),
