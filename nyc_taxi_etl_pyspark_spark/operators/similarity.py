@@ -377,15 +377,73 @@ def knn_within_group(
     vec_col: str,
     block_col: str,
     k: int = 3,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Per-vector k-nearest-neighbors within a block (directed: every
     vector gets ITS top-k, unlike the undirected threshold pairs of
     ``cosine_pairs_within_group``) — the similarity-graph builder for
-    clustering / retrieval-eval pipelines. One blocked self-join + one
-    window; deterministic (cosine rounded before ranking, id tie-break).
-    At corpus scale the block is an LSH bucket or IVF cell, keeping the
-    pair space near-linear."""
+    clustering / retrieval-eval pipelines. Deterministic (cosine rounded
+    before ranking, id tie-break). At corpus scale the block is an LSH
+    bucket or IVF cell, keeping the pair space near-linear.
+
+    ``backend="arrow"`` (default, round 13 — same diagnosis and fix as
+    ``cosine_pairs_within_group``): the blocked self-join + window rank
+    materialized the full quadratic pair expansion through an
+    AQE-undersized shuffle (measured: 398 s at sf1 on the label blocks,
+    ~2 straggler tasks); one ``applyInPandas`` task per block now does
+    chunked numpy matmuls and a stable per-row argsort — sim DESC with
+    ids pre-sorted ascending, so ties break to the lower id exactly like
+    the window's (cosine_sim DESC, id_b) order — and emits only the k
+    neighbor rows. Zero-norm vectors (no cosine) are excluded as both
+    sources and neighbors. ``backend="hof"`` keeps the pure-JVM plan."""
     from pyspark.sql import Window
+
+    if backend == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_t}, id_b {id_t}, cosine_sim double"
+
+        def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(v, axis=1)
+            ok = norms != 0
+            ids, v, norms = ids[ok], v[ok], norms[ok]
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": ids[:0], "id_b": ids[:0],
+                     "cosine_sim": np.array([], dtype=np.float64)}
+                )
+            vn = v / norms[:, None]
+            kk = min(k, n - 1)
+            out_a, out_b, out_s = [], [], []
+            for lo in range(0, n, 1024):
+                hi = min(lo + 1024, n)
+                sims = np.round(vn[lo:hi] @ vn.T + 1e-9, 4)
+                sims[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
+                # ids ascend with the column index, so a STABLE sort of
+                # -sims == (cosine DESC, id ASC) — the window's order
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                out_a.append(np.repeat(ids[lo:hi], kk))
+                out_b.append(ids[order].ravel())
+                out_s.append(
+                    np.take_along_axis(sims, order, axis=1).ravel()
+                )
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+        return vectors.groupBy(block_col).applyInPandas(
+            block_knn, out_schema
+        )
 
     a = vectors.select(
         F.col(id_col).alias("id_a"),
