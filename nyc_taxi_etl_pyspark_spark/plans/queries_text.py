@@ -513,16 +513,22 @@ def q_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked all-pairs cosine ≥ 0.3 via Spark ML
     ``BucketedRandomProjectionLSH.approxSimilarityJoin`` on normalized
-    embeddings — the no-blocking-column scale path for pairwise
-    similarity (SURVEY §2.12). Precision exact, recall LSH-bounded
-    (recall floor asserted vs the exact pairs in tests); rows-only."""
+    embeddings — the ML-API tier for pairwise similarity (SURVEY
+    §2.12). Precision exact, recall LSH-bounded (recall floor asserted
+    vs the exact pairs in tests); rows-only. Bucket length re-tuned
+    round 13 (≈ the unit-vector projection σ — the 1.0 default packed
+    the corpus into ~2 buckets/table); the 100 TB tier is
+    q_similarity_join_md5's banded multi-bit RP join, whose AND-within-
+    band composition the ML API cannot express (see
+    approx_similarity_join_lsh's scale-limit note)."""
     e = load_table(spark, sf_dir, "embeddings")
     return approx_similarity_join_lsh(
         e,
         id_col="vec_id",
         vec_col="embedding",
         cosine_threshold=0.3,
-        num_hash_tables=6,
+        bucket_length=0.1,
+        num_hash_tables=10,
     )
 
 
