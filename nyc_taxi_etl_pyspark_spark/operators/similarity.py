@@ -35,6 +35,37 @@ from nyc_taxi_etl_pyspark_spark.functions.vectors import (
 )
 
 
+def _np_stable_round4(sims):
+    """Decimal-faithful vectorized ``stable_round(·, 4)`` for the arrow
+    backends (round-13 advice #1): ``np.round`` rounds the scaled BINARY
+    value half-to-even, while the JVM path (``F.round`` = BigDecimal on
+    the shortest decimal repr, HALF_UP) and the DuckDB oracles'
+    ``round(x + 1e-9, 4)`` land half-boundaries on the upper side — so a
+    cosine within ~1 ulp of a .00005 boundary could round differently
+    across backends. Bulk path stays the vectorized ``np.round(x+1e-9)``;
+    only elements NEAR a half boundary (|frac(y·10⁴) − 0.5| < 1e-6 —
+    empty for almost every block) are re-rounded through Decimal HALF_UP
+    on the shortest repr, exactly Spark's semantics."""
+    import numpy as np
+
+    y = sims + 1e-9
+    out = np.round(y, 4)
+    scaled = y * 1e4
+    sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        flat_out, flat_y = out.reshape(-1), y.reshape(-1)
+        for i in np.nonzero(sus.reshape(-1))[0]:
+            flat_out[i] = float(
+                Decimal(repr(float(flat_y[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def brute_force_topk_cosine(
     vectors: DataFrame,
     query_vec: DataFrame,
@@ -121,7 +152,7 @@ def cosine_pairs_within_group(
                 vn = v / norms[:, None]
                 for lo in range(0, len(ids) - 1, 1024):
                     hi = min(lo + 1024, len(ids))
-                    sims = np.round(vn[lo:hi] @ vn.T + 1e-9, 4)
+                    sims = _np_stable_round4(vn[lo:hi] @ vn.T)
                     for i in range(lo, hi):
                         row = sims[i - lo, i + 1 :]
                         keep = np.nonzero(row >= thr)[0] + i + 1
@@ -423,7 +454,7 @@ def knn_within_group(
             out_a, out_b, out_s = [], [], []
             for lo in range(0, n, 1024):
                 hi = min(lo + 1024, n)
-                sims = np.round(vn[lo:hi] @ vn.T + 1e-9, 4)
+                sims = _np_stable_round4(vn[lo:hi] @ vn.T)
                 sims[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
                 # ids ascend with the column index, so a STABLE sort of
                 # -sims == (cosine DESC, id ASC) — the window's order
@@ -469,6 +500,12 @@ def knn_within_group(
     )
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        # zero-norm exclusion to match the arrow backend exactly
+        # (round-13 advice #2): a NULL cosine means one side had no
+        # direction — drop the pair so zero-norm vectors appear neither
+        # as sources (all their pairs are NULL) nor as neighbors,
+        # instead of ranking NULLS LAST into a short top-k.
+        .filter(F.col("cosine_sim").isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")

@@ -17,6 +17,7 @@ from nyc_taxi_etl_pyspark_spark.operators.joins import (
     asof_join,
     broadcast_lookup_join,
     range_join_bucketed,
+    theta_lt_count_banded,
 )
 from nyc_taxi_etl_pyspark_spark.functions.rounding import stable_round
 from nyc_taxi_etl_pyspark_spark.plans.registry import query
@@ -278,21 +279,29 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_theta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure theta join (inequality-only predicate, no equi key): per
-    supplier, how many customers hold a smaller balance. Plans as
-    BroadcastNestedLoopJoin — the only strategy for keyless predicates —
-    with the 10-row supplier side broadcast, so cost is |customer| × 10
-    comparisons, parallel over customer partitions, and the aggregate
-    collapses output before anything moves. The general lesson encoded
-    here: keyless joins are viable at scale ONLY when one side is tiny;
-    the banded alternative for two large sides is q_join_range."""
+    """Keyless-theta AGGREGATE (per supplier, how many customers hold a
+    smaller balance) — rewritten round 14 from the BroadcastNestedLoopJoin
+    spelling (|customer| × |supplier| comparisons: 104.9 s at sf1, 15% of
+    the whole sweep) to the counting-sort plan
+    (``theta_lt_count_banded``): per-band customer counts + a
+    domain-bounded running sum + an equi hash join for same-band pairs
+    only. Same aggregate, same oracle, ~linear cost. The general lesson:
+    a keyless theta JOIN needs a tiny side, but a keyless theta
+    AGGREGATE over an ordered predicate never needs the join at all —
+    sort/band the axis and count (guide §2.4: remove the shuffle/join
+    outright). Zero-match suppliers are filtered to keep the inner-join
+    semantics of the original."""
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
-    return (
-        c.join(F.broadcast(s), c["c_acctbal"] < s["s_acctbal"])
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").alias("n_poorer_customers"))
+    counted = theta_lt_count_banded(
+        c,
+        s,
+        left_val="c_acctbal",
+        right_val="s_acctbal",
+        right_keys=["s_suppkey", "s_name"],
+        out_col="n_poorer_customers",
     )
+    return counted.filter(F.col("n_poorer_customers") > 0)
 
 
 @query(

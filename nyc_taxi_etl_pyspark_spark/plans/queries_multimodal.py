@@ -36,16 +36,25 @@ def binaryfile_scratch_dir(sf_dir: str) -> str:
     advice). One dir per sf_dir, reused across processes: the fixture
     content is a pure function of the source table, so sharing is
     safe, and the atomic ``os.rename`` publish below keeps concurrent
-    builders correct."""
+    builders correct. The digest folds in the anchor documents
+    parquet's mtime+size (round-13 advice #3, mirroring
+    fixture_scratch_dir's staleness guard) so a REGENERATED fixture at
+    the same path mints a fresh blob dir instead of silently reusing
+    stale content; non-stat-able remote roots degrade to path-only
+    identity, the documented limitation."""
     import hashlib
     import os
     import tempfile
 
     from nyc_taxi_etl_pyspark_spark.sources.paths import normalize_uri
 
-    digest = hashlib.sha1(
-        normalize_uri(sf_dir).encode("utf-8")
-    ).hexdigest()[:16]
+    tag = normalize_uri(sf_dir)
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag += f"|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        pass  # remote/odd root: path-only identity (documented)
+    digest = hashlib.sha1(tag.encode("utf-8")).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), f"spark_graft_bin_{digest}"
     )

@@ -584,9 +584,11 @@ def q_similarity_join_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dot_col``), sign thresholds, bucket assembly, the banded
     self-join, pair dedup, and the rounded exact re-check — so a hash
     match proves every stage against an independent implementation.
-    The production tier (q_similarity_join_lsh, Spark ML BRP) keeps
-    recall floors + property tests since its hash family has no
-    cross-engine twin."""
+    The ML-API demonstration tier (q_similarity_join_lsh, Spark ML
+    BRP — bounded to ~10⁵ vectors, see approx_similarity_join_lsh's
+    scale-limit note) keeps recall floors + property tests since its
+    hash family has no cross-engine twin; this banded md5 join is the
+    production/100 TB tier (SURVEY §2.12)."""
     from nyc_taxi_etl_pyspark_spark.operators.similarity import (
         rp_lsh_similarity_join,
     )

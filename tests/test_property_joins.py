@@ -389,3 +389,65 @@ def test_snb_candidates_property_lossless(spark, lkeys, rkeys, window):
         ).collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lvals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    rvals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    band_width=st.sampled_from([0.5, 1.0, 7.0]),
+)
+def test_theta_lt_count_banded_property(spark, lvals, rvals, band_width):
+    """The round-14 counting-sort replacement for the keyless theta
+    aggregate must equal the nested-loop ground truth for ARBITRARY
+    value multisets — negatives, NULLs on either side, exact ties
+    (strictly-less must exclude them), duplicate right rows (each
+    counts its own matches), zero-match rows (count 0, present) — and
+    for several band widths, proving the banding algebra and not a
+    fixture's distribution."""
+    from nyc_taxi_etl_pyspark_spark.operators.joins import (
+        theta_lt_count_banded,
+    )
+
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lvals)] or [(0, None)],
+        "lid int, lv double",
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rvals)] or [(0, None)],
+        "rid int, rv double",
+    )
+    got = {
+        r["rid"]: r["n_lt"]
+        for r in theta_lt_count_banded(
+            left,
+            right,
+            left_val="lv",
+            right_val="rv",
+            right_keys=["rid"],
+            band_width=band_width,
+        ).collect()
+    }
+    want = {
+        i: sum(1 for lv in lvals if lv is not None and rv is not None and lv < rv)
+        for i, rv in enumerate(rvals or [None])
+    }
+    assert got == want

@@ -568,10 +568,12 @@ def test_incremental_topk_small_corpus_no_rescan_loop(spark, sf_dir):
 def test_round2_plan_shapes(spark, sf_dir):
     """Plan-shape regression net for the round-2 operators: the NOT-IN
     subquery must decorrelate (null-aware anti join, not a per-row
-    probe), the keyless theta join must broadcast its tiny side, the
-    decontamination join must broadcast the benchmark posting list, the
-    centroid and packing plans must stay single-shuffle, and Q21's double
-    correlation must plan as semi + anti joins."""
+    probe), the keyless theta AGGREGATE must run the round-14 banded
+    counting-sort plan (NO nested-loop join anywhere — the BNLJ
+    spelling was |C|×|S|, 104.9 s at sf1), the decontamination join
+    must broadcast the benchmark posting list, the centroid and packing
+    plans must stay single-shuffle, and Q21's double correlation must
+    plan as semi + anti joins."""
     import re
 
     from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
@@ -580,7 +582,6 @@ def test_round2_plan_shapes(spark, sf_dir):
     expectations = {
         "q_sql_q16_parts_supplier_cnt": ["BroadcastHashJoin"],  # NOT IN -> anti join
         "q_sql_q21_waiting_supplier": ["LeftSemi", "LeftAnti"],
-        "q_join_theta_count": ["BroadcastNestedLoopJoin"],
         "q_contamination_ngram": ["BroadcastHashJoin"],
         "q_sql_q10_returned_items": ["TakeOrderedAndProject"],
     }
@@ -588,6 +589,9 @@ def test_round2_plan_shapes(spark, sf_dir):
         plan = _executed_plan(qs[name](spark, sf_dir))
         for marker in must:
             assert marker in plan, (name, marker)
+    theta = _executed_plan(qs["q_join_theta_count"](spark, sf_dir))
+    assert "NestedLoop" not in theta, "theta aggregate regressed to a nested-loop join"
+    assert "Join" in theta  # the same-band equi join is a real hash/merge join
     # NOT IN decorrelates to an anti join (exact operator label varies by
     # null-awareness), never a nested per-row subquery.
     q16 = _executed_plan(qs["q_sql_q16_parts_supplier_cnt"](spark, sf_dir))
@@ -1963,3 +1967,63 @@ def test_ivfpq_probe_respects_row_level_delete(spark, sf_dir, tmp_path):
     assert t.read(spark, version=v0).where(
         f"vec_id = {target}"
     ).count() == 1
+
+
+def test_arrow_vs_hof_backend_parity(spark):
+    """Direct arrow-vs-hof parity for cosine_pairs_within_group and
+    knn_within_group (round-13 verdict #5 / advice #2): a deterministic
+    synthetic corpus crossing the 1024-row chunk boundary, containing
+    zero vectors (no cosine — both backends must drop them as sources
+    AND neighbors), exact duplicate vectors (cosine 1.0 ties), and
+    near-boundary cosines. Both backends must emit identical
+    (id_a, id_b, rounded sim) sets and identical kNN neighbor lists."""
+    import math
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        cosine_pairs_within_group,
+        knn_within_group,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(1100):  # > 1024: exercises the arrow chunk boundary
+        if i % 97 == 0:
+            vec = [0.0] * dim  # zero-norm: excluded by BOTH backends
+        elif i % 5 == 0:
+            vec = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]  # exact dup family
+        else:
+            # deterministic pseudo-random unit-ish vectors
+            vec = [
+                math.sin(0.7 * i + 1.3 * j) + 0.01 * ((i * j) % 7)
+                for j in range(dim)
+            ]
+        rows.append((i, i % 2, vec))
+    df = spark.createDataFrame(
+        rows, "vid int, blk int, embedding array<double>"
+    )
+
+    def pair_set(backend):
+        return {
+            (r["id_a"], r["id_b"], r["cosine_sim"])
+            for r in cosine_pairs_within_group(
+                df, id_col="vid", vec_col="embedding", block_col="blk",
+                threshold=0.9, backend=backend,
+            ).collect()
+        }
+
+    arrow_pairs, hof_pairs = pair_set("arrow"), pair_set("hof")
+    assert arrow_pairs, "fixture must produce pairs"
+    assert arrow_pairs == hof_pairs
+
+    def knn_lists(backend):
+        out = {}
+        for r in knn_within_group(
+            df, id_col="vid", vec_col="embedding", block_col="blk",
+            k=3, backend=backend,
+        ).collect():
+            out.setdefault(r["id_a"], []).append((r["id_b"], r["cosine_sim"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    arrow_knn, hof_knn = knn_lists("arrow"), knn_lists("hof")
+    assert arrow_knn == hof_knn
+    assert all(i not in arrow_knn for i in range(0, 1100, 97))  # zero vecs

@@ -13,7 +13,7 @@ running as 2 straggler tasks (>9 min); this sweep then caught
 q_knn_per_vector with the same disease (398 s → 2.6 s after the arrow
 matmul fix). Run it each round after registering new operators.
 
-Usage: python tools/scale_sweep.py [sf_dir] [--skip-prefix q_streaming_]
+Usage: python tools/scale_sweep.py [sf_dir] [--skip-prefix=q_streaming_]
 Prints one line per query as it completes (slowest last can be
 interrupted without losing output) and a final JSON summary line.
 """
