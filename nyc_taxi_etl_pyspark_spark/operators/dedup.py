@@ -575,22 +575,24 @@ def semantic_cells(
     cross-engine-derivable stand-in for a k-means coarse quantizer —
     a random-anchor Voronoi partition is exactly k-means' init step,
     and the anchors re-derive in any engine with md5(), same
-    discipline as ``md5_rp_planes``). Map-only: one wide codegen'd
-    projection of n_cells HOF folds, no shuffle; ties break to the
-    LOWEST anchor index (first position of the min — deterministic
-    and engine-neutral on bit-identical doubles)."""
+    discipline as ``md5_rp_planes``). Map-only over the data: one wide
+    projection of n_cells HOF folds, no shuffle of the vectors; the
+    anchors arrive via a 1-row broadcast (round 14 — engine-side md5
+    derivation instead of n_cells × dim plan literals, bit-identical
+    values, see ``md5_rp_planes_sql``). Ties break to the LOWEST
+    anchor index (first position of the min — deterministic and
+    engine-neutral on bit-identical doubles)."""
     from nyc_taxi_etl_pyspark_spark.operators.similarity import (
-        md5_rp_planes,
+        with_md5_planes,
     )
 
-    anchors = md5_rp_planes(n_cells, dim, prefix="cell")
     vd = F.col(vec_col).cast("array<double>")
     dists = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     vd,
-                    F.array(*[F.lit(float(x)) for x in anchors[c]]),
+                    F.element_at(F.col("__cell_anchors"), c + 1),
                     lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0.0),
@@ -599,9 +601,15 @@ def semantic_cells(
             for c in range(n_cells)
         ]
     )
-    return vectors.withColumn(
-        cell_col,
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    return (
+        with_md5_planes(
+            vectors, n_cells, dim, prefix="cell", col="__cell_anchors"
+        )
+        .withColumn(
+            cell_col,
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+        .drop("__cell_anchors")
     )
 
 

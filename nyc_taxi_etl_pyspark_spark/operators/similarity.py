@@ -232,6 +232,47 @@ def md5_rp_planes(
     ]
 
 
+def md5_rp_planes_sql(n_planes: int, dim: int, prefix: str = "rp") -> str:
+    """The SQL spelling of :func:`md5_rp_planes` — the same derivation
+    evaluated ENGINE-SIDE (``conv(substring(md5(...)),16,10)/2^31 - 1``;
+    bit-identical to the Python ints, verified by
+    test_rp_lsh_planes_cross_engine_exact's family). Round-14
+    optimization (guide §7.2 "plans wider than you expected"): shipping
+    the family as plan literals cost n_planes × dim ``F.lit`` calls per
+    query build (~2.4 s of driver time for the 32×64 join family) and a
+    ~120 KB plan whose wide codegen'd projection recompiled per run;
+    as ONE expression behind a 1-row broadcast (``with_md5_planes``)
+    the derivation is evaluated once at broadcast build and the plan
+    carries ~200 bytes."""
+    return (
+        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f"transform(sequence(1, {dim}), i -> "
+        f"CAST(conv(substring(md5(concat('{prefix}|', p, '|', i)), 1, 8), "
+        "16, 10) AS DOUBLE) / 2147483648.0 - 1.0))"
+    )
+
+
+def with_md5_planes(
+    df: DataFrame,
+    n_planes: int,
+    dim: int,
+    prefix: str = "rp",
+    col: str = "__planes",
+) -> DataFrame:
+    """Attach the md5 plane family to ``df`` as one nested-array column
+    via a 1-row broadcast cross join (the ivf_md5 query-side pattern):
+    the derivation runs once when the broadcast relation is built —
+    HOF expressions do not constant-fold, so inlining it into the big
+    side's projection would re-derive 2048 md5s per row. No shuffle of
+    ``df``; the join is a BroadcastNestedLoopJoin on a 1-row build
+    side."""
+    spark = df.sparkSession
+    planes = spark.range(1).select(
+        F.expr(md5_rp_planes_sql(n_planes, dim, prefix)).alias(col)
+    )
+    return df.crossJoin(F.broadcast(planes))
+
+
 def rp_lsh_similarity_join(
     vectors: DataFrame,
     id_col: str,
@@ -249,26 +290,27 @@ def rp_lsh_similarity_join(
     band's k-bit bucket become candidates; candidates are deduped
     across bands and exact-cosine re-checked against ``threshold``.
 
-    Plan shape: ONE wide projection computes all n_bands·k dots
-    (codegen'd HOF folds over plan-literal planes — no shuffle), an
-    explode to (id, band, bucket), one self-join shuffled on
-    (band, bucket), pair dedup, exact re-rank. Pair space is bounded
-    by per-bucket occupancy (isotropic expectation N²·2^-k per band) —
-    at corpus scale, raise ``bits_per_band`` to keep buckets sparse
-    and ``n_bands`` to buy recall; precision is exact (the threshold
-    re-check), recall is the standard 1-(1-s^k)^B curve. ``dim`` must
-    be given at plan time (planes are literals); real deployments read
-    it off table metadata."""
-    planes = md5_rp_planes(n_bands * bits_per_band, dim)
+    Plan shape: ONE wide projection computes all n_bands·k dots (HOF
+    folds over the broadcast-attached md5 plane family — round 14: the
+    family is derived engine-side once per broadcast build via
+    ``with_md5_planes`` instead of n_planes × dim plan literals, same
+    bit-identical values, ~600× smaller plan), an explode to
+    (id, band, bucket), one self-join shuffled on (band, bucket), pair
+    dedup, exact re-rank. Pair space is bounded by per-bucket occupancy
+    (isotropic expectation N²·2^-k per band) — at corpus scale, raise
+    ``bits_per_band`` to keep buckets sparse and ``n_bands`` to buy
+    recall; precision is exact (the threshold re-check), recall is the
+    standard 1-(1-s^k)^B curve. ``dim`` must be given at plan time;
+    real deployments read it off table metadata."""
 
-    def plane_lit(p: int):
-        return F.array(*[F.lit(float(x)) for x in planes[p]])
+    def plane(p: int):
+        return F.element_at(F.col("__planes"), p + 1)
 
     buckets = [
         sum(
             [
                 F.when(
-                    dot_col(F.col(vec_col), plane_lit(b * bits_per_band + j))
+                    dot_col(F.col(vec_col), plane(b * bits_per_band + j))
                     > 0,
                     F.lit(1 << j).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
@@ -278,7 +320,7 @@ def rp_lsh_similarity_join(
         ).alias(f"__bkt{b}")
         for b in range(n_bands)
     ]
-    base = vectors.select(
+    base = with_md5_planes(vectors, n_bands * bits_per_band, dim).select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm_col(F.col(vec_col)).alias("__n"),
@@ -357,35 +399,40 @@ def ivf_md5_topk_cosine(
     :func:`nyc_taxi_etl_pyspark_spark.operators.dedup.semantic_cells`;
     the probe broadcast-crosses the 1-row query, keeps rows whose
     cell's query-distance is within the ``n_probe``-th smallest
-    (no driver collect — the ranking is a per-row expression over
-    literal anchors), and exact-cosines only the surviving
-    n_probe/n_cells of the corpus. At 100 TB the cell column is a
-    partition key and the keep-predicate prunes partitions; semantics
-    stay identical."""
+    (no driver collect — the ranking is a per-row expression), and
+    exact-cosines only the surviving n_probe/n_cells of the corpus.
+    Round 14: the query→anchor distance array ``__qd`` is computed ON
+    the 1-row query side (anchors via ``with_md5_planes``, engine-side
+    md5 derivation) before the broadcast — evaluated once instead of
+    n_cells HOF folds per corpus row, and the plan no longer carries
+    n_cells × dim literals. At 100 TB the cell column is a partition
+    key and the keep-predicate prunes partitions; semantics stay
+    identical."""
     from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_cells
 
-    anchors = md5_rp_planes(n_cells, dim, prefix="cell")
     with_cell = semantic_cells(
         vectors, vec_col, dim, n_cells, cell_col="__cell"
     )
     qv = F.col("query_embedding").cast("array<double>")
-    qdists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    qv,
-                    F.array(*[F.lit(float(x)) for x in anchors[c]]),
-                    lambda x, y: (x - y) * (x - y),
+    qside = (
+        with_md5_planes(
+            query_vec, n_cells, dim, prefix="cell", col="__cell_anchors"
+        )
+        .withColumn(
+            "__qd",
+            F.transform(
+                F.col("__cell_anchors"),
+                lambda a: F.aggregate(
+                    F.zip_with(qv, a, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in range(n_cells)
-        ]
+            ),
+        )
+        .drop("__cell_anchors")
     )
     cand = (
-        with_cell.crossJoin(F.broadcast(query_vec))
-        .withColumn("__qd", qdists)
+        with_cell.crossJoin(F.broadcast(qside))
         .filter(
             F.element_at(F.col("__qd"), F.col("__cell") + 1)
             <= F.element_at(F.array_sort(F.col("__qd")), n_probe)

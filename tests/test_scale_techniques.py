@@ -1803,10 +1803,13 @@ def test_ivfpq_maintain_auto_retrains_past_threshold(spark, tmp_path):
 
 
 def test_semantic_cells_map_only(spark, sf_dir):
-    """The SemDeDup cell assignment must be MAP-ONLY — one wide
-    codegen'd projection of argmin folds over plan-literal anchors, no
-    Exchange: at 100 TB the cell column is computed in the same pass
-    that scans the vectors, never a shuffle of its own."""
+    """The SemDeDup cell assignment must be MAP-ONLY over the data —
+    one wide projection of argmin folds, no shuffle of the vectors: at
+    100 TB the cell column is computed in the same pass that scans the
+    vectors, never a shuffle of its own. (Round 14: the anchor family
+    arrives via a 1-row BroadcastExchange — engine-side md5 derivation
+    instead of n_cells × dim plan literals — so the assertion permits
+    broadcast exchanges and forbids shuffle exchanges.)"""
     from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_cells
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1816,7 +1819,9 @@ def test_semantic_cells_map_only(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_ivf_md5_probe_no_collect_no_cartesian(spark, sf_dir):
@@ -1867,6 +1872,30 @@ def test_rp_lsh_planes_cross_engine_exact(spark):
     ).fetchall()
     for p, i, r in got:
         assert planes[p][i - 1] == r  # EXACT equality, not approx
+
+
+def test_md5_planes_sql_matches_python_exact(spark):
+    """The round-14 engine-side derivation (``md5_rp_planes_sql``, the
+    one-expression spelling ``with_md5_planes`` broadcasts) must be
+    BIT-IDENTICAL to the Python plan-literal family it replaced —
+    otherwise every md5-twin oracle hash (q_similarity_join_md5,
+    q_dedup_semantic, q_ann_ivf_md5, q_streaming_semantic_dedup)
+    silently shifts. Checked at both family shapes the queries use."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        md5_rp_planes,
+        md5_rp_planes_sql,
+    )
+
+    for n, dim, prefix in [(32, 64, "rp"), (8, 64, "cell")]:
+        py = md5_rp_planes(n, dim, prefix=prefix)
+        got = (
+            spark.range(1)
+            .selectExpr(f"{md5_rp_planes_sql(n, dim, prefix)} AS planes")
+            .collect()[0]["planes"]
+        )
+        assert len(got) == n
+        for p in range(n):
+            assert list(got[p]) == py[p]  # EXACT equality, not approx
 
 
 def test_pagerank_matches_pure_python_replay(spark):
