@@ -480,53 +480,68 @@ def connected_components(
         .distinct()
     )
     e = canon.filter(F.col("__a") != F.col("__b"))
-    n_prev = None
+    w = Window.partitionBy("__a")
+    n_prev: int | None = None
+    x_prev: int | None = None
     converged = False
     for _ in range(max_iter):
-        # LARGE-STAR over the undirected neighborhood. Output edges
-        # (v, m(u)) for v > u keep the canonical greater→smaller form
-        # (v > u ≥ m(u)), so no re-canonicalization shuffle is needed.
+        # LARGE-STAR over the undirected neighborhood: the per-node
+        # neighborhood minimum m(u) = min(Γ(u) ∪ {u}) is a WINDOW min
+        # (one exchange), not a groupBy + self-join (round 14, guide
+        # §2.4: the groupBy/join spelling shuffled nbrs twice per star
+        # and planned two extra operators per round — 4 exchanges per
+        # round → 3). Output edges (v, m(u)) for v > u keep the
+        # canonical greater→smaller form (v > u ≥ m(u)), so no
+        # re-canonicalization shuffle is needed. No intermediate
+        # distinct: duplicates don't change per-key minima and the
+        # final distinct restores set semantics.
         nbrs = e.unionByName(
             e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
         )
-        mins = nbrs.groupBy("__a").agg(F.min("__b").alias("__mn"))
-        mins = mins.select(
-            "__a", F.least("__mn", "__a").alias("__m")
-        )
         ls = (
-            nbrs.join(mins, "__a")
+            nbrs.withColumn(
+                "__m", F.least(F.min("__b").over(w), F.col("__a"))
+            )
             .where(F.col("__b") > F.col("__a"))
             .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
-            .distinct()
         )
         # SMALL-STAR on the (greater → smaller) list: per node, every
         # incident smaller neighbor AND the node itself re-link to the
-        # minimum (already < every __a on this side).
-        sm = ls.groupBy("__a").agg(F.min("__b").alias("__m"))
-        j = ls.join(sm, "__a")
+        # minimum (already < every __a on this side) — window min again.
+        sm = ls.withColumn("__m", F.min("__b").over(w))
         e_new = (
-            j.where(F.col("__b") != F.col("__m"))
+            sm.where(F.col("__b") != F.col("__m"))
             .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
             .unionByName(
-                j.select(F.col("__a"), F.col("__m").alias("__b"))
+                sm.select(F.col("__a"), F.col("__m").alias("__b"))
             )
             .distinct()
             .localCheckpoint(eager=False)
         )
         # Convergence = edge-set fixpoint (the star forest maps to
-        # itself under both ops). The count job doubles as the
-        # checkpoint materializer; the exact one-sided set check runs
-        # only when counts already agree (distinct sets of equal size
-        # with an empty difference are equal) — near-fixpoint rounds
-        # only, never the contracting ones.
-        n_new = e_new.count()
-        if n_new == n_prev and (
-            e_new.exceptAll(e).limit(1).count() == 0
+        # itself under both ops). ONE agg job per round computes the
+        # edge count plus an order-independent fingerprint
+        # (bit_xor of xxhash64 — exact on distinct sets up to hash
+        # collision) and doubles as the checkpoint materializer; the
+        # exact one-sided set check runs only when BOTH match, so a
+        # collision can never stop the loop early (exceptAll would
+        # surface the difference) — exactness is preserved, but the
+        # near-fixpoint rounds where counts coincide while sets differ
+        # no longer pay the set-difference join.
+        row = e_new.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.bit_xor(F.xxhash64("__a", "__b")).alias("__x"),
+        ).first()
+        n_new, x_new = row["__n"], row["__x"]
+        if (
+            n_new == n_prev
+            and x_new == x_prev
+            and e_new.exceptAll(e).limit(1).count() == 0
         ):
             e = e_new
             converged = True
             break
-        e, n_prev = e_new, n_new
+        e, n_prev, x_prev = e_new, n_new, x_new
     comp = e.select(
         F.col("__a").alias("node"), F.col("__b").alias("component")
     )
