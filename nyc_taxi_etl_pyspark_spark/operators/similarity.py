@@ -281,6 +281,7 @@ def rp_lsh_similarity_join(
     n_bands: int = 4,
     bits_per_band: int = 8,
     threshold: float = 0.2,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Unblocked cosine similarity join via BANDED sign-random-projection
     LSH over the md5-derived plane family (:func:`md5_rp_planes`) —
@@ -301,31 +302,63 @@ def rp_lsh_similarity_join(
     ``bits_per_band`` to keep buckets sparse and ``n_bands`` to buy
     recall; precision is exact (the threshold re-check), recall is the
     standard 1-(1-s^k)^B curve. ``dim`` must be given at plan time;
-    real deployments read it off table metadata."""
+    real deployments read it off table metadata.
 
-    def plane(p: int):
-        return F.element_at(F.col("__planes"), p + 1)
+    ``backend="arrow"`` (default, round 14) computes the signature
+    stage in one vectorized pandas_udf (``_rp_sign_buckets_udf`` —
+    bit-identical strict-fold dots, see its docstring);
+    ``backend="expr"`` keeps the pure-JVM HOF spelling over the
+    broadcast-attached plane family."""
 
-    buckets = [
-        sum(
-            [
-                F.when(
-                    dot_col(F.col(vec_col), plane(b * bits_per_band + j))
-                    > 0,
-                    F.lit(1 << j).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-                for j in range(bits_per_band)
+    if backend == "arrow":
+        from nyc_taxi_etl_pyspark_spark.operators.rp_arrow import (
+            rp_sign_buckets_udf,
+        )
+
+        sig_udf = rp_sign_buckets_udf(n_bands, bits_per_band, dim)
+        base = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_col(F.col(vec_col)).alias("__n"),
+            sig_udf(F.col(vec_col)).alias("__bkts"),
+        ).select(
+            id_col,
+            vec_col,
+            "__n",
+            *[
+                F.element_at(F.col("__bkts"), b + 1).alias(f"__bkt{b}")
+                for b in range(n_bands)
             ],
-            F.lit(0).cast("long"),
-        ).alias(f"__bkt{b}")
-        for b in range(n_bands)
-    ]
-    base = with_md5_planes(vectors, n_bands * bits_per_band, dim).select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm_col(F.col(vec_col)).alias("__n"),
-        *buckets,
-    )
+        )
+    else:
+
+        def plane(p: int):
+            return F.element_at(F.col("__planes"), p + 1)
+
+        buckets = [
+            sum(
+                [
+                    F.when(
+                        dot_col(
+                            F.col(vec_col), plane(b * bits_per_band + j)
+                        )
+                        > 0,
+                        F.lit(1 << j).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for j in range(bits_per_band)
+                ],
+                F.lit(0).cast("long"),
+            ).alias(f"__bkt{b}")
+            for b in range(n_bands)
+        ]
+        base = with_md5_planes(
+            vectors, n_bands * bits_per_band, dim
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_col(F.col(vec_col)).alias("__n"),
+            *buckets,
+        )
     sigs = base.select(
         id_col,
         vec_col,

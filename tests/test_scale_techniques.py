@@ -1898,6 +1898,44 @@ def test_md5_planes_sql_matches_python_exact(spark):
             assert list(got[p]) == py[p]  # EXACT equality, not approx
 
 
+def test_rp_sign_buckets_arrow_matches_expr(spark, sf_dir):
+    """The round-14 arrow signature backend of
+    ``rp_lsh_similarity_join`` must produce BIT-IDENTICAL band buckets
+    to the HOF/expr spelling — the strict-left-fold accumulation is the
+    whole argument for why the oracle hash of q_similarity_join_md5
+    cannot move. Compared row-for-row on the full corpus fixture, plus
+    degenerate rows (zero vector, NULL vector) appended."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        rp_lsh_similarity_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    degen = spark.createDataFrame(
+        [
+            (10**12, [0.0] * 64),  # zero vector
+            (10**12 + 1, None),  # NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    vecs = e.unionByName(degen.select(F.col("vec_id").cast(dict(e.dtypes)["vec_id"]), "embedding"))
+
+    def pairs(backend):
+        out = rp_lsh_similarity_join(
+            vecs,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=64,
+            backend=backend,
+        )
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine_sim"]) for r in out.collect()
+        )
+
+    assert pairs("arrow") == pairs("expr")
+
+
 def test_pagerank_matches_pure_python_replay(spark):
     """Pin ``operators/graph.py::pagerank`` against a step-by-step
     pure-Python replay on a DIRECTED graph with a sink (no out-edges:
