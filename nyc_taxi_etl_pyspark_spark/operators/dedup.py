@@ -481,8 +481,6 @@ def connected_components(
     )
     e = canon.filter(F.col("__a") != F.col("__b"))
     w = Window.partitionBy("__a")
-    n_prev: int | None = None
-    x_prev: int | None = None
     converged = False
     for _ in range(max_iter):
         # LARGE-STAR over the undirected neighborhood: the per-node
@@ -518,30 +516,39 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # Convergence = edge-set fixpoint (the star forest maps to
-        # itself under both ops). ONE agg job per round computes the
-        # edge count plus an order-independent fingerprint
-        # (bit_xor of xxhash64 — exact on distinct sets up to hash
-        # collision) and doubles as the checkpoint materializer; the
-        # exact one-sided set check runs only when BOTH match, so a
-        # collision can never stop the loop early (exceptAll would
-        # surface the difference) — exactness is preserved, but the
-        # near-fixpoint rounds where counts coincide while sets differ
-        # no longer pay the set-difference join.
+        # Convergence: STOP when e_new IS the star forest, detected
+        # STRUCTURALLY on this round's output instead of by comparing
+        # with the previous round (round 14 — the fixpoint compare
+        # needed one extra full verify round; tiny-clique graphs that
+        # contract in a single round paid three). Both ops maintain the
+        # greater→smaller invariant on every edge, so e_new is a star
+        # forest rooted at each component's MIN — i.e. the exact
+        # fixpoint (it maps to itself under both stars) — iff
+        #   (1) every __a appears exactly once
+        #       (count == count_distinct(__a)), and
+        #   (2) no __b also appears as an __a (no chains — checked by
+        #       a left-semi join, only when (1) already holds).
+        # The agg job doubles as the checkpoint materializer; the
+        # check is exact (no fingerprint probabilism).
         row = e_new.agg(
             F.count(F.lit(1)).alias("__n"),
-            F.bit_xor(F.xxhash64("__a", "__b")).alias("__x"),
+            F.count_distinct(F.col("__a")).alias("__nd"),
         ).first()
-        n_new, x_new = row["__n"], row["__x"]
-        if (
-            n_new == n_prev
-            and x_new == x_prev
-            and e_new.exceptAll(e).limit(1).count() == 0
+        if row["__n"] == row["__nd"] and (
+            e_new.select("__b")
+            .join(
+                e_new.select(F.col("__a").alias("__b")),
+                "__b",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+            == 0
         ):
             e = e_new
             converged = True
             break
-        e, n_prev, x_prev = e_new, n_new, x_new
+        e = e_new
     comp = e.select(
         F.col("__a").alias("node"), F.col("__b").alias("component")
     )
