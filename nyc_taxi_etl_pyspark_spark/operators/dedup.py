@@ -419,6 +419,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step
     between "near-dup candidate pairs" and "keep one document per
@@ -463,14 +464,22 @@ def connected_components(
     # every star round — reads these checkpointed partitions, so the
     # expensive upstream (typically the minhash→LSH candidate tail)
     # executes exactly once.
-    canon = (
-        edges.filter(a.isNotNull() & b.isNotNull())
-        .select(
-            F.greatest(a, b).alias("__a"), F.least(a, b).alias("__b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    # ``pre_deduped=True`` (round 14): the pair producers feeding the
+    # dedup chains (lsh_band_pairs' groupBy(id_a, id_b) output,
+    # cosine_pairs_within_group's one-block-per-vector pairs) already
+    # emit each undirected pair exactly once — the .distinct() here
+    # re-shuffled an already-distinct set before the checkpoint. The
+    # canonical (greater, smaller) projection stays (map-side, free);
+    # correctness with duplicate edges is unaffected either way (the
+    # per-round minima are duplicate-insensitive and the first round's
+    # distinct restores set semantics), the flag only skips a shuffle
+    # the producer has provably already paid.
+    canon = edges.filter(a.isNotNull() & b.isNotNull()).select(
+        F.greatest(a, b).alias("__a"), F.least(a, b).alias("__b")
     )
+    if not pre_deduped:
+        canon = canon.distinct()
+    canon = canon.localCheckpoint(eager=True)
     # Every endpoint, remembered up front: edges CONTRACT to the star
     # forest, where roots appear only on the right — the label pass at
     # the end must still emit (root, root). Lazy: reads the checkpoint.
@@ -572,12 +581,18 @@ def dedup_survivors(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Deduplicated corpus: cluster the near-dup ``pairs`` and keep, per
     duplicate cluster, only the canonical member (min id) — plus every
     row that was never part of any pair. The final output of the whole
-    near-dup pipeline (pairs → components → surviving rows)."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    near-dup pipeline (pairs → components → surviving rows).
+    ``pre_deduped`` forwards to :func:`connected_components` — pass
+    True when the pair producer provably emits each undirected pair
+    once (the LSH/cosine group generators do)."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, pre_deduped=pre_deduped
+    )
     return (
         df.join(comp, df[id_col] == comp["node"], "left")
         .filter(F.col("component").isNull() | (F.col("component") == df[id_col]))
@@ -679,7 +694,11 @@ def semantic_dedup(
     if return_pairs:
         return pairs
     return dedup_survivors(
-        with_cell.withColumnRenamed("__cell", "cell"), pairs, id_col
+        with_cell.withColumnRenamed("__cell", "cell"),
+        pairs,
+        id_col,
+        # one cell per vector + within-cell generation ⇒ each pair once
+        pre_deduped=True,
     )
 
 

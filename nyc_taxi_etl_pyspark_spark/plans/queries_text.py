@@ -264,7 +264,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(
         d, id_col="doc_id", text_col="text", block_col="source", shingle_n=2, threshold=0.1
     )
-    return connected_components(pairs, src="id_a", dst="id_b").select(
+    return connected_components(
+        pairs, src="id_a", dst="id_b", pre_deduped=True
+    ).select(
         F.col("node").alias("doc_id"), "component"
     )
 
@@ -286,9 +288,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(
         d, id_col="doc_id", text_col="text", block_col="source", shingle_n=2, threshold=0.1
     )
-    return dedup_survivors(d, pairs, id_col="doc_id").select(
-        "doc_id", "source", "lang"
-    )
+    return dedup_survivors(
+        d, pairs, id_col="doc_id", pre_deduped=True
+    ).select("doc_id", "source", "lang")
 
 
 @query("q_dedup_minhash", oracle=None)  # xxhash64-based => rows-only
@@ -1258,7 +1260,7 @@ def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, id_col="doc_id", text_col="text", num_hashes=32, bands=8, shingle_n=2
     )
     return dedup_survivors(
-        d, pairs.select("id_a", "id_b"), id_col="doc_id"
+        d, pairs.select("id_a", "id_b"), id_col="doc_id", pre_deduped=True
     ).select("doc_id", "source", "lang")
 
 
@@ -1380,9 +1382,20 @@ def _cooccurrence_pairs(docs: DataFrame):
     df-pruned vocabulary (>5% of docs) → (doc, token) self-join on
     doc_id → (token_a < token_b) pairs with df_a/df_b/n_both, kept at
     n_both >= 5. Returns (pairs_df, n_docs_df)."""
+    # (doc, token) pairs deduped MAP-SIDE via array_distinct BEFORE the
+    # explode (round 14, guide §2.4): the former explode → .distinct()
+    # spelling shuffled every raw token occurrence (~20× the distinct
+    # pair count on the fixture corpus) just to dedup within-document
+    # repeats that a per-row array op removes for free. Identical
+    # (doc_id, token) set — distinctness across documents is vacuous
+    # (doc_id is in the pair) — so the oracle's SELECT DISTINCT
+    # replays it unchanged.
     dt = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).distinct()
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("token"),
+    )
     df = dt.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     vocab = (
@@ -2140,6 +2153,6 @@ def q_dedup_lsh_md5_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = lsh_band_pairs(sigs, "doc_id", num_hashes=k, bands=4)
-    return dedup_survivors(d, pairs, id_col="doc_id").select(
-        "doc_id", "source", "lang"
-    )
+    return dedup_survivors(
+        d, pairs, id_col="doc_id", pre_deduped=True
+    ).select("doc_id", "source", "lang")
