@@ -606,19 +606,37 @@ def semantic_cells(
     dim: int,
     n_cells: int = 8,
     cell_col: str = "cell",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Assign every vector to a SEMANTIC CELL: argmin squared-L2
     distance to ``n_cells`` md5-derived random anchors (the
     cross-engine-derivable stand-in for a k-means coarse quantizer —
     a random-anchor Voronoi partition is exactly k-means' init step,
     and the anchors re-derive in any engine with md5(), same
-    discipline as ``md5_rp_planes``). Map-only over the data: one wide
-    projection of n_cells HOF folds, no shuffle of the vectors; the
-    anchors arrive via a 1-row broadcast (round 14 — engine-side md5
-    derivation instead of n_cells × dim plan literals, bit-identical
-    values, see ``md5_rp_planes_sql``). Ties break to the LOWEST
-    anchor index (first position of the min — deterministic and
-    engine-neutral on bit-identical doubles)."""
+    discipline as ``md5_rp_planes``). Map-only over the data (never a
+    shuffle of the vectors); ties break to the LOWEST anchor index
+    (first position of the min — deterministic and engine-neutral on
+    bit-identical doubles).
+
+    ``backend="arrow"`` (default, round 14, guide §4.2) computes the
+    argmin in one vectorized pandas_udf whose strict-left-fold
+    distances are bit-identical to the HOF folds (see
+    ``rp_arrow.md5_cell_udf``) — the n_cells interpreted folds per row
+    were the measured cell-stage cost (~0.38 s/pass at sf0.1).
+    ``backend="expr"`` keeps the pure-JVM spelling: one wide projection
+    of HOF folds over the anchors attached via a 1-row broadcast
+    (engine-side md5 derivation, see ``md5_rp_planes_sql``)."""
+    if backend == "arrow":
+        from nyc_taxi_etl_pyspark_spark.operators.rp_arrow import (
+            md5_cell_udf,
+        )
+
+        return vectors.withColumn(
+            cell_col,
+            md5_cell_udf(n_cells, dim)(
+                F.col(vec_col).cast("array<double>")
+            ),
+        )
     from nyc_taxi_etl_pyspark_spark.operators.similarity import (
         with_md5_planes,
     )

@@ -398,11 +398,18 @@ def rp_lsh_similarity_join(
         # functions of the id, so dropDuplicates on the id pair is safe
         .dropDuplicates(["id_a", "id_b"])
     )
+    if backend == "arrow":
+        from nyc_taxi_etl_pyspark_spark.operators.rp_arrow import (
+            strict_dot_udf,
+        )
+
+        # the exact re-check dot, vectorized (same strict-fold
+        # bit-identity argument as the signature stage)
+        dot_expr = strict_dot_udf(dim)(F.col("__v_a"), F.col("__v_b"))
+    else:
+        dot_expr = dot_col(F.col("__v_a"), F.col("__v_b"))
     denom = F.col("__n_a") * F.col("__n_b")
-    sim = stable_round(
-        F.when(denom != 0, dot_col(F.col("__v_a"), F.col("__v_b")) / denom),
-        4,
-    )
+    sim = stable_round(F.when(denom != 0, dot_expr / denom), 4)
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
