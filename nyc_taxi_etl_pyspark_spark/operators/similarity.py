@@ -359,10 +359,17 @@ def rp_lsh_similarity_join(
             l2_norm_col(F.col(vec_col)).alias("__n"),
             *buckets,
         )
+    # Candidate generation over IDS ONLY (round 14, guide §8: decide
+    # with small rows, move big rows once). The former shape carried
+    # both 64-double vectors + norms through the (band, bucket)
+    # self-join AND the pair dedup — ~1 KB per candidate row, and at
+    # sf1 (20 k vectors ⇒ ~3.7 M candidates) the payload-laden
+    # join/dedup OOM'd a 16 GB local heap. Ids-only candidates are
+    # 16 bytes/row; the vectors re-attach AFTER dedup via two joins
+    # against the N-row (id, vec, norm) side, so each vector crosses a
+    # join exactly once per unique surviving pair.
     sigs = base.select(
         id_col,
-        vec_col,
-        "__n",
         F.explode(
             F.array(
                 *[
@@ -374,29 +381,39 @@ def rp_lsh_similarity_join(
                 ]
             )
         ).alias("__s"),
-    ).select(
-        id_col, vec_col, "__n", F.col("__s.band"), F.col("__s.bucket")
-    )
-    a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__v_a"),
-        F.col("__n").alias("__n_a"),
-        "band",
-        "bucket",
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__v_b"),
-        F.col("__n").alias("__n_b"),
-        "band",
-        "bucket",
-    )
-    pairs = (
+    ).select(id_col, F.col("__s.band"), F.col("__s.bucket"))
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # a pair colliding in >1 band appears once: vectors/norms are
-        # functions of the id, so dropDuplicates on the id pair is safe
+        .select("id_a", "id_b")
+        # a pair colliding in >1 band appears once
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # re-derive (id, vec, norm) from the INPUT frame, not from `base`:
+    # the expr branch's base drags the 1-row plane broadcast along and
+    # the arrow branch's base the signature UDF — both prunable columns
+    # but not prunable operators
+    vec_side = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_col(F.col(vec_col)).alias("__n"),
+    )
+    pairs = cand.join(
+        vec_side.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__v_a"),
+            F.col("__n").alias("__n_a"),
+        ),
+        "id_a",
+    ).join(
+        vec_side.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__v_b"),
+            F.col("__n").alias("__n_b"),
+        ),
+        "id_b",
     )
     if backend == "arrow":
         from nyc_taxi_etl_pyspark_spark.operators.rp_arrow import (

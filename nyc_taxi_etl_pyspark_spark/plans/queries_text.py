@@ -1389,13 +1389,21 @@ def _cooccurrence_pairs(docs: DataFrame):
     # repeats that a per-row array op removes for free. Identical
     # (doc_id, token) set — distinctness across documents is vacuous
     # (doc_id is in the pair) — so the oracle's SELECT DISTINCT
-    # replays it unchanged.
+    # replays it unchanged. The COUNT-LESS repartition on doc_id
+    # shuffles only the distinct pairs and is load-bearing twice over:
+    # it is the exchange both sides of the downstream doc_id self-join
+    # reuse (no further shuffle of dt) and it gives AQE real
+    # post-shuffle sizes for the join strategy, while staying
+    # AQE-coalescible (a fixed partition count measured +0.7 s at
+    # sf0.1). A/B at sf0.1/sf1 (noop, warm): no-exchange 1.01/1.94 s,
+    # fixed-32 1.37/2.56 s, THIS 0.62/2.06 s, the r13
+    # explode→distinct 1.07/5.57 s.
     dt = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.col("text"), " "))
         ).alias("token"),
-    )
+    ).repartition("doc_id")
     df = dt.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     vocab = (
