@@ -420,6 +420,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     pre_deduped: bool = False,
+    include_roots: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step
     between "near-dup candidate pairs" and "keep one document per
@@ -569,6 +570,15 @@ def connected_components(
         comp = comp.groupBy("node").agg(
             F.min("component").alias("component")
         )
+    if not include_roots:
+        # round 14: the SURVIVORS consumers decide "keep row" as
+        # (component IS NULL OR component == id) on a LEFT join — a
+        # root with no comp row takes the NULL branch exactly like a
+        # never-paired row, so the (root, root) rows (and the node-set
+        # distinct + left-anti join that produce them) change nothing
+        # for them; include_roots=False skips that work. Consumers
+        # that RETURN the labeling (q_dedup_clusters) keep the default.
+        return comp
     roots = nodes.join(
         comp.select("node"), "node", "left_anti"
     ).withColumn("component", F.col("node"))
@@ -589,9 +599,15 @@ def dedup_survivors(
     near-dup pipeline (pairs → components → surviving rows).
     ``pre_deduped`` forwards to :func:`connected_components` — pass
     True when the pair producer provably emits each undirected pair
-    once (the LSH/cosine group generators do)."""
+    once (the LSH/cosine group generators do). Root rows are skipped
+    in the labeling (include_roots=False): the left-join NULL branch
+    below keeps them identically."""
     comp = connected_components(
-        pairs, src=src, dst=dst, pre_deduped=pre_deduped
+        pairs,
+        src=src,
+        dst=dst,
+        pre_deduped=pre_deduped,
+        include_roots=False,
     )
     return (
         df.join(comp, df[id_col] == comp["node"], "left")
