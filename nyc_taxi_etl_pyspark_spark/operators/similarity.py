@@ -936,11 +936,69 @@ def _nested_double_lit(values):
     return F.expr(fmt(values))
 
 
+def _pq_encode_arrow(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched PQ encode (see :func:`pq_encode`
+    ``backend="arrow"``): the centroid-free subset of
+    :func:`_ivfpq_encode_arrow` — normalize, per-subspace argmin —
+    pure vectorized numpy in one partition-preserving ``mapInPandas``,
+    codebooks shipped once per executor as a broadcast. numpy
+    ``argmin`` returns the first minimum, matching the expr backend's
+    ``array_position(array_min)`` lowest-index tie-break; cross-backend
+    code agreement is pinned in tests."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    B = np.array(codebooks, dtype=np.float64)
+    m_subspaces, d_sub = B.shape[0], B.shape[2]
+    in_fields = {f.name: f for f in vectors.schema.fields}
+    schema = StructType(
+        [in_fields[id_col], in_fields[vec_col]]
+        + [
+            StructField(f"__code_{m}", IntegerType())
+            for m in range(m_subspaces)
+        ]
+    )
+    sc = vectors.sparkSession.sparkContext
+    bB = sc.broadcast(B)
+
+    def enc(batches: Iterator) -> Iterator:
+        import numpy as _np
+        import pandas as pd
+
+        Bv = bB.value
+        for pdf in batches:
+            V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+            if V.ndim == 1:  # empty batch
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in schema.fields}
+                )
+                continue
+            Vn = V / _np.maximum(
+                _np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            for m in range(Bv.shape[0]):
+                sub = Vn[:, m * d_sub : (m + 1) * d_sub]
+                dd = ((sub[:, None, :] - Bv[m][None, :, :]) ** 2).sum(axis=2)
+                out[f"__code_{m}"] = dd.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(enc, schema=schema)
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
+    backend: str = "expr",
 ) -> DataFrame:
     """Product-quantization ENCODE: split each (L2-normalized) vector
     into ``M = len(codebooks)`` contiguous subvectors and replace each
@@ -961,7 +1019,18 @@ def pq_encode(
     unchanged: M·K·(D/M) = K·D multiply-adds, the same class as one
     brute-force cosine against K vectors. ``array_position`` returns
     the FIRST index holding the minimum, so ties still break to the
-    LOWEST centroid id and codes are deterministic."""
+    LOWEST centroid id and codes are deterministic.
+
+    ``backend="arrow"`` (round 14 — same bulk-encode rationale as
+    :func:`ivfpq_encode`): vectorized numpy via
+    :func:`_pq_encode_arrow`; the query paths (``pq_topk_cosine``'s
+    per-call corpus encode, ``build_pq_index``) select it — the expr
+    encode dominated q_ann_pq's 14 s sf1 sweep entry. Cross-backend
+    code agreement pinned in tests."""
+    if backend == "arrow":
+        return _pq_encode_arrow(vectors, codebooks, id_col, vec_col)
+    if backend != "expr":
+        raise ValueError(f"unknown encode backend {backend!r}")
     d_sub = len(codebooks[0][0])
     # norm computed ONCE per row (not per element inside the divide)
     out = vectors.select(
@@ -1342,7 +1411,9 @@ def pq_topk_cosine(
             vectors, id_col, vec_col, m_subspaces, k_codes
         )
     adc = _pq_adc_tables(query_vec, codebooks)
-    encoded = pq_encode(vectors, codebooks, id_col, vec_col)
+    encoded = pq_encode(
+        vectors, codebooks, id_col, vec_col, backend="arrow"
+    )
     approx = _with_adc_dist(encoded, adc, m_subspaces).select(
         id_col, vec_col, "__adc_dist"
     )
@@ -1939,7 +2010,7 @@ def build_ivfpq_index(
     m_subspaces: int = 8,
     k_codes: int = 64,
     trained: tuple | None = None,
-    backend: str = "expr",
+    backend: str = "arrow",
 ) -> int:
     """Persist an IVF×PQ index into a transactional commit-log table:
     rows are (id, embedding, centroid_id, ``__code_0..M``),
@@ -2216,7 +2287,9 @@ def build_pq_index(
         codebooks = pq_train_codebooks(
             vectors, id_col, vec_col, m_subspaces, k_codes
         )
-    encoded = pq_encode(vectors, codebooks, id_col, vec_col)
+    encoded = pq_encode(
+        vectors, codebooks, id_col, vec_col, backend="arrow"
+    )
     return table.commit(
         encoded,
         bloom_by=[id_col],

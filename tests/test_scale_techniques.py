@@ -1178,6 +1178,30 @@ def test_corpus_embeds_and_ann_indexes_in_engine(spark, sf_dir, tmp_path):
     assert hit[top[0]["doc_id"]] == list(probe_doc["embedding"])
 
 
+def test_pq_arrow_encode_matches_expr(spark, sf_dir):
+    """The round-14 Arrow PQ encode backend (the centroid-free subset
+    of the IVF×PQ bulk encoder, now selected by pq_topk_cosine and
+    build_pq_index) must produce the identical codes as the expr
+    backend on the fixture — both argmins tie-break lowest-index."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, "vec_id", "embedding", 8, 32)
+
+    def codes(backend):
+        return sorted(
+            tuple(r) for r in pq_encode(
+                e, books, "vec_id", "embedding", backend=backend
+            ).drop("embedding").collect()
+        )
+
+    expr = codes("expr")
+    assert expr == codes("arrow") and len(expr) > 0
+
+
 def test_ivfpq_arrow_encode_matches_expr_and_probes(
     spark, sf_dir, tmp_path
 ):
