@@ -663,11 +663,80 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
+    backend: str = "arrow",
 ) -> DataFrame:
-    """Assign every vector to its argmax-cosine centroid: broadcast the
-    small codebook, compute similarity per (vector, centroid) row,
-    reduce with max_by — no shuffle of the vector side beyond the
-    groupBy on its own id."""
+    """Assign every vector to its argmax-cosine centroid.
+
+    ``backend="arrow"`` (default, round 14, guide §2.4 + §4.2): one
+    partition-preserving ``mapInPandas`` — MAP-ONLY, no row expansion
+    and no shuffle at all. The former ``"expr"`` spelling broadcast
+    the codebook into a crossJoin (N × |codebook| row expansion, each
+    row carrying the full vector) and reduced with a groupBy(id)
+    max_by — i.e. it SHUFFLED the entire vector payload to undo its
+    own expansion; at sf1 that was 320 k expanded 1 KB rows through an
+    exchange for a per-row argmax. The codebook (driver-bounded by
+    construction) ships once per executor; ties break to the LOWEST
+    centroid_id (sorted codebook + first-argmax — the expr max_by left
+    ties unspecified; fixtures have none); zero-norm vectors get NULL
+    centroid_id, matching cosine_similarity_col's NULL propagation."""
+    if backend == "arrow":
+        from collections.abc import Iterator
+
+        import numpy as np
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        rows = sorted(
+            (
+                (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+                for r in centroids.collect()  # |codebook|-bounded fetch
+            ),
+        )
+        cids = np.array([c for c, _ in rows], dtype=np.int32)
+        C = np.array([v for _, v in rows], dtype=np.float64)
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+        )
+        in_fields = {f.name: f for f in vectors.schema.fields}
+        schema = StructType(
+            [
+                in_fields[id_col],
+                in_fields[vec_col],
+                StructField("centroid_id", IntegerType()),
+            ]
+        )
+        sc = vectors.sparkSession.sparkContext
+        bC, bI = sc.broadcast(Cn), sc.broadcast(cids)
+
+        def assign(batches: Iterator) -> Iterator:
+            import numpy as _np
+            import pandas as pd
+
+            Cv, Iv = bC.value, bI.value
+            for pdf in batches:
+                V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+                if V.ndim == 1:  # empty batch
+                    yield pd.DataFrame(
+                        {
+                            f.name: pd.Series(dtype=object)
+                            for f in schema.fields
+                        }
+                    )
+                    continue
+                norms = _np.linalg.norm(V, axis=1)
+                sims = (V / _np.maximum(norms, 1e-12)[:, None]) @ Cv.T
+                cid = pd.Series(Iv[sims.argmax(axis=1)]).astype("Int32")
+                cid[norms == 0] = pd.NA  # NULL like the expr cosine
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "centroid_id": cid,
+                    }
+                )
+
+        return vectors.select(id_col, vec_col).mapInPandas(
+            assign, schema=schema
+        )
     return (
         vectors.crossJoin(F.broadcast(centroids))
         .select(
