@@ -1812,7 +1812,8 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in range(15)
     ]
     hashed = (
-        d.select("doc_id", toks.alias("__toks"))
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", toks.alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("__tok"))
         .filter(F.col("__tok").isNotNull())
         .select(
@@ -1889,8 +1890,16 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     d = load_table(spark, sf_dir, "documents")
+    # repartition by doc_id BEFORE the md5-heavy projection (round 14):
+    # the fixture scan is 1-2 parquet splits, so the k-md5-per-shingle
+    # stage otherwise runs on 1-2 cores (measured 19.9 s at sf1, 2/32
+    # tasks); the exchange is the same one the groupBy(doc_id) min-agg
+    # needs, so it reuses the partitioning — same trick as
+    # minhash_signatures. Rows identical; oracle unaffected.
+    n_part = spark.sparkContext.defaultParallelism
     sh = (
-        d.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+        d.repartition(n_part, "doc_id")
+        .select("doc_id", tokens_col(F.col("text")).alias("__toks"))
         .select(
             "doc_id",
             F.explode(
@@ -2050,7 +2059,11 @@ def q_dedup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", tokens_col(F.col("text")).alias("__toks")).select(
+    # repartition pre-md5: see q_dedup_minhash_md5 (scan width 1-2
+    # splits starves the k-md5 stage; the groupBy reuses the exchange)
+    sh = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", tokens_col(F.col("text")).alias("__toks")).select(
         "doc_id",
         F.explode(
             F.array_distinct(token_shingles(F.col("__toks"), 3))
@@ -2135,7 +2148,11 @@ def q_dedup_lsh_md5_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", tokens_col(F.col("text")).alias("__toks")).select(
+    # repartition pre-md5: see q_dedup_minhash_md5 (scan width 1-2
+    # splits starves the k-md5 stage; the groupBy reuses the exchange)
+    sh = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", tokens_col(F.col("text")).alias("__toks")).select(
         "doc_id",
         F.explode(
             F.array_distinct(token_shingles(F.col("__toks"), 3))
