@@ -490,6 +490,27 @@ def main() -> None:
 
     tx_micro = tx_micro_bench(spark)
 
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    # floor_vs_prev (round-13 advice item 6, wired round 15): compare
+    # this run's per-query best-of-3 floor against the PREVIOUS
+    # BENCH_FULL.json (the one this run is about to overwrite), so every
+    # bench run carries its own round-over-round per-query deltas even
+    # when an external capture of the previous stdout line was lost.
+    floor_vs_prev: dict = {}
+    try:
+        with open(full_path) as f:
+            prev_q = json.load(f).get("queries", {})
+        for n, s in per_query.items():
+            p = prev_q.get(n)
+            floor_vs_prev[n] = {
+                "prev_sec": p,
+                "now_sec": s,
+                "speedup": round(p / s, 3) if p and s > 0 else None,
+            }
+    except Exception:
+        floor_vs_prev = {}
     full_blob = {
         "metric": "headline_queries_wall_s",
         "value": total,
@@ -507,46 +528,31 @@ def main() -> None:
         "tx_micro": tx_micro,
         "run_spread": run_spread,
         "queries_runs": per_query_runs,  # both passes, full precision
+        "floor_vs_prev": floor_vs_prev,
         **sf2_block,
     }
-    # The full per-SF detail (queries_sf2/sf3, per-query ratios and
-    # fitted slopes) made the single stdout JSON line ~6 KB, and the
-    # round artifact capture truncated it two rounds running — so the
-    # full blob goes to a FILE and stdout gets ONE compact line with
-    # the headline fields (still including the per-query map, 3 dp)
-    # plus the flag lists. Everything a grader tails is in the line;
-    # everything else is in BENCH_FULL.json next to this script.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
     with open(full_path, "w") as f:
         json.dump(full_blob, f, indent=1, sort_keys=True)
+    # The FINAL stdout line must survive a bounded tail capture: round
+    # 13's line (with tx_micro / run_spread / scaling blocks inlined)
+    # was clipped mid-JSON by the driver's capture, which nulled the
+    # whole round-14 round-over-round comparison. So stdout now gets
+    # ONLY the driver-contract fields — metric, value, unit, the
+    # per-query map (2 dp), sf, n_queries, cpus, and the pointer to
+    # BENCH_FULL.json, ~1.3 KB total. EVERYTHING else (tx_micro,
+    # run_spread, scaling points/slopes, raw runs, floor_vs_prev, ETL
+    # block) lives in BENCH_FULL.json — same numbers, same methodology,
+    # just not on the fragile line.
     compact = {
-        k: v
-        for k, v in full_blob.items()
-        if k
-        not in (
-            "queries_sf2",
-            "queries_sf3",
-            "scaling_ratio",
-            "scaling_slope",
-            "queries_runs",
-        )
+        "metric": "headline_queries_wall_s",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(s, 2) for n, s in per_query.items()},
+        "sf": full_blob["sf"],
+        "n_queries": len(per_query),
+        "cpus": full_blob["cpus"],
+        "full": "BENCH_FULL.json",
     }
-    # 2dp in the compact stdout line (48+ queries at 3dp crowds the
-    # <2KB driver-capture budget); BENCH_FULL.json keeps full precision
-    compact["queries"] = {n: round(s, 2) for n, s in per_query.items()}
-    if "tx_micro" in compact:
-        compact["tx_micro"] = {
-            size: (
-                {k: round(v, 2) for k, v in vals.items()}
-                if isinstance(vals, dict)
-                else round(vals, 2)
-            )
-            for size, vals in compact["tx_micro"].items()
-            if size != "16"  # smallest size: full detail in the blob
-        }
-    compact["full"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()
 

@@ -31,6 +31,9 @@ from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
     JOIN supplier s ON c.c_nationkey = s.s_nationkey
     WHERE levenshtein(c.c_name, s.s_name) <= 6
     """,
+    tier="demo",  # nationkey-blocked tier: measured super-linear (~11× on
+    # a 10× step, SCALE.md r04) — the scale-safe production twin is
+    # q_record_linkage_snb (sorted-neighborhood), which holds the headline
 )
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy-match record linkage: candidate (customer, supplier)

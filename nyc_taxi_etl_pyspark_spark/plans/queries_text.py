@@ -208,6 +208,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE + 1e-9,
                 4) >= 0.1
     """,
+    tier="oracle",  # block-quadratic exact verify (5.67× top-decade ratio
+    # at sf1, SCALE_PROBE_r06) — proves the banded-LSH production chain
+    # lossless; the headline near-dup path is q_dedup_minhash_survivors
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by exact 2-gram-shingle Jaccard within a
@@ -511,7 +514,15 @@ def q_ann_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_similarity_join_lsh", oracle=None)  # approximate (LSH recall) => rows-only
+@query(
+    "q_similarity_join_lsh",
+    oracle=None,  # approximate (LSH recall) => rows-only
+    tier="demo",  # WEAK-BY-DESIGN (r13/r14 verdicts): single BRP
+    # projection per table, no AND banding — structurally bounded at
+    # ~10⁵ vectors (measured COMPLETING at sf1 in 1021 s,
+    # plans/r14/sweep_r14_noskip.json). Kept as the Spark-ML API
+    # surface; the production tier is q_similarity_join_md5 (6.7 s sf1)
+)
 def q_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked all-pairs cosine ≥ 0.3 via Spark ML
     ``BucketedRandomProjectionLSH.approxSimilarityJoin`` on normalized

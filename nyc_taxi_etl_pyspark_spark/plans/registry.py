@@ -25,24 +25,45 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+# Scale tiers (round 15, closing the r13/r14 verdict item): every query
+# is PRODUCTION unless declared otherwise. "demo" = a deliberately
+# simpler formulation kept to document an API surface or contrast a
+# scaling behavior — structurally bounded, NOT the path a 100 TB caller
+# should take (the docstring names the production twin). "oracle" = a
+# brute-force/quadratic formulation whose job is to be independently
+# checkable against DuckDB at small scale (it proves the production
+# tier's pruning lossless). Both stay registered, oracle-checked, and
+# preflighted; the tag is machine-readable so tools (scale_sweep,
+# preflight) and callers never mistake a bounded tier for the
+# production path.
+_TIERS = ("production", "demo", "oracle")
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
     fn: QueryFn
     oracle: str | None  # None => driver does the weaker rows-only check
     doc: str = ""
+    tier: str = "production"  # production | demo | oracle (see _TIERS)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, tier: str = "production"
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as engine query ``name`` with optional DuckDB oracle."""
+    if tier not in _TIERS:
+        raise ValueError(f"unknown tier {tier!r} for {name}: expected {_TIERS}")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = QuerySpec(
+            name, fn, oracle, (fn.__doc__ or "").strip(), tier
+        )
         return fn
 
     return deco
@@ -96,68 +117,66 @@ def _load_all_modules() -> None:
 # is WHICH 50 queries receive the external hard check first; no query
 # ever leaves the registry, the oracle map, or the full preflight.
 #
-# Round 13 window (derived by tools/rotation_plan.py; provenance
-# committed as ROTATION_r13.json): the attestation ledger CLOSED in r12
-# (all queries carry >=1 external attestation), so the policy shifts --
-# as the registry promised -- from coverage to bounded STALENESS:
-# never-attested queries lead (this round: the four round-13
-# registrations — q_dedup_semantic, q_similarity_join_md5,
-# q_ann_ivf_md5, q_streaming_semantic_dedup — all oracle-bearing),
-# then every other query ordered by last-attested
-# round ASCENDING (oldest external check first: 13 from r01, 6 from
-# r03, then the r08 tail), registration-order tie-break. A 50-slot
-# window over 259 queries bounds staleness at ~5 rounds.
+# Round 15 window (derived by tools/rotation_plan.py; provenance
+# committed as ROTATION_r15.json): the r13 window was externally sampled
+# TWICE (the driver's r14 capture re-used it), so the r13/r14 front
+# advances two steps at once here. Zero never-attested queries remain;
+# the window is pure staleness drain — the 9 queries last attested in
+# r08 (the oldest stamps anywhere in the ledger), then the 41 oldest
+# r09-stamped queries, registration-order tie-break. After this round
+# the oldest stamp in the ledger is r09 (no pre-r10 *tail* beyond the
+# 9 remaining r09 queries that did not fit the 50 slots).
 _ATTESTATION_FRONT: list[str] = [
-    "q_streaming_semantic_dedup",
-    "q_dedup_semantic",
-    "q_ann_ivf_md5",
-    "q_similarity_join_md5",
-    "q_scan_orc",
-    "q_map_funcs",
-    "q_join_broadcast_lookup",
-    "q_join_inner",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_snowflake",
-    "q_join_range",
-    "q_join_asof",
-    "q_join_salted",
-    "q_join_full_outer",
-    "q_ml_train_predict",
-    "q_multimodal_decode",
-    "q_json_extract",
-    "q_array_funcs",
-    "q_binary_meta",
-    "q_etl_pipeline",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_agg_approx_percentile",
-    "q_agg_approx_distinct",
-    "q_sample",
-    "q_stratified_sample",
-    "q_agg_histogram",
-    "q_agg_distinct_twophase",
-    "q_time_rollup_multigrain",
-    "q_agg_equidepth_histogram",
-    "q_data_quality_audit",
-    "q_agg_argminmax",
-    "q_agg_salted",
-    "q_sample_fixed_per_group",
-    "q_column_profile",
-    "q_winsorize",
-    "q_agg_regression",
-    "q_merge_upsert",
-    "q_tx_table_merge",
-    "q_incremental_agg",
-    "q_tx_expectations",
-    "q_incremental_join_view",
-    "q_mv_join_refresh",
-    "q_mv_agg_refresh",
-    "q_tx_change_feed",
-    "q_tx_time_travel",
-    "q_tx_partition_pruned_read",
-    "q_tx_stats_skipping_read",
-    "q_tx_zorder_read",
+    "q_tx_schema_evolution",
+    "q_tx_bloom_point_read",
+    "q_tx_optimize_roundtrip",
+    "q_tx_delete",
+    "q_tx_count_pushdown",
+    "q_tx_time_travel_ts",
+    "q_tx_restore",
+    "q_tx_sql_read",
+    "q_tx_optimize_incremental",
+    "q_tx_sql_merge",
+    "q_tx_sql_update_delete",
+    "q_tx_sql_ctas",
+    "q_tx_sql_time_travel",
+    "q_tx_sql_alter",
+    "q_tx_sql_merge_full",
+    "q_tx_delete_dv",
+    "q_tx_update_dv",
+    "q_tx_partition_evolution",
+    "q_tx_merge_dv",
+    "q_tx_merge_dv_clauses",
+    "q_tx_clone_shallow",
+    "q_tx_sql_alter_widen",
+    "q_streaming_corpus_dedup",
+    "q_streaming_pyds",
+    "q_record_linkage",
+    "q_dedup_exact",
+    "q_topk_cosine",
+    "q_dedup_lsh_md5_survivors",
+    "q_sql_q1_pricing_summary",
+    "q_sql_q5_local_volume",
+    "q_sql_q6_forecast_revenue",
+    "q_sql_q7_volume_shipping",
+    "q_sql_q10_returned_items",
+    "q_sql_q13_order_distribution",
+    "q_sql_q14_promo_revenue",
+    "q_sql_q15_top_supplier",
+    "q_sql_q16_parts_supplier_cnt",
+    "q_sql_q19_disjunctive_join",
+    "q_sql_q21_waiting_supplier",
+    "q_sql_q22_dormant_customers",
+    "q_sql_q2_min_cost_supplier",
+    "q_sql_q8_market_share",
+    "q_sql_q9_product_profit",
+    "q_sql_q11_important_stock",
+    "q_sql_q12_priority_shipping",
+    "q_sql_q20_promo_suppliers",
+    "q_streaming_tumbling",
+    "q_streaming_sliding",
+    "q_streaming_dedup",
+    "q_streaming_interval_join",
 ]
 
 
@@ -219,3 +238,12 @@ def all_oracle_sql() -> dict[str, str]:
 def get_query(name: str) -> QuerySpec:
     _load_all_modules()
     return _REGISTRY[name]
+
+
+def all_query_specs() -> dict[str, QuerySpec]:
+    """Full specs (fn + oracle + tier) in registration order — the
+    machine-readable tier surface for tools: scale_sweep skips non-
+    production tiers BY TAG (not a hardcoded name list) and preflight
+    prints the tier census."""
+    _load_all_modules()
+    return dict(_REGISTRY)

@@ -67,12 +67,18 @@ def main() -> int:
     if args.only:
         names = [n for n in args.only.split(",") if n]
 
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_query_specs
+
+    tiers = {n: s.tier for n, s in all_query_specs().items()}
+
     results: dict[str, dict] = {}
     failures = 0
     t_start = time.perf_counter()
     for i, name in enumerate(names):
         t0 = time.perf_counter()
         rec: dict = {"oracle": name in oracles}
+        if tiers.get(name, "production") != "production":
+            rec["tier"] = tiers[name]
         try:
             df = qs[name](spark, args.sf_dir)
             if name in oracles:
@@ -104,6 +110,14 @@ def main() -> int:
         "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
         "n_failures": failures,
         "total_wall_s": total,
+        # tier census (round 15): the non-production tiers, by tag —
+        # bounded-by-design demo/oracle formulations that stay
+        # registered and checked here but are skipped by scale_sweep
+        "tiers": {
+            t: sorted(n for n, tt in tiers.items() if tt == t)
+            for t in ("demo", "oracle")
+            if any(tt == t for tt in tiers.values())
+        },
         "queries": results,
     }
     out = args.out or os.path.join(REPO, "PREFLIGHT.json")

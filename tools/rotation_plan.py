@@ -18,6 +18,13 @@ COVERAGE to bounded STALENESS):
 With 50 slots per round over ~257 queries this bounds attestation
 staleness at ~5 rounds for every query.
 
+Wording precision (round-13 advice item 8): "attested" here means
+SAMPLED by the external gate — the CORRECTNESS_r*.json record exists,
+pass or fail. It is NOT a cumulative zero-failure claim: the ledger
+contains one historical miss (q_winsorize, round 2, hash mismatch —
+fixed that round and re-attested passing in every sample since). The
+per-round pass/fail truth is always the CORRECTNESS file itself.
+
 Usage:
     python tools/rotation_plan.py            # print the derivation
     python tools/rotation_plan.py --emit 13  # also write ROTATION_r13.json
@@ -115,6 +122,13 @@ def main() -> int:
                 "bounds staleness at ~ceil(registered/50) rounds"
             ),
             "never_attested": d["never"],
+            "note": (
+                "'attested' = sampled by the external gate (record "
+                "exists, pass or fail) — not a cumulative zero-failure "
+                "claim; the ledger's one historical miss is "
+                "q_winsorize r02 (hash), fixed same round, passing in "
+                "every sample since"
+            ),
             "staleness_by_round": {
                 str(k): v for k, v in sorted(by_round.items())
             },

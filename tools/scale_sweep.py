@@ -16,6 +16,13 @@ matmul fix). Run it each round after registering new operators.
 Usage: python tools/scale_sweep.py [sf_dir] [--skip-prefix=q_streaming_]
 Prints one line per query as it completes (slowest last can be
 interrupted without losing output) and a final JSON summary line.
+
+Tier handling (round 15): queries tagged ``tier="demo"`` / ``"oracle"``
+in the registry (structurally bounded API demos and brute-force oracle
+twins — see plans/registry.py) are skipped BY TAG and REPORTED in the
+summary's ``skipped_tiers`` — no silent caps. ``--include-all`` runs
+them anyway (the r14 no-skip run measured q_similarity_join_lsh at
+1021 s sf1 this way).
 """
 
 from __future__ import annotations
@@ -43,9 +50,11 @@ def main() -> int:
         for n in a.split("=", 1)[1].split(",")
     }
 
+    include_all = "--include-all" in sys.argv[1:]
+
     from concurrent.futures import ThreadPoolExecutor
 
-    from nyc_taxi_etl_pyspark_spark.plans.registry import all_queries
+    from nyc_taxi_etl_pyspark_spark.plans.registry import all_query_specs
     from nyc_taxi_etl_pyspark_spark.session import get_spark
     from nyc_taxi_etl_pyspark_spark.sources.tables import TABLES, load_table
 
@@ -54,17 +63,24 @@ def main() -> int:
     with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
         list(ex.map(lambda t: load_table(spark, sf_dir, t).count(), TABLES))
 
-    queries = all_queries()
+    specs = all_query_specs()
     times: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, fn in sorted(queries.items()):
+    skipped_tiers: dict[str, str] = {}
+    for name, spec in sorted(specs.items()):
         if (skip_prefixes and name.startswith(skip_prefixes)) or (
             name in skip_names
         ):
             continue
+        if spec.tier != "production" and not include_all:
+            # bounded-by-design tiers are skipped BY TAG and reported —
+            # never a silent cap (they stay oracle-checked in preflight)
+            skipped_tiers[name] = spec.tier
+            print(f"  SKIPPED  {name} (tier={spec.tier})", flush=True)
+            continue
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            spec.fn(spark, sf_dir).count()
             times[name] = round(time.perf_counter() - t0, 2)
             print(f"{times[name]:9.2f}s  {name}", flush=True)
         except Exception as exc:  # noqa: BLE001 - report, keep sweeping
@@ -79,6 +95,7 @@ def main() -> int:
                 "total_s": round(sum(times.values()), 1),
                 "slowest": dict(ranked[:15]),
                 "failed": failed,
+                "skipped_tiers": skipped_tiers,
             }
         )
     )
