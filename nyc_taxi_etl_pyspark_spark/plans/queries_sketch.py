@@ -204,9 +204,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-degree) drops into the same plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     pairs, _n = _cooccurrence_pairs(docs)
+    # Materialize the df-pruned edge list ONCE (round 15, guide §2.4 /
+    # §3): the edges subtree is consumed FIVE times (e1/e2/e3 of the
+    # wedge join + the node count + the edge count), and Spark's
+    # exchange reuse does not unify them — the r15 before-plan shows
+    # 176 Exchange nodes over 37 parquet scans, i.e. the whole
+    # tokenize→df-prune→self-join→groupBy pipeline re-executed per
+    # consumer. One eager localCheckpoint truncates that to a single
+    # execution; the edge list itself is |V|²-bounded (df-pruned vocab,
+    # n_both ≥ 5), thousands of rows at any corpus scale. Same
+    # discipline as connected_components' canon checkpoint; at cluster
+    # scale switch to checkpoint() (see dedup.py note).
     edges = pairs.select(
         F.col("token_a").alias("ta"), F.col("token_b").alias("tb")
-    )
+    ).localCheckpoint(eager=True)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.ta") == F.col("e1.tb"))

@@ -1409,12 +1409,22 @@ def _cooccurrence_pairs(docs: DataFrame):
     # sf0.1). A/B at sf0.1/sf1 (noop, warm): no-exchange 1.01/1.94 s,
     # fixed-32 1.37/2.56 s, THIS 0.62/2.06 s, the r13
     # explode→distinct 1.07/5.57 s.
-    dt = docs.select(
+    # Round 15: the repartition moved BEFORE tokenize/explode — the
+    # documents fixture scans as 1-2 parquet splits, so with the
+    # exchange after the explode the split+array_distinct+explode work
+    # ran on 2 of 32 cores (the same narrow-scan disease as the r14
+    # md5-twin batch 13). Shuffling the RAW text rows is also fewer
+    # bytes than shuffling the exploded (doc_id, token) pairs, and a
+    # repartition by doc_id is preserved through the per-row
+    # select/explode, so the downstream doc_id self-join still reuses
+    # this one exchange. A/B at sf1 (noop, warm): r14 spelling 2.2-2.5
+    # s → THIS 1.4-1.6 s.
+    dt = docs.repartition("doc_id").select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.col("text"), " "))
         ).alias("token"),
-    ).repartition("doc_id")
+    )
     df = dt.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     vocab = (
@@ -1972,10 +1982,21 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is a ratio of integer set sizes ⇒ bit-identical across
     engines; the t=0.6 cut compares exact doubles."""
     t = 0.6
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(tokens_col(F.col("text"))).alias("__st"),
+    # Widen past the 1-2-split documents scan (round 15, guide §2.5
+    # input skew — the same fix as the md5-twin hash stages, r14 batch
+    # 13): every tokenize/explode consumer below otherwise runs on 2 of
+    # 32 cores at sf1 (measured: tokenize 2.8 s, explode 1.9 s, df agg
+    # 1.9 s, all 2-wide). The doc_id exchange is the one the
+    # row_number window needs anyway, so it is reused, not extra.
+    n_part = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(tokens_col(F.col("text"))).alias("__st"),
+        )
     )
     tok = d.select(
         "doc_id", "source", F.size("__st").alias("__n"),
@@ -1986,6 +2007,15 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df_tbl is |vocab|-sized (data-dependent, unbounded on web text):
     # no explicit broadcast hint — AQE broadcasts it when actually
     # small, shuffle-joins when not (see q_tfidf_top_terms)
+    # Materialize the prefix ONCE (round 15): both sides of the
+    # candidate self-join consume it and Spark does not unify the two
+    # subtrees, so the tokenize→df-join→window pipeline executed twice
+    # (measured ~2.8 s/pass at sf1). The prefix is SMALL by
+    # construction — |set|−ceil(t·|set|)+1 tokens per doc (~40% of
+    # postings, ids + a 4-byte size + rank + one token string per row)
+    # — so one eager localCheckpoint costs far less than the second
+    # derivation. Same discipline as connected_components' canon
+    # checkpoint; checkpoint() on a real cluster.
     prefix = (
         tok.join(df_tbl, "__tok")
         .withColumn("__rn", F.row_number().over(w))
@@ -1993,15 +2023,41 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rn")
             <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1
         )
-        .select("doc_id", "source", "__tok")
+        .select("doc_id", "source", "__n", "__rn", "__tok")
+        .localCheckpoint(eager=True)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    pa, pb = F.col("a.__rn"), F.col("b.__rn")
+    # LENGTH + POSITIONAL FILTERS inside the candidate join (round 15 —
+    # the PPJoin companion lemmas to prefix filtering, both LOSSLESS
+    # for Jaccard ≥ t; Xiao et al. WWW'08):
+    # - length: |a∩b| ≤ min(|a|,|b|) and |a∪b| ≥ max(|a|,|b|), so
+    #   J ≤ min/max — any qualifying pair satisfies min ≥ t·max;
+    # - positional: J ≥ t ⇔ |a∩b| ≥ α = ceil(t/(1+t)·(|a|+|b|)), and
+    #   for a shared token at ranks (pa, pb) in the global order every
+    #   common token sorts at rank ≥ pa/pb in its set, so
+    #   |a∩b| ≤ 1 + min(|a|−pa, |b|−pb). A qualifying pair's FIRST
+    #   shared prefix token (its minimal ranks ⇒ the loosest bound)
+    #   always passes, so the pair survives the distinct — lossless.
+    # Sizes and ranks are ints already riding the prefix rows, so both
+    # prune BEFORE the ids-only dedup and, critically, before the token
+    # ARRAYS re-attach (guide §8: decide with small rows). Measured at
+    # sf1: pre-distinct join output 23.5 M → 8.6 M rows, candidates
+    # 6.06 M → 3.44 M, final output rows IDENTICAL (495,586). The
+    # final jac ≥ t verify below is unchanged and still decides
+    # membership.
     cand = (
         a.join(
             b,
             (F.col("a.__tok") == F.col("b.__tok"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(na, nb) >= F.lit(t) * F.greatest(na, nb))
+            & (
+                F.lit(1) + F.least(na - pa, nb - pb)
+                >= F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for named queries into plans/r14/.
+"""Capture .explain('formatted') for named queries into plans/r15/.
 
     python tools/capture_plans.py after q_foo q_bar ...
 """
@@ -23,13 +23,13 @@ def main() -> None:
     import __spark_entry__ as e
 
     queries = e.queries()
-    os.makedirs("plans/r14", exist_ok=True)
+    os.makedirs("plans/r15", exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        path = f"plans/r14/{name}_{suffix}.txt"
+        path = f"plans/r15/{name}_{suffix}.txt"
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print(path, len(buf.getvalue()), "bytes", flush=True)
