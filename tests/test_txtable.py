@@ -1374,6 +1374,59 @@ def test_schema_evolution_append_and_merge_read(spark, tmp_path):
     assert len(got) == 23
 
 
+def test_bloom_build_vectorized_bit_identical(tmp_path):
+    """The round-15 numpy bloom builder must produce BYTE-IDENTICAL
+    filters to the per-value python loop (same md5 canon, modular
+    identity (h1+i·h2)%m == ((h1%m)+i·(h2%m))%m): persisted blooms are
+    probed by _bloom_positions forever, so any drift is a silent
+    false-negative (wrongly skipped file). Exercises every value class
+    the canon handles, above AND below the 256-distinct vectorization
+    cutoff."""
+    import base64
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_etl_pyspark_spark.sources.txtable import (
+        _BLOOM_K,
+        _bloom_positions,
+        build_bloom_stats,
+    )
+
+    n = 3004
+    pad = lambda xs: xs + [None] * (n - len(xs))  # noqa: E731
+    ints = pad(list(range(3000)) + [-7])
+    strs = pad([f"k{i}" for i in range(3000)] + ["a:b", "%41", ""])
+    flts = pad([i / 8.0 for i in range(3000)] + [-0.0, 2.5])
+    dates = pad([dt.date(2020, 1, 1 + (i % 27)) for i in range(300)])
+    tss = pad([
+        dt.datetime(2021, 3, 4, 5, 6, 7, 500000 * (i % 2),
+                    tzinfo=dt.timezone.utc)
+        for i in range(300)
+    ])
+    tbl = pa.table({
+        "i": pa.array(ints, pa.int64()),
+        "s": pa.array(strs, pa.string()),
+        "f": pa.array(flts, pa.float64()),
+        "d": pa.array(dates, pa.date32()),
+        "t": pa.array(tss, pa.timestamp("us", tz="UTC")),
+        "few": pa.array([i % 9 for i in range(n)], pa.int32()),
+    })
+    p = str(tmp_path / "b.parquet")
+    pq.write_table(tbl, p)
+    got = build_bloom_stats(p, ["i", "s", "f", "d", "t", "few"])
+    for c in ("i", "s", "f", "d", "t", "few"):
+        vals = {v for v in tbl.column(c).to_pylist() if v is not None}
+        m, k = got[c]["m"], got[c]["k"]
+        assert k == _BLOOM_K
+        ref = bytearray(m // 8)
+        for v in vals:
+            for h in _bloom_positions(v, m, k):
+                ref[h >> 3] |= 1 << (h & 7)
+        assert base64.b64decode(got[c]["b64"]) == bytes(ref), c
+
+
 def test_bloom_index_prunes_point_lookups(spark, tmp_path):
     """bloom_by: equality predicates on an unsorted high-cardinality
     key prune by per-file Bloom filter where min/max can prove nothing;
