@@ -464,7 +464,14 @@ def connected_components(
     # everything downstream — the node set, the working edge set, and
     # every star round — reads these checkpointed partitions, so the
     # expensive upstream (typically the minhash→LSH candidate tail)
-    # executes exactly once.
+    # executes exactly once. Round 15 re-examined the r14 "canon
+    # checkpoint floor" note: folding this materialization into round
+    # 1's convergence-agg job (eager=False, like each round's e_new)
+    # removes the standalone job but measured NO wall improvement at
+    # sf0.1 (alternating A/B ×4 sessions: survivors 3.81/3.84 eager vs
+    # 3.69/3.91 lazy, semantic 2.83/2.85 eager vs 3.02/3.08 lazy) —
+    # the tail executes exactly once either way, and the eager job's
+    # planning overlaps round-1 plan construction. Kept eager.
     # ``pre_deduped=True`` (round 14): the pair producers feeding the
     # dedup chains (lsh_band_pairs' groupBy(id_a, id_b) output,
     # cosine_pairs_within_group's one-block-per-vector pairs) already
@@ -642,6 +649,11 @@ def semantic_cells(
     ``backend="expr"`` keeps the pure-JVM spelling: one wide projection
     of HOF folds over the anchors attached via a 1-row broadcast
     (engine-side md5 derivation, see ``md5_rp_planes_sql``)."""
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        _check_backend,
+    )
+
+    _check_backend(backend, "arrow", "expr")
     if backend == "arrow":
         from nyc_taxi_etl_pyspark_spark.operators.rp_arrow import (
             md5_cell_udf,

@@ -115,8 +115,12 @@ def strict_dot_udf(dim: int):
             acc = np.zeros(len(a_s), dtype=np.float64)
             for i in range(dim):  # strict left fold over components
                 acc += za[:, i] * zb[:, i]
-            res = pd.Series(acc)
-            res[~valid] = None
+            # nullable Float64 so invalid rows become SQL NULL, not NaN
+            # (None into a float64 Series stores NaN, and Spark's NaN
+            # ordering makes `NaN >= threshold` TRUE — the expr backend
+            # drops such pairs via zip_with NULL padding; ADVICE r14)
+            res = pd.Series(acc, dtype="Float64")
+            res[~valid] = pd.NA
             yield res
 
     return dot

@@ -35,6 +35,16 @@ from nyc_taxi_etl_pyspark_spark.functions.vectors import (
 )
 
 
+def _check_backend(backend: str, *allowed: str) -> None:
+    """Fail loudly on an unknown ``backend`` string (ADVICE r14: a typo
+    like ``'arow'`` silently fell through to the expr/hof branch,
+    changing execution strategy without notice)."""
+    if backend not in allowed:
+        raise ValueError(
+            f"unknown backend {backend!r}: expected one of {allowed}"
+        )
+
+
 def _np_stable_round4(sims):
     """Decimal-faithful vectorized ``stable_round(·, 4)`` for the arrow
     backends (round-13 advice #1): ``np.round`` rounds the scaled BINARY
@@ -128,6 +138,7 @@ def cosine_pairs_within_group(
     threshold and the output, the engine-wide discipline that absorbs
     exactly this. ``backend="hof"`` keeps the pure-JVM plan for
     HOF-only environments."""
+    _check_backend(backend, "arrow", "hof")
     if backend == "arrow":
         import numpy as np
         import pandas as pd
@@ -309,7 +320,7 @@ def rp_lsh_similarity_join(
     bit-identical strict-fold dots, see its docstring);
     ``backend="expr"`` keeps the pure-JVM HOF spelling over the
     broadcast-attached plane family."""
-
+    _check_backend(backend, "arrow", "expr")
     if backend == "arrow":
         from nyc_taxi_etl_pyspark_spark.operators.rp_arrow import (
             rp_sign_buckets_udf,
@@ -533,6 +544,7 @@ def knn_within_group(
     sources and neighbors. ``backend="hof"`` keeps the pure-JVM plan."""
     from pyspark.sql import Window
 
+    _check_backend(backend, "arrow", "hof")
     if backend == "arrow":
         import numpy as np
         import pandas as pd
@@ -679,6 +691,7 @@ def ivf_assign(
     centroid_id (sorted codebook + first-argmax — the expr max_by left
     ties unspecified; fixtures have none); zero-norm vectors get NULL
     centroid_id, matching cosine_similarity_col's NULL propagation."""
+    _check_backend(backend, "arrow", "expr")
     if backend == "arrow":
         from collections.abc import Iterator
 
@@ -707,14 +720,15 @@ def ivf_assign(
         sc = vectors.sparkSession.sparkContext
         bC, bI = sc.broadcast(Cn), sc.broadcast(cids)
 
+        dim = C.shape[1]
+
         def assign(batches: Iterator) -> Iterator:
             import numpy as _np
             import pandas as pd
 
             Cv, Iv = bC.value, bI.value
             for pdf in batches:
-                V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
-                if V.ndim == 1:  # empty batch
+                if len(pdf) == 0:  # empty batch
                     yield pd.DataFrame(
                         {
                             f.name: pd.Series(dtype=object)
@@ -722,10 +736,28 @@ def ivf_assign(
                         }
                     )
                     continue
+                # pre-mask NULL / wrong-length vectors (ADVICE r14): the
+                # expr backend propagated NULL through the cosine/max_by;
+                # np.array(tolist()) would raise on a ragged batch.
+                valid = _np.array(
+                    [v is not None and len(v) == dim for v in pdf[vec_col]],
+                    dtype=bool,
+                )
+                if valid.all():
+                    V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+                else:
+                    V = _np.stack(
+                        [
+                            _np.asarray(v, dtype=_np.float64)
+                            if ok
+                            else _np.zeros(dim)
+                            for v, ok in zip(pdf[vec_col], valid)
+                        ]
+                    )
                 norms = _np.linalg.norm(V, axis=1)
                 sims = (V / _np.maximum(norms, 1e-12)[:, None]) @ Cv.T
                 cid = pd.Series(Iv[sims.argmax(axis=1)]).astype("Int32")
-                cid[norms == 0] = pd.NA  # NULL like the expr cosine
+                cid[(norms == 0) | ~valid] = pd.NA  # NULL like expr cosine
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col],
@@ -1018,7 +1050,19 @@ def _pq_encode_arrow(
     codebooks shipped once per executor as a broadcast. numpy
     ``argmin`` returns the first minimum, matching the expr backend's
     ``array_position(array_min)`` lowest-index tie-break; cross-backend
-    code agreement is pinned in tests."""
+    code agreement is pinned in tests ON THE FIXTURE CORPORA only.
+
+    Bit-identity caveat (ADVICE r14): numpy's ``((sub-B)**2).sum(axis=2)``
+    (and ivf_assign's BLAS matmul) use reassociated/blocked summation,
+    unlike the strict-left-fold kernels in ``rp_arrow.py`` — so the
+    subspace DISTANCES are not bit-identical to the expr backend's HOF
+    folds, and an exact near-tie could in principle pick a different
+    code/centroid across backends. PQ/IVF codes therefore carry NO
+    cross-backend bit-identity GUARANTEE (unlike the md5-twin oracle
+    paths, whose kernels fold in strict component order); a persisted
+    index must be probed with the backend family that built it if code
+    stability matters, and the oracle-checked queries pin their backend
+    explicitly."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1042,13 +1086,31 @@ def _pq_encode_arrow(
         import pandas as pd
 
         Bv = bB.value
+        dim = Bv.shape[0] * Bv.shape[2]
         for pdf in batches:
-            V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
-            if V.ndim == 1:  # empty batch
+            if len(pdf) == 0:  # empty batch
                 yield pd.DataFrame(
                     {f.name: pd.Series(dtype=object) for f in schema.fields}
                 )
                 continue
+            # pre-mask NULL / wrong-length vectors (ADVICE r14): the expr
+            # backend propagates NULL into NULL codes; np.array(tolist())
+            # would raise ValueError on a ragged batch.
+            valid = _np.array(
+                [v is not None and len(v) == dim for v in pdf[vec_col]],
+                dtype=bool,
+            )
+            if valid.all():
+                V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+            else:
+                V = _np.stack(
+                    [
+                        _np.asarray(v, dtype=_np.float64)
+                        if ok
+                        else _np.zeros(dim)
+                        for v, ok in zip(pdf[vec_col], valid)
+                    ]
+                )
             Vn = V / _np.maximum(
                 _np.linalg.norm(V, axis=1, keepdims=True), 1e-12
             )
@@ -1056,7 +1118,9 @@ def _pq_encode_arrow(
             for m in range(Bv.shape[0]):
                 sub = Vn[:, m * d_sub : (m + 1) * d_sub]
                 dd = ((sub[:, None, :] - Bv[m][None, :, :]) ** 2).sum(axis=2)
-                out[f"__code_{m}"] = dd.argmin(axis=1).astype("int32")
+                code = pd.Series(dd.argmin(axis=1)).astype("Int32")
+                code[~valid] = pd.NA  # NULL codes like the expr backend
+                out[f"__code_{m}"] = code
             yield pd.DataFrame(out)
 
     return vectors.select(id_col, vec_col).mapInPandas(enc, schema=schema)
@@ -1725,28 +1789,50 @@ def _ivfpq_encode_arrow(
         import pandas as pd
 
         Cv, Bv = bC.value, bB.value
+        dim = Cv.shape[1]
         for pdf in batches:
-            V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
-            if V.ndim == 1:  # empty batch
+            if len(pdf) == 0:  # empty batch
                 yield pd.DataFrame(
                     {f.name: pd.Series(dtype=object) for f in schema.fields}
                 )
                 continue
+            # pre-mask NULL / wrong-length vectors (ADVICE r14) so a
+            # ragged batch degrades to NULL codes instead of a task
+            # kill; matches the expr backend's NULL propagation.
+            valid = _np.array(
+                [v is not None and len(v) == dim for v in pdf[vec_col]],
+                dtype=bool,
+            )
+            if valid.all():
+                V = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+            else:
+                V = _np.stack(
+                    [
+                        _np.asarray(v, dtype=_np.float64)
+                        if ok
+                        else _np.zeros(dim)
+                        for v, ok in zip(pdf[vec_col], valid)
+                    ]
+                )
             Vn = V / _np.maximum(
                 _np.linalg.norm(V, axis=1, keepdims=True), 1e-12
             )
             d2 = ((Vn[:, None, :] - Cv[None, :, :]) ** 2).sum(axis=2)
             cid = d2.argmin(axis=1)
             R = Vn - Cv[cid]
+            cid_s = pd.Series(cid).astype("Int32")
+            cid_s[~valid] = pd.NA
             out = {
                 id_col: pdf[id_col],
                 vec_col: pdf[vec_col],
-                "centroid_id": cid.astype("int32"),
+                "centroid_id": cid_s,
             }
             for m in range(Bv.shape[0]):
                 sub = R[:, m * d_sub : (m + 1) * d_sub]
                 dd = ((sub[:, None, :] - Bv[m][None, :, :]) ** 2).sum(axis=2)
-                out[f"__code_{m}"] = dd.argmin(axis=1).astype("int32")
+                code = pd.Series(dd.argmin(axis=1)).astype("Int32")
+                code[~valid] = pd.NA
+                out[f"__code_{m}"] = code
             yield pd.DataFrame(out)
 
     return vectors.select(id_col, vec_col).mapInPandas(enc, schema=schema)

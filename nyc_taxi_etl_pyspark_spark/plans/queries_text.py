@@ -1400,7 +1400,11 @@ def _cooccurrence_pairs(docs: DataFrame):
     # repeats that a per-row array op removes for free. Identical
     # (doc_id, token) set — distinctness across documents is vacuous
     # (doc_id is in the pair) — so the oracle's SELECT DISTINCT
-    # replays it unchanged. The COUNT-LESS repartition on doc_id
+    # replays it unchanged. PRECONDITION (ADVICE r14): this equivalence
+    # assumes doc_id is unique in the documents table (true of the
+    # fixture and asserted in tests/test_corpus_pipeline.py); a corpus
+    # carrying duplicate doc_id ROWS would need the old explode →
+    # .distinct() spelling to collapse the repeated rows' tokens. The COUNT-LESS repartition on doc_id
     # shuffles only the distinct pairs and is load-bearing twice over:
     # it is the exchange both sides of the downstream doc_id self-join
     # reuse (no further shuffle of dt) and it gives AQE real

@@ -850,6 +850,31 @@ def prune_files(
         keep = True
         if fstats:
             for col, vs in eq:
+                # PER-VALUE range exclusion (round 15 — the hypothesis
+                # superset-safety property caught that only the coarse
+                # min(vs)..max(vs) band was applied, so `a IN (0, 2)`
+                # could not exclude a file with range [1, 1] even
+                # though _shard_may_match excludes the shard; the
+                # docstring always promised the per-value proof): a
+                # file whose [min,max] contains NONE of the IN values
+                # can never satisfy the equality.
+                rng = fstats.get("cols", {}).get(col)
+                if rng is not None and vs:
+                    mn, mx = rng
+                    if col in temporal:
+                        mn, mx = (
+                            _canon_temporal_cmp(mn),
+                            _canon_temporal_cmp(mx),
+                        )
+                        cvs = [_canon_temporal_cmp(v) for v in vs]
+                    else:
+                        cvs = vs
+                    try:
+                        if all(v < mn or v > mx for v in cvs):
+                            keep = False
+                            break
+                    except TypeError:  # incomparable types: no proof
+                        pass
                 bloom = fstats.get("bloom", {}).get(col)
                 if bloom is None and vs and bloom_loader is not None:
                     ref = fstats.get("bloom_ref")

@@ -25,6 +25,18 @@ sys.modules.setdefault("corpus_pipeline_example", _mod)
 _spec.loader.exec_module(_mod)
 
 
+def test_documents_doc_id_unique(spark, sf_dir):
+    """doc_id uniqueness is a stated PRECONDITION of the map-side
+    (doc, token) dedup in queries_text._cooccurrence_pairs (ADVICE
+    r14): explode(array_distinct(...)) dedups tokens within one row
+    only, so duplicate doc_id ROWS would inflate df counts relative
+    to the old explode→distinct spelling."""
+    from nyc_taxi_etl_pyspark_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.count() == docs.select("doc_id").distinct().count()
+
+
 def test_corpus_pipeline_invariants(spark, sf_dir):
     from nyc_taxi_etl_pyspark_spark.functions.text import (
         fingerprint_md5,

@@ -1970,7 +1970,11 @@ def test_rp_sign_buckets_arrow_matches_expr(spark, sf_dir):
     to the HOF/expr spelling — the strict-left-fold accumulation is the
     whole argument for why the oracle hash of q_similarity_join_md5
     cannot move. Compared row-for-row on the full corpus fixture, plus
-    degenerate rows (zero vector, NULL vector) appended."""
+    degenerate rows (zero vector, NULL vector, wrong-length vector)
+    appended — the wrong-length row (ADVICE r14) pins that the arrow
+    re-rank yields SQL NULL (not NaN, which Spark orders ABOVE every
+    threshold) for an invalid pair, like the expr backend's zip_with
+    NULL padding."""
     from pyspark.sql import functions as F
 
     from nyc_taxi_etl_pyspark_spark.operators.similarity import (
@@ -1982,6 +1986,7 @@ def test_rp_sign_buckets_arrow_matches_expr(spark, sf_dir):
         [
             (10**12, [0.0] * 64),  # zero vector
             (10**12 + 1, None),  # NULL vector
+            (10**12 + 2, [1.0] * 63),  # wrong-length (dim-1) vector
         ],
         "vec_id long, embedding array<double>",
     )
@@ -2160,3 +2165,112 @@ def test_arrow_vs_hof_backend_parity(spark):
     arrow_knn, hof_knn = knn_lists("arrow"), knn_lists("hof")
     assert arrow_knn == hof_knn
     assert all(i not in arrow_knn for i in range(0, 1100, 97))  # zero vecs
+
+
+def test_arrow_encoders_degenerate_vectors(spark, sf_dir):
+    """ADVICE r14: the arrow backends of ivf_assign / pq_encode /
+    ivfpq_encode did ``np.array(col.tolist())``, which RAISES on a
+    NULL or ragged (wrong-length) embedding and killed the task,
+    where the expr backends propagated NULL. Pin the pre-mask: the
+    batch survives, invalid rows yield NULL centroid/codes, and the
+    valid rows still agree with the expr backend exactly."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_encode,
+        ivfpq_train,
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    degen = spark.createDataFrame(
+        [
+            (10**12, None),  # NULL vector
+            (10**12 + 1, [1.0] * 63),  # wrong-length (dim-1) vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    vecs = e.where("vec_id < 50").unionByName(
+        degen.select(
+            F.col("vec_id").cast(dict(e.dtypes)["vec_id"]), "embedding"
+        )
+    )
+    cents, books = ivfpq_train(e, "vec_id", "embedding")
+    cent_df = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in cents],
+        "centroid_id int, centroid_vec array<double>",
+    )
+
+    # ivf_assign: NULL centroid for invalid rows, expr parity on valid
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(
+            vecs, cent_df, "vec_id", "embedding", backend="arrow"
+        ).collect()
+    }
+    assert got[10**12] is None and got[10**12 + 1] is None
+    expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(
+            e.where("vec_id < 50"), cent_df, "vec_id", "embedding",
+            backend="expr"
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k < 10**12} == expr
+
+    # pq_encode / ivfpq_encode: batch survives, NULL codes for the
+    # NULL row (the ragged row must at least not kill the task)
+    pq_books = pq_seed_codebooks(e, "vec_id", "embedding")
+    enc = {
+        r["vec_id"]: r["__code_0"]
+        for r in pq_encode(
+            vecs, pq_books, "vec_id", "embedding", backend="arrow"
+        ).collect()
+    }
+    assert enc[10**12] is None and enc[10**12 + 1] is None
+    ivf_enc = {
+        r["vec_id"]: (r["centroid_id"], r["__code_0"])
+        for r in ivfpq_encode(
+            vecs, cents, books, "vec_id", "embedding", backend="arrow"
+        ).collect()
+    }
+    assert ivf_enc[10**12] == (None, None)
+    assert ivf_enc[10**12 + 1] == (None, None)
+
+
+def test_backend_param_validated(spark, sf_dir):
+    """ADVICE r14: a typo like 'arow' must raise, not silently fall
+    through to the expr/hof execution strategy."""
+    import pytest
+
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_cells
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        cosine_pairs_within_group,
+        ivf_assign,
+        knn_within_group,
+        rp_lsh_similarity_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cent_df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "centroid_id int, centroid_vec array<double>"
+    )
+    for call in (
+        lambda: rp_lsh_similarity_join(
+            e, "vec_id", "embedding", dim=64, backend="arow"
+        ),
+        lambda: ivf_assign(e, cent_df, "vec_id", "embedding", backend="arow"),
+        lambda: semantic_cells(e, "embedding", dim=64, backend="arow"),
+        lambda: cosine_pairs_within_group(
+            e, "vec_id", "embedding", "label", backend="arow"
+        ),
+        lambda: knn_within_group(
+            e, "vec_id", "embedding", "label", backend="arow"
+        ),
+    ):
+        with pytest.raises(ValueError, match="unknown backend"):
+            call()
