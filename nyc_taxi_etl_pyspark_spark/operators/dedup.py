@@ -623,6 +623,72 @@ def dedup_survivors(
     )
 
 
+def block_local_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    block_col: str = "block",
+) -> DataFrame:
+    """(node, component) labeling for a pair list whose edges NEVER
+    cross ``block_col`` — the SemDeDup case, where every vector has
+    exactly one Voronoi cell and pairs are generated within cells, so
+    components are provably cell-contained and the GLOBAL star-
+    contraction loop (driver-paced rounds: canon checkpoint, two
+    window shuffles + a convergence agg per round, a semi-join check —
+    measured 3.8 s warm per 20k-vector micro-batch at sf1, ~2 s of it
+    rounds) collapses to ONE groupBy(block) + an in-task union-find
+    per block (round 15, guide §1.2: change the algorithm before the
+    knobs). Component label = MIN node id, exactly
+    :func:`connected_components`' contract (equality pinned in tests);
+    blocks are bounded by the caller's contract (auto_n_cells sizes
+    cells to ~2k rows; a block's edge list already materialized
+    through the pair stage), so the per-task state is the block's
+    node set — NOT corpus-scale. Roots are labeled (node == component
+    rows included); consumers' keep-filter treats them like the NULL
+    branch."""
+    import pandas as pd
+
+    id_t = pairs.schema[src].dataType.simpleString()
+    out_schema = f"node {id_t}, component {id_t}"
+
+    def label(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[src], pdf[dst]):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        # component = MIN member id (the engine-wide canonical label)
+        comp_min: dict = {}
+        roots = {n: find(n) for n in parent}
+        for n, r in roots.items():
+            if r not in comp_min or n < comp_min[r]:
+                comp_min[r] = n
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"node": nodes, "component": [comp_min[roots[n]] for n in nodes]}
+        )
+
+    return (
+        pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(src, dst, block_col)
+        .groupBy(block_col)
+        .applyInPandas(lambda pdf: label(pdf), out_schema)
+    )
+
+
 def semantic_cells(
     vectors: DataFrame,
     vec_col: str,
@@ -747,29 +813,61 @@ def semantic_dedup(
     default changes no declared query's results."""
     from nyc_taxi_etl_pyspark_spark.operators.similarity import (
         cosine_pairs_within_group,
+        pair_split_factor,
     )
 
+    import math
+
+    n_rows = vectors.count()  # one bounded job; also sizes auto n_cells
     if n_cells is None:
-        n_cells = auto_n_cells(vectors.count(), target_cell_rows)
+        n_cells = auto_n_cells(n_rows, target_cell_rows)
 
     with_cell = semantic_cells(
         vectors, vec_col, dim, n_cells, cell_col="__cell"
     )
+    # Tile the pair stage ONLY when cells are large (round 15, guide
+    # §2.5): the oracle-pinned n_cells=8 ran the whole quadratic pair
+    # stage on 8 of 32 cores for 6-10 s at sf1 (7.5k-row cells);
+    # tiling took it to 1.1-1.7 s with a byte-identical pair set. For
+    # small cells (≲2× the target size) the extra explode+shuffle
+    # costs more than the 1-task-per-cell matmul (+0.25 s measured at
+    # sf0.1), and in the auto_n_cells regime cells never outgrow the
+    # target — so the factor is 1 there by construction.
+    cell_rows = n_rows / max(1, n_cells)
+    n_splits = 1
+    if cell_rows > 2 * target_cell_rows:
+        n_splits = min(
+            pair_split_factor(
+                n_cells,
+                vectors.sparkSession.sparkContext.defaultParallelism,
+            ),
+            math.ceil(cell_rows / target_cell_rows),
+        )
     pairs = cosine_pairs_within_group(
         with_cell,
         id_col=id_col,
         vec_col=vec_col,
         block_col="__cell",
         threshold=threshold,
+        n_splits=n_splits,
     )
     if return_pairs:
         return pairs
-    return dedup_survivors(
-        with_cell.withColumnRenamed("__cell", "cell"),
-        pairs,
-        id_col,
-        # one cell per vector + within-cell generation ⇒ each pair once
-        pre_deduped=True,
+    # Components are CELL-LOCAL here (one cell per vector, pairs
+    # generated within cells), so the generic star-contraction loop is
+    # replaced by the shuffle-free-per-round block labeling (round 15,
+    # see block_local_components — identical (node, min-id component)
+    # output, pinned in tests); the keep-filter below is byte-for-byte
+    # dedup_survivors' (roots hit `component == id`, never-paired rows
+    # the NULL branch).
+    df = with_cell.withColumnRenamed("__cell", "cell")
+    comp = block_local_components(pairs)
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .filter(
+            F.col("component").isNull() | (F.col("component") == df[id_col])
+        )
+        .drop("node", "component")
     )
 
 

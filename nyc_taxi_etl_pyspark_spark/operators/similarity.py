@@ -104,6 +104,22 @@ def brute_force_topk_cosine(
     )
 
 
+def pair_split_factor(n_blocks: int, parallelism: int, cap: int = 8) -> int:
+    """Tile factor for :func:`cosine_pairs_within_group` ``n_splits``:
+    the smallest G whose tile count ``n_blocks · G(G+1)/2`` reaches
+    ~2× the cluster parallelism, capped (each row is shuffled G times,
+    so G is kept small). When blocks already outnumber cores — the
+    normal state at corpus scale, where cells/buckets grow with N —
+    this is 1 and the tiling is a no-op; the factor only kicks in for
+    FEW-LARGE-BLOCK configurations (e.g. the oracle-pinned n_cells=8),
+    guide §8.3's "split very large groups into hash ranges so no
+    single task is huge"."""
+    g = 1
+    while g < cap and n_blocks * g * (g + 1) // 2 < 2 * parallelism:
+        g += 1
+    return g
+
+
 def cosine_pairs_within_group(
     vectors: DataFrame,
     id_col: str,
@@ -111,6 +127,7 @@ def cosine_pairs_within_group(
     block_col: str,
     threshold: float = 0.9,
     backend: str = "arrow",
+    n_splits: int = 1,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold within each ``block_col`` group
     (embedding near-dup detection). Pair space is quadratic per block
@@ -137,7 +154,25 @@ def cosine_pairs_within_group(
     backends and the DuckDB oracles round(+1e-9, 4) before the
     threshold and the output, the engine-wide discipline that absorbs
     exactly this. ``backend="hof"`` keeps the pure-JVM plan for
-    HOF-only environments."""
+    HOF-only environments.
+
+    ``n_splits`` (round 15, guide §2.5/§2.6 — the one-task-per-block
+    straggler fix): with G > 1, each block is hash-partitioned into G
+    deterministic sub-groups (``pmod(xxhash64(id), G)``) and the
+    block's pair space is computed as G(G+1)/2 independent TILES —
+    triangle tiles (ga == gb) and cross tiles (ga < gb) — so a
+    few-large-blocks configuration (the oracle-pinned n_cells=8 ran
+    its entire sf1 pair stage, ~6-10 s, on 8 of 32 cores) spreads over
+    the cluster. Every unordered pair lands in EXACTLY ONE tile (the
+    (min(g_a,g_b), max(g_a,g_b)) tile), so the emitted pair set is
+    identical and downstream ``pre_deduped=True`` contracts hold; the
+    per-pair dot is the same BLAS kernel over the same two normalized
+    vectors, and the stable-round(+1e-9, 4) guard absorbs blocking-
+    order ulps exactly as it does between the matmul and HOF backends
+    (pair-set equality across n_splits is pinned in tests). Rows are
+    shuffled G times (ids+vectors only), which is why G stays small —
+    use :func:`pair_split_factor`. Arrow backend only; the hof join
+    ignores it (its shuffle is already wide)."""
     _check_backend(backend, "arrow", "hof")
     if backend == "arrow":
         import numpy as np
@@ -150,33 +185,47 @@ def cosine_pairs_within_group(
         )
         thr = float(threshold)
 
-        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _norm_sorted(pdf: pd.DataFrame):
+            """(ids, normalized vectors) sorted by id, zero-norm rows
+            dropped (no cosine — NULL in SQL, excluded like the hof
+            backend's when(denom != 0))."""
             pdf = pdf.sort_values(id_col, kind="mergesort")
             ids = pdf[id_col].to_numpy()
-            blk = pdf[block_col].iloc[0]
+            if len(ids) == 0:  # tile with an empty sub-group
+                return ids, np.empty((0, 0), dtype=np.float64)
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(v, axis=1)
-            ok = norms != 0  # zero vectors have no cosine (NULL in SQL)
+            ok = norms != 0
             ids, v, norms = ids[ok], v[ok], norms[ok]
+            return ids, (v / norms[:, None]) if len(ids) else v
+
+        def _empty(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"id_a": pdf[id_col].iloc[:0], "id_b": pdf[id_col].iloc[:0],
+                 "block": pdf[block_col].iloc[:0],
+                 "cosine_sim": np.array([], dtype=np.float64)}
+            )
+
+        def _triangle(ids, vn, out_a, out_b, out_s):
+            for lo in range(0, len(ids) - 1, 1024):
+                hi = min(lo + 1024, len(ids))
+                sims = _np_stable_round4(vn[lo:hi] @ vn.T)
+                for i in range(lo, hi):
+                    row = sims[i - lo, i + 1 :]
+                    keep = np.nonzero(row >= thr)[0] + i + 1
+                    if keep.size:
+                        out_a.append(np.full(keep.size, ids[i]))
+                        out_b.append(ids[keep])
+                        out_s.append(row[keep - i - 1])
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            blk = pdf[block_col].iloc[0]
+            ids, vn = _norm_sorted(pdf)
             out_a, out_b, out_s = [], [], []
             if len(ids) > 1:
-                vn = v / norms[:, None]
-                for lo in range(0, len(ids) - 1, 1024):
-                    hi = min(lo + 1024, len(ids))
-                    sims = _np_stable_round4(vn[lo:hi] @ vn.T)
-                    for i in range(lo, hi):
-                        row = sims[i - lo, i + 1 :]
-                        keep = np.nonzero(row >= thr)[0] + i + 1
-                        if keep.size:
-                            out_a.append(np.full(keep.size, ids[i]))
-                            out_b.append(ids[keep])
-                            out_s.append(row[keep - i - 1])
+                _triangle(ids, vn, out_a, out_b, out_s)
             if not out_a:
-                return pd.DataFrame(
-                    {"id_a": ids[:0], "id_b": ids[:0],
-                     "block": pdf[block_col].iloc[:0],
-                     "cosine_sim": np.array([], dtype=np.float64)}
-                )
+                return _empty(pdf)
             return pd.DataFrame(
                 {
                     "id_a": np.concatenate(out_a),
@@ -186,8 +235,63 @@ def cosine_pairs_within_group(
                 }
             )
 
-        return vectors.groupBy(block_col).applyInPandas(
-            block_pairs, out_schema
+        if n_splits <= 1:
+            return vectors.groupBy(block_col).applyInPandas(
+                block_pairs, out_schema
+            )
+
+        def tile_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            _blk, ga, gb = key
+            blk = pdf[block_col].iloc[0]
+            out_a, out_b, out_s = [], [], []
+            if ga == gb:
+                ids, vn = _norm_sorted(pdf[pdf["__g"] == ga])
+                if len(ids) > 1:
+                    _triangle(ids, vn, out_a, out_b, out_s)
+            else:
+                ids_a, va = _norm_sorted(pdf[pdf["__g"] == ga])
+                ids_b, vb = _norm_sorted(pdf[pdf["__g"] == gb])
+                if len(ids_a) and len(ids_b):
+                    for lo in range(0, len(ids_a), 1024):
+                        hi = min(lo + 1024, len(ids_a))
+                        sims = _np_stable_round4(va[lo:hi] @ vb.T)
+                        ii, jj = np.nonzero(sims >= thr)
+                        if ii.size:
+                            ra, rb = ids_a[ii + lo], ids_b[jj]
+                            out_a.append(np.minimum(ra, rb))
+                            out_b.append(np.maximum(ra, rb))
+                            out_s.append(sims[ii, jj])
+            if not out_a:
+                return _empty(pdf)
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "block": blk,
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+        g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_splits)).cast("int")
+        tiles = F.array(
+            *[
+                F.struct(
+                    F.least(F.col("__g"), F.lit(h)).alias("ga"),
+                    F.greatest(F.col("__g"), F.lit(h)).alias("gb"),
+                )
+                for h in range(n_splits)
+            ]
+        )
+        tagged = (
+            vectors.select(id_col, vec_col, block_col)
+            .withColumn("__g", g)
+            .withColumn("__t", F.explode(tiles))
+            .select(
+                id_col, vec_col, block_col, "__g", "__t.ga", "__t.gb"
+            )
+        )
+        return tagged.groupBy(block_col, "ga", "gb").applyInPandas(
+            tile_pairs, out_schema
         )
 
     a = vectors.select(

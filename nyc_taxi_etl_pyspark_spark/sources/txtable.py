@@ -1291,6 +1291,15 @@ def _arrow_stage_writer(
         buf: list = []
         buffered = 0
         for batch in batches:
+            if batch.schema != schema:
+                # Spark's arrow interchange marks non-nullable columns
+                # `not null`, while the declared schema (to_arrow_schema
+                # of the DataFrame schema) is all-nullable — and
+                # Table.from_batches demands EXACT schema equality.
+                # Nullability widening is a zero-copy cast; a genuinely
+                # unconvertible batch raises here and the caller falls
+                # back to the Spark writer.
+                batch = batch.cast(schema)
             buf.append(batch)
             buffered += batch.num_rows
             while mrpf and buffered >= mrpf:

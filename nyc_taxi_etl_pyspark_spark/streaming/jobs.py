@@ -258,16 +258,32 @@ def run_streaming_interval_join(
     joined = clicks.join(errors, F.expr(interval_join_exprs()), "inner").select(
         "user_id", "click_id", "err_id"
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    # No-data micro-batches are pure state-eviction passes for an
+    # APPEND-mode INNER join — every pair is emitted in the data batch
+    # that completes it (only OUTER joins hold results back for the
+    # watermark), so on a drain-once backlog the trailing no-data batch
+    # re-reads and rewrites all 4 state stores × partitions to evict
+    # state the stop() below discards anyway (round 15, guide §7:
+    # measured 3.5 s of the 9.9 s sf1 wall). A continuous production
+    # stream keeps the default ON so state is evicted promptly; the
+    # conf is restored either way.
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        q.processAllAvailable()
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev
+        )
     return spark.table(query_name)
 
 

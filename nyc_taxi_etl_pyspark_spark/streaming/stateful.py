@@ -91,9 +91,16 @@ def make_sessionizer(gap_s: int = 1800):
             # batch q_sessionize cast-to-long semantics)
             ts_s = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
             order = ts_s.argsort(kind="stable")
-            for i in order:
-                t = int(ts_s[i])
-                v = float(rows["value"].iloc[i])
+            # plain-float zip, NOT per-row pandas .iloc scalar access
+            # (round 15, guide §4.2: .iloc inside the fold was ~10 µs/row
+            # of pandas indexing machinery — the fold itself is the same
+            # left-to-right scalar adds in the same order, so emitted
+            # sums stay bit-identical); ~100× on the per-batch loop.
+            ts_list = ts_s[order].tolist()
+            val_list = (
+                rows["value"].to_numpy(dtype="float64")[order].tolist()
+            )
+            for t, v in zip(ts_list, val_list):
                 if start_s is None:
                     start_s, last_s, n, sv = t, t, 1, v
                 elif t - last_s > gap_s:

@@ -2274,3 +2274,82 @@ def test_backend_param_validated(spark, sf_dir):
     ):
         with pytest.raises(ValueError, match="unknown backend"):
             call()
+
+
+def test_tiled_pair_stage_matches_single_task(spark, sf_dir):
+    """Round 15: cosine_pairs_within_group(n_splits=G) hash-tiles each
+    block's pair space across G(G+1)/2 tasks; every unordered pair
+    lands in exactly one tile, so the emitted pair SET (ids, block,
+    rounded cosine) must equal the one-task-per-block spelling
+    exactly — exceptAll in both directions, several G values."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import semantic_cells
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        cosine_pairs_within_group,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    wc = semantic_cells(vecs, "embedding", 64, 8, cell_col="__cell")
+    base = cosine_pairs_within_group(
+        wc, "vec_id", "embedding", "__cell", 0.3, n_splits=1
+    )
+    n = base.count()
+    assert n > 0
+    for g in (2, 3, 5):
+        tiled = cosine_pairs_within_group(
+            wc, "vec_id", "embedding", "__cell", 0.3, n_splits=g
+        )
+        assert base.exceptAll(tiled).count() == 0, g
+        assert tiled.exceptAll(base).count() == 0, g
+
+
+def test_block_local_components_match_generic_cc(spark, sf_dir):
+    """Round 15: semantic_dedup's per-cell union-find labeling
+    (block_local_components) must produce the identical
+    (node, min-id component) set as the generic star-contraction
+    connected_components on the same within-cell pair list — the
+    equivalence that justifies dropping the driver-paced CC loop
+    from the SemDeDup chain."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+        block_local_components,
+        connected_components,
+        semantic_cells,
+    )
+    from nyc_taxi_etl_pyspark_spark.operators.similarity import (
+        cosine_pairs_within_group,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    wc = semantic_cells(vecs, "embedding", 64, 8, cell_col="__cell")
+    pairs = cosine_pairs_within_group(
+        wc, "vec_id", "embedding", "__cell", 0.3
+    )
+    old = connected_components(pairs, pre_deduped=True, include_roots=True)
+    new = block_local_components(pairs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+    # synthetic multi-shape graph in one block: chain, clique, isolate
+    # pair, self-contained star — plus a second block reusing ids to
+    # pin block-locality
+    edges = [
+        (1, 2, 0), (2, 3, 0), (3, 4, 0),        # chain -> comp 1
+        (10, 11, 0), (11, 12, 0), (10, 12, 0),  # triangle -> comp 10
+        (20, 21, 0),                            # pair -> comp 20
+        (30, 31, 1), (31, 32, 1),               # other block chain
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long, block int")
+    got = {
+        (r["node"], r["component"])
+        for r in block_local_components(df).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30),
+    }
+    assert got == want

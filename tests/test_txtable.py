@@ -6009,3 +6009,22 @@ def test_sharded_checkpoint_legacy_layout_still_reads(spark, tmp_path):
     cold2 = TransactionalTable(str(tmp_path / "t"), checkpoint_shard_files=8)
     pm = cold2._planning_manifest(None, [("id", 5, 9)], None, None)
     assert pm is not None and pm["files"]
+
+
+def test_arrow_stage_takes_non_nullable_schema(spark, tmp_path):
+    """Round 15: Spark's arrow interchange marks non-nullable columns
+    `not null` (e.g. spark.range ids, join keys), while the staging
+    writer's declared schema (to_arrow_schema of df.schema) is all-
+    nullable — the writer must cast, not crash into the Spark-writer
+    fallback (the fallback kept results correct but burned a failed
+    distributed job per commit; caught live in the streaming
+    semantic-dedup sink)."""
+    df = spark.range(10).withColumn("v", F.col("id").cast("double"))
+    assert not df.schema["id"].nullable  # the precondition under test
+    t = TransactionalTable(str(tmp_path / "t"))
+    stats = t._stage_arrow_local(df, "data/ctest", None, None)
+    assert stats is not None and len(stats) >= 1  # arrow path, no fallback
+    assert sum(s.get("rows", 0) for s in stats.values()) == 10
+    # and the end-to-end commit round-trips
+    t.commit(df)
+    assert t.read(spark).count() == 10
