@@ -421,6 +421,7 @@ def connected_components(
     max_iter: int = 25,
     pre_deduped: bool = False,
     include_roots: bool = True,
+    single_task_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step
     between "near-dup candidate pairs" and "keep one document per
@@ -488,6 +489,31 @@ def connected_components(
     if not pre_deduped:
         canon = canon.distinct()
     canon = canon.localCheckpoint(eager=True)
+    # Scale-adaptive algorithm choice (round 15, guide §1.2: the
+    # theoretically cheapest execution for a SMALL graph is one task,
+    # not a distributed fixpoint). Near-dup edge lists are tiny
+    # relative to the corpus (256 edges at sf0.1, O(10³-10⁴) at sf1),
+    # yet every star round paid 2 driver-paced jobs + 3 exchanges over
+    # default-parallelism partitions — ~1 s of pure per-stage overhead
+    # per round on 256 rows. The count is one cheap job over the
+    # partitions the eager checkpoint just materialized, and the
+    # threshold is DATA-adaptive, not a local-mode constant: ≤1M edges
+    # is ~2 s / ~150 MB of in-task union-find (measured), far below
+    # executor task budgets, while a 100 TB corpus whose edge list
+    # outgrows it keeps the O(log n) star-contraction loop unchanged.
+    # Same (node, MIN-id component) contract — pinned in tests against
+    # the loop on both fixture and synthetic graphs.
+    if canon.count() <= single_task_max_edges:
+        id_t = canon.schema["__a"].dataType.simpleString()
+        comp = canon.groupBy(F.lit(0).alias("__g")).applyInPandas(
+            lambda pdf: _unionfind_label(pdf, "__a", "__b"),
+            f"node {id_t}, component {id_t}",
+        )
+        if include_roots:
+            return comp
+        # the star-forest labeling never emits (root, root) rows; the
+        # union-find labels every node — drop roots to match.
+        return comp.filter(F.col("node") != F.col("component"))
     # Every endpoint, remembered up front: edges CONTRACT to the star
     # forest, where roots appear only on the right — the label pass at
     # the end must still emit (root, root). Lazy: reads the checkpoint.
@@ -646,46 +672,56 @@ def block_local_components(
     node set — NOT corpus-scale. Roots are labeled (node == component
     rows included); consumers' keep-filter treats them like the NULL
     branch."""
-    import pandas as pd
-
     id_t = pairs.schema[src].dataType.simpleString()
     out_schema = f"node {id_t}, component {id_t}"
-
-    def label(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf[src], pdf[dst]):
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        # component = MIN member id (the engine-wide canonical label)
-        comp_min: dict = {}
-        roots = {n: find(n) for n in parent}
-        for n, r in roots.items():
-            if r not in comp_min or n < comp_min[r]:
-                comp_min[r] = n
-        nodes = list(parent)
-        return pd.DataFrame(
-            {"node": nodes, "component": [comp_min[roots[n]] for n in nodes]}
-        )
 
     return (
         pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(src, dst, block_col)
         .groupBy(block_col)
-        .applyInPandas(lambda pdf: label(pdf), out_schema)
+        .applyInPandas(
+            lambda pdf: _unionfind_label(pdf, src, dst), out_schema
+        )
+    )
+
+
+def _unionfind_label(pdf, src: str, dst: str):
+    """In-task union-find over one edge-list pandas frame →
+    (node, component) with component = MIN member id — the same
+    labeling contract as :func:`connected_components` (equality pinned
+    in tests). Shared by :func:`block_local_components` (one call per
+    block) and the small-graph single-task path of
+    :func:`connected_components`. Self-loops register the node;
+    duplicate edges are no-ops."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf[src], pdf[dst]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # component = MIN member id (the engine-wide canonical label)
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    nodes = list(parent)
+    return pd.DataFrame(
+        {"node": nodes, "component": [comp_min[roots[n]] for n in nodes]}
     )
 
 
@@ -818,13 +854,23 @@ def semantic_dedup(
 
     import math
 
-    n_rows = vectors.count()  # one bounded job; also sizes auto n_cells
+    n_rows = vectors.count()  # one bounded job (no UDF in the scan);
+    # sizes auto n_cells and the tiling decision below
     if n_cells is None:
         n_cells = auto_n_cells(n_rows, target_cell_rows)
 
     with_cell = semantic_cells(
         vectors, vec_col, dim, n_cells, cell_col="__cell"
     )
+    if not return_pairs:
+        # with_cell has TWO consumers below (the pair stage and the
+        # survivors join's left side) and sits behind an arrow UDF with
+        # no exchange, so without materialization the cell assignment
+        # and the base scan execute twice in the final plan (round 15,
+        # guide §5: cut the duplicated subtree, ~0.3-2 s per 20k-row
+        # micro-batch). return_pairs consumers read it once — no
+        # checkpoint there.
+        with_cell = with_cell.localCheckpoint(eager=True)
     # Tile the pair stage ONLY when cells are large (round 15, guide
     # §2.5): the oracle-pinned n_cells=8 ran the whole quadratic pair
     # stage on 8 of 32 cores for 6-10 s at sf1 (7.5k-row cells);

@@ -1591,13 +1591,26 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs, _ = _cooccurrence_pairs(docs)
-    fwd = pairs.select(
-        F.col("token_a").alias("src"), F.col("token_b").alias("dst")
-    )
-    rev = pairs.select(
-        F.col("token_b").alias("src"), F.col("token_a").alias("dst")
-    )
-    edges = fwd.unionByName(rev)
+    # both edge directions in ONE pass over the pair tail (round 15,
+    # guide §2.4): the former fwd.unionByName(rev) planned the whole
+    # cooccurrence derivation (tokenize → df-prune → doc self-join →
+    # pair agg, ~1 s at sf0.1) as TWO subtrees, and pagerank's eager
+    # edge checkpoint executed both; the explode emits the identical
+    # (src, dst) multiset from a single scan.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("token_a").alias("src"),
+                    F.col("token_b").alias("dst"),
+                ),
+                F.struct(
+                    F.col("token_b").alias("src"),
+                    F.col("token_a").alias("dst"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("token", "deg", stable_round(F.col("pr"), 6).alias("pr"))
 

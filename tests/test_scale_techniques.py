@@ -2353,3 +2353,92 @@ def test_block_local_components_match_generic_cc(spark, sf_dir):
         (30, 30), (31, 30), (32, 30),
     }
     assert got == want
+
+
+def test_cc_single_task_path_matches_star_loop(spark, sf_dir):
+    """Round 15: connected_components routes small edge lists (the
+    normal near-dup case — 256 edges at sf0.1) to one in-task
+    union-find instead of the driver-paced star-contraction rounds.
+    The (node, MIN-id component) output must be identical on both
+    paths — fixture LSH pairs and a synthetic graph covering chain /
+    clique / isolated-pair / self-loop-only shapes, with and without
+    root rows. ``single_task_max_edges=0`` forces the loop."""
+    from nyc_taxi_etl_pyspark_spark.operators.dedup import (
+        connected_components,
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_band_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+    for roots in (True, False):
+        fast = connected_components(
+            pairs, pre_deduped=True, include_roots=roots
+        )
+        loop = connected_components(
+            pairs,
+            pre_deduped=True,
+            include_roots=roots,
+            single_task_max_edges=0,
+        )
+        assert fast.exceptAll(loop).count() == 0, roots
+        assert loop.exceptAll(fast).count() == 0, roots
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # pair
+        (30, 30),                        # self-loop-only node
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for roots in (True, False):
+        fast = connected_components(df, include_roots=roots)
+        loop = connected_components(
+            df, include_roots=roots, single_task_max_edges=0
+        )
+        f = {(r["node"], r["component"]) for r in fast.collect()}
+        l = {(r["node"], r["component"]) for r in loop.collect()}
+        assert f == l, (roots, f, l)
+    # spot-pin the labeling itself (include_roots=True)
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (30, 30),
+    }
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_single_task_path_matches_loop(spark, sf_dir):
+    """Round 15: pagerank routes bounded graphs (every engine caller:
+    df-pruned vocab, event-type transitions) to one vectorized task.
+    The rounded (token, deg, pr) output must equal the DataFrame loop
+    on both the unweighted and weighted paths — the same
+    stable_round(6)+1e-9 discipline that already absorbs Spark↔DuckDB
+    summation drift absorbs the sorted-edge accumulation order here."""
+    from nyc_taxi_etl_pyspark_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 3.0),
+            ("a", "c", 1.0), ("d", "a", 1.0),  # d: source-only
+            ("a", "e", 1.0),                   # e: sink
+            ("a", "b", 1.0),                   # duplicate edge row
+        ],
+        "src string, dst string, w double",
+    )
+    for kw in ({}, {"weight": "w"}):
+        fast = pagerank(edges, iterations=3, **kw)
+        loop = pagerank(
+            edges, iterations=3, single_task_max_edges=0, **kw
+        )
+        r = lambda df: {
+            (x["token"], x["deg"], round(x["pr"] + 1e-9, 6))
+            for x in df.collect()
+        }
+        assert r(fast) == r(loop), kw
