@@ -932,32 +932,34 @@ def simhash_dedup(
     # classic simhash: per-bit vote (+1 if the token hash has the bit set,
     # −1 otherwise), fingerprint bit = sign of the vote. Same plan shape
     # as minhash_signatures: repartition by id (parallel map work + no
-    # second exchange), hash each token once, extract the 64 ±1 votes in
-    # a PROJECTION (codegen'd; expressions nested inside aggregates are
-    # evaluated interpreted), then 64 plain sums with map-side combine.
+    # second exchange), hash each token once, then 64 sums with map-side
+    # combine. The bit extraction lives INLINE in each sum's input
+    # expression (round 15): the former spelling materialized a
+    # 64-int-column row per token occurrence before the aggregate —
+    # 12 M × 64 UnsafeRow cells at sf1, measured 4.5 s for the votes
+    # stage vs 1.3 s with the narrow (id, hash) rows feeding inline
+    # extractions (the r13-era comment claiming nested-in-agg
+    # expressions run interpreted did not survive re-measurement).
+    # Integer sums of the same ±1 terms — bit-identical votes.
     n_part = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.repartition(n_part, id_col)
         .withColumn("__toks", tokens_col(F.col(text_col)))
         .select(F.col(id_col), F.explode_outer("__toks").alias("__tok"))
         .filter(F.col("__tok").isNotNull())
-        .withColumn("__h", F.xxhash64("__tok"))
-        .select(
-            F.col(id_col),
-            *[
-                (
-                    F.shiftrightunsigned(F.col("__h"), bit)
-                    .bitwiseAND(F.lit(1))
-                    .cast("int")
-                    * 2
-                    - 1
-                ).alias(f"__b{bit}")
-                for bit in range(64)
-            ],
-        )
+        .select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
     )
     votes = hashed.groupBy(id_col).agg(
-        *[F.sum(f"__b{bit}").alias(f"__v{bit}") for bit in range(64)]
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("__h"), bit)
+                .bitwiseAND(F.lit(1))
+                .cast("int")
+                * 2
+                - 1
+            ).alias(f"__v{bit}")
+            for bit in range(64)
+        ]
     )
     fingerprint = None
     for bit in range(64):
@@ -978,36 +980,63 @@ def simhash_dedup(
                 .alias("prefix"),
             )
         )
-    # Pair generation per (band, prefix) bucket via collect_list — one
-    # pass over the fingerprint pipeline (a self-join would recompute the
-    # 64-sum aggregate for both sides) and no join shuffle; see
-    # minhash_lsh_dedup for the same pattern.
-    blocked = sim.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
-        id_col, "simhash", "bb.band", "bb.prefix"
+    # Pair generation per (band, prefix) bucket as a CODEGEN'D
+    # self-join (round 15, guide §4.1/§2.5). The previous spelling —
+    # collect_list per bucket + nested transform/slice/flatten HOFs —
+    # evaluated every one of the Σ|bucket|² candidate comparisons in
+    # INTERPRETED lambda calls inside single-task buckets (~6 s of the
+    # 7.2 s sf1 warm wall, 6.5 M emitted pairs); the equi-join on
+    # (band, prefix) produces the identical unordered-pair multiset
+    # (id_a < id_b once per shared bucket, distinct dedups across
+    # bands) through whole-stage-codegen'd hashing, and AQE's skew
+    # handling splits hot buckets instead of one task eating the
+    # largest collect_list. ``sim`` is checkpointed — tiny (one
+    # (id, fingerprint) row per doc) — so the 64-sum vote aggregate
+    # runs once, not once per join side.
+    sim = sim.localCheckpoint(eager=True)
+    blocked = sim.select(
+        id_col, "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.prefix")
+    a = blocked.select(
+        "band",
+        "prefix",
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sa"),
     )
-    buckets = (
-        blocked.groupBy("band", "prefix")
-        .agg(F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("__m"))
-        .filter(F.size("__m") > 1)
+    b = blocked.select(
+        "band",
+        "prefix",
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__sb"),
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "__m",
-            lambda x, i: F.transform(
-                F.slice("__m", i + 2, F.size("__m")),
-                lambda y: F.struct(
-                    F.least(x[id_col], y[id_col]).alias("id_a"),
-                    F.greatest(x[id_col], y[id_col]).alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
-                        "hamming"
-                    ),
-                ),
+    # Every pair is emitted from its FIRST shared band only: which
+    # bands a pair shares is recomputable from the two fingerprints
+    # right on the joined row, so `band == first shared band` keeps
+    # exactly one copy per pair — the global `.distinct()` (a full
+    # re-shuffle of the multi-million-row pair multiset, up to 4×
+    # duplicated across bands) disappears outright (guide §2.4).
+    mask = F.lit((1 << prefix_bits) - 1)
+
+    def _pfx(col, j):
+        return F.shiftrightunsigned(col, j * prefix_bits).bitwiseAND(mask)
+
+    first_shared = F.lit(3)
+    for j in (2, 1, 0):
+        first_shared = F.when(
+            _pfx(F.col("__sa"), j) == _pfx(F.col("__sb"), j), F.lit(j)
+        ).otherwise(first_shared)
+    return (
+        a.join(b, ["band", "prefix"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("band") == first_shared)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias(
+                "hamming"
             ),
         )
-    )
-    return (
-        buckets.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= hamming_threshold)
-        .distinct()
     )

@@ -1849,6 +1849,10 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(md5c, c + 1, 1), 16, 10).cast("int")
         for c in range(15)
     ]
+    # bit votes inline in each sum (round 15, same rewrite as
+    # simhash_dedup): narrow (doc_id, 15 md5 digits) rows into the
+    # aggregate instead of a 60-int-column row per token occurrence;
+    # identical integer sums.
     hashed = (
         d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", toks.alias("__toks"))
@@ -1856,18 +1860,20 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__tok").isNotNull())
         .select(
             "doc_id",
-            *[
-                (
-                    F.shiftright(digits[b // 4], b % 4).bitwiseAND(F.lit(1))
-                    * 2
-                    - 1
-                ).alias(f"__b{b}")
-                for b in range(60)
-            ],
+            *[digits[c].alias(f"__d{c}") for c in range(15)],
         )
     )
     votes = hashed.groupBy("doc_id").agg(
-        *[F.sum(f"__b{b}").alias(f"__v{b}") for b in range(60)]
+        *[
+            F.sum(
+                F.shiftright(F.col(f"__d{b // 4}"), b % 4).bitwiseAND(
+                    F.lit(1)
+                )
+                * 2
+                - 1
+            ).alias(f"__v{b}")
+            for b in range(60)
+        ]
     )
     fingerprint = None
     for b in range(60):
