@@ -128,11 +128,14 @@ def minhash_signatures(
        argument expression per element — passing the raw tokenization
        expression re-runs split/filter per shingle, measured 10×);
     3. hash each shingle string ONCE (one string xxhash64), then derive
-       the k-hash family as xxhash64(h, seed) over the resulting long in
-       a PROJECTION — fixed-width long hashing is cheap and projections
-       stay in codegen, whereas expressions nested inside the k min()
-       aggregates are evaluated interpreted (measured ~9× slower);
-    4. k plain min aggregates with map-side partial combine — shuffle
+       the k-hash family as xxhash64(h, seed) over the resulting long
+       INLINE in each min() aggregate's input (round 15: the wide
+       k-column projection materialized |shingles|×k UnsafeRow cells
+       before the aggregate; narrow (id, h) rows with inline
+       extraction measured 0.92 → 0.74 s warm at sf1 — the r13-era
+       "nested-in-agg expressions run interpreted" claim did not
+       survive re-measurement, same finding as simhash_dedup);
+    4. k min aggregates with map-side partial combine — shuffle
        volume is |docs|×k longs, not |shingles|.
 
     Deterministic across runs/clusters (xxhash64 is seeded, no RNG).
@@ -148,14 +151,15 @@ def minhash_signatures(
         .withColumn("__toks", tokens_col(F.col(text_col)))
         .select(F.col(id_col), F.explode_outer(shingles).alias("__shingle"))
         .filter(F.col("__shingle").isNotNull())
-        .withColumn("__h", F.xxhash64("__shingle"))
-        .select(
-            F.col(id_col),
-            *[F.xxhash64("__h", F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
-        )
+        .select(F.col(id_col), F.xxhash64("__shingle").alias("__h"))
     )
     return hashed.groupBy(id_col).agg(
-        F.array(*[F.min(f"__h{i}") for i in range(num_hashes)]).alias("minhash_sig")
+        F.array(
+            *[
+                F.min(F.xxhash64("__h", F.lit(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("minhash_sig")
     )
 
 
